@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 (plus the
+beyond-reference pipeline operators), as (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB twins for the driver's differential check.
+
+Implementation lives in ``zarr_datafusion_spark``; this module only
+aggregates the per-module registries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    TPC-H-Q1-style pricing summary: scan -> filter -> groupBy ->
+    multi-agg -> sort (SURVEY §7 phase 1 minimum slice).
+    """
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.operators.relational import agg_groupby
+
+    df = agg_groupby(spark, "/root/testdata/sf0.001")
+    return df.orderBy("l_returnflag", "l_linestatus")
+
+
+def _registries() -> tuple[dict, dict]:
+    from zarr_datafusion_spark.operators import relational
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for mod in (relational,):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLE)
+    return queries, oracles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registries()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qs, oracles = _registries()
+    return {name: sql for name, sql in oracles.items() if name in qs}

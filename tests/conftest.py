@@ -1,0 +1,96 @@
+"""Shared fixtures: one SparkSession per test session + the DuckDB
+differential-oracle harness (mirrors the driver's compare: row count,
+column names, order-insensitive values)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from zarr_datafusion_spark.session import get_spark
+
+    spark = get_spark("zarr_datafusion_spark-tests")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by all values (driver compare is
+    order-insensitive); normalize timestamps to us precision."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].dt.floor("us").dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c].dt.floor("us")
+        # decimal.Decimal values from either engine -> float for compare
+        elif df[c].dtype == object and len(df) and type(df[c].iloc[0]).__name__ == "Decimal":
+            df[c] = df[c].astype(float)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def assert_frames_match(spark_df, duck_rel, *, float_exact: bool = True):
+    """Differential assertion: Spark result ≡ DuckDB result.
+
+    ``float_exact=True`` is the default because the query suite is
+    engineered for bit determinism (exact decimal sums); queries that
+    cannot be (documented per-case) pass ``float_exact=False`` for a
+    1e-9 relative tolerance.
+    """
+    left = _normalize(spark_df.toPandas())
+    right = _normalize(duck_rel.df())
+
+    assert len(left) == len(right), f"row count {len(left)} != {len(right)}"
+    assert list(left.columns) == list(right.columns), (
+        f"columns {list(left.columns)} != {list(right.columns)}"
+    )
+    for c in left.columns:
+        lv, rv = left[c], right[c]
+        if pd.api.types.is_float_dtype(lv) or pd.api.types.is_float_dtype(rv):
+            lv = lv.astype(float).to_numpy()
+            rv = rv.astype(float).to_numpy()
+            both_nan = np.isnan(lv) & np.isnan(rv)
+            if float_exact:
+                ok = (lv == rv) | both_nan
+            else:
+                ok = np.isclose(lv, rv, rtol=1e-9, atol=1e-12) | both_nan
+            assert ok.all(), f"column {c}: first mismatch at {np.argmin(ok)}: {lv[np.argmin(ok)]} != {rv[np.argmin(ok)]}"
+        else:
+            lvn = lv.isna()
+            rvn = rv.isna()
+            assert (lvn == rvn).all() and (lv[~lvn] == rv[~rvn]).all(), f"column {c} differs"

@@ -1,0 +1,117 @@
+"""Engine — the session-state analog of the reference's CLI context.
+
+The reference wires a DataFusion ``SessionState`` with a ZARR table
+factory and two statistics optimizer rules (``src/bin/zarr_cli/main.rs:54-65``).
+``Engine`` is the Spark-native equivalent: it owns a SparkSession, a
+table catalog with cached statistics, Zarr registration, and a ``sql()``
+entry point that applies the metadata-shortcut rewrites (reference
+``src/optimizer/count_optimization.rs``, ``minmax_optimization.rs``)
+before delegating to Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from zarr_datafusion_spark.session import get_spark, register_tables
+
+
+@dataclass
+class TableStats:
+    """Exact per-table statistics, the analog of the reference's
+    ``TableProvider::statistics()`` (``src/datasource/zarr.rs:191-254``).
+
+    ``row_count`` is exact; ``column_min_max`` maps column name ->
+    (min, max) for columns with exact bounds; ``column_null_count``
+    maps column name -> exact null count (0 for Zarr coordinates and
+    for parquet columns whose footers report zero nulls).  A column
+    absent from a dict has no exact statistic — the shortcut must bail,
+    matching the reference's guards (``count_optimization.rs:150-200``).
+    """
+
+    row_count: int
+    column_min_max: dict[str, tuple] = field(default_factory=dict)
+    column_null_count: dict[str, int] = field(default_factory=dict)
+
+
+class Engine:
+    """PySpark-native analytics engine with a stats-aware SQL front door."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        #: table name -> TableStats for registered tables with exact stats
+        self._stats: dict[str, TableStats] = {}
+        self._last_shortcut: str | None = None
+
+    # ------------------------------------------------------------------
+    # Registration
+    # ------------------------------------------------------------------
+
+    def register_parquet_dir(self, sf_dir: str) -> list[str]:
+        """Register the driver's parquet tables as temp views, caching
+        exact footer statistics for the metadata shortcuts."""
+        from zarr_datafusion_spark.stats.parquet_stats import parquet_table_stats
+
+        dfs = register_tables(self.spark, sf_dir)
+        for name in dfs:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            try:
+                self._stats[name] = parquet_table_stats(path)
+            except Exception:  # stats are an optimization, never a failure
+                pass
+        return list(dfs)
+
+    def register_zarr(self, name: str, store_path: str) -> DataFrame:
+        """Register a Zarr store as a queryable table (reference
+        ``CREATE EXTERNAL TABLE ... STORED AS ZARR``, ``src/datasource/factory.rs:19-65``)."""
+        from zarr_datafusion_spark.stats.zarr_stats import zarr_table_stats
+        from zarr_datafusion_spark.zarr import read_zarr
+
+        df = read_zarr(self.spark, store_path)
+        df.createOrReplaceTempView(name)
+        try:
+            self._stats[name] = zarr_table_stats(store_path)
+        except Exception:
+            pass
+        return df
+
+    def table_stats(self, name: str) -> TableStats | None:
+        return self._stats.get(name)
+
+    # ------------------------------------------------------------------
+    # Query
+    # ------------------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL; answer COUNT/MIN/MAX-only queries from cached exact
+        statistics without scanning (reference optimizer rules
+        ``count_optimization.rs:37-241`` / ``minmax_optimization.rs:43-239``),
+        else delegate to Catalyst untouched."""
+        from zarr_datafusion_spark.stats.shortcuts import try_stats_shortcut
+
+        self._last_shortcut = None
+        shortcut = try_stats_shortcut(self.spark, query, self._stats)
+        if shortcut is not None:
+            self._last_shortcut = query
+            return shortcut
+        return self.spark.sql(query)
+
+    @property
+    def last_query_used_shortcut(self) -> bool:
+        """True if the most recent ``sql()`` call was answered from
+        metadata only (no scan) — the analog of the reference's
+        plan-shape assertion ``assert_no_zarr_exec``
+        (``tests/common/mod.rs:118-124``)."""
+        return self._last_shortcut is not None
+
+    def timed_sql(self, query: str) -> tuple[DataFrame, float]:
+        """Convenience: (result, seconds) like the REPL timing line
+        (``src/bin/zarr_cli/main.rs:253``)."""
+        t0 = time.perf_counter()
+        df = self.sql(query)
+        df.count()  # force execution
+        return df, time.perf_counter() - t0

@@ -1,0 +1,767 @@
+"""Tier B relational surface — the SQL the reference exercises via DataFusion.
+
+Every query here mirrors a row of SURVEY.md §2 Tier B (citations inline)
+and is paired with a DuckDB oracle in ``ORACLE`` for the driver's
+differential check.  Implementation is idiomatic Spark: DataFrame API
+where it reads naturally, ``spark.sql`` for CTE/subquery shapes —
+Catalyst plans both identically.
+
+Cross-engine determinism policy (SURVEY §7 "hard/risky bits"):
+
+* Every computed column is aliased identically on both sides.
+* Any ``LIMIT``/``OFFSET`` query orders by a key set that is a total
+  order, so the selected row set is unique.
+* Sums/averages over fractional doubles are computed exactly:
+  ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)`` — decimal
+  accumulation is associative/exact, so Spark's and DuckDB's different
+  accumulation orders produce bit-identical doubles.  Averages are
+  ``exact_sum / count`` (one deterministic IEEE division), never the
+  engine's own AVG over floats.  Sums of integer-valued doubles
+  (``l_quantity``) are exact in binary and need no cast.
+* Raw ``events.ts`` values are nanosecond-precision in parquet; Spark
+  truncates to microseconds, DuckDB keeps ns — queries returning event
+  timestamps therefore bucket them (``date_trunc``) on both sides.
+
+Scale notes (100 TB posture): all queries are pure declarative plans —
+filters/projections push into the parquet scan, aggregations get
+map-side partial aggregation, small dimension tables broadcast
+(Catalyst auto-broadcasts under the threshold; AQE re-plans at runtime).
+No driver-side materialization anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from zarr_datafusion_spark.session import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    from zarr_datafusion_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+
+
+# Exact fractional-double aggregation helpers (see module docstring).
+def _dsum(col: str, alias: str, scale: int = 2) -> F.Column:
+    return (
+        F.sum(F.col(col).cast(f"decimal(25,{scale})")).cast("double").alias(alias)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / scalar expressions  (reference: integration_query.rs:13-36,
+# CLI_REFERENCE.md:80-106)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "proj_select",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+)
+def proj_select(spark, sf_dir):
+    """SELECT column list + LIMIT (integration_query.rs:26-36)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@_q(
+    "proj_arith",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue,
+              l_quantity + l_linenumber AS qty_plus_line,
+              l_extendedprice / l_quantity AS unit_price
+       FROM lineitem""",
+)
+def proj_arith(spark, sf_dir):
+    """Arithmetic +-*/ incl. mixed int/float (CLI_REFERENCE.md:89-98).
+
+    Per-row IEEE arithmetic on identical inputs is bit-deterministic
+    across engines — no decimal cast needed (unlike aggregates).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (F.col("l_quantity") + F.col("l_linenumber")).alias("qty_plus_line"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+
+
+@_q(
+    "proj_case_cast",
+    """SELECT l_orderkey, l_linenumber,
+              CASE WHEN l_quantity > 30 THEN 'big'
+                   WHEN l_quantity > 10 THEN 'mid'
+                   ELSE 'small' END AS size_class,
+              CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int
+       FROM lineitem""",
+)
+def proj_case_cast(spark, sf_dir):
+    """CASE + explicit CAST (filter.rs:120-128 exercises casts).
+
+    FLOOR before the int cast: Spark truncates double->int while DuckDB
+    rounds, so the cast is only cross-engine-deterministic on integral
+    doubles.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > 30, "big")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.floor("l_quantity").cast("int").alias("qty_int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters  (reference: CLI_REFERENCE.md:110-163, integration_query.rs:39-64)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "filter_cmp_and",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+       WHERE l_quantity > 30 AND l_discount < 0.05""",
+)
+def filter_cmp_and(spark, sf_dir):
+    """Comparison + AND (CLI_REFERENCE.md:117-124)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+@_q(
+    "filter_or_between_in",
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+       WHERE (l_returnflag = 'A' OR l_returnflag = 'R')
+         AND l_quantity BETWEEN 10 AND 20
+         AND l_linestatus IN ('F', 'O')
+         AND l_shipdate IS NOT NULL""",
+)
+def filter_or_between_in(spark, sf_dir):
+    """OR / BETWEEN / IN / IS NOT NULL (CLI_REFERENCE.md:127-163)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        ((F.col("l_returnflag") == "A") | (F.col("l_returnflag") == "R"))
+        & F.col("l_quantity").between(10, 20)
+        & F.col("l_linestatus").isin("F", "O")
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+@_q(
+    "filter_not_in",
+    """SELECT o_orderkey, o_orderstatus FROM orders
+       WHERE o_orderstatus NOT IN ('O')""",
+)
+def filter_not_in(spark, sf_dir):
+    """NOT IN (CLI_REFERENCE.md:151-157)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(~F.col("o_orderstatus").isin("O")).select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@_q(
+    "distinct_vals",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_vals(spark, sf_dir):
+    """DISTINCT (CLI_REFERENCE.md:100-106)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Aggregations  (reference: CLI_REFERENCE.md:169-252, integration_query.rs:97-220)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_global",
+    """SELECT COUNT(*) AS n_rows,
+              COUNT(l_quantity) AS n_qty,
+              SUM(l_quantity) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+              MIN(l_extendedprice) AS min_price,
+              MAX(l_extendedprice) AS max_price,
+              MIN(l_shipdate) AS min_ship,
+              MAX(l_shipdate) AS max_ship
+       FROM lineitem""",
+)
+def agg_global(spark, sf_dir):
+    """COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX, no GROUP BY
+    (CLI_REFERENCE.md:169-208; integration_query.rs:192-220)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        F.sum("l_quantity").alias("sum_qty"),  # integer-valued: binary-exact
+        _dsum("l_extendedprice", "sum_price"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).cast("double")
+            / F.count("l_extendedprice")
+        ).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@_q(
+    "agg_groupby",
+    """SELECT l_returnflag, l_linestatus,
+              SUM(l_quantity) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2)) * CAST(1 - l_discount AS DECIMAL(25,2))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2)) * CAST(1 - l_discount AS DECIMAL(25,2)) * CAST(1 + l_tax AS DECIMAL(25,2))) AS DOUBLE) AS sum_charge,
+              SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+              CAST(SUM(CAST(l_discount AS DECIMAL(25,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+              COUNT(*) AS count_order
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_groupby(spark, sf_dir):
+    """TPC-H-Q1-style pricing summary: GROUP BY + multi-agg
+    (README.md:235-241, integration_query.rs:97-110).  The flagship."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(25,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(25,2)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(25,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * disc).cast("double").alias("sum_disc_price"),
+        F.sum(price * disc * tax).cast("double").alias("sum_charge"),
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+        (F.sum(F.col("l_discount").cast("decimal(25,2)")).cast("double") / F.count("l_discount")).alias(
+            "avg_disc"
+        ),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "agg_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spent
+       FROM orders
+       GROUP BY o_custkey
+       HAVING COUNT(*) >= 12""",
+)
+def agg_having(spark, sf_dir):
+    """GROUP BY + HAVING (CLI_REFERENCE.md:240-252)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice", "total_spent"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@_q(
+    "agg_count_distinct",
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+              COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""",
+)
+def agg_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) — exact (superset of reference's COUNT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@_q(
+    "agg_rollup",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (Spark-native superset; SURVEY §2 optional
+    parity row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@_q(
+    "agg_time_bucket",
+    """SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+       FROM events
+       GROUP BY date_trunc('hour', ts), event_type""",
+)
+def agg_time_bucket(spark, sf_dir):
+    """Time-bucketed aggregation over the events table (batch analog of
+    the §7 streaming demo; timestamps bucketed to the hour so ns-vs-us
+    parquet precision cannot skew the oracle compare)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        _dsum("value", "sum_value", scale=6),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k  (reference: integration_query.rs:67-94,
+# CLI_REFERENCE.md:254-271, integration_pushdown.rs:150-173)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sort_multi_key",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC LIMIT 50""",
+)
+def sort_multi_key(spark, sf_dir):
+    """Multi-key ORDER BY asc/desc (integration_query.rs:67-94)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.col("o_orderstatus").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(50)
+    )
+
+
+@_q(
+    "sort_limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""",
+)
+def sort_limit_offset(spark, sf_dir):
+    """ORDER BY + LIMIT + OFFSET (CLI_REFERENCE.md:254-271)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(5)
+        .limit(10)
+    )
+
+
+@_q(
+    "topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""",
+)
+def topk(spark, sf_dir):
+    """Top-K — Spark plans TakeOrderedAndProject
+    (integration_pushdown.rs:150-162)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins  (reference: CLI_REFERENCE.md:379-427)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_inner",
+    """SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber, l.l_quantity
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE o.o_orderstatus = 'F'""",
+)
+def join_inner(spark, sf_dir):
+    """Inner equi-join (CLI_REFERENCE.md:379-396)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_orderkey", "o_orderdate", "l_linenumber", "l_quantity")
+    )
+
+
+@_q(
+    "join_inner_multikey",
+    """SELECT a.l_orderkey, a.l_linenumber, COUNT(*) AS n_same_supp
+       FROM lineitem a JOIN lineitem b
+         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey = b.l_suppkey
+       GROUP BY a.l_orderkey, a.l_linenumber""",
+)
+def join_inner_multikey(spark, sf_dir):
+    """Multi-key equi self-join (reference self-join on lat,lon —
+    CLI_REFERENCE.md:379-414)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") == F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_orderkey").alias("l_orderkey"), F.col("a.l_linenumber").alias("l_linenumber"))
+        .agg(F.count("*").alias("n_same_supp"))
+    )
+
+
+@_q(
+    "join_chain_agg",
+    """SELECT r.r_name, n.n_name,
+              CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS sum_acctbal,
+              COUNT(*) AS n_cust
+       FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name, n.n_name""",
+)
+def join_chain_agg(spark, sf_dir):
+    """3-table dimension chain + aggregation (CLI_REFERENCE.md:398-414).
+
+    nation/region are tiny dims — broadcast explicitly so the plan has
+    no shuffle on the build sides at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum("c_acctbal", "sum_acctbal"),
+            F.count("*").alias("n_cust"),
+        )
+    )
+
+
+@_q(
+    "join_left",
+    """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       GROUP BY c.c_custkey""",
+)
+def join_left(spark, sf_dir):
+    """Left outer join (CLI_REFERENCE.md:417-427); COUNT(col) counts
+    only matched rows, keeping order-less customers at 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@_q(
+    "join_theta",
+    """SELECT a.n_name AS name_a, b.n_name AS name_b
+       FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1""",
+)
+def join_theta(spark, sf_dir):
+    """Expression join key (reference: a.lat = b.lat + 1,
+    CLI_REFERENCE.md:420-424)."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(b, F.col("b.n_nationkey") == F.col("a.n_nationkey") + 1).select(
+        F.col("a.n_name").alias("name_a"), F.col("b.n_name").alias("name_b")
+    )
+
+
+@_q(
+    "join_semi",
+    """SELECT c_custkey FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join / EXISTS (DataFusion-complete superset, SURVEY §2
+    joins row)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@_q(
+    "join_anti",
+    """SELECT p_partkey FROM part p
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+                         AND l.l_quantity > 40)""",
+)
+def join_anti(spark, sf_dir):
+    """Left-anti join / NOT EXISTS (parts never ordered in bulk — a
+    non-empty result set so the differential check is meaningful)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey")
+
+
+@_q(
+    "join_full",
+    """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+              COUNT(c.c_custkey) AS n_cust, COUNT(s.s_suppkey) AS n_supp
+       FROM customer c FULL JOIN supplier s ON c.c_nationkey = s.s_nationkey
+       GROUP BY COALESCE(c.c_nationkey, s.s_nationkey)""",
+)
+def join_full(spark, sf_dir):
+    """Full outer join (DataFusion-complete superset)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full")
+        .select(
+            F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+            "c_custkey",
+            "s_suppkey",
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.count("c_custkey").alias("n_cust"),
+            F.count("s_suppkey").alias("n_supp"),
+        )
+    )
+
+
+@_q(
+    "join_cross",
+    "SELECT r.r_name, s.s_name FROM region r CROSS JOIN supplier s",
+)
+def join_cross(spark, sf_dir):
+    """Cross join (DataFusion-complete superset)."""
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier")
+    return r.crossJoin(s).select("r_name", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Window functions  (reference: CLI_REFERENCE.md:278-327)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "win_rownum_rank",
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, rn, rnk, drnk
+       FROM (
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn,
+                RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+                DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk
+         FROM lineitem) t
+       WHERE rn <= 5""",
+)
+def win_rownum_rank(spark, sf_dir):
+    """ROW_NUMBER / RANK / DENSE_RANK (CLI_REFERENCE.md:278-313).
+
+    row_number's spec includes unique tiebreak keys for determinism;
+    rank/dense_rank order by quantity alone to actually exercise ties."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_total = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    w_ties = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_quantity",
+            F.row_number().over(w_total).alias("rn"),
+            F.rank().over(w_ties).alias("rnk"),
+            F.dense_rank().over(w_ties).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@_q(
+    "win_lag_lead",
+    """SELECT event_id, user_id,
+              LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+              LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+       FROM events""",
+)
+def win_lag_lead(spark, sf_dir):
+    """LAG / LEAD offset 1 (CLI_REFERENCE.md:317-327).  ts is only the
+    ordering key (ns-vs-us truncation preserves order because event_id
+    breaks ties deterministically... ordering is by (ts, event_id) and
+    within-us ns reordering is impossible for distinct us values; equal
+    us values fall back to event_id on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+    )
+
+
+@_q(
+    "win_moving_avg",
+    """SELECT event_id, user_id,
+              CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / COUNT(value)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+       FROM events""",
+)
+def win_moving_avg(spark, sf_dir):
+    """Moving aggregate with ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    (CLI_REFERENCE.md:291-300), computed as exact-decimal-sum / count
+    for cross-engine bit determinism."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / CTEs / subqueries  (reference: CLI_REFERENCE.md:336-374,
+# integration_pushdown.rs:134-140)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "union_all",
+    """SELECT l_orderkey AS key FROM lineitem
+       UNION ALL SELECT o_orderkey AS key FROM orders""",
+)
+def union_all(spark, sf_dir):
+    """UNION ALL (CLI_REFERENCE.md:345-362)."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("key"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key"))
+    return li.unionAll(o)
+
+
+@_q(
+    "setop_intersect",
+    """SELECT o_custkey AS key FROM orders
+       INTERSECT SELECT c_custkey AS key FROM customer""",
+)
+def setop_intersect(spark, sf_dir):
+    """INTERSECT (distinct semantics; DataFusion-complete superset)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    return o.intersect(c)
+
+
+@_q(
+    "setop_except",
+    """SELECT p_partkey AS key FROM part
+       EXCEPT SELECT l_partkey AS key FROM lineitem WHERE l_quantity > 45""",
+)
+def setop_except(spark, sf_dir):
+    """EXCEPT (distinct semantics; predicate chosen for a non-empty
+    difference)."""
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("key"))
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_partkey").alias("key"))
+    )
+    return p.exceptAll(li).distinct()
+
+
+_CTE_SQL = """
+    WITH hi AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000),
+         lo AS (SELECT o_orderkey FROM orders WHERE o_totalprice <= 200000)
+    SELECT 'hi' AS bucket, COUNT(*) AS n FROM hi
+    UNION ALL
+    SELECT 'lo' AS bucket, COUNT(*) AS n FROM lo
+"""
+
+
+@_q("cte_multi_union", _CTE_SQL)
+def cte_multi_union(spark, sf_dir):
+    """Multiple CTEs + UNION ALL (CLI_REFERENCE.md:336-363) — same SQL
+    text through Catalyst."""
+    _views(spark, sf_dir)
+    return spark.sql(_CTE_SQL)
+
+
+_SUBQ_FROM_SQL = """
+    SELECT COUNT(*) AS n_orders,
+           MIN(order_rev) AS min_rev,
+           MAX(order_rev) AS max_rev,
+           CAST(SUM(CAST(order_rev AS DECIMAL(25,4))) AS DOUBLE) / COUNT(order_rev) AS avg_rev
+    FROM (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                      * CAST(1 - l_discount AS DECIMAL(25,2))) AS DOUBLE) AS order_rev
+      FROM lineitem GROUP BY l_orderkey
+    ) g
+"""
+
+
+@_q("subquery_from", _SUBQ_FROM_SQL)
+def subquery_from(spark, sf_dir):
+    """Aggregate over a derived table (integration_pushdown.rs:134-140)."""
+    _views(spark, sf_dir)
+    return spark.sql(_SUBQ_FROM_SQL)
+
+
+_SUBQ_SCALAR_SQL = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+      FROM orders)
+"""
+
+
+@_q("subquery_scalar", _SUBQ_SCALAR_SQL)
+def subquery_scalar(spark, sf_dir):
+    """Scalar subquery in WHERE (DataFusion-complete superset; exact
+    decimal average so the threshold is bit-identical cross-engine)."""
+    _views(spark, sf_dir)
+    return spark.sql(_SUBQ_SCALAR_SQL)

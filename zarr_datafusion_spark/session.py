@@ -1,0 +1,107 @@
+"""SparkSession factory and driver-testdata table registry.
+
+The reference builds a DataFusion ``SessionState`` with information_schema
+enabled, a ZARR table factory, and two custom optimizer rules
+(reference ``src/bin/zarr_cli/main.rs:54-65``).  The Spark analog is a
+``SparkSession`` configured for Arrow + AQE, plus temp views for the
+driver's parquet tables; the Zarr source and the statistics rules live in
+:mod:`zarr_datafusion_spark.zarr` and :mod:`zarr_datafusion_spark.stats`.
+
+Scale posture: shuffle partitions default to the local core count but are
+just a config knob — on a 1000-executor cluster the same code runs with
+``spark.sql.shuffle.partitions`` sized to the cluster, and AQE coalesces /
+splits at runtime.  Nothing here materializes data on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "zarr_datafusion_spark") -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    Config notes (each matters at 100 TB, not just locally):
+
+    * AQE on: runtime coalescing, skew-join splitting, dynamic join
+      strategy switch — replaces hand-tuned partition counts.
+    * Arrow on: vectorized Python<->JVM boundary for the Zarr source,
+      pandas UDFs, and collect.
+    * UTC session timezone: deterministic timestamp semantics and
+      DuckDB-oracle comparability.
+    * shuffle partitions ~ cores for local mode; a cluster deployment
+      overrides via spark-defaults (AQE re-coalesces anyway).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table (columnar scan, pushdown-capable).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as raw ns-since-epoch
+    (``nanosAsLong``) and convert with exact integer math (``DIV 1000``
+    — float division would lose precision at 1e18 ns magnitudes) to a
+    microsecond timestamp.  DuckDB keeps ns; all queries that *return*
+    event timestamps bucket them coarsely so this cannot skew oracles.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        )
+    return spark.read.parquet(path)
+
+
+def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every driver table as a temp view; returns name -> DataFrame.
+
+    Mirrors the reference REPL's table registration step
+    (``src/bin/zarr_cli/main.rs:55-64``) for the parquet testdata.
+    """
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs
