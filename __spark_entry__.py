@@ -35,11 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registries() -> tuple[dict, dict]:
-    from zarr_datafusion_spark.operators import relational
+    from zarr_datafusion_spark.operators import relational, zarr_queries
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational,):
+    for mod in (relational, zarr_queries):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
     return queries, oracles

@@ -1,0 +1,89 @@
+"""Statistics-shortcut tests (reference ``tests/integration_optimizer.rs``).
+
+Differential: the shortcut answer must equal the full-scan answer
+(``integration_optimizer.rs:149-212``).  Plan-shape: when the shortcut
+fires the plan must contain no file scan (``assert_no_zarr_exec``,
+``tests/common/mod.rs:118-124``); guarded shapes must fall through to a
+real scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from zarr_datafusion_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_parquet_dir(SF_DIR)
+    return eng
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT COUNT(*) AS n FROM lineitem",
+        "SELECT COUNT(1) AS n FROM orders",
+        "SELECT COUNT(l_quantity) AS n FROM lineitem",
+        "SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi FROM lineitem",
+        "SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders",
+        "SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders",
+        "SELECT COUNT(*) AS n, MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi FROM lineitem",
+    ],
+)
+def test_shortcut_matches_full_scan(engine, spark, sql):
+    fast = engine.sql(sql)
+    assert engine.last_query_used_shortcut, sql
+    assert "parquet" not in _plan(fast).lower(), "shortcut plan must not scan"
+    full = spark.sql(sql)
+    assert fast.collect() == full.collect()
+    assert [f.name for f in fast.schema.fields] == [f.name for f in full.schema.fields]
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # guards (count_optimization.rs:293-308: bail on Filter etc.)
+        "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 10",
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+        "SELECT SUM(l_quantity) AS s FROM lineitem",
+        "SELECT MIN(l_returnflag) AS lo FROM lineitem",  # string: no exact stats
+        "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem",
+    ],
+)
+def test_guarded_shapes_fall_through(engine, spark, sql):
+    df = engine.sql(sql)
+    assert not engine.last_query_used_shortcut, sql
+    assert df.collect() == spark.sql(sql).collect()
+
+
+def test_zarr_store_shortcut(engine, spark, tmp_path):
+    from zarr_datafusion_spark.zarr.writer import synthetic_weather_arrays, write_store
+
+    store = write_store(str(tmp_path / "w"), synthetic_weather_arrays())
+    engine.register_zarr("weather_sc", store)
+
+    fast = engine.sql("SELECT COUNT(*) AS n, MIN(time) AS t0, MAX(lat) AS la FROM weather_sc")
+    assert engine.last_query_used_shortcut
+    row = fast.collect()[0]
+    assert (row.n, row.t0, row.la) == (700, 0, 9)
+    # differential vs the real scan
+    assert row == spark.sql(
+        "SELECT COUNT(*) AS n, MIN(time) AS t0, MAX(lat) AS la FROM weather_sc"
+    ).collect()[0]
+
+
+def test_unknown_table_falls_through(engine):
+    df = engine.sql("SELECT COUNT(*) AS n FROM region")
+    # region was registered via register_parquet_dir -> shortcut fires
+    assert engine.last_query_used_shortcut
+    assert df.collect()[0].n == 5

@@ -1,0 +1,207 @@
+"""Zarr source parity tests.
+
+Mirrors the reference's integration suites:
+* format parity v2≡v3, compressed≡plain (``tests/integration_formats.rs``)
+* flattening semantics: 700 rows, row-major coord expansion
+  (``tests/integration_query.rs``, ``README.md:23-34``)
+* pushdown row counts incl. empty-result short-circuit
+  (``tests/integration_pushdown.rs:179-302``)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from zarr_datafusion_spark.zarr.writer import synthetic_weather_arrays, write_store
+
+ARRAYS = synthetic_weather_arrays()
+NTIME, NLAT, NLON = 7, 10, 10
+
+
+@pytest.fixture(scope="session")
+def stores(tmp_path_factory):
+    base = tmp_path_factory.mktemp("zarr_stores")
+    variants = {
+        "v2_plain": dict(zarr_format=2, compression=None),
+        "v2_zlib": dict(zarr_format=2, compression="zlib"),
+        "v3_plain": dict(zarr_format=3, compression=None),
+        "v3_gzip": dict(zarr_format=3, compression="gzip"),
+    }
+    return {
+        name: write_store(str(base / name), ARRAYS, **kw)
+        for name, kw in variants.items()
+    }
+
+
+def expected_flat():
+    """Row-major flattening computed independently of the engine."""
+    time, lat, lon = ARRAYS["time"][0], ARRAYS["lat"][0], ARRAYS["lon"][0]
+    temp, hum = ARRAYS["temperature"][0], ARRAYS["humidity"][0]
+    rows = {
+        "time": np.repeat(time, NLAT * NLON),
+        "lat": np.tile(np.repeat(lat, NLON), NTIME),
+        "lon": np.tile(lon, NTIME * NLAT),
+        "temperature": temp.reshape(-1),
+        "humidity": hum.reshape(-1),
+    }
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Metadata
+# ---------------------------------------------------------------------------
+
+
+def test_schema_inference(stores):
+    from zarr_datafusion_spark.zarr import discover_arrays, infer_spark_schema
+
+    for name, path in stores.items():
+        meta = discover_arrays(path)
+        assert [c.name for c in meta.coords] == ["time", "lat", "lon"], name
+        assert [v.name for v in meta.data_vars] == ["humidity", "temperature"], name
+        assert meta.total_rows == 700
+        assert meta.coord_min_max["time"] == (0, 6)
+        assert meta.coord_min_max["lat"] == (0, 9)
+        schema = infer_spark_schema(meta)
+        assert [f.name for f in schema.fields] == [
+            "time",
+            "lat",
+            "lon",
+            "humidity",
+            "temperature",
+        ]
+        assert [f.nullable for f in schema.fields] == [False] * 3 + [True] * 2
+        assert {f.dataType.simpleString() for f in schema.fields} == {"bigint"}
+
+
+def test_version_detection(stores):
+    from zarr_datafusion_spark.zarr import detect_zarr_version
+
+    assert detect_zarr_version(stores["v2_plain"]) == 2
+    assert detect_zarr_version(stores["v3_plain"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# Flattening correctness + format parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("variant", ["v2_plain", "v2_zlib", "v3_plain", "v3_gzip"])
+def test_flatten_matches_expected(spark, stores, variant):
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    df = read_zarr(spark, stores[variant])
+    pdf = df.toPandas()
+    assert len(pdf) == 700
+    exp = expected_flat()
+    for col, values in exp.items():
+        np.testing.assert_array_equal(pdf[col].to_numpy(), values, err_msg=f"{variant}:{col}")
+
+
+def test_format_parity_v2_v3(spark, stores):
+    """v2 ≡ v3 ≡ compressed variants (integration_formats.rs)."""
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    frames = {
+        name: read_zarr(spark, path).toPandas() for name, path in stores.items()
+    }
+    base = frames["v2_plain"]
+    for name, pdf in frames.items():
+        assert base.equals(pdf), f"{name} differs from v2_plain"
+
+
+# ---------------------------------------------------------------------------
+# Pushdowns (integration_pushdown.rs)
+# ---------------------------------------------------------------------------
+
+
+def test_filter_pushdown_counts(spark, stores):
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    df = read_zarr(spark, stores["v2_plain"])
+    assert df.filter(F.col("time") == 0).count() == 100
+    assert df.filter((F.col("time") == 0) & (F.col("lat") == 0)).count() == 10
+    assert (
+        df.filter(
+            (F.col("time") == 0) & (F.col("lat") == 0) & (F.col("lon") == 3)
+        ).count()
+        == 1
+    )
+    # Unmatched literal -> empty short-circuit (filter.rs:222-230)
+    assert df.filter(F.col("time") == 99).count() == 0
+    # Filter on a data variable is NOT pushed (re-applied by Spark)
+    assert df.filter(F.col("temperature") > 0).count() == int(
+        (ARRAYS["temperature"][0] > 0).sum()
+    )
+
+
+def test_filter_pushdown_values(spark, stores):
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    df = read_zarr(spark, stores["v3_gzip"])
+    got = (
+        df.filter((F.col("time") == 2) & (F.col("lat") == 5))
+        .orderBy("lon")
+        .toPandas()
+    )
+    exp_temp = ARRAYS["temperature"][0][2, 5, :]
+    np.testing.assert_array_equal(got["temperature"].to_numpy(), exp_temp)
+    assert (got["time"] == 2).all() and (got["lat"] == 5).all()
+
+
+def test_limit_pushdown(spark, stores):
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    df = read_zarr(spark, stores["v2_plain"], limit=150)
+    pdf = df.toPandas()
+    assert len(pdf) == 150
+    exp = expected_flat()
+    # LIMIT takes the FIRST n rows in row-major order (coord.rs:112-158)
+    np.testing.assert_array_equal(pdf["time"].to_numpy(), exp["time"][:150])
+    np.testing.assert_array_equal(pdf["temperature"].to_numpy(), exp["temperature"][:150])
+
+
+def test_projection_pushdown(spark, stores):
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    df = read_zarr(spark, stores["v2_plain"], columns=["time", "temperature"])
+    assert df.columns == ["time", "temperature"]
+    assert df.count() == 700
+
+
+def test_sql_registration(spark, stores):
+    """SQL DDL path (reference A9 CREATE EXTERNAL TABLE — session-scoped
+    registration; Spark analog is a temp view USING zarr)."""
+    from zarr_datafusion_spark.zarr import register_zarr_source
+
+    register_zarr_source(spark)
+    spark.sql("DROP VIEW IF EXISTS weather")
+    spark.sql(
+        f"CREATE TEMPORARY VIEW weather USING zarr OPTIONS (path '{stores['v2_plain']}')"
+    )
+    try:
+        assert spark.sql("SELECT COUNT(*) AS n FROM weather").collect()[0].n == 700
+        got = spark.sql(
+            "SELECT lat, AVG(temperature) AS avg_t FROM weather "
+            "WHERE time = 3 GROUP BY lat ORDER BY lat"
+        ).toPandas()
+        exp = ARRAYS["temperature"][0][3].mean(axis=1)
+        np.testing.assert_allclose(got["avg_t"].to_numpy(), exp)
+    finally:
+        spark.sql("DROP VIEW IF EXISTS weather")
+
+
+def test_engine_register_zarr(spark, stores):
+    from zarr_datafusion_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_zarr("weather_view", stores["v3_plain"])
+    assert eng.table_stats("weather_view").row_count == 700
+    assert eng.table_stats("weather_view").column_min_max["lon"] == (0, 9)
+    n = spark.sql("SELECT COUNT(*) AS n FROM weather_view").collect()[0].n
+    assert n == 700

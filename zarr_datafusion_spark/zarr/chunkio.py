@@ -1,0 +1,173 @@
+"""Chunk-level Zarr I/O: key layout, codecs, windowed reads.
+
+The executor-side half of the scan (reference
+``src/reader/zarr_reader.rs`` type-dispatch + chunk assembly).  Reads a
+rectangular window of an array by visiting only the chunks that
+intersect it — this is what makes coordinate-filter and limit pushdown
+actual I/O reductions (``zarr_reader.rs:243-317``).
+
+Codecs: raw, zlib, gzip, zstd and blosc are gated behind import-tries
+(this container ships neither ``numcodecs`` nor ``blosc``; the error
+message says exactly what's missing).  Missing chunk files materialize
+the array's fill_value, per the Zarr spec.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import zlib
+
+import numpy as np
+
+from zarr_datafusion_spark.zarr.metadata import ZarrArrayMeta, numpy_dtype_for
+
+
+def _decompress_v2(raw: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.decompress(raw)
+    if cid == "gzip":
+        return gzip.decompress(raw)
+    if cid == "zstd":
+        try:
+            import zstandard  # noqa: F401
+
+            return zstandard.ZstdDecompressor().decompress(raw)
+        except ImportError as e:
+            raise NotImplementedError(
+                "zstd-compressed Zarr chunk but the 'zstandard' package is "
+                "not installed in this environment"
+            ) from e
+    if cid == "blosc":
+        try:
+            import blosc  # noqa: F401
+
+            return blosc.decompress(raw)
+        except ImportError as e:
+            raise NotImplementedError(
+                "blosc-compressed Zarr chunk but the 'blosc' package is not "
+                "installed in this environment (reference supports blosc via "
+                "its Rust codec; install python-blosc to enable)"
+            ) from e
+    raise NotImplementedError(f"unsupported Zarr v2 compressor: {cid!r}")
+
+
+def _decode_v3(raw: bytes, codecs: tuple, dtype: np.dtype) -> tuple[bytes, np.dtype]:
+    """Apply the v3 codec chain in reverse (bytes->bytes codecs first,
+    then the array->bytes 'bytes' codec fixes endianness)."""
+    endian = "little"
+    byte_codecs = []
+    for codec in codecs:
+        name = codec.get("name")
+        if name == "bytes":
+            endian = (codec.get("configuration") or {}).get("endian", "little")
+        elif name in ("gzip", "zstd", "blosc", "crc32c"):
+            byte_codecs.append(codec)
+        elif name in ("transpose", "sharding_indexed"):
+            raise NotImplementedError(f"Zarr v3 codec not supported: {name}")
+        else:
+            raise NotImplementedError(f"unknown Zarr v3 codec: {name}")
+    for codec in reversed(byte_codecs):
+        name = codec["name"]
+        if name == "gzip":
+            raw = gzip.decompress(raw)
+        elif name == "crc32c":
+            raw = raw[:-4]  # trailing checksum; not verified
+        elif name == "zstd":
+            try:
+                import zstandard
+
+                raw = zstandard.ZstdDecompressor().decompress(raw)
+            except ImportError as e:
+                raise NotImplementedError(
+                    "zstd codec requires the 'zstandard' package"
+                ) from e
+        elif name == "blosc":
+            try:
+                import blosc
+
+                raw = blosc.decompress(raw)
+            except ImportError as e:
+                raise NotImplementedError(
+                    "blosc codec requires the 'blosc' package"
+                ) from e
+    return raw, dtype.newbyteorder("<" if endian == "little" else ">")
+
+
+def _chunk_path(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> str:
+    if meta.zarr_format == 2:
+        key = meta.dimension_separator.join(str(i) for i in idx)
+        return os.path.join(store_path, meta.name, *key.split("/"))
+    parts = ["c"] + [str(i) for i in idx]
+    if meta.chunk_key_separator == "/":
+        return os.path.join(store_path, meta.name, *parts)
+    return os.path.join(store_path, meta.name, meta.chunk_key_separator.join(parts))
+
+
+def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np.ndarray:
+    """Read + decode one chunk; missing file -> fill_value (Zarr spec)."""
+    dtype = numpy_dtype_for(meta.dtype, meta.byte_order)
+    path = _chunk_path(store_path, meta, idx)
+    if not os.path.exists(path):
+        fill = meta.fill_value if meta.fill_value is not None else 0
+        return np.full(meta.chunks, fill, dtype=dtype)
+    with open(path, "rb") as f:
+        raw = f.read()
+    if meta.zarr_format == 2:
+        if meta.filters:
+            raise NotImplementedError(
+                f"Zarr v2 filter chain not supported: {meta.filters}"
+            )
+        raw = _decompress_v2(raw, meta.compressor)
+    else:
+        raw, dtype = _decode_v3(raw, meta.codecs, dtype)
+    arr = np.frombuffer(raw, dtype=dtype)
+    if arr.size != int(np.prod(meta.chunks)):
+        raise ValueError(
+            f"{meta.name} chunk {idx}: decoded {arr.size} elements, "
+            f"expected {int(np.prod(meta.chunks))}"
+        )
+    return arr.reshape(meta.chunks, order=meta.order)
+
+
+def read_window(
+    store_path: str, meta: ZarrArrayMeta, window: tuple[tuple[int, int], ...]
+) -> np.ndarray:
+    """Read the half-open rectangular ``window`` ((start, stop) per dim),
+    visiting only intersecting chunks (the I/O-reduction core of
+    pushdown, ``zarr_reader.rs:243-317``)."""
+    if len(window) != len(meta.shape):
+        raise ValueError(f"window rank {len(window)} != array rank {len(meta.shape)}")
+    out_shape = tuple(hi - lo for lo, hi in window)
+    dtype = numpy_dtype_for(meta.dtype, meta.byte_order)
+    out = np.empty(out_shape, dtype=dtype.newbyteorder("="))
+
+    chunk_ranges = [
+        range(lo // cs, (hi + cs - 1) // cs) if hi > lo else range(0)
+        for (lo, hi), cs in zip(window, meta.chunks)
+    ]
+    if any(len(r) == 0 for r in chunk_ranges):
+        return out
+
+    import itertools
+
+    for idx in itertools.product(*chunk_ranges):
+        chunk = read_chunk(store_path, meta, idx)
+        src_sel, dst_sel = [], []
+        for d, ci in enumerate(idx):
+            cs = meta.chunks[d]
+            lo, hi = window[d]
+            c_lo, c_hi = ci * cs, min((ci + 1) * cs, meta.shape[d])
+            s_lo, s_hi = max(lo, c_lo), min(hi, c_hi)
+            src_sel.append(slice(s_lo - c_lo, s_hi - c_lo))
+            dst_sel.append(slice(s_lo - lo, s_hi - lo))
+        out[tuple(dst_sel)] = chunk[tuple(src_sel)]
+    return out
+
+
+def read_array(store_path: str, meta: ZarrArrayMeta) -> np.ndarray:
+    """Read a whole (typically 1-D coordinate) array."""
+    return read_window(store_path, meta, tuple((0, s) for s in meta.shape))

@@ -1,0 +1,320 @@
+"""Spark Python Data Source for Zarr stores (reference Tier A core).
+
+Maps the reference's DataFusion integration onto Spark's Python Data
+Source API (Spark >= 4.0):
+
+* ``TableProvider::scan`` + ``ZarrExec`` (``src/datasource/zarr.rs:115-181``,
+  ``src/physical_plan/zarr_exec.rs``) -> ``ZarrDataSourceReader`` with
+  one :class:`InputPartition` per outer-dimension chunk slab.  The
+  reference scan is single-partition/single-batch (``zarr_exec.rs:100``,
+  a documented limitation); partition-per-slab gives a genuinely
+  parallel scan that holds at 100 TB — each task reads only its slab,
+  nothing is materialized on the driver.
+* coordinate-equality filter pushdown (``src/reader/filter.rs:70-302``)
+  -> ``pushFilters``: ``coord = literal`` conjuncts shrink the
+  per-dimension read windows (chunk pruning); ALL filters are returned
+  as unsupported so Spark re-applies them — exactly the reference's
+  ``Inexact`` contract (``zarr.rs:105-113``).  An unmatched literal
+  short-circuits to an empty scan (``filter.rs:222-230``).
+* limit pushdown (``src/reader/coord.rs:112-158``) -> the ``limit``
+  option: partitions are planned only up to the first N row-major rows
+  and the final batch is trimmed.
+* projection pushdown (``zarr.rs:115-141``) -> the ``columns`` option
+  restricts the schema and the arrays opened/read.
+
+Coordinate columns are never stored: they're expanded arithmetically
+per batch from the 1-D coordinate values (tile/repeat in row-major
+order — ``coord.rs:80-105`` semantics), so a batch costs O(batch rows),
+not O(total rows).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from zarr_datafusion_spark.zarr.metadata import (
+    ZarrStoreMeta,
+    discover_arrays,
+    infer_spark_schema,
+)
+
+_ARROW_TYPES = {
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint8": pa.int16(),
+    "uint16": pa.int32(),
+    "uint32": pa.int64(),
+    "uint64": pa.decimal128(20, 0),
+    "float16": pa.float32(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "bool": pa.bool_(),
+}
+
+
+@dataclass
+class ZarrInputPartition(InputPartition):
+    """One outer-dimension slab: absolute index window per dimension,
+    plus an optional row budget for limit pushdown."""
+
+    outer_lo: int
+    outer_hi: int
+    inner_windows: tuple  # ((lo, hi), ...) for dims 1..n-1
+    row_budget: int | None = None  # max rows this partition may emit
+
+
+class ZarrDataSourceReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        from zarr_datafusion_spark.zarr.metadata import normalize_store_path
+
+        if not options.get("path"):
+            raise ValueError("zarr source requires a 'path' option")
+        self.store_path = normalize_store_path(options["path"])
+        self.meta: ZarrStoreMeta = discover_arrays(self.store_path)
+        self.columns = [f.name for f in schema.fields]
+        self.limit = int(options["limit"]) if "limit" in options else None
+        self.target_batch_rows = int(options.get("target_batch_rows", 1 << 20))
+        #: coord name -> pushed literal (reference CoordFilters, filter.rs:70-129)
+        self.coord_filters: dict[str, object] = {}
+
+    # -- filter pushdown ----------------------------------------------------
+
+    def pushFilters(self, filters: list[Filter]):  # noqa: N802 (Spark API name)
+        """Record ``coord = literal`` conjuncts for window pruning;
+        yield every filter back as unsupported so Spark re-applies them
+        (the reference's Inexact pushdown contract)."""
+        coord_names = {c.name for c in self.meta.coords}
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and f.attribute[0] in coord_names
+            ):
+                self.coord_filters[f.attribute[0]] = f.value
+            yield f
+
+    # -- planning -----------------------------------------------------------
+
+    def _windows(self) -> list[tuple[int, int]] | None:
+        """Per-dimension read windows from pushed filters; ``None`` means
+        a filter literal matched nothing -> empty scan
+        (``filter.rs:203-238`` + the empty-result short-circuit)."""
+        from zarr_datafusion_spark.zarr.chunkio import read_array
+
+        windows: list[tuple[int, int]] = []
+        for c in self.meta.coords:
+            if c.name in self.coord_filters:
+                values = read_array(self.store_path, c)
+                # int/float cross-cast comparison (filter.rs:262-302)
+                matches = np.nonzero(values == self.coord_filters[c.name])[0]
+                if len(matches) == 0:
+                    return None
+                lo = int(matches[0])
+                windows.append((lo, lo + 1))
+            else:
+                windows.append((0, c.shape[0]))
+        return windows
+
+    def partitions(self):
+        windows = self._windows()
+        if windows is None or self.meta.total_rows == 0:
+            return [ZarrInputPartition(0, 0, ())]
+        if not self.meta.coords:
+            return [ZarrInputPartition(0, 0, ())]
+
+        outer_lo, outer_hi = windows[0]
+        inner = tuple(windows[1:])
+        inner_rows = int(np.prod([hi - lo for lo, hi in inner])) if inner else 1
+
+        # Chunk-aligned slabs of the outer dimension, grouped to the
+        # target batch size.  (On a cluster this is the unit of scan
+        # parallelism; locally it bounds per-task memory.)
+        outer_chunk = self.meta.coords[0].chunks[0] if self.meta.coords else 1
+        per_slab_outer = max(1, outer_chunk)
+        while per_slab_outer * inner_rows < self.target_batch_rows and (
+            per_slab_outer < outer_hi - outer_lo
+        ):
+            per_slab_outer += outer_chunk
+
+        parts: list[ZarrInputPartition] = []
+        remaining = self.limit
+        pos = outer_lo
+        while pos < outer_hi:
+            hi = min(pos + per_slab_outer, outer_hi)
+            rows = (hi - pos) * inner_rows
+            if remaining is not None:
+                if remaining <= 0:
+                    break
+                budget = min(rows, remaining)
+                parts.append(ZarrInputPartition(pos, hi, inner, budget))
+                remaining -= budget
+            else:
+                parts.append(ZarrInputPartition(pos, hi, inner))
+            pos = hi
+        return parts or [ZarrInputPartition(0, 0, ())]
+
+    # -- execution (runs on executors) --------------------------------------
+
+    def read(self, partition: ZarrInputPartition):
+        from zarr_datafusion_spark.zarr.chunkio import read_window
+
+        if partition.outer_hi <= partition.outer_lo:
+            return
+        meta = self.meta
+        inner = partition.inner_windows
+        inner_sizes = [hi - lo for lo, hi in inner]
+        inner_rows = int(np.prod(inner_sizes)) if inner_sizes else 1
+
+        # Pre-read (tiny) coordinate value slices once per task.
+        from zarr_datafusion_spark.zarr.chunkio import read_array
+
+        coord_values = {
+            c.name: read_array(self.store_path, c) for c in meta.coords
+        }
+
+        names = self.columns
+        coord_names = [c.name for c in meta.coords]
+        produced = 0
+        budget = partition.row_budget
+
+        # One batch per outer chunk within the slab (bounded memory).
+        outer_chunk = meta.coords[0].chunks[0]
+        pos = partition.outer_lo
+        while pos < partition.outer_hi:
+            hi = min(pos + max(1, outer_chunk), partition.outer_hi)
+            n_outer = hi - pos
+            batch_rows = n_outer * inner_rows
+            if budget is not None:
+                batch_rows = min(batch_rows, budget - produced)
+                if batch_rows <= 0:
+                    return
+
+            arrays = []
+            for name in names:
+                if name in coord_names:
+                    d = coord_names.index(name)
+                    if d == 0:
+                        vals = coord_values[name][pos:hi]
+                        col = np.repeat(vals, inner_rows)
+                    else:
+                        lo_d, hi_d = inner[d - 1]
+                        vals = coord_values[name][lo_d:hi_d]
+                        reps_inner = int(np.prod(inner_sizes[d:])) if d < len(
+                            inner_sizes
+                        ) else 1
+                        reps_outer = n_outer * int(np.prod(inner_sizes[: d - 1]))
+                        col = np.tile(np.repeat(vals, reps_inner), reps_outer)
+                else:
+                    var = meta.array(name)
+                    window = ((pos, hi),) + inner
+                    col = read_window(self.store_path, var, window).reshape(-1)
+                col = col[:batch_rows]
+                target = _ARROW_TYPES.get(meta.array(name).dtype, pa.string())
+                arr = pa.array(col)
+                if arr.type != target:
+                    arr = arr.cast(target)
+                arrays.append(arr)
+
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            produced += batch_rows
+            pos = hi
+
+
+class ZarrDataSource(DataSource):
+    """``spark.read.format("zarr").load(path)`` / SQL ``CREATE TEMPORARY
+    VIEW t USING zarr OPTIONS (path '...')`` (reference A9,
+    ``src/datasource/factory.rs:19-65`` — its ``CREATE EXTERNAL TABLE``
+    is likewise session-scoped registration).
+
+    Note: persistent-catalog tables (``CREATE TABLE ... USING zarr``)
+    parse, but Spark 4.1's session catalog does not replay OPTIONS to a
+    Python data source reader at SELECT time — use the temp-view DDL or
+    :func:`read_zarr`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zarr"
+
+    def schema(self) -> StructType:
+        meta = discover_arrays(self.options["path"])
+        schema = infer_spark_schema(meta)
+        if "columns" in self.options:
+            wanted = [c.strip() for c in self.options["columns"].split(",")]
+            fields = {f.name: f for f in schema.fields}
+            schema = StructType([fields[c] for c in wanted])
+        return schema
+
+    def reader(self, schema: StructType) -> ZarrDataSourceReader:
+        return ZarrDataSourceReader(schema, dict(self.options))
+
+
+# ---------------------------------------------------------------------------
+# Registration / convenience API
+# ---------------------------------------------------------------------------
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers via ``addPyFile``
+    (robust regardless of the launching session's PYTHONPATH)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_zarr_datafusion_spark_shipped", False):
+        return
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="zds_pyfiles_"), "zarr_datafusion_spark.zip"
+    )
+    base = os.path.dirname(pkg_root)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, base))
+    sc.addPyFile(zip_path)
+    sc._zarr_datafusion_spark_shipped = True
+
+
+def register_zarr_source(spark: SparkSession) -> None:
+    """Register the 'zarr' format with a session (idempotent)."""
+    _ensure_workers_can_import(spark)
+    # pushFilters requires this flag (off by default in Spark 4.1);
+    # runtime-settable SQL conf, safe on any session we're handed.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ZarrDataSource)
+
+
+def read_zarr(
+    spark: SparkSession,
+    store_path: str,
+    columns: list[str] | None = None,
+    limit: int | None = None,
+    target_batch_rows: int | None = None,
+) -> DataFrame:
+    """Flattened DataFrame over a Zarr store (engine API analog of the
+    reference's ``register_table`` example path, EP2)."""
+    register_zarr_source(spark)
+    reader = spark.read.format("zarr")
+    if columns:
+        reader = reader.option("columns", ",".join(columns))
+    if limit is not None:
+        reader = reader.option("limit", str(limit))
+    if target_batch_rows is not None:
+        reader = reader.option("target_batch_rows", str(target_batch_rows))
+    return reader.load(store_path)

@@ -1,0 +1,351 @@
+"""Zarr store metadata: version detection, array discovery, schema inference.
+
+Pure-JSON parsing of Zarr v2 (``.zgroup``/``.zarray``) and v3
+(``zarr.json``) metadata — the Spark-native rebuild of the reference's
+``src/reader/schema_inference.rs`` semantics:
+
+* version detection: root v3 ``zarr.json`` wins, else v2 ``.zgroup``/
+  ``.zarray``, else probe subdirectories (``schema_inference.rs:47-77``);
+* every 1-D array is a coordinate, every nD array a data variable whose
+  dimensionality must equal the coordinate count
+  (``schema_inference.rs:5-19,90-93``);
+* dimension order inferred by matching a data variable's shape to
+  coordinate sizes, first-unused match per position; alphabetical
+  fallback (``schema_inference.rs:311-358``).  Divergence: the
+  reference seeds the match with filesystem readdir order, which is
+  nondeterministic (its fixture happens to yield ``[time,lon,lat]``);
+  we seed with sorted names so inference is deterministic across
+  machines and object stores;
+* data variables sorted alphabetically (``schema_inference.rs:371``);
+* coordinate min/max computed eagerly by reading each (small, 1-D)
+  coordinate array at inference time (``schema_inference.rs:214-302``)
+  — powers the statistics shortcuts and filter pushdown;
+* total_rows = product of coordinate sizes (``schema_inference.rs:392``).
+
+Scale note: inference reads only JSON metadata plus the 1-D coordinate
+arrays — O(#arrays + sum coord sizes), independent of data volume, so a
+100 TB store with metre-scale coords registers in milliseconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# dtype normalization (reference src/reader/dtype.rs:9-75)
+# ---------------------------------------------------------------------------
+
+_V2_DTYPE_CODES = {
+    "i1": "int8",
+    "i2": "int16",
+    "i4": "int32",
+    "i8": "int64",
+    "u1": "uint8",
+    "u2": "uint16",
+    "u4": "uint32",
+    "u8": "uint64",
+    "f2": "float16",
+    "f4": "float32",
+    "f8": "float64",
+    "b1": "bool",
+}
+
+#: normalized dtype -> Spark SQL type (SURVEY §1.2 mapping: unsigned
+#: types widen since Spark has none; float16 upcasts; unknown -> string)
+_SPARK_TYPES = {
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "uint8": T.ShortType(),
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.DecimalType(20, 0),
+    "float16": T.FloatType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "bool": T.BooleanType(),
+}
+
+#: normalized dtype -> numpy dtype used when decoding chunk bytes
+_NUMPY_TYPES = {
+    "int8": "i1",
+    "int16": "i2",
+    "int32": "i4",
+    "int64": "i8",
+    "uint8": "u1",
+    "uint16": "u2",
+    "uint32": "u4",
+    "uint64": "u8",
+    "float16": "f2",
+    "float32": "f4",
+    "float64": "f8",
+    "bool": "b1",
+}
+
+
+def parse_v2_dtype(dtype_raw: str) -> tuple[str, str]:
+    """Normalize a numpy dtype string like ``<i8`` -> (``int64``, byte
+    order char) (reference ``dtype.rs:9-56``)."""
+    s = dtype_raw.strip()
+    order = "<"
+    if s and s[0] in "<>|=":
+        order = "<" if s[0] in "|=" else s[0]
+        s = s[1:]
+    return _V2_DTYPE_CODES.get(s, s), order
+
+
+def spark_type_for(dtype: str) -> T.DataType:
+    return _SPARK_TYPES.get(dtype, T.StringType())
+
+
+def numpy_dtype_for(dtype: str, byte_order: str = "<") -> np.dtype:
+    code = _NUMPY_TYPES.get(dtype)
+    if code is None:
+        raise NotImplementedError(f"unsupported Zarr dtype: {dtype!r}")
+    return np.dtype(byte_order + code)
+
+
+# ---------------------------------------------------------------------------
+# Array / store metadata
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ZarrArrayMeta:
+    """One Zarr array's metadata (reference ``ZarrArrayMeta``,
+    ``schema_inference.rs:80-101``, extended with the chunk-level fields
+    the reader needs)."""
+
+    name: str
+    dtype: str  # normalized (int64, float32, ...)
+    byte_order: str  # '<' or '>'
+    shape: tuple[int, ...]
+    chunks: tuple[int, ...]
+    zarr_format: int  # 2 or 3
+    order: str = "C"  # v2 memory order; v3 is always C in core spec
+    fill_value: object = 0
+    compressor: dict | None = None  # v2 compressor config
+    filters: tuple = ()  # v2 filter chain (unsupported if nonempty)
+    codecs: tuple = ()  # v3 codec chain
+    dimension_separator: str = "."  # v2 chunk key separator
+    chunk_key_separator: str = "/"  # v3 chunk key separator
+
+    @property
+    def is_coordinate(self) -> bool:
+        """1-D arrays are coordinates (``schema_inference.rs:90-93``)."""
+        return len(self.shape) == 1
+
+
+@dataclass
+class ZarrStoreMeta:
+    """Discovered store: coordinates in dimension order, data variables
+    alphabetical, exact statistics (reference ``ZarrStoreMeta``,
+    ``schema_inference.rs:95-101``)."""
+
+    store_path: str
+    zarr_format: int
+    coords: list[ZarrArrayMeta] = field(default_factory=list)
+    data_vars: list[ZarrArrayMeta] = field(default_factory=list)
+    coord_min_max: dict[str, tuple] = field(default_factory=dict)
+    total_rows: int = 0
+
+    @property
+    def coord_sizes(self) -> tuple[int, ...]:
+        return tuple(c.shape[0] for c in self.coords)
+
+    def array(self, name: str) -> ZarrArrayMeta:
+        for a in self.coords + self.data_vars:
+            if a.name == name:
+                return a
+        raise KeyError(name)
+
+
+# ---------------------------------------------------------------------------
+# Version detection (reference schema_inference.rs:47-77)
+# ---------------------------------------------------------------------------
+
+
+def normalize_store_path(store_path: str) -> str:
+    """Accept plain paths and ``file:``/``file://`` URIs (Spark's DDL
+    path resolution produces the latter).  Remote schemes (s3/gs) would
+    route to fsspec — reference ``storage.rs:63-89``; not available in
+    this environment, so they fail with a clear message."""
+    if store_path.startswith("file://"):
+        return store_path[len("file://") :]
+    if store_path.startswith("file:"):
+        return store_path[len("file:") :]
+    if "://" in store_path:
+        scheme = store_path.split("://", 1)[0]
+        raise NotImplementedError(
+            f"remote Zarr stores ({scheme}://) need fsspec/{scheme}fs, "
+            "not installed in this environment"
+        )
+    return store_path
+
+
+def detect_zarr_version(store_path: str) -> int:
+    store_path = normalize_store_path(store_path)
+    root_v3 = os.path.join(store_path, "zarr.json")
+    if os.path.exists(root_v3):
+        return 3
+    if os.path.exists(os.path.join(store_path, ".zgroup")) or os.path.exists(
+        os.path.join(store_path, ".zarray")
+    ):
+        return 2
+    # Probe subdirectories (stores without root group metadata)
+    try:
+        for entry in sorted(os.listdir(store_path)):
+            sub = os.path.join(store_path, entry)
+            if os.path.isdir(sub):
+                if os.path.exists(os.path.join(sub, "zarr.json")):
+                    return 3
+                if os.path.exists(os.path.join(sub, ".zarray")):
+                    return 2
+    except FileNotFoundError:
+        raise FileNotFoundError(f"Zarr store not found: {store_path}")
+    raise ValueError(f"not a Zarr v2 or v3 store: {store_path}")
+
+
+# ---------------------------------------------------------------------------
+# Discovery (reference schema_inference.rs:104-210)
+# ---------------------------------------------------------------------------
+
+
+def _parse_v2_array(name: str, meta: dict) -> ZarrArrayMeta:
+    dtype, order_char = parse_v2_dtype(meta["dtype"])
+    return ZarrArrayMeta(
+        name=name,
+        dtype=dtype,
+        byte_order=order_char,
+        shape=tuple(meta["shape"]),
+        chunks=tuple(meta["chunks"]),
+        zarr_format=2,
+        order=meta.get("order", "C"),
+        fill_value=meta.get("fill_value", 0),
+        compressor=meta.get("compressor"),
+        filters=tuple(meta.get("filters") or ()),
+        dimension_separator=meta.get("dimension_separator", "."),
+    )
+
+
+def _parse_v3_array(name: str, meta: dict) -> ZarrArrayMeta:
+    if meta.get("node_type") != "array":
+        raise ValueError(f"{name}: zarr.json is not an array node")
+    grid = meta.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise NotImplementedError(f"{name}: only regular chunk grids supported")
+    key_enc = meta.get("chunk_key_encoding", {"name": "default"})
+    separator = (key_enc.get("configuration") or {}).get(
+        "separator", "/" if key_enc.get("name") == "default" else "."
+    )
+    return ZarrArrayMeta(
+        name=name,
+        dtype=meta["data_type"],
+        byte_order="<",  # v3 endianness comes from the bytes codec
+        shape=tuple(meta["shape"]),
+        chunks=tuple(grid["configuration"]["chunk_shape"]),
+        zarr_format=3,
+        fill_value=meta.get("fill_value", 0),
+        codecs=tuple(meta.get("codecs") or ()),
+        chunk_key_separator=separator,
+    )
+
+
+def _infer_coord_order(
+    coords: list[ZarrArrayMeta], data_vars: list[ZarrArrayMeta]
+) -> list[ZarrArrayMeta]:
+    """Match a data variable's shape to coordinate sizes, first-unused
+    wins per position (``schema_inference.rs:311-358``); alphabetical
+    fallback.  Candidates are pre-sorted by name (determinism — see
+    module docstring divergence note)."""
+    coords = sorted(coords, key=lambda c: c.name)
+    if not coords or not data_vars:
+        return coords
+    for var in data_vars:
+        if len(var.shape) != len(coords):
+            continue
+        ordered: list[ZarrArrayMeta] = []
+        used = [False] * len(coords)
+        for dim_size in var.shape:
+            for j, c in enumerate(coords):
+                if not used[j] and c.shape[0] == dim_size:
+                    ordered.append(c)
+                    used[j] = True
+                    break
+            else:
+                break
+        if len(ordered) == len(coords):
+            return ordered
+    return coords
+
+
+def discover_arrays(store_path: str) -> ZarrStoreMeta:
+    """Discover all arrays; classify, order, compute coord min/max."""
+    from zarr_datafusion_spark.zarr.chunkio import read_array
+
+    store_path = normalize_store_path(store_path)
+    version = detect_zarr_version(store_path)
+    arrays: list[ZarrArrayMeta] = []
+    for entry in sorted(os.listdir(store_path)):
+        sub = os.path.join(store_path, entry)
+        if not os.path.isdir(sub):
+            continue
+        if version == 2:
+            zarray = os.path.join(sub, ".zarray")
+            if os.path.exists(zarray):
+                with open(zarray) as f:
+                    arrays.append(_parse_v2_array(entry, json.load(f)))
+        else:
+            zjson = os.path.join(sub, "zarr.json")
+            if os.path.exists(zjson):
+                with open(zjson) as f:
+                    meta = json.load(f)
+                if meta.get("node_type") == "array":
+                    arrays.append(_parse_v3_array(entry, meta))
+
+    coords = [a for a in arrays if a.is_coordinate]
+    data_vars = sorted(
+        (a for a in arrays if not a.is_coordinate), key=lambda a: a.name
+    )
+    for var in data_vars:
+        if len(var.shape) != len(coords):
+            raise ValueError(
+                f"data variable {var.name!r} has {len(var.shape)} dims but the "
+                f"store has {len(coords)} coordinates (Cartesian-product model, "
+                "reference schema_inference.rs:10-15)"
+            )
+    coords = _infer_coord_order(coords, data_vars)
+
+    meta = ZarrStoreMeta(
+        store_path=store_path,
+        zarr_format=version,
+        coords=coords,
+        data_vars=data_vars,
+        total_rows=int(np.prod([c.shape[0] for c in coords])) if coords else 0,
+    )
+    # Eager exact coord min/max (schema_inference.rs:214-302)
+    for c in coords:
+        values = read_array(store_path, c)
+        if len(values):
+            meta.coord_min_max[c.name] = (values.min().item(), values.max().item())
+    return meta
+
+
+def infer_spark_schema(meta: ZarrStoreMeta) -> T.StructType:
+    """Field order: coords (dimension order) then data vars
+    (alphabetical); coords non-nullable, data vars nullable
+    (``schema_inference.rs:417-435``)."""
+    fields = [
+        T.StructField(c.name, spark_type_for(c.dtype), nullable=False)
+        for c in meta.coords
+    ] + [
+        T.StructField(v.name, spark_type_for(v.dtype), nullable=True)
+        for v in meta.data_vars
+    ]
+    return T.StructType(fields)

@@ -1,0 +1,179 @@
+"""Minimal Zarr v2/v3 store writer (fixtures + round-trip tests).
+
+The reference generates fixtures with the ``zarr`` python library
+(``scripts/data_gen.py``); this container doesn't ship it, so this is a
+from-scratch raw-JSON + binary-chunk writer covering exactly the
+features our reader supports: C-order arrays, regular chunk grids,
+raw/zlib/gzip compression, v2 ``.``/``/`` separators and v3 default
+chunk-key encoding.  Not a general-purpose writer.
+"""
+
+from __future__ import annotations
+
+import gzip
+import itertools
+import json
+import os
+import zlib
+
+import numpy as np
+
+_V2_DTYPE = {
+    "int8": "|i1",
+    "int16": "<i2",
+    "int32": "<i4",
+    "int64": "<i8",
+    "uint8": "|u1",
+    "uint16": "<u2",
+    "uint32": "<u4",
+    "uint64": "<u8",
+    "float16": "<f2",
+    "float32": "<f4",
+    "float64": "<f8",
+    "bool": "|b1",
+}
+
+
+def _chunks_of(shape: tuple[int, ...], chunks: tuple[int, ...]):
+    ranges = [range((s + c - 1) // c) for s, c in zip(shape, chunks)]
+    return itertools.product(*ranges)
+
+
+def _chunk_bytes(arr: np.ndarray, chunks: tuple[int, ...], idx: tuple[int, ...]) -> bytes:
+    sel = tuple(
+        slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, arr.shape)
+    )
+    block = arr[sel]
+    # Pad partial edge chunks to full chunk shape (Zarr stores full chunks)
+    if block.shape != tuple(chunks):
+        padded = np.zeros(chunks, dtype=arr.dtype)
+        padded[tuple(slice(0, e) for e in block.shape)] = block
+        block = padded
+    return np.ascontiguousarray(block).tobytes()
+
+
+def _compress(raw: bytes, compression: str | None) -> bytes:
+    if compression is None:
+        return raw
+    if compression == "zlib":
+        return zlib.compress(raw, 1)
+    if compression == "gzip":
+        return gzip.compress(raw, 1)
+    raise ValueError(f"writer supports zlib/gzip/None, got {compression!r}")
+
+
+def write_v2_array(
+    store: str,
+    name: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...],
+    compression: str | None = None,
+    dimension_separator: str = ".",
+) -> None:
+    adir = os.path.join(store, name)
+    os.makedirs(adir, exist_ok=True)
+    dtype_str = _V2_DTYPE[str(arr.dtype)]
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(chunks),
+        "dtype": dtype_str,
+        "compressor": {"id": compression, "level": 1} if compression else None,
+        "fill_value": 0,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": dimension_separator,
+    }
+    with open(os.path.join(adir, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    for idx in _chunks_of(arr.shape, chunks):
+        key = dimension_separator.join(str(i) for i in idx)
+        path = os.path.join(adir, *key.split("/"))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(_compress(_chunk_bytes(arr, chunks, idx), compression))
+
+
+def write_v3_array(
+    store: str,
+    name: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...],
+    compression: str | None = None,
+) -> None:
+    adir = os.path.join(store, name)
+    os.makedirs(adir, exist_ok=True)
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if compression == "gzip":
+        codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    elif compression is not None:
+        raise ValueError(f"v3 writer supports gzip/None, got {compression!r}")
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": str(arr.dtype),
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(chunks)},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": "/"},
+        },
+        "codecs": codecs,
+        "fill_value": 0,
+        "attributes": {},
+    }
+    with open(os.path.join(adir, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    # v3 'bytes' codec is little-endian here
+    le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+    for idx in _chunks_of(arr.shape, chunks):
+        path = os.path.join(adir, "c", *[str(i) for i in idx])
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(_compress(_chunk_bytes(le, chunks, idx), compression))
+
+
+def write_store(
+    store: str,
+    arrays: dict[str, tuple[np.ndarray, tuple[int, ...]]],
+    zarr_format: int = 2,
+    compression: str | None = None,
+) -> str:
+    """Write a whole store: ``arrays`` maps name -> (ndarray, chunks)."""
+    os.makedirs(store, exist_ok=True)
+    if zarr_format == 2:
+        with open(os.path.join(store, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+        for name, (arr, chunks) in arrays.items():
+            write_v2_array(store, name, arr, chunks, compression)
+    else:
+        with open(os.path.join(store, "zarr.json"), "w") as f:
+            json.dump({"zarr_format": 3, "node_type": "group"}, f)
+        for name, (arr, chunks) in arrays.items():
+            write_v3_array(store, name, arr, chunks, compression)
+    return store
+
+
+def synthetic_weather_arrays(
+    ntime: int = 7, nlat: int = 10, nlon: int = 10, seed: int = 42
+) -> dict[str, tuple[np.ndarray, tuple[int, ...]]]:
+    """The reference's synthetic fixture semantics (time×lat×lon int64
+    grids, seed 42 — ``scripts/data_gen.py:52-133``), regenerated
+    independently."""
+    rng = np.random.RandomState(seed)
+    return {
+        "time": (np.arange(ntime, dtype=np.int64), (ntime,)),
+        "lat": (np.arange(nlat, dtype=np.int64), (nlat,)),
+        "lon": (np.arange(nlon, dtype=np.int64), (nlon,)),
+        "temperature": (
+            rng.randint(-50, 60, (ntime, nlat, nlon)).astype(np.int64),
+            (1, nlat, nlon),
+        ),
+        "humidity": (
+            rng.randint(10, 80, (ntime, nlat, nlon)).astype(np.int64),
+            (1, nlat, nlon),
+        ),
+    }
