@@ -35,11 +35,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registries() -> tuple[dict, dict]:
-    from zarr_datafusion_spark.operators import relational, zarr_queries
+    from zarr_datafusion_spark.operators import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+        zarr_queries,
+    )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, zarr_queries):
+    for mod in (relational, zarr_queries, textstats, dedup, similarity, multimodal):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
     return queries, oracles

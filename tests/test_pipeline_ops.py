@@ -1,0 +1,101 @@
+"""Tests for the LLM-data-pipeline operators (dedup / similarity /
+text analysis / multimodal).
+
+Oracle-checked operators run through the same differential harness as
+the relational suite; hash-dependent ones (minhash, simhash, LSH) are
+checked semantically — candidate recall vs exact Jaccard, bucket
+consistency — which is stronger than value-pinning for randomized
+structures.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_frames_match
+from zarr_datafusion_spark.operators import dedup, multimodal, similarity, textstats
+
+ORACLED = {
+    **{n: (textstats.QUERIES[n], textstats.ORACLE[n]) for n in textstats.ORACLE},
+    **{n: (dedup.QUERIES[n], dedup.ORACLE[n]) for n in dedup.ORACLE},
+    **{n: (similarity.QUERIES[n], similarity.ORACLE[n]) for n in similarity.ORACLE},
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLED))
+def test_oracle_checked_ops(spark, duck, name):
+    fn, sql = ORACLED[name]
+    assert_frames_match(fn(spark, SF_DIR), duck.sql(sql))
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH candidates must cover the high-Jaccard pairs found exactly
+    (recall check) without exploding into all-pairs."""
+    exact = (
+        dedup.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+        .filter("jaccard >= 0.3")
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    }
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(cands) < n_docs * (n_docs - 1) / 4, "LSH degenerated to ~all pairs"
+    missed = [(r.doc_a, r.doc_b) for r in exact if (r.doc_a, r.doc_b) not in cands]
+    # 16 bands x 4 rows: P(collision) at J=0.3 is ~1-(1-0.3^4)^16 ≈ 0.12 —
+    # high-J pairs (if any exist) should mostly be candidates; tolerate
+    # sparse fixtures by requiring recall only when exact pairs exist.
+    if exact:
+        assert len(missed) <= max(1, len(exact) // 2), f"missed {missed}"
+
+
+def test_simhash_pairs_sane(spark):
+    rows = dedup.QUERIES["dedup_simhash"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 <= r.hamming <= 8
+        assert r.doc_a < r.doc_b
+
+
+def test_ann_lsh_recall(spark):
+    """ANN top-k must overlap exact top-k (deterministic given the
+    fixed plane seed; radius-2 multi-probe on near-random embeddings
+    recalls 2+/10 at both test SFs — measured, see similarity.py)."""
+    exact = [r.vec_id for r in similarity.QUERIES["sim_topk_bruteforce"](spark, SF_DIR).collect()]
+    approx = [r.vec_id for r in similarity.QUERIES["sim_ann_lsh"](spark, SF_DIR).collect()]
+    assert len(set(exact) & set(approx)) >= 1, (
+        f"ANN recall collapsed: exact={exact}, approx={approx}"
+    )
+
+
+def test_langid_accuracy(spark):
+    """The stopword heuristic must beat random guessing on en docs (the
+    fixture texts are English-ish word salad)."""
+    rows = textstats.QUERIES["text_langid_heuristic"](spark, SF_DIR).collect()
+    en = [r for r in rows if r.labeled_lang == "en"]
+    acc = sum(r.predicted_lang == "en" for r in en) / max(len(en), 1)
+    assert acc > 0.5
+
+
+def test_multimodal_roundtrip(spark):
+    """Declared header fields must survive the synthesize->decode loop
+    (proves the binary plumbing, not the fake decoder)."""
+    feats = multimodal.QUERIES["mm_extract_features"](spark, SF_DIR).collect()
+    syn = {r.doc_id: r for r in multimodal.QUERIES["mm_synthesize"](spark, SF_DIR).collect()}
+    assert len(feats) == len(syn)
+    for r in feats[:50]:
+        s = syn[r.doc_id]
+        assert r.width == s.declared_width and r.height == s.declared_height
+        assert r.payload_bytes == s.payload_bytes
+        assert r.body_bytes == r.payload_bytes - 8
+        assert r.media_type in ("image", "audio", "video")
+
+
+def test_frame_sample_shape(spark):
+    rows = multimodal.QUERIES["mm_frame_sample"](spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc, frames in by_doc.items():
+        assert frames == list(range(0, 300, 30)), doc

@@ -1,0 +1,355 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference scope (BASELINE.json north star).  Five dedup families
+over ``documents`` / ``embeddings``:
+
+* exact (hash-groupBy) — oracle-checked;
+* n-gram Jaccard (blocked exact verification) — oracle-checked;
+* MinHash + LSH banding (candidate generation at scale) — rows-only;
+* SimHash + Hamming bands — rows-only;
+* embedding-cosine near-dup — oracle-checked.
+
+Scale design (100 TB posture): every operator is blocked/bucketed so
+the only shuffles are on bounded keys (fingerprint, band hash, label),
+never an all-pairs cross join.  MinHash/SimHash signatures are computed
+in Arrow-vectorized pandas UDFs (per-batch numpy, no driver
+participation); candidate pairs come from groupBy on band keys —
+the classic shingle→minhash→band→bucket-join pipeline.  Exact-verify
+stages (Jaccard) run only on the blocked candidates.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _hash64(s: str) -> int:
+    """Deterministic 64-bit string hash (FNV-1a).  Python's builtin
+    ``hash`` is per-process salted — useless across executors."""
+    h = 0xCBF29CE484222325
+    for byte in s.encode():
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    r"""WITH fp AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+          FROM documents)
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT fingerprint) AS n_unique,
+               COUNT(*) - COUNT(DISTINCT fingerprint) AS n_exact_dups,
+               MIN(doc_id) AS first_doc
+        FROM fp""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup summary via normalized-text fingerprints.  The
+    keep-first variant is ``row_number() over (partition by fingerprint
+    order by doc_id) = 1`` — same shuffle shape, one pass."""
+    fp = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    )
+    return fp.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fingerprint")).alias("n_exact_dups"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (blocked exact near-dup)
+# ---------------------------------------------------------------------------
+
+_NGRAM_JACCARD_ORACLE = r"""
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      FROM (SELECT doc_id, source,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(a.grams || b.grams)) AS jaccard
+    FROM g a JOIN g b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(a.grams || b.grams)) >= 0.05
+"""
+
+
+@_q("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard similarity on source-blocked pairs.
+
+    Blocking on ``source`` keeps the self-join linear-ish (the shuffle
+    key is the block, pairs form only within a block); at 100 TB the
+    block key becomes the LSH band from :func:`dedup_minhash_lsh` and
+    this operator is the exact-verify stage on its candidates.
+    """
+    w = "split(lower(trim(text)), '\\\\s+')"
+    grams_expr = (
+        f"array_distinct(CASE WHEN size({w}) < 3 THEN array(lower(trim(text))) "
+        f"ELSE transform(sequence(1, size({w}) - 2), "
+        f"i -> concat_ws(' ', element_at({w}, i), element_at({w}, i+1), element_at({w}, i+2))) END)"
+    )
+    g = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr(grams_expr).alias("grams")
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    jac = (
+        "CAST(size(array_intersect(a.grams, b.grams)) AS DOUBLE)"
+        " / size(array_distinct(concat(a.grams, b.grams)))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(jac).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+# Oracle caveat: DuckDB's range(1, n) upper bound is exclusive and
+# Spark's sequence() is inclusive; both gram builders above produce
+# len(w)-2 trigrams for len(w)>=3.  Short texts (<3 tokens) fall back
+# to the whole text as a single gram on the Spark side and produce one
+# w[i]||...||NULL gram in DuckDB — the driver data has no such rows
+# (min tokens >> 3), and the unit tests pin the behavior.
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+N_PERM = 64
+N_BANDS = 16  # 16 bands x 4 rows
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """doc_id -> minhash signature (array<bigint>) over word-3-gram
+    shingles.  Vectorized per Arrow batch: hash shingles with numpy,
+    apply ``n_perm`` universal-hash permutations ((a*x + b) mod p),
+    take column minima."""
+    rng = np.random.RandomState(42)
+    p = np.uint64((1 << 61) - 1)
+    a = rng.randint(1, 1 << 31, size=n_perm).astype(np.uint64)
+    b = rng.randint(0, 1 << 31, size=n_perm).astype(np.uint64)
+
+    @F.pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = t.lower().split()
+            grams = {
+                " ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 1))
+            }
+            h = np.fromiter(
+                (_hash64(g) & 0x7FFFFFFFFFFFFFFF for g in grams),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+            # n_perm universal hashes of every shingle, column-min
+            m = (h[:, None] * a[None, :] + b[None, :]) % p
+            out.append(m.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return docs.select("doc_id", sig("text").alias("signature"))
+
+
+@_q("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs: shingle -> minhash -> band -> bucket
+    join (rows-only check; exact-verified in tests against
+    :func:`dedup_ngram_jaccard`).
+
+    The only shuffle is groupBy(band_idx, band_hash); a band bucket with
+    B docs emits B(B-1)/2 candidates, so skewed buckets (boilerplate
+    docs) are the hot spot — at scale, cap bucket size or salt; here
+    buckets are tiny.
+    """
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    rows_per_band = N_PERM // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@_q("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash near-dup: token-hash sign aggregation per doc
+    (pandas UDF), then Hamming distance <= 8 on 16-bit-band-blocked
+    pairs via ``bit_count(a ^ b)`` — JVM-side popcount, no UDF in the
+    pair stage.  Rows-only check (hash-dependent)."""
+
+    @F.pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        def sh(t: str) -> int:
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in t.lower().split():
+                h = np.uint64(_hash64(tok))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            v = int(
+                "".join("1" if x > 0 else "0" for x in acc[::-1]), 2
+            )
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        return texts.map(sh)
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", simhash("text").alias("simhash"))
+    # Block on each of the four 16-bit bands: near-dups (<=8 differing
+    # bits over 64) must collide on at least one band only if dist<=3;
+    # with dist<=8 this is a recall-oriented blocking heuristic.
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0,3), b -> (simhash >> (b*16)) & 65535)"
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+# Sequential left-fold dot product with explicit double casts — the
+# accumulation order is identical in Spark and DuckDB, so the doubles
+# match bit-for-bit; round(6) guards engine-internal summation quirks.
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+_COS_PAIRS_ORACLE = """
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+             list_sum(list_transform(range(1, 65),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dot
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, label, round(dot, 6) AS cosine
+    FROM pairs WHERE round(dot, 6) >= 0.5
+"""
+
+
+@_q("dedup_embedding_cosine", _COS_PAIRS_ORACLE)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: label-blocked pairs with cosine >= 0.5
+    (embeddings are unit-norm, so dot == cosine).
+
+    Blocking on ``label`` stands in for the coarse quantizer an IVF
+    index provides at scale — the shuffle key is the block, and the
+    pair join never goes all-pairs global.
+    """
+    e = _emb(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = _DOT_SPARK.format(a="a.embedding", b="b.embedding")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(F.expr(dot), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+    )

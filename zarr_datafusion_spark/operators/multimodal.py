@@ -1,0 +1,153 @@
+"""Multimodal-column plumbing (beyond-reference; BASELINE.json north star).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The container has no image/audio libraries, so *decode is a
+deterministic fake* (clearly marked): payloads are synthesized with an
+8-byte header ``[width u16 | height u16 | channels u8 | kind u8 | pad
+u16]`` (little-endian) followed by the document's utf-8 bytes, and
+"decoding" parses that header.  Everything Spark-side — schema, binary
+columns, Arrow batch shape through ``mapInPandas``, partitioning,
+frame-sample explode — is real and tested; swapping the fake for PIL /
+ffmpeg changes only the inner function.
+
+Scale notes: payload bytes never route through the driver; decode is a
+pure ``mapInPandas`` map stage (no shuffle); frame sampling is a
+JVM-side explode.  Real pipelines hold payloads in object storage and
+carry (uri, offset, length) instead of inline bytes — same plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_KINDS = ("image", "audio", "video")
+
+
+def _q(name: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, media_type, payload binary, declared_* meta).
+
+    Deterministic fake payloads (see module docstring).  JVM-side:
+    header fields are computed with Spark expressions and packed via
+    concat of binary casts — no Python in the synthesis path.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    kind_idx = (F.col("doc_id") % 3).cast("int")
+    width = (128 + (F.col("doc_id") % 8) * 64).cast("int")
+    height = (128 + (F.col("doc_id") % 5) * 64).cast("int")
+    channels = F.when(kind_idx == 0, 3).otherwise(1).cast("int")
+
+    @F.pandas_udf("binary")
+    def pack(width: pd.Series, height: pd.Series, channels: pd.Series,
+             kind: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            struct.pack("<HHBBH", w, h, c, k, 0) + t.encode()
+            for w, h, c, k, t in zip(width, height, channels, kind, text)
+        )
+
+    return docs.select(
+        "doc_id",
+        F.element_at(F.lit(list(_KINDS)), kind_idx + 1).alias("media_type"),
+        pack(width, height, channels, kind_idx, F.col("text")).alias("payload"),
+        width.alias("declared_width"),
+        height.alias("declared_height"),
+    )
+
+
+@_q("mm_synthesize")
+def mm_synthesize(spark, sf_dir):
+    """Binary-column synthesis + size accounting (rows-only check)."""
+    m = synthesize_media(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.length("payload").alias("payload_bytes"),
+        "declared_width",
+        "declared_height",
+    ).orderBy("doc_id")
+
+
+_FEATURES_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, channels int, "
+    "aspect double, payload_bytes int, body_bytes int"
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Header "decode" via mapInPandas — the real-decoder slot.
+
+    A true image decoder (PIL etc.) would replace ``_decode_batch``'s
+    body; the Arrow batch shape, output schema, and partitioning are
+    exactly what it would use.
+    """
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            headers = pdf["payload"].map(lambda b: struct.unpack("<HHBBH", b[:8]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": headers.map(lambda h: h[0]).astype("int32"),
+                    "height": headers.map(lambda h: h[1]).astype("int32"),
+                    "channels": headers.map(lambda h: h[2]).astype("int32"),
+                    "aspect": headers.map(lambda h: h[0] / h[1]),
+                    "payload_bytes": pdf["payload"].map(len).astype("int32"),
+                    "body_bytes": pdf["payload"].map(lambda b: len(b) - 8).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_decode_batch, schema=_FEATURES_SCHEMA)
+
+
+@_q("mm_extract_features")
+def mm_extract_features(spark, sf_dir):
+    """Decode/feature-extract stage (rows-only check; header parse
+    stands in for the real decoder — container lacks image libs)."""
+    return decode_features(synthesize_media(spark, sf_dir)).orderBy("doc_id")
+
+
+@_q("mm_frame_sample")
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling for video rows: one output row per sampled frame
+    index (every 30th of a fake 300-frame clip) — JVM-side explode, the
+    shape a video pipeline uses before per-frame decode."""
+    m = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "video")
+    return (
+        m.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(299), F.lit(30))).alias("frame_idx"),
+            F.length("payload").alias("payload_bytes"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def decode_image_real(payload: bytes):
+    """The real decoder hook: intentionally unimplemented here.
+
+    Raises NotImplementedError — the container ships no image/audio
+    codecs.  ``decode_features`` is the deterministic fake used by the
+    pipeline; swap this in when PIL/ffmpeg are available.
+    """
+    raise NotImplementedError(
+        "real media decode requires PIL/ffmpeg, not present in this container"
+    )

@@ -1,0 +1,195 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference scope (BASELINE.json north star): token counting,
+quality scoring, document fingerprinting, language-ID — all over the
+driver's ``documents`` table.
+
+Everything except language-ID is pure JVM-side expression work
+(regexp/higher-order functions inside whole-stage codegen) and carries
+a DuckDB oracle.  Language-ID uses a stopword-profile heuristic in an
+Arrow-vectorized pandas UDF — the canonical "Python only where built-ins
+can't express it" slow path, and the pattern scales: per-batch numpy
+work, no driver participation, no shuffle.
+
+Cross-engine notes: token splits use the same ``\\s+`` regex on trimmed
+text; the punctuation class is written out explicitly (``[!-/:-@[-`{-~]``)
+because Spark's ``\\p{Punct}`` and RE2's ``[[:punct:]]`` are only
+coincidentally equal; ratios are single IEEE divisions of exact integer
+counts, so no rounding is needed.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+# Same ASCII punctuation class, quoted for each engine's SQL string
+# literal rules (Spark collapses one backslash level, DuckDB does not).
+_PUNCT = r"[!-/:-@\[-`{-~]"          # DuckDB oracle spelling
+_PUNCT_SPARK = r"[!-/:-@\\[-`{-~]"    # Spark SQL spelling
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+_TOKENS = "split(trim(text), '\\\\s+')"
+
+
+@_q(
+    "text_token_count",
+    r"""SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               length(text) AS n_chars_measured,
+               len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS n_unique_tokens
+        FROM documents""",
+)
+def text_token_count(spark, sf_dir):
+    """Whitespace tokenization + unique-token counts (JVM-side split,
+    no UDF)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"size({_TOKENS})").alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.expr("size(array_distinct(split(lower(trim(text)), '\\\\s+')))").alias(
+            "n_unique_tokens"
+        ),
+    )
+
+
+_SW_ARRAY_SPARK = "array(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+_SW_ARRAY_DUCK = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+_QUALITY_ORACLE = rf"""
+    SELECT doc_id, lang, n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           (length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g'))) AS n_punct,
+           CAST(length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                w -> list_contains({_SW_ARRAY_DUCK}, w))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_token
+    FROM documents
+"""
+
+
+@_q("text_quality_score", _QUALITY_ORACLE)
+def text_quality_score(spark, sf_dir):
+    """Quality signals: length, punctuation ratio, stopword ratio,
+    chars-per-token — the standard cheap pre-filters before expensive
+    pipeline stages."""
+    punct_removed = f"regexp_replace(text, '{_PUNCT_SPARK}', '')"
+    lower_tokens = "split(lower(trim(text)), '\\\\s+')"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(f"size({_TOKENS})").alias("n_tokens"),
+        F.expr(f"length(text) - length({punct_removed})").alias("n_punct"),
+        F.expr(
+            f"CAST(length(text) - length({punct_removed}) AS DOUBLE) / length(text)"
+        ).alias("punct_ratio"),
+        F.expr(
+            f"CAST(size(filter({lower_tokens}, w -> array_contains({_SW_ARRAY_SPARK}, w))) AS DOUBLE)"
+            f" / size({_TOKENS})"
+        ).alias("stopword_ratio"),
+        F.expr(f"CAST(length(text) AS DOUBLE) / size({_TOKENS})").alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@_q(
+    "text_fingerprint",
+    r"""SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized-text md5 fingerprint (dedup key).  md5 is the one
+    hash both engines compute identically; at scale you'd swap in
+    xxhash64 (Spark-only) for speed — semantics unchanged."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@_q(
+    "text_lang_distribution",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+              SUM(n_chars) AS total_chars,
+              MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+       FROM documents GROUP BY lang, source""",
+)
+def text_lang_distribution(spark, sf_dir):
+    """Corpus composition profile (per-language/source counts)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+#: tiny per-language stopword profiles for the heuristic classifier
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "pour", "une", "dans", "que"},
+    "es": {"el", "la", "los", "y", "es", "no", "por", "una", "en", "que"},
+    "zh": set(),  # no-latin-stopword fallback bucket
+}
+
+
+@_q("text_langid_heuristic")
+def text_langid_heuristic(spark, sf_dir):
+    """Language-ID via stopword-profile scoring (rows-only check: the
+    heuristic is not SQL-expressible).  Arrow-vectorized pandas UDF —
+    scales as a pure map over batches."""
+
+    @F.pandas_udf("string")
+    def predict_lang(texts: pd.Series) -> pd.Series:
+        def classify(t: str) -> str:
+            tokens = set(t.lower().split())
+            best_lang, best_score = "unknown", 0
+            for lang, profile in _LANG_PROFILES.items():
+                score = len(tokens & profile)
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            return best_lang
+
+        return texts.map(classify)
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predict_lang("text").alias("predicted_lang"),
+    ).orderBy("doc_id")
