@@ -40,13 +40,22 @@ def _registries() -> tuple[dict, dict]:
         multimodal,
         relational,
         similarity,
+        streaming_queries,
         textstats,
         zarr_queries,
     )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, zarr_queries, textstats, dedup, similarity, multimodal):
+    for mod in (
+        relational,
+        zarr_queries,
+        textstats,
+        dedup,
+        similarity,
+        multimodal,
+        streaming_queries,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
     return queries, oracles

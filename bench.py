@@ -1,0 +1,112 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+
+    {"metric": "headline_queries_wall", "value": <total>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop-format write (full
+materialization — ``count()`` alone lets Spark shortcut column reads).
+A warmup query runs first so JVM/codegen startup isn't billed to the
+first headline entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from zarr_datafusion_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: the flagship aggregation, the join families, window
+#: functions, top-k, and one of each beyond-reference operator class.
+HEADLINE = [
+    "agg_groupby",
+    "agg_time_bucket",
+    "join_inner",
+    "join_chain_agg",
+    "join_left",
+    "win_rownum_rank",
+    "win_moving_avg",
+    "topk",
+    "distinct_vals",
+    "union_all",
+    "text_quality_score",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "zarr_scan_flatten",
+]
+
+
+def _force(df) -> None:
+    """Fully materialize (noop sink: executes the whole plan, discards
+    rows executor-side — nothing is collected to the driver)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from zarr_datafusion_spark.operators import (
+        dedup,
+        relational,
+        similarity,
+        textstats,
+        zarr_queries,
+    )
+
+    registry = {}
+    for mod in (relational, textstats, dedup, similarity, zarr_queries):
+        registry.update(mod.QUERIES)
+
+    spark = get_spark("zds-bench")
+
+    # Warmup: JVM + codegen + parquet footer caches, plus one pandas-UDF
+    # stage so Python worker spawn (pyspark/numpy/pandas imports) isn't
+    # billed to the first UDF headline query.
+    _force(registry["topk"](spark, SF_DIR))
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _wu(s):
+        return s
+
+    _force(spark.range(1000).select(_wu("id")))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        _force(df)
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = None
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Streaming tests: batch/stream parity + sliding-window semantics."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR, assert_frames_match
+from zarr_datafusion_spark.operators import streaming_queries
+
+
+def test_streaming_window_counts_vs_duckdb(spark, duck):
+    df = streaming_queries.QUERIES["streaming_window_counts"](spark, SF_DIR)
+    rel = duck.sql(streaming_queries.ORACLE["streaming_window_counts"])
+    assert_frames_match(df, rel)
+
+
+def test_streaming_equals_batch(spark):
+    """Stream-complete over a finite source == batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.session import load_table
+
+    stream = streaming_queries.QUERIES["streaming_window_counts"](spark, SF_DIR)
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    s = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+
+
+def test_sliding_windows_double_count(spark):
+    """10-min windows sliding by 5: every event is in exactly 2 windows."""
+    df = streaming_queries.QUERIES["streaming_sliding_windows"](spark, SF_DIR)
+    rows = df.collect()
+    total_events = sum(r.n_events for r in rows)
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(SF_DIR, "events.parquet")).num_rows
+    assert total_events == 2 * n
+    for r in rows:
+        assert (r.window_end - r.window_start).total_seconds() == 600

@@ -51,12 +51,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hash64(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a).  Python's builtin
-    ``hash`` is per-process salted — useless across executors."""
-    h = 0xCBF29CE484222325
-    for byte in s.encode():
-        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic 64-bit string hash (blake2b/8, C speed).  Python's
+    builtin ``hash`` is per-process salted — useless across executors."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -226,16 +227,24 @@ def dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Pair generation via groupBy + array-pair explode: ONE shuffle on
+    # the band key and the signature UDF runs once (a self-join would
+    # recompute the whole upstream per side).  Bucket size capped so a
+    # degenerate bucket can't go quadratic.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= 10000))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     return pairs.orderBy("doc_a", "doc_b")
@@ -282,20 +291,28 @@ def dedup_simhash(spark, sf_dir):
             )
         ).alias("band_idx", "band_val"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Same single-shuffle pair generation as dedup_minhash_lsh: carry
+    # (doc_id, simhash) structs through the bucket groupBy so the
+    # Hamming check needs no join back.
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.groupBy("band_idx", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
         )
+        .filter((F.size("ds") > 1) & (F.size("ds") <= 10000))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "bit_count(x.simhash ^ y.simhash) AS hamming))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= 8)
         .distinct()
         .orderBy("doc_a", "doc_b")

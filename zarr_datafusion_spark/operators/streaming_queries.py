@@ -1,0 +1,44 @@
+"""Streaming queries for the driver contract.
+
+``streaming_window_counts`` has a genuine DuckDB oracle: a finite
+file-source stream aggregated in complete mode must equal the batch
+GROUP BY over the same data (``time_bucket`` in DuckDB == epoch-aligned
+``window()`` in Spark).  ``streaming_sliding_windows`` is rows-only
+(DuckDB has no overlapping-window relational form as a single
+expression; semantics tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_WINDOW_COUNTS_ORACLE = """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zarr_datafusion_spark.streaming import streaming_event_counts
+
+    return streaming_event_counts(spark, sf_dir)
+
+
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zarr_datafusion_spark.streaming import sliding_window_rates
+
+    return sliding_window_rates(spark, sf_dir)
+
+
+QUERIES["streaming_window_counts"] = streaming_window_counts
+ORACLE["streaming_window_counts"] = _WINDOW_COUNTS_ORACLE
+QUERIES["streaming_sliding_windows"] = streaming_sliding_windows

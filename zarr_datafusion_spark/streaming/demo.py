@@ -1,0 +1,114 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference engine is batch-only (``Boundedness::Bounded``,
+``zarr_exec.rs:102``); this module is the beyond-reference streaming
+slice from SURVEY §7: tumbling/sliding watermarked window aggregations
+driven by the parquet ``events`` fixture through a file source, with a
+memory sink so tests and the driver can read results synchronously.
+
+The batch/stream parity property: a tumbling-window streaming
+aggregation in *complete* mode over a finite file source must equal the
+equivalent batch GROUP BY — that's the oracle the driver checks.
+
+Scale notes: the same topology runs against Kafka by swapping
+``readStream.format``; watermark bounds state, window+key is the state
+key, and ``spark.sql.shuffle.partitions`` sizes the state store spread.
+"""
+
+from __future__ import annotations
+
+import os
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_sink_ids = count()
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns-since-epoch (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events parquet (ns timestamps read as
+    long + exact integer conversion, as in ``session.load_table``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory; glob-filter the
+    # events file out of the shared sf_dir.
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    return stream
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    """Drive a finite streaming query to completion into a memory sink
+    and return the sink table (synchronous: processAllAvailable)."""
+    name = f"zds_stream_sink_{next(_sink_ids)}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(name)
+
+
+def streaming_event_counts(
+    spark: SparkSession, sf_dir: str, window: str = "5 minutes"
+) -> DataFrame:
+    """Tumbling-window watermarked counts per event_type (the §7 demo).
+
+    Complete output mode so every window is emitted even though the
+    file source is finite (append would hold back unclosed windows)."""
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def sliding_window_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): overlapping-window
+    event rates — each event lands in two windows."""
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+    )
