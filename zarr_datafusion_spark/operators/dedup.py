@@ -42,12 +42,26 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+def _cpu_rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Rebalance a scan for CPU-bound per-row work (hashing UDFs): a
+    small corpus arrives as one parquet row group = one task; round-
+    robin repartition so the expensive map stage uses every core.  At
+    real scale (many files) the partition count already exceeds the
+    target and this is a no-op."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _cpu_rebalance(spark, df)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _cpu_rebalance(spark, df)
 
 
 def _hash64(s: str) -> int:

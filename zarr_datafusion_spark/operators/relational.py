@@ -67,7 +67,7 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
 # Exact fractional-double aggregation helpers (see module docstring).
 def _dsum(col: str, alias: str, scale: int = 2) -> F.Column:
     return (
-        F.sum(F.col(col).cast(f"decimal(25,{scale})")).cast("double").alias(alias)
+        F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double").alias(alias)
     )
 
 
@@ -213,8 +213,8 @@ def distinct_vals(spark, sf_dir):
     """SELECT COUNT(*) AS n_rows,
               COUNT(l_quantity) AS n_qty,
               SUM(l_quantity) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
               MIN(l_extendedprice) AS min_price,
               MAX(l_extendedprice) AS max_price,
               MIN(l_shipdate) AS min_ship,
@@ -231,7 +231,7 @@ def agg_global(spark, sf_dir):
         F.sum("l_quantity").alias("sum_qty"),  # integer-valued: binary-exact
         _dsum("l_extendedprice", "sum_price"),
         (
-            F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).cast("double")
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             / F.count("l_extendedprice")
         ).alias("avg_price"),
         F.min("l_extendedprice").alias("min_price"),
@@ -245,11 +245,11 @@ def agg_global(spark, sf_dir):
     "agg_groupby",
     """SELECT l_returnflag, l_linestatus,
               SUM(l_quantity) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_base_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2)) * CAST(1 - l_discount AS DECIMAL(25,2))) AS DOUBLE) AS sum_disc_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2)) * CAST(1 - l_discount AS DECIMAL(25,2)) * CAST(1 + l_tax AS DECIMAL(25,2))) AS DOUBLE) AS sum_charge,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
               SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
-              CAST(SUM(CAST(l_discount AS DECIMAL(25,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+              CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
               COUNT(*) AS count_order
        FROM lineitem
        GROUP BY l_returnflag, l_linestatus""",
@@ -258,16 +258,20 @@ def agg_groupby(spark, sf_dir):
     """TPC-H-Q1-style pricing summary: GROUP BY + multi-agg
     (README.md:235-241, integration_query.rs:97-110).  The flagship."""
     li = _t(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(25,2)")
-    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(25,2)")
-    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(25,2)")
+    # Narrow casts keep the decimal products <= 18 digits so Spark's
+    # long-backed Decimal fast path applies (price 12+disc 4+1 = 17);
+    # exactness is unchanged, so the oracle still bit-matches.  Bounds:
+    # l_extendedprice < 1e10, discount/tax factors < 100.
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
         F.sum(price * disc).cast("double").alias("sum_disc_price"),
         F.sum(price * disc * tax).cast("double").alias("sum_charge"),
         (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
-        (F.sum(F.col("l_discount").cast("decimal(25,2)")).cast("double") / F.count("l_discount")).alias(
+        (F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count("l_discount")).alias(
             "avg_disc"
         ),
         F.count("*").alias("count_order"),
@@ -277,7 +281,7 @@ def agg_groupby(spark, sf_dir):
 @_q(
     "agg_having",
     """SELECT o_custkey, COUNT(*) AS n_orders,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spent
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
        FROM orders
        GROUP BY o_custkey
        HAVING COUNT(*) >= 12""",
@@ -327,7 +331,7 @@ def agg_rollup(spark, sf_dir):
     "agg_time_bucket",
     """SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
               COUNT(*) AS n_events,
-              CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
        FROM events
        GROUP BY date_trunc('hour', ts), event_type""",
 )
@@ -451,7 +455,7 @@ def join_inner_multikey(spark, sf_dir):
 @_q(
     "join_chain_agg",
     """SELECT r.r_name, n.n_name,
-              CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS sum_acctbal,
+              CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
               COUNT(*) AS n_cust
        FROM customer c
        JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -642,7 +646,7 @@ def win_lag_lead(spark, sf_dir):
 @_q(
     "win_moving_avg",
     """SELECT event_id, user_id,
-              CAST(SUM(CAST(value AS DECIMAL(25,6)))
+              CAST(SUM(CAST(value AS DECIMAL(18,6)))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
                 / COUNT(value)
@@ -660,7 +664,7 @@ def win_moving_avg(spark, sf_dir):
         "event_id",
         "user_id",
         (
-            F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
             / F.count("value").over(w)
         ).alias("moving_avg"),
     )
@@ -734,11 +738,11 @@ _SUBQ_FROM_SQL = """
     SELECT COUNT(*) AS n_orders,
            MIN(order_rev) AS min_rev,
            MAX(order_rev) AS max_rev,
-           CAST(SUM(CAST(order_rev AS DECIMAL(25,4))) AS DOUBLE) / COUNT(order_rev) AS avg_rev
+           CAST(SUM(CAST(order_rev AS DECIMAL(18,4))) AS DOUBLE) / COUNT(order_rev) AS avg_rev
     FROM (
       SELECT l_orderkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
-                      * CAST(1 - l_discount AS DECIMAL(25,2))) AS DOUBLE) AS order_rev
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS order_rev
       FROM lineitem GROUP BY l_orderkey
     ) g
 """
@@ -754,7 +758,7 @@ def subquery_from(spark, sf_dir):
 _SUBQ_SCALAR_SQL = """
     SELECT o_orderkey, o_totalprice FROM orders
     WHERE o_totalprice > 1.5 * (
-      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
       FROM orders)
 """
 

@@ -41,7 +41,14 @@ def _q(name: str, oracle: str | None = None):
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # Rebalance for CPU-bound vector math: a small corpus arrives as one
+    # parquet row group = one task; at real scale (many files) this is a
+    # no-op because the scan already has >= defaultParallelism splits.
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 
 _TOPK_ORACLE = f"""

@@ -21,7 +21,7 @@ _WINDOW_COUNTS_ORACLE = """
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
 """

@@ -51,6 +51,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _docs_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan rebalanced for CPU-bound per-row work (regex,
+    UDFs).  A small corpus arrives as one parquet row group = one task;
+    round-robin repartition to the cluster's parallelism so the
+    expensive map stage uses every core.  Cost is one tiny shuffle of
+    the raw text; at real scale (many files) it's a cheap rebalance."""
+    df = _docs(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 _TOKENS = "split(trim(text), '\\\\s+')"
 
 
@@ -65,7 +78,7 @@ _TOKENS = "split(trim(text), '\\\\s+')"
 def text_token_count(spark, sf_dir):
     """Whitespace tokenization + unique-token counts (JVM-side split,
     no UDF)."""
-    return _docs(spark, sf_dir).select(
+    return _docs_cpu(spark, sf_dir).select(
         "doc_id",
         F.expr(f"size({_TOKENS})").alias("n_tokens"),
         F.length("text").alias("n_chars_measured"),
@@ -100,7 +113,7 @@ def text_quality_score(spark, sf_dir):
     pipeline stages."""
     punct_removed = f"regexp_replace(text, '{_PUNCT_SPARK}', '')"
     lower_tokens = "split(lower(trim(text)), '\\\\s+')"
-    return _docs(spark, sf_dir).select(
+    return _docs_cpu(spark, sf_dir).select(
         "doc_id",
         "lang",
         "n_chars",
@@ -129,7 +142,7 @@ def text_fingerprint(spark, sf_dir):
     """Normalized-text md5 fingerprint (dedup key).  md5 is the one
     hash both engines compute identically; at scale you'd swap in
     xxhash64 (Spark-only) for speed — semantics unchanged."""
-    return _docs(spark, sf_dir).select(
+    return _docs_cpu(spark, sf_dir).select(
         "doc_id",
         F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
             "fingerprint"
@@ -187,7 +200,7 @@ def text_langid_heuristic(spark, sf_dir):
 
         return texts.map(classify)
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_cpu(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),

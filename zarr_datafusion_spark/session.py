@@ -62,6 +62,11 @@ def get_spark(app_name: str = "zarr_datafusion_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Whole-stage-codegen class cache: the default 100 entries
+        # thrashes on a many-query workload (each query compiles 2-5
+        # classes; recompiles cost seconds).  Classes are small; keep
+        # them all.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
