@@ -39,6 +39,15 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def engine(spark):
+    from zarr_datafusion_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_parquet_dir(SF_DIR)
+    return eng
+
+
+@pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
     for t in TABLES:

@@ -1,0 +1,79 @@
+"""A11 REPL tests (reference ``src/bin/zarr_cli/main.rs`` behaviors:
+query execution + timing line, DDL detection, stats-shortcut line,
+error recovery)."""
+
+from __future__ import annotations
+
+import builtins
+
+import pytest
+
+from zarr_datafusion_spark import cli
+
+
+def _run_repl(monkeypatch, capsys, engine, lines, zarr_tables=None):
+    it = iter(lines)
+    monkeypatch.setattr(builtins, "input", lambda *_: next(it))
+    try:
+        cli.repl(engine, zarr_tables or {})
+    except StopIteration:
+        pass
+    return capsys.readouterr().out
+
+
+def test_repl_select_and_quit(monkeypatch, capsys, engine):
+    out = _run_repl(
+        monkeypatch, capsys, engine, ["SELECT 1 AS x;", "\\q"]
+    )
+    assert "| x |" in out and "| 1 |" in out
+    assert "1 rows ·" in out
+
+
+def test_repl_shortcut_line(monkeypatch, capsys, engine):
+    out = _run_repl(
+        monkeypatch, capsys, engine, ["SELECT COUNT(*) AS n FROM lineitem", "exit"]
+    )
+    assert "answered from statistics (no scan)" in out
+
+
+def test_repl_error_recovery(monkeypatch, capsys, engine):
+    out = _run_repl(
+        monkeypatch,
+        capsys,
+        engine,
+        ["SELECT nope FROM lineitem;", "SELECT 2 AS y;", "quit"],
+    )
+    assert "Error:" in out
+    assert "| 2 |" in out  # session survived
+
+
+def test_repl_ddl_ok_line(monkeypatch, capsys, engine):
+    out = _run_repl(
+        monkeypatch,
+        capsys,
+        engine,
+        ["CREATE TEMPORARY VIEW _cli_t AS SELECT 1 AS x;", "DROP VIEW _cli_t;", "\\q"],
+    )
+    assert out.count("OK (") == 2
+
+
+def test_repl_continuation(monkeypatch, capsys, engine):
+    out = _run_repl(
+        monkeypatch, capsys, engine, ["SELECT 41 + 1 \\", "AS z;", "\\q"]
+    )
+    assert "| z  |" in out and "| 42 |" in out
+
+
+def test_repl_zarr_stats_line(monkeypatch, capsys, engine):
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+
+    store = fixture_store(2)
+    engine.register_zarr("weather_cli", store)
+    out = _run_repl(
+        monkeypatch,
+        capsys,
+        engine,
+        ["SELECT COUNT(DISTINCT lat) AS n FROM weather_cli;", "\\q"],
+        zarr_tables={"weather_cli": store},
+    )
+    assert "arrays · scan 700 cells ·" in out and "disk" in out

@@ -1,0 +1,102 @@
+"""A10 I/O statistics tests (reference ``stats.rs`` / ``tracked_store.rs``
+counters + the pushdown reduction accounting ``zarr_reader.rs:255-264``).
+
+Three layers under test: planned stats (pure metadata math), live
+process-local counters (TrackedStore analog), and the distributed
+stats-spill protocol through a real Spark scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+from zarr_datafusion_spark.stats.io_stats import (
+    collect_stats_dir,
+    plan_scan_stats,
+)
+from zarr_datafusion_spark.zarr.chunkio import (
+    io_counters,
+    read_array,
+    reset_io_counters,
+)
+from zarr_datafusion_spark.zarr.metadata import discover_arrays
+
+
+def test_planned_full_scan_counts():
+    store = fixture_store(2)
+    s = plan_scan_stats(store)
+    assert s.rows == 700
+    assert s.n_arrays == 5
+    # 3 coords (7+10+10 int64) + 2 data vars (700 cells int64 each)
+    assert s.coord_bytes == (7 + 10 + 10) * 8
+    assert s.data_bytes == 2 * 700 * 8
+    assert s.disk_bytes > 0 and s.n_chunks > 0
+    assert s.metadata_bytes > 0
+
+
+def test_planned_filter_reduction():
+    store = fixture_store(2)
+    full = plan_scan_stats(store)
+    filt = plan_scan_stats(store, coord_filters={"time": 3})
+    assert filt.rows == 100
+    # reading 1 of 7 time slabs cuts data bytes 7x (reduction_pct
+    # accounting, zarr_reader.rs:255-264)
+    assert filt.data_bytes == full.data_bytes // 7
+    assert filt.disk_bytes < full.disk_bytes
+
+
+def test_planned_unmatched_filter_empty():
+    store = fixture_store(2)
+    s = plan_scan_stats(store, coord_filters={"time": 99})
+    assert s.rows == 0
+
+
+def test_planned_limit_and_projection():
+    store = fixture_store(2)
+    s = plan_scan_stats(store, columns=["time", "temperature"], limit=20)
+    assert s.rows == 20
+    assert s.n_arrays == 2
+    full = plan_scan_stats(store)
+    assert s.disk_bytes < full.disk_bytes
+
+
+def test_live_counters_track_window_reads():
+    store = fixture_store(2)
+    meta = discover_arrays(store)
+    temp = meta.array("temperature")
+    reset_io_counters()
+    read_array(store, temp)
+    full = io_counters()
+    assert full["decoded_bytes"] == 700 * 8
+    assert full["n_chunks"] == 7  # chunked (1, 10, 10)
+
+    from zarr_datafusion_spark.zarr.chunkio import read_window
+
+    reset_io_counters()
+    read_window(store, temp, ((3, 4), (0, 10), (0, 10)))
+    one = io_counters()
+    assert one["n_chunks"] == 1
+    assert one["disk_bytes"] < full["disk_bytes"]
+
+
+def test_stats_spill_matches_planned(spark, tmp_path):
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    store = fixture_store(2)
+    d = str(tmp_path / "iostats")
+    df = read_zarr(spark, store, stats_dir=d)
+    assert df.count() == 700
+    spilled = collect_stats_dir(d)
+    planned = plan_scan_stats(store)
+    assert spilled.rows == planned.rows == 700
+    assert spilled.disk_bytes == planned.disk_bytes
+    assert spilled.coord_bytes == planned.coord_bytes
+    assert spilled.data_bytes == planned.data_bytes
+
+
+def test_format_line_shape():
+    s = plan_scan_stats(fixture_store(2))
+    line = s.format_line(0.013)
+    assert line.startswith("700 rows · 5 arrays · ")
+    assert line.endswith("0.013s")

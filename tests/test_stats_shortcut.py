@@ -14,15 +14,6 @@ import pytest
 from tests.conftest import SF_DIR
 
 
-@pytest.fixture(scope="module")
-def engine(spark):
-    from zarr_datafusion_spark.engine import Engine
-
-    eng = Engine(spark)
-    eng.register_parquet_dir(SF_DIR)
-    return eng
-
-
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 

@@ -1,0 +1,169 @@
+"""Interactive SQL shell — the reference's ``zarr-cli`` (A11), thin.
+
+The reference ships a readline REPL with history, DDL detection, and a
+timing + I/O stats line (``src/bin/zarr_cli/main.rs:45-211``,
+``docs/CLI_REFERENCE.md``).  Spark already has a full shell
+(``pyspark``); this wrapper adds the pieces the reference layers on
+top: the stats-shortcut engine front door, per-query timing, and the
+A10 stats line for zarr-backed tables.
+
+Run: ``python -m zarr_datafusion_spark.cli [--sf-dir DIR] [--zarr name=path ...]``
+
+Commands: any Spark SQL (``SHOW TABLES``, ``DESCRIBE t``, ``EXPLAIN
+SELECT ...``, ``CREATE TEMPORARY VIEW t USING zarr OPTIONS (path
+'...')``, ...), plus ``\\q`` / ``exit`` to quit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import atexit
+import os
+import sys
+import time
+
+HISTORY_FILE = os.path.expanduser("~/.zds_cli_history")
+
+
+def _setup_readline() -> None:
+    """History persistence like the reference's ~/.zarr_cli_history
+    (``main.rs:83-95``)."""
+    try:
+        import readline
+    except ImportError:  # non-readline platform: plain input()
+        return
+    try:
+        readline.read_history_file(HISTORY_FILE)
+    except OSError:
+        pass
+    readline.set_history_length(1000)
+    atexit.register(lambda: readline.write_history_file(HISTORY_FILE))
+
+
+def _is_ddl(sql: str) -> bool:
+    """DDL detected textually, like ``main.rs:114-126``."""
+    head = sql.lstrip().split(None, 1)
+    return bool(head) and head[0].upper() in ("CREATE", "DROP", "ALTER")
+
+
+def repl(engine, zarr_tables: dict[str, str]) -> None:
+    """Read-eval-print loop over ``engine.sql``.
+
+    ``zarr_tables`` maps registered table name -> store path, used to
+    print the A10 I/O stats line when a query's base table is a zarr
+    store."""
+    from zarr_datafusion_spark.stats.io_stats import plan_scan_stats
+
+    _setup_readline()
+    buffer: list[str] = []
+    while True:
+        try:
+            line = input("...> " if buffer else "zds> ")
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return
+        if not buffer and line.strip().lower() in ("\\q", "quit", "exit"):
+            return
+        if not line.strip():
+            continue
+        buffer.append(line)
+        # A trailing backslash continues the statement on the next line
+        # (the reference uses rustyline's multiline editing; '\' is the
+        # plain-stdin equivalent).
+        if line.rstrip().endswith("\\"):
+            buffer[-1] = line.rstrip()[:-1]
+            continue
+        sql = "\n".join(buffer).rstrip().rstrip(";")
+        buffer = []
+
+        t0 = time.perf_counter()
+        try:
+            if _is_ddl(sql):
+                engine.spark.sql(sql)
+                print(f"OK ({time.perf_counter() - t0:.3f}s)")
+                continue
+            df = engine.sql(sql)
+            rows = df.collect()
+            secs = time.perf_counter() - t0
+        except Exception as e:  # session survives errors (integration_error.rs)
+            print(f"Error: {e}")
+            continue
+
+        _print_rows(df.columns, rows)
+        scanned = _base_zarr_table(sql, zarr_tables)
+        if engine.last_query_used_shortcut:
+            print(f"{len(rows)} rows · answered from statistics (no scan) · {secs:.3f}s")
+        elif scanned:
+            stats = plan_scan_stats(zarr_tables[scanned])
+            print(
+                f"{len(rows)} rows · {stats.n_arrays} arrays · "
+                f"scan {stats.rows} cells · "
+                + stats.format_line(secs).split(" · ", 2)[2]
+            )
+        else:
+            print(f"{len(rows)} rows · {secs:.3f}s")
+
+
+def _base_zarr_table(sql: str, zarr_tables: dict[str, str]) -> str | None:
+    tokens = sql.replace(",", " ").split()
+    for t in tokens:
+        if t.strip("`\"'") in zarr_tables:
+            return t.strip("`\"'")
+    return None
+
+
+def _print_rows(columns: list[str], rows, max_rows: int = 40) -> None:
+    shown = rows[:max_rows]
+    cells = [[str(c) for c in columns]] + [
+        ["NULL" if v is None else str(v) for v in r] for r in shown
+    ]
+    widths = [max(len(row[i]) for row in cells) for i in range(len(columns))]
+    sep = "+-" + "-+-".join("-" * w for w in widths) + "-+"
+    print(sep)
+    print("| " + " | ".join(c.ljust(w) for c, w in zip(cells[0], widths)) + " |")
+    print(sep)
+    for row in cells[1:]:
+        print("| " + " | ".join(c.ljust(w) for c, w in zip(row, widths)) + " |")
+    print(sep)
+    if len(rows) > max_rows:
+        print(f"... ({len(rows) - max_rows} more rows)")
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description="zarr_datafusion_spark SQL shell")
+    parser.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="directory of driver parquet tables to register",
+    )
+    parser.add_argument(
+        "--zarr",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="register a Zarr store as a table (repeatable)",
+    )
+    args = parser.parse_args(argv)
+
+    from zarr_datafusion_spark.engine import Engine
+
+    engine = Engine()
+    engine.spark.sparkContext.setLogLevel("ERROR")
+    tables = engine.register_parquet_dir(args.sf_dir)
+    zarr_tables: dict[str, str] = {}
+    for spec in args.zarr:
+        name, _, path = spec.partition("=")
+        if not path:
+            print(f"bad --zarr spec (want NAME=PATH): {spec}", file=sys.stderr)
+            sys.exit(2)
+        engine.register_zarr(name, path)
+        zarr_tables[name] = path
+
+    print(f"zarr_datafusion_spark shell — {len(tables)} parquet tables"
+          + (f", {len(zarr_tables)} zarr tables" if zarr_tables else "")
+          + " registered. \\q to quit.")
+    repl(engine, zarr_tables)
+
+
+if __name__ == "__main__":
+    main()

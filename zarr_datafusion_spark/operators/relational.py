@@ -195,6 +195,27 @@ def filter_not_in(spark, sf_dir):
 
 
 @_q(
+    "filter_is_null",
+    """SELECT l_orderkey, l_linenumber,
+              NULLIF(l_discount, 0.0) AS disc_nullable
+       FROM lineitem
+       WHERE NULLIF(l_discount, 0.0) IS NULL
+         AND l_quantity IS NOT NULL""",
+)
+def filter_is_null(spark, sf_dir):
+    """IS NULL / IS NOT NULL (CLI_REFERENCE.md:159-163).  The testdata
+    has no stored NULLs, so NULLIF synthesizes them — the predicate
+    still exercises real null-semantics filtering."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_nullable = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.filter(
+        disc_nullable.isNull() & F.col("l_quantity").isNotNull()
+    ).select(
+        "l_orderkey", "l_linenumber", disc_nullable.alias("disc_nullable")
+    )
+
+
+@_q(
     "distinct_vals",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
@@ -324,6 +345,49 @@ def agg_rollup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@_q(
+    "agg_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+)
+def agg_cube(spark, sf_dir):
+    """CUBE grouping sets (all 2^k key subsets; SURVEY §2 optional
+    parity row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@_q("agg_grouping_sets", _GROUPING_SETS_SQL)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (SURVEY §2 optional parity row) — one SQL
+    string, planned by Catalyst and DuckDB identically."""
+    _views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@_q("agg_approx_distinct")
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the 100 TB path for distinct-cardinality profiling (single pass, no
+    per-key state explosion).  No oracle: HLL sketches are
+    engine-specific; tests assert the estimate lands within the
+    documented relative error of the exact answer."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
 
 
@@ -579,6 +643,22 @@ def join_cross(spark, sf_dir):
     return r.crossJoin(s).select("r_name", "s_name")
 
 
+@_q(
+    "join_right",
+    """SELECT n.n_name, s.s_suppkey, s.s_name
+       FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey""",
+)
+def join_right(spark, sf_dir):
+    """Right outer join (DataFusion-complete superset; nations without
+    suppliers yield NULL supplier columns, so the outer side is
+    exercised)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_name", "s_suppkey", "s_name"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions  (reference: CLI_REFERENCE.md:278-327)
 # ---------------------------------------------------------------------------
@@ -732,6 +812,26 @@ def cte_multi_union(spark, sf_dir):
     text through Catalyst."""
     _views(spark, sf_dir)
     return spark.sql(_CTE_SQL)
+
+
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE seq(n) AS (
+      SELECT 1
+      UNION ALL
+      SELECT n + 1 FROM seq WHERE n < 25
+    )
+    SELECT s.n, nat.n_name
+    FROM seq s JOIN nation nat ON nat.n_nationkey = s.n - 1
+"""
+
+
+@_q("cte_recursive", _RECURSIVE_CTE_SQL)
+def cte_recursive(spark, sf_dir):
+    """Recursive CTE (CLI_REFERENCE.md:365-374 documents it "if
+    supported"; Spark 4.0+ supports WITH RECURSIVE natively — SURVEY §7
+    risk item resolved, no iterative-DataFrame fallback needed)."""
+    _views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CTE_SQL)
 
 
 _SUBQ_FROM_SQL = """

@@ -16,11 +16,41 @@ from __future__ import annotations
 
 import gzip
 import os
+import threading
 import zlib
 
 import numpy as np
 
 from zarr_datafusion_spark.zarr.metadata import ZarrArrayMeta, numpy_dtype_for
+
+
+class _IoCounters(threading.local):
+    """Thread-local live I/O counters — the in-process analog of the
+    reference's ``TrackedStore`` atomics (``tracked_store.rs:20-98``)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self.disk_bytes = 0
+        self.decoded_bytes = 0
+        self.n_chunks = 0
+
+
+_IO = _IoCounters()
+
+
+def reset_io_counters() -> None:
+    _IO.reset()
+
+
+def io_counters() -> dict[str, int]:
+    """Snapshot of this thread's counters since the last reset."""
+    return {
+        "disk_bytes": _IO.disk_bytes,
+        "decoded_bytes": _IO.decoded_bytes,
+        "n_chunks": _IO.n_chunks,
+    }
 
 
 def _decompress_v2(raw: bytes, compressor: dict | None) -> bytes:
@@ -116,6 +146,8 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
         return np.full(meta.chunks, fill, dtype=dtype)
     with open(path, "rb") as f:
         raw = f.read()
+    _IO.disk_bytes += len(raw)
+    _IO.n_chunks += 1
     if meta.zarr_format == 2:
         if meta.filters:
             raise NotImplementedError(
@@ -130,6 +162,7 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
             f"{meta.name} chunk {idx}: decoded {arr.size} elements, "
             f"expected {int(np.prod(meta.chunks))}"
         )
+    _IO.decoded_bytes += arr.nbytes
     return arr.reshape(meta.chunks, order=meta.order)
 
 

@@ -91,6 +91,9 @@ class ZarrDataSourceReader(DataSourceReader):
         self.columns = [f.name for f in schema.fields]
         self.limit = int(options["limit"]) if "limit" in options else None
         self.target_batch_rows = int(options.get("target_batch_rows", 1 << 20))
+        #: when set, each partition writes its I/O-counter delta here as
+        #: one JSON file (A10 distributed stats; reference tracked_store.rs)
+        self.stats_dir = options.get("stats_dir")
         #: coord name -> pushed literal (reference CoordFilters, filter.rs:70-129)
         self.coord_filters: dict[str, object] = {}
 
@@ -173,10 +176,16 @@ class ZarrDataSourceReader(DataSourceReader):
     # -- execution (runs on executors) --------------------------------------
 
     def read(self, partition: ZarrInputPartition):
-        from zarr_datafusion_spark.zarr.chunkio import read_window
+        from zarr_datafusion_spark.zarr.chunkio import (
+            io_counters,
+            read_window,
+            reset_io_counters,
+        )
 
         if partition.outer_hi <= partition.outer_lo:
             return
+        if self.stats_dir:
+            reset_io_counters()
         meta = self.meta
         inner = partition.inner_windows
         inner_sizes = [hi - lo for lo, hi in inner]
@@ -188,6 +197,7 @@ class ZarrDataSourceReader(DataSourceReader):
         coord_values = {
             c.name: read_array(self.store_path, c) for c in meta.coords
         }
+        coord_decoded = io_counters()["decoded_bytes"] if self.stats_dir else 0
 
         names = self.columns
         coord_names = [c.name for c in meta.coords]
@@ -235,6 +245,24 @@ class ZarrDataSourceReader(DataSourceReader):
             yield pa.RecordBatch.from_arrays(arrays, names=names)
             produced += batch_rows
             pos = hi
+
+        if self.stats_dir:
+            import json as _json
+            import uuid as _uuid
+
+            c = io_counters()
+            os.makedirs(self.stats_dir, exist_ok=True)
+            out = {
+                "coord_bytes": coord_decoded,
+                "data_bytes": c["decoded_bytes"] - coord_decoded,
+                "disk_bytes": c["disk_bytes"],
+                "n_chunks": c["n_chunks"],
+                "n_arrays": len(names),
+                "rows": produced,
+            }
+            fname = f"part-{partition.outer_lo}-{_uuid.uuid4().hex[:8]}.json"
+            with open(os.path.join(self.stats_dir, fname), "w") as f:
+                _json.dump(out, f)
 
 
 class ZarrDataSource(DataSource):
@@ -306,9 +334,14 @@ def read_zarr(
     columns: list[str] | None = None,
     limit: int | None = None,
     target_batch_rows: int | None = None,
+    stats_dir: str | None = None,
 ) -> DataFrame:
     """Flattened DataFrame over a Zarr store (engine API analog of the
-    reference's ``register_table`` example path, EP2)."""
+    reference's ``register_table`` example path, EP2).
+
+    ``stats_dir``: directory where each scan partition spills its I/O
+    counter delta (A10); aggregate after an action with
+    :func:`zarr_datafusion_spark.stats.io_stats.collect_stats_dir`."""
     register_zarr_source(spark)
     reader = spark.read.format("zarr")
     if columns:
@@ -317,4 +350,6 @@ def read_zarr(
         reader = reader.option("limit", str(limit))
     if target_batch_rows is not None:
         reader = reader.option("target_batch_rows", str(target_batch_rows))
+    if stats_dir is not None:
+        reader = reader.option("stats_dir", stats_dir)
     return reader.load(store_path)
