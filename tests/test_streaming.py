@@ -46,3 +46,36 @@ def test_sliding_windows_double_count(spark):
     assert total_events == 2 * n
     for r in rows:
         assert (r.window_end - r.window_start).total_seconds() == 600
+
+
+def test_session_window_vs_duckdb(spark, duck):
+    from tests.conftest import SF_DIR, assert_frames_match
+    from zarr_datafusion_spark.streaming.sessionize import (
+        SESSION_WINDOW_ORACLE,
+        session_window_agg,
+    )
+
+    assert_frames_match(
+        session_window_agg(spark, SF_DIR), duck.sql(SESSION_WINDOW_ORACLE)
+    )
+
+
+def test_stateful_sessions_subset_of_batch(spark):
+    from tests.conftest import SF_DIR
+    from zarr_datafusion_spark.streaming.sessionize import (
+        session_window_agg,
+        sessionize_stateful,
+    )
+
+    closed = sessionize_stateful(spark, SF_DIR).toPandas()
+    batch = session_window_agg(spark, SF_DIR).toPandas()
+    n_users = batch["user_id"].nunique()
+    # every user's final session is still open in state at end-of-input
+    assert len(closed) == len(batch) - n_users
+    merged = closed.merge(
+        batch.drop(columns=["sum_value"]),
+        on=["user_id", "session_start_us", "session_end_us", "n_events"],
+        how="left",
+        indicator=True,
+    )
+    assert (merged["_merge"] == "both").all()

@@ -194,6 +194,48 @@ def filter_not_in(spark, sf_dir):
     )
 
 
+_SCALAR_FN_SQL = """
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS prio_u,
+           lower(o_orderstatus) AS status_l,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           length(o_orderpriority) AS prio_len,
+           replace(o_orderpriority, '-', '_') AS prio_repl,
+           abs(o_totalprice - 100000.0) AS dist_100k,
+           round(o_totalprice, 1) AS price_r1,
+           floor(o_totalprice) AS price_fl,
+           ceil(o_totalprice) AS price_ce,
+           sqrt(o_totalprice) AS price_sqrt,
+           lpad(o_orderstatus, 3, '*') AS status_pad,
+           reverse(o_orderpriority) AS prio_rev,
+           power(o_custkey % 10, 2) AS ck_sq,
+           greatest(o_orderkey % 7, o_custkey % 7) AS g7,
+           least(o_orderkey % 7, o_custkey % 7) AS l7,
+           coalesce(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_coal,
+           year(o_orderdate) AS o_year,
+           month(o_orderdate) AS o_month,
+           day(o_orderdate) AS o_day,
+           quarter(o_orderdate) AS o_quarter
+    FROM orders
+"""
+
+
+@_q("scalar_functions", _SCALAR_FN_SQL)
+def scalar_functions(spark, sf_dir):
+    """Scalar function library breadth (SURVEY §2: the reference
+    exercises arithmetic/comparison only; our engine inherits
+    ``pyspark.sql.functions`` wholesale — this query pins 20 common
+    string/math/date functions to identical cross-engine semantics).
+    Function choice is deliberate: sqrt/abs/floor/ceil/round are
+    IEEE-correctly-rounded (bit-identical everywhere); ``ln``/``exp``
+    are NOT (JVM StrictMath vs libm differ by 1 ulp on some inputs —
+    measured) and ``dayofweek`` numbering differs across engines, so
+    both are excluded.  One SQL string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_SCALAR_FN_SQL)
+
+
 @_q(
     "filter_is_null",
     """SELECT l_orderkey, l_linenumber,

@@ -39,6 +39,35 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_rates(spark, sf_dir)
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (built-in ``session_window``; identical
+    code shape for batch and watermarked streams).  DuckDB oracle:
+    lag/cumsum sessionization."""
+    from zarr_datafusion_spark.streaming.sessionize import session_window_agg
+
+    return session_window_agg(spark, sf_dir)
+
+
+def sessionize_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): sessions
+    closed while draining the stream (rows-only check; subset property
+    vs the batch form is tested in tests/test_streaming.py)."""
+    from zarr_datafusion_spark.streaming.sessionize import sessionize_stateful
+
+    return sessionize_stateful(spark, sf_dir)
+
+
 QUERIES["streaming_window_counts"] = streaming_window_counts
 ORACLE["streaming_window_counts"] = _WINDOW_COUNTS_ORACLE
 QUERIES["streaming_sliding_windows"] = streaming_sliding_windows
+QUERIES["sessionize_events"] = sessionize_events
+QUERIES["sessionize_stateful_stream"] = sessionize_stateful_stream
+
+
+def _session_oracle() -> str:
+    from zarr_datafusion_spark.streaming.sessionize import SESSION_WINDOW_ORACLE
+
+    return SESSION_WINDOW_ORACLE
+
+
+ORACLE["sessionize_events"] = _session_oracle()

@@ -173,20 +173,23 @@ class ZarrStoreMeta:
 
 def normalize_store_path(store_path: str) -> str:
     """Accept plain paths and ``file:``/``file://`` URIs (Spark's DDL
-    path resolution produces the latter).  Remote schemes (s3/gs) would
-    route to fsspec — reference ``storage.rs:63-89``; not available in
-    this environment, so they fail with a clear message."""
-    if store_path.startswith("file://"):
-        return store_path[len("file://") :]
-    if store_path.startswith("file:"):
-        return store_path[len("file:") :]
-    if "://" in store_path:
-        scheme = store_path.split("://", 1)[0]
+    path resolution produces the latter).  Remote schemes (s3/gs) parse
+    via :class:`zarr_datafusion_spark.zarr.storage.StorageLocation`
+    (reference ``storage.rs:63-89``) and dispatch to fsspec, which is
+    not installed in this environment — the gated open raises a clear
+    message."""
+    if store_path.startswith("file:") and not store_path.startswith("file://"):
+        store_path = "file://" + store_path[len("file:") :]
+    from zarr_datafusion_spark.zarr.storage import StorageLocation, open_filesystem
+
+    loc = StorageLocation.parse(store_path)
+    if loc.is_remote:
+        open_filesystem(loc)  # raises NotImplementedError without fsspec
         raise NotImplementedError(
-            f"remote Zarr stores ({scheme}://) need fsspec/{scheme}fs, "
-            "not installed in this environment"
+            f"remote Zarr chunk reads ({loc.scheme}://) are not enabled in "
+            "this environment"
         )
-    return store_path
+    return loc.path
 
 
 def detect_zarr_version(store_path: str) -> int:
