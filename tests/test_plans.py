@@ -1,0 +1,77 @@
+"""Plan-shape assertions — the reference's optimizer-evidence pattern
+(``tests/integration_pushdown.rs`` asserts projected schema width and
+pushdown effects on the physical plan; ``integration_optimizer.rs``
+asserts scan absence).  Here: Catalyst must push filters and prune
+columns into the parquet scan, broadcast small dimensions, aggregate
+map-side before the exchange, and plan top-k without a global sort."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from zarr_datafusion_spark.session import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", _plan(df))
+    assert m, "no PushedFilters in scan"
+    assert "GreaterThan(l_quantity,40.0)" in m.group(1)
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", _plan(df))
+    assert m, "no ReadSchema in scan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity"}, f"scan reads {cols}"
+
+
+def test_small_dimension_broadcasts(spark):
+    n = load_table(spark, SF_DIR, "nation")
+    c = load_table(spark, SF_DIR, "customer")
+    plan = _plan(c.join(n, c.c_nationkey == n.n_nationkey).select("c_name", "n_name"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_before_exchange(spark):
+    df = load_table(spark, SF_DIR, "lineitem").groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("s")
+    )
+    plan = _plan(df)
+    assert "partial_sum" in plan, "no map-side partial aggregation"
+    # partial agg must appear below (after, in toString order) the exchange
+    assert plan.index("partial_sum") > plan.index("Exchange")
+
+
+def test_topk_avoids_global_sort(spark):
+    df = (
+        load_table(spark, SF_DIR, "orders")
+        .orderBy(F.col("o_totalprice").desc())
+        .limit(5)
+    )
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_engine_explain_surface(engine):
+    """EXPLAIN surface (reference ``docs/CLI_REFERENCE.md:455-472``)."""
+    text = engine.explain("SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag")
+    assert "HashAggregate" in text and "Scan" in text
+
+
+def test_engine_explain_shortcut_notes_no_scan(engine):
+    text = engine.explain("SELECT COUNT(*) AS n FROM lineitem")
+    assert "statistics" in text.lower()
+    assert "Scan parquet" not in text

@@ -108,6 +108,21 @@ class Engine:
         (``tests/common/mod.rs:118-124``)."""
         return self._last_shortcut is not None
 
+    def explain(self, query: str) -> str:
+        """Physical-plan text for a SQL query (reference ``EXPLAIN`` /
+        ``EXPLAIN ANALYZE``, ``docs/CLI_REFERENCE.md:455-472``).  When
+        the statistics shortcut answers the query, says so explicitly —
+        the plan contains no scan, mirroring the reference's
+        ``assert_no_zarr_exec`` observable."""
+        df = self.sql(query)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if self.last_query_used_shortcut:
+            return (
+                "== Answered from table statistics (no scan; reference "
+                "count/minmax optimization) ==\n" + plan
+            )
+        return plan
+
     def timed_sql(self, query: str) -> tuple[DataFrame, float]:
         """Convenience: (result, seconds) like the REPL timing line
         (``src/bin/zarr_cli/main.rs:253``)."""
