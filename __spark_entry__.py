@@ -41,6 +41,7 @@ def _registries() -> tuple[dict, dict]:
         relational,
         similarity,
         streaming_queries,
+        temporal,
         textstats,
         zarr_queries,
     )
@@ -55,6 +56,7 @@ def _registries() -> tuple[dict, dict]:
         similarity,
         multimodal,
         streaming_queries,
+        temporal,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)

@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "asof_join",
+    "range_join",
     "zarr_scan_1m",
 ]
 
@@ -80,12 +82,13 @@ def main() -> None:
         dedup,
         relational,
         similarity,
+        temporal,
         textstats,
         zarr_queries,
     )
 
     registry = {}
-    for mod in (relational, textstats, dedup, similarity, zarr_queries):
+    for mod in (relational, textstats, dedup, similarity, temporal, zarr_queries):
         registry.update(mod.QUERIES)
     registry["zarr_scan_1m"] = _zarr_scan_1m
 

@@ -13,12 +13,13 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_DIR, assert_frames_match
-from zarr_datafusion_spark.operators import dedup, multimodal, similarity, textstats
+from zarr_datafusion_spark.operators import dedup, multimodal, similarity, temporal, textstats
 
 ORACLED = {
     **{n: (textstats.QUERIES[n], textstats.ORACLE[n]) for n in textstats.ORACLE},
     **{n: (dedup.QUERIES[n], dedup.ORACLE[n]) for n in dedup.ORACLE},
     **{n: (similarity.QUERIES[n], similarity.ORACLE[n]) for n in similarity.ORACLE},
+    **{n: (temporal.QUERIES[n], temporal.ORACLE[n]) for n in temporal.ORACLE},
 }
 
 

@@ -1,0 +1,179 @@
+"""Temporal joins — as-of and range joins over the ``events`` table.
+
+Custom operators the reference engine lacks (SURVEY §2 notes DataFusion
+exposes no as-of join either); both are staples of feature engineering
+over event streams, and both are built the way they scale, per the
+operator-composition ladder (built-in DataFrame ops first):
+
+* **As-of join** (:func:`asof_view_before_purchase`): each purchase
+  matched to the same user's most recent prior view.  Implemented as
+  union + ordered window carry-forward — ONE shuffle (the window
+  partition by user), no join operator at all, no build-side
+  materialization.  At 100 TB this beats any join-based formulation:
+  state per task is one carried row.  DuckDB's native ``ASOF JOIN`` is
+  the oracle.
+* **Range join** (:func:`range_join_clicks_before_error`): count
+  same-user clicks in the 5 minutes before each error.  Naive range
+  predicates force nested-loop joins; the scalable form bins time and
+  explodes the probe side into (bin, bin-1) so it becomes an equi-join
+  on (user, bin) + residual filter — shuffle-partitionable, skew
+  handled by AQE.  Plain inequality-join SQL is the oracle.
+
+Timestamps are compared at microsecond precision on BOTH engines
+(parquet stores ns; Spark truncates to us — see session.load_table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zarr_datafusion_spark.session import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+ASOF_ORACLE = """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts_us AS purchase_ts_us,
+           v.event_id AS view_id,
+           p.ts_us - v.ts_us AS gap_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+"""
+
+
+@_q("asof_join", ASOF_ORACLE)
+def asof_view_before_purchase(spark, sf_dir):
+    """As-of join via union + window carry-forward (see module doc).
+
+    The two sides are tagged, unioned, and sorted within each user by
+    (ts, side) — views sort before a same-instant purchase — then every
+    purchase row reads the latest preceding view via
+    ``last(ignorenulls)`` over an unbounded-preceding frame."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("view_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    merged = v.unionByName(p).withColumn(
+        "matched_view", F.last("view_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "matched_view_ts", F.last(
+            F.when(F.col("side") == 0, F.col("ts_us")), ignorenulls=True
+        ).over(w)
+    )
+    return (
+        merged.filter(F.col("side") == 1)
+        .select(
+            F.col("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("matched_view").alias("view_id"),
+            (F.col("ts_us") - F.col("matched_view_ts")).alias("gap_us"),
+        )
+    )
+
+
+RANGE_WINDOW_US = 5 * 60 * 1_000_000
+
+RANGE_JOIN_ORACLE = f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'error'
+    ),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id AS error_id, e.user_id,
+           COUNT(c.ts_us) AS n_clicks_before
+    FROM e LEFT JOIN c
+      ON e.user_id = c.user_id
+     AND c.ts_us >= e.ts_us - {RANGE_WINDOW_US}
+     AND c.ts_us < e.ts_us
+    GROUP BY e.event_id, e.user_id
+"""
+
+
+@_q("range_join", RANGE_JOIN_ORACLE)
+def range_join_clicks_before_error(spark, sf_dir):
+    """Binned range join (see module doc): clicks explode into their
+    own bin and the next one, so every (error, candidate-click) pair
+    co-locates under an equi-join on (user_id, bin); the exact range
+    predicate filters residually.  Left join semantics (errors with no
+    prior click count 0) are restored by re-aggregating over the error
+    side."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        "ts_us",
+        (F.col("ts_us") / RANGE_WINDOW_US).cast("long").alias("bin"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts_us").alias("c_ts_us"),
+            (F.col("ts_us") / RANGE_WINDOW_US).cast("long").alias("c_bin"),
+        )
+        .withColumn("bin", F.explode(F.array(F.col("c_bin"), F.col("c_bin") + 1)))
+    )
+    # Conditional count (not filter-then-count): an error whose joined
+    # candidates all fail the residual must still appear with 0.  Each
+    # (error, click) pair co-locates exactly once — the click's two
+    # exploded bins are distinct and the error has one bin.
+    joined = err.join(clicks, ["user_id", "bin"], "left")
+    in_range = (F.col("c_ts_us") >= F.col("ts_us") - RANGE_WINDOW_US) & (
+        F.col("c_ts_us") < F.col("ts_us")
+    )
+    return joined.groupBy("error_id", "user_id").agg(
+        F.count(F.when(in_range, 1)).alias("n_clicks_before")
+    )

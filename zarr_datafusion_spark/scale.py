@@ -1,0 +1,89 @@
+"""Scale patterns — skew salting and bucketed co-located joins.
+
+These are the two knobs SURVEY §2's 100 TB posture calls out beyond
+what AQE does automatically:
+
+* :func:`salted_agg` — two-stage aggregation for pathologically skewed
+  keys (one key owning a double-digit share of all rows): stage 1
+  aggregates on (key, random salt) so the hot key's rows spread over
+  ``n_salt`` reducers; stage 2 combines the per-salt partials.  For
+  algebraic aggregates (count/sum/min/max) the result is identical to
+  the direct groupBy — asserted in tests.
+* :func:`write_bucketed` / co-located joins — pre-shuffling both join
+  sides into the same bucket layout at write time makes every later
+  join on that key shuffle-free (the plan contains no Exchange —
+  asserted in tests).  This is the batch analog of the reference
+  caching remote store handles on the table: pay once at registration,
+  never per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, str],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-stage skew-resistant aggregation.
+
+    ``aggs`` maps output column -> "fn(input)" where fn is one of
+    count/sum/min/max (algebraic: partials combine exactly).
+
+    >>> salted_agg(li, "l_returnflag", {"n": "count(*)", "q": "sum(l_quantity)"})
+    """
+    stage1 = []
+    stage2 = []
+    for out, spec in aggs.items():
+        fn, _, arg = spec.partition("(")
+        arg = arg.rstrip(")")
+        fn = fn.strip().lower()
+        part = f"__p_{out}"
+        if fn == "count":
+            stage1.append(F.expr(f"count({arg})").alias(part))
+            stage2.append(F.sum(part).alias(out))
+        elif fn in ("sum", "min", "max"):
+            stage1.append(F.expr(f"{fn}({arg})").alias(part))
+            stage2.append(getattr(F, fn)(part).alias(out))
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * n_salt).cast("int")
+    )
+    return (
+        salted.groupBy(key, "__salt")
+        .agg(*stage1)
+        .groupBy(key)
+        .agg(*stage2)
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8
+) -> None:
+    """Persist ``df`` bucketed+sorted by ``key`` so subsequent
+    equi-joins/aggregations on ``key`` skip the shuffle entirely.
+
+    Drops any previous incarnation first: with the in-memory session
+    catalog, a table from an earlier process is forgotten by the
+    catalog but its warehouse directory survives and blocks the name."""
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
