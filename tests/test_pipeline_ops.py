@@ -114,3 +114,13 @@ def test_frame_sample_shape(spark):
         by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     for doc, frames in by_doc.items():
         assert frames == list(range(0, 300, 30)), doc
+
+
+def test_resize_preserves_aspect(spark):
+    rows = multimodal.QUERIES["mm_resize"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert max(r.new_width, r.new_height) == multimodal.RESIZE_TARGET
+        # aspect preserved within rounding
+        assert abs(r.new_width / r.new_height - r.width / r.height) < 0.02
+        assert r.out_bytes == r.new_width * r.new_height * 3

@@ -205,3 +205,45 @@ def test_engine_register_zarr(spark, stores):
     assert eng.table_stats("weather_view").column_min_max["lon"] == (0, 9)
     n = spark.sql("SELECT COUNT(*) AS n FROM weather_view").collect()[0].n
     assert n == 700
+
+
+def test_dtype_breadth_roundtrip(spark, tmp_path):
+    """Every dtype the schema mapper declares (SURVEY §1.2 table) must
+    survive write -> scan: signed ints, unsigned (widened; uint64 ->
+    decimal(20,0) with values above int64 max), float16 (upcast), bool."""
+    import numpy as np
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    x = np.arange(3, dtype=np.int64)
+    y = np.arange(2, dtype=np.int64)
+    big = np.uint64(2**63 + 7)
+    arrays = {
+        "x": (x, (3,)),
+        "y": (y, (2,)),
+        "v_i8": (np.arange(6, dtype=np.int8).reshape(3, 2) - 3, (1, 2)),
+        "v_i16": (np.arange(6, dtype=np.int16).reshape(3, 2) * 100, (1, 2)),
+        "v_u8": (np.arange(6, dtype=np.uint8).reshape(3, 2) + 200, (1, 2)),
+        "v_u32": (
+            np.full((3, 2), 2**31 + 5, dtype=np.uint32), (1, 2)),
+        "v_u64": (np.full((3, 2), big, dtype=np.uint64), (1, 2)),
+        "v_f16": (np.arange(6, dtype=np.float16).reshape(3, 2) / 4, (1, 2)),
+        "v_f32": (np.arange(6, dtype=np.float32).reshape(3, 2) / 8, (1, 2)),
+        "v_bool": (np.array([[True, False]] * 3), (1, 2)),
+    }
+    store = str(tmp_path / "dtypes.zarr")
+    write_store(store, arrays)
+    df = read_zarr(spark, store)
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema["v_i8"] == "tinyint" and schema["v_i16"] == "smallint"
+    assert schema["v_u8"] == "smallint" and schema["v_u32"] == "bigint"
+    assert schema["v_u64"] == "decimal(20,0)"
+    assert schema["v_f16"] == "float" and schema["v_f32"] == "float"
+    assert schema["v_bool"] == "boolean"
+    rows = df.orderBy("x", "y").collect()
+    assert len(rows) == 6
+    assert rows[0].v_i8 == -3 and rows[0].v_u8 == 200
+    assert int(rows[0].v_u64) == 2**63 + 7  # survives beyond int64 range
+    assert rows[0].v_bool is True and rows[1].v_bool is False
+    assert abs(rows[2].v_f16 - 0.5) < 1e-6

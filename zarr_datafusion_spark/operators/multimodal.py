@@ -141,6 +141,46 @@ def mm_frame_sample(spark, sf_dir):
     )
 
 
+RESIZE_TARGET = 224  # the classic vision-model input edge
+
+
+@_q("mm_resize")
+def mm_resize(spark, sf_dir):
+    """Resize stage for image rows: scale the longer edge to
+    ``RESIZE_TARGET`` preserving aspect (integer math on the header —
+    the real resampler slot sits in the same mapInPandas stage as the
+    decoder).  Emits old/new geometry so tests can check the aspect
+    invariant; rows-only driver check."""
+    imgs = decode_features(
+        synthesize_media(spark, sf_dir).filter(F.col("media_type") == "image")
+    )
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            long_edge = pdf[["width", "height"]].max(axis=1)
+            scale = RESIZE_TARGET / long_edge
+            new_w = (pdf["width"] * scale).round().astype("int32")
+            new_h = (pdf["height"] * scale).round().astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": new_w,
+                    "new_height": new_h,
+                    "out_bytes": (new_w * new_h * pdf["channels"]).astype("int64"),
+                }
+            )
+
+    return imgs.mapInPandas(
+        _resize_batch,
+        schema=(
+            "doc_id long, width int, height int, new_width int, "
+            "new_height int, out_bytes long"
+        ),
+    ).orderBy("doc_id")
+
+
 def decode_image_real(payload: bytes):
     """The real decoder hook: intentionally unimplemented here.
 
