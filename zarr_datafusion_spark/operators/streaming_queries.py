@@ -57,6 +57,19 @@ def sessionize_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stateful(spark, sf_dir)
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dropDuplicates == batch DISTINCT on a
+    finite source."""
+    from zarr_datafusion_spark.streaming.demo import streaming_dedup_ids
+
+    return streaming_dedup_ids(spark, sf_dir)
+
+
+QUERIES["streaming_dedup"] = streaming_dedup
+ORACLE["streaming_dedup"] = (
+    "SELECT DISTINCT event_id, event_type FROM events"
+)
+
 QUERIES["streaming_window_counts"] = streaming_window_counts
 ORACLE["streaming_window_counts"] = _WINDOW_COUNTS_ORACLE
 QUERIES["streaming_sliding_windows"] = streaming_sliding_windows

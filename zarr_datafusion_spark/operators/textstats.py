@@ -171,6 +171,34 @@ def text_lang_distribution(spark, sf_dir):
     )
 
 
+@_q(
+    "text_top_tokens",
+    r"""SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+              FROM documents)
+        WHERE length(token) >= 3
+        GROUP BY token
+        ORDER BY n DESC, token LIMIT 50""",
+)
+def text_top_tokens(spark, sf_dir):
+    """Corpus-level token frequency top-k (the vocabulary-profile pass
+    of a training pipeline): explode → filter → groupBy → top-k, all
+    JVM-side.  Map-side partial aggregation absorbs the token-key
+    explosion before the shuffle; the final top-50 is
+    TakeOrderedAndProject."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(F.expr("split(lower(trim(text)), '\\\\s+')")).alias("token")
+        )
+        .filter(F.length("token") >= 3)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
 #: tiny per-language stopword profiles for the heuristic classifier
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "with"},

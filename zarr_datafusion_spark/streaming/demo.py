@@ -95,6 +95,21 @@ def streaming_event_counts(
     )
 
 
+def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on the event id with a
+    watermark bounding state (the streaming form of the batch
+    hash-groupBy dedup; at scale, state is partitioned by id and
+    expired past the watermark).  Equals batch DISTINCT over a finite
+    source — the oracle."""
+    dedup = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type")
+    )
+    return _run_to_memory(dedup, "append")
+
+
 def sliding_window_rates(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
