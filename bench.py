@@ -32,6 +32,8 @@ HEADLINE = [
     "agg_time_bucket",
     "join_inner",
     "join_chain_agg",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
     "join_left",
     "win_rownum_rank",
     "win_moving_avg",

@@ -839,6 +839,63 @@ def setop_except(spark, sf_dir):
     return p.exceptAll(li).distinct()
 
 
+_Q3_SQL = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@_q("tpch_q3_shipping_priority", _Q3_SQL)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-table join + filter + agg + top-k — the
+    classic multi-join analytical query (deep-plan breadth beyond the
+    reference's 2-table examples).  Catalyst broadcasts the filtered
+    customer side under the threshold and plans the top-10 as
+    TakeOrderedAndProject; one SQL string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+_Q5_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@_q("tpch_q5_local_supplier", _Q5_SQL)
+def tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join through the full dimension chain
+    with a same-nation equi-constraint — exercises Catalyst's join
+    reordering and multi-broadcast planning.  One SQL string for both
+    engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
+
+
 _CTE_SQL = """
     WITH hi AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000),
          lo AS (SELECT o_orderkey FROM orders WHERE o_totalprice <= 200000)
