@@ -85,6 +85,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamp.  DuckDB keeps ns; all queries that *return*
     event timestamps bucket them coarsely so this cannot skew oracles.
     """
+    # Deterministic timestamp semantics regardless of who built the
+    # session (the driver hands queries its own SparkSession):
+    # date_trunc / CAST(ts AS DATE) / window() are session-timezone
+    # dependent, and the DuckDB oracle computes in UTC.  Runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -42,6 +42,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events parquet (ns timestamps read as
     long + exact integer conversion, as in ``session.load_table``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle determinism
     # The file stream source requires a directory; glob-filter the
     # events file out of the shared sf_dir.
     stream = (
