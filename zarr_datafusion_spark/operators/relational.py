@@ -237,6 +237,57 @@ def scalar_functions(spark, sf_dir):
 
 
 @_q(
+    "json_functions",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+              COUNT(*) AS n,
+              MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+              MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+       FROM events
+       GROUP BY 1""",
+)
+def json_functions(spark, sf_dir):
+    """JSON scalar functions over the ``events.props`` column (§2
+    scalar-library json row).  Spark spells it ``get_json_object``,
+    DuckDB ``json_extract_string`` — semantics identical for scalar
+    paths, verified by the shared aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy((k % 10).alias("k_mod")).agg(
+        F.count("*").alias("n"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+@_q(
+    "array_functions",
+    """SELECT vec_id,
+              len(embedding) AS dim,
+              round(embedding[1]::DOUBLE, 6) AS first_val,
+              round(embedding[len(embedding)]::DOUBLE, 6) AS last_val,
+              round(list_sort(list_transform(embedding, x -> round(x::DOUBLE, 6)))[len(embedding)], 6) AS max_val,
+              len(list_filter(embedding, x -> x > 0)) AS n_positive
+       FROM embeddings""",
+)
+def array_functions(spark, sf_dir):
+    """Array higher-order functions over the embedding column (§2
+    scalar-library array row): size / element_at / sort / filter.
+    Values round(6) — the float32→double widening is engine-identical
+    but sorting NaN-free rounded doubles keeps ties deterministic."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    rounded = F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at(emb, F.size(emb)).cast("double"), 6).alias("last_val"),
+        F.round(F.element_at(F.array_sort(rounded), F.size(emb)), 6).alias("max_val"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@_q(
     "filter_is_null",
     """SELECT l_orderkey, l_linenumber,
               NULLIF(l_discount, 0.0) AS disc_nullable
