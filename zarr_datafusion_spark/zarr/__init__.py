@@ -19,6 +19,7 @@ from zarr_datafusion_spark.zarr.datasource import (
     read_zarr,
     register_zarr_source,
 )
+from zarr_datafusion_spark.zarr.sink import write_zarr
 from zarr_datafusion_spark.zarr.metadata import (
     ZarrArrayMeta,
     ZarrStoreMeta,
@@ -35,5 +36,6 @@ __all__ = [
     "discover_arrays",
     "infer_spark_schema",
     "read_zarr",
+    "write_zarr",
     "register_zarr_source",
 ]

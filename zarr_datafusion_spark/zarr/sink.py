@@ -1,0 +1,183 @@
+"""Distributed Zarr v2 sink — write a flattened DataFrame back as a
+chunked Zarr store.
+
+Beyond-reference superset: the reference has NO sink (results are
+printed, ``main.rs:169``).  This is the inverse of the source's
+nD→2D flatten: a DataFrame holding the dense Cartesian product of its
+coordinate columns (row-major or any order) becomes one nD array per
+value column, chunked ``(1, d2, d3, ...)`` along the outer dimension —
+the same layout the reference's fixture generator uses
+(``scripts/data_gen.py:96,116``).
+
+Scale design: the driver writes only metadata and the (tiny) 1-D
+coordinate arrays; every outer-index slab of data cells is written by
+the executor that owns it (``repartition(outer)`` → ``applyInPandas``
+per outer value → one chunk file per data column).  No data cells ever
+pass through the driver, so the write scales with the cluster exactly
+like the scan does.  Determinism: chunk content depends only on the
+(coord → value) mapping, not row order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zarr_datafusion_spark.zarr.writer import _V2_DTYPE, write_v2_array
+
+
+def write_zarr(
+    df: DataFrame,
+    store_path: str,
+    coords: list[str],
+    data_vars: list[str] | None = None,
+) -> dict[str, int]:
+    """Write ``df`` as a Zarr v2 store.
+
+    ``coords``: dimension columns, outermost first; the DataFrame must
+    contain every combination of their distinct values exactly once
+    (dense grid — validated).  ``data_vars`` defaults to all remaining
+    numeric columns.  Returns {array_name: chunk_files_written}.
+    """
+    if len(coords) < 2:
+        raise ValueError("need >= 2 coordinate columns (data vars must be nD)")
+    spark = df.sparkSession
+    data_vars = data_vars or [
+        f.name for f in df.schema.fields if f.name not in coords
+    ]
+    if not data_vars:
+        raise ValueError("no data variable columns to write")
+
+    # --- driver side: coordinate values (tiny), grid validation, metadata
+    coord_values: dict[str, np.ndarray] = {}
+    for c in coords:
+        vals = np.sort(
+            np.array([r[0] for r in df.select(c).distinct().collect()])
+        )
+        coord_values[c] = vals
+    shape = tuple(len(coord_values[c]) for c in coords)
+    n_cells = int(np.prod(shape))
+    n_rows = df.count()
+    if n_rows != n_cells:
+        raise ValueError(
+            f"DataFrame is not a dense grid: {n_rows} rows != "
+            f"{n_cells} = {' x '.join(map(str, shape))} cells"
+        )
+
+    os.makedirs(store_path, exist_ok=True)
+    import json
+
+    with open(os.path.join(store_path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    # 1-D coordinate arrays, one chunk each (the reference's layout)
+    for c in coords:
+        write_v2_array(store_path, c, coord_values[c], (len(coord_values[c]),))
+
+    spark_to_np = {
+        "tinyint": np.int8, "smallint": np.int16, "int": np.int32,
+        "bigint": np.int64, "float": np.float32, "double": np.float64,
+        "boolean": np.bool_,
+    }
+    var_dtypes = {}
+    for v in data_vars:
+        t = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[v]
+        if t not in spark_to_np:
+            raise ValueError(f"unsupported data-var type for zarr write: {v}: {t}")
+        var_dtypes[v] = np.dtype(spark_to_np[t])
+
+    # chunk grid: (1, d2, d3, ...) — one chunk per outer index spanning
+    # the full inner dims; write array metadata on the driver
+    chunks = (1,) + shape[1:]
+    for v in data_vars:
+        _write_v2_metadata_only(store_path, v, var_dtypes[v], shape, chunks)
+
+    # --- executor side: one task per outer index writes its chunk files
+    outer = coords[0]
+    inner = coords[1:]
+    inner_values = {c: coord_values[c] for c in inner}
+    inner_shape = shape[1:]
+    outer_index = {val: i for i, val in enumerate(coord_values[outer].tolist())}
+    sc = spark.sparkContext
+    b_inner = sc.broadcast(inner_values)
+    b_outer_index = sc.broadcast(outer_index)
+    b_dtypes = sc.broadcast({v: d.str for v, d in var_dtypes.items()})
+
+    out_schema = "outer_idx long, files int"
+
+    def _write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+        oi = b_outer_index.value[pdf[outer].iloc[0]]
+        # order rows into row-major position within the slab
+        pos = np.zeros(len(pdf), dtype=np.int64)
+        stride = 1
+        for c in reversed(inner):
+            vals = b_inner.value[c]
+            idx = np.searchsorted(vals, pdf[c].to_numpy())
+            pos += idx * stride
+            stride *= len(vals)
+        n = int(np.prod(inner_shape))
+        if len(pdf) != n or len(np.unique(pos)) != n:
+            raise ValueError(
+                f"slab {oi}: {len(pdf)} rows for {n} cells (grid not dense)"
+            )
+        files = 0
+        for v, dstr in b_dtypes.value.items():
+            cell = np.empty(n, dtype=np.dtype(dstr))
+            cell[pos] = pdf[v].to_numpy()
+            _write_chunk_file(store_path, v, oi, cell.tobytes())
+            files += 1
+        return pd.DataFrame({"outer_idx": [oi], "files": [files]})
+
+    results = (
+        df.repartition(min(shape[0], 512), outer)
+        .groupBy(outer)
+        .applyInPandas(_write_slab, schema=out_schema)
+        .collect()
+    )
+    return {
+        "arrays": len(coords) + len(data_vars),
+        "chunk_files": sum(r.files for r in results),
+        "slabs": len(results),
+    }
+
+
+def _write_v2_metadata_only(
+    store: str, name: str, dtype: np.dtype, shape: tuple, chunks: tuple
+) -> None:
+    import json
+
+    adir = os.path.join(store, name)
+    os.makedirs(adir, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": _V2_DTYPE[dtype.name],
+        "compressor": None,
+        "fill_value": 0,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(adir, ".zarray"), "w") as f:
+        json.dump(meta, f)
+
+
+def _write_chunk_file(store: str, name: str, outer_idx: int, payload: bytes) -> None:
+    """Chunk key ``<outer>.0.0...`` for the (1, d2, ...) grid."""
+    adir = os.path.join(store, name)
+    os.makedirs(adir, exist_ok=True)
+    # rank = 1 + len(inner dims); chunk index is (outer_idx, 0, 0, ...)
+    with open(os.path.join(adir, _chunk_key(store, name, outer_idx)), "wb") as f:
+        f.write(payload)
+
+
+def _chunk_key(store: str, name: str, outer_idx: int) -> str:
+    import json
+
+    with open(os.path.join(store, name, ".zarray")) as f:
+        rank = len(json.load(f)["shape"])
+    return ".".join([str(outer_idx)] + ["0"] * (rank - 1))
