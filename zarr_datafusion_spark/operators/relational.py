@@ -796,6 +796,37 @@ def win_rownum_rank(spark, sf_dir):
     )
 
 
+_WIN_DIST_SQL = """
+    SELECT o_orderkey,
+           o_orderpriority,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS priciest_key,
+           NTH_VALUE(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@_q("win_distribution", _WIN_DIST_SQL)
+def win_distribution(spark, sf_dir):
+    """Distribution/navigation window functions (ntile, percent_rank,
+    cume_dist, first/last/nth_value) — Spark-native superset of the
+    reference's window rows.  (o_totalprice, o_orderkey) is a total
+    order so every value is deterministic; one SQL string for both
+    engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_WIN_DIST_SQL)
+
+
 @_q(
     "win_lag_lead",
     """SELECT event_id, user_id,
