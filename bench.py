@@ -48,6 +48,7 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "zarr_scan_1m",
+    "zarr_scan_era5_6m",
 ]
 
 
@@ -73,6 +74,31 @@ def _zarr_scan_1m(spark, sf_dir):
     return read_zarr(spark, store, target_batch_rows=1 << 17)
 
 
+def _zarr_scan_era5_6m(spark, sf_dir):
+    """Bench-only: the reference's ERA5 grid class (3 time x 2 hybrid x
+    721 lat x 1440 lon = 6.23M rows, float32) -- 4-D flatten throughput."""
+    import os as _os
+
+    import numpy as _np
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    root = _os.path.dirname(_os.path.abspath(__file__))
+    store = _os.path.join(root, "data", "era5_bench.zarr")
+    if not _os.path.exists(_os.path.join(store, ".zgroup")):
+        rng = _np.random.RandomState(42)
+        shape = (3, 2, 721, 1440)
+        write_store(store, {
+            "time": (_np.arange(3, dtype=_np.int64), (3,)),
+            "hybrid": (_np.arange(2, dtype=_np.int64), (2,)),
+            "latitude": (_np.arange(721, dtype=_np.int64), (721,)),
+            "longitude": (_np.arange(1440, dtype=_np.int64), (1440,)),
+            "temperature": (rng.randn(*shape).astype(_np.float32), (1, 1, 721, 1440)),
+        })
+    return read_zarr(spark, store, target_batch_rows=1 << 20)
+
+
 def _force(df) -> None:
     """Fully materialize (noop sink: executes the whole plan, discards
     rows executor-side — nothing is collected to the driver)."""
@@ -93,6 +119,7 @@ def main() -> None:
     for mod in (relational, textstats, dedup, similarity, temporal, zarr_queries):
         registry.update(mod.QUERIES)
     registry["zarr_scan_1m"] = _zarr_scan_1m
+    registry["zarr_scan_era5_6m"] = _zarr_scan_era5_6m
 
     spark = get_spark("zds-bench")
 
@@ -121,7 +148,7 @@ def main() -> None:
     for name in reversed(HEADLINE):
         fn = (
             zarr_queries.QUERIES["zarr_scan_flatten"]
-            if name == "zarr_scan_1m"  # warm the source, not the 1M store
+            if name.startswith("zarr_scan_")  # warm the source, not the big stores
             else registry[name]
         )
         _force(fn(spark, warmup_sf))

@@ -273,3 +273,36 @@ def test_sink_rejects_non_dense(spark, tmp_path):
     src = read_zarr(spark, fixture_store(2)).filter("temperature > 0")
     with pytest.raises(Exception, match="dense"):
         write_zarr(src, str(tmp_path / "bad.zarr"), coords=["time", "lat", "lon"])
+
+
+def test_4d_flatten_order(spark, tmp_path):
+    """4-D store (the reference's ERA5 shape class, time x hybrid x lat
+    x lon): row-major flattening must match the numpy cell layout."""
+    import numpy as np
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    # distinct dim sizes: shape→coord matching is unambiguous (the
+    # reference's dimension-order inference has the same requirement —
+    # equal-size dims fall back to alphabetical order)
+    data = np.arange(2 * 3 * 4 * 5, dtype=np.int64).reshape(2, 3, 4, 5)
+    arrays = {
+        "t": (np.arange(2, dtype=np.int64), (2,)),
+        "h": (np.arange(3, dtype=np.int64), (3,)),
+        "la": (np.arange(4, dtype=np.int64), (4,)),
+        "lo": (np.arange(5, dtype=np.int64), (5,)),
+        "v": (data, (1, 1, 4, 5)),
+    }
+    store = str(tmp_path / "g4.zarr")
+    write_store(store, arrays)
+    df = read_zarr(spark, store)
+    rows = df.orderBy("t", "h", "la", "lo").collect()
+    assert len(rows) == 120
+    for i, r in enumerate(rows):
+        t, h, la, lo = np.unravel_index(i, (2, 3, 4, 5))
+        assert (r.t, r.h, r.la, r.lo) == (t, h, la, lo)
+        assert r.v == data[t, h, la, lo]
+    # coordinate pushdown shrinks to a single cell
+    one = df.filter("t=1 AND h=0 AND la=2 AND lo=3").collect()
+    assert len(one) == 1 and one[0].v == data[1, 0, 2, 3]
