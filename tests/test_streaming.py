@@ -79,3 +79,19 @@ def test_stateful_sessions_subset_of_batch(spark):
         indicator=True,
     )
     assert (merged["_merge"] == "both").all()
+
+
+def test_file_sink_checkpoint_resume(spark, tmp_path):
+    """Parquet sink + checkpoint: a second run with the same checkpoint
+    must be a no-op (exactly-once), not a duplicate append.  Append mode
+    only emits windows the watermark has closed — the final (open)
+    window is withheld, hence strictly fewer rows than the batch
+    count of distinct (window, type) pairs."""
+    from tests.conftest import SF_DIR
+    from zarr_datafusion_spark.streaming.demo import stream_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n1 = stream_to_parquet(spark, SF_DIR, out, ckpt)
+    assert n1 > 0
+    n2 = stream_to_parquet(spark, SF_DIR, out, ckpt)
+    assert n2 == n1, "checkpoint resume reprocessed data"

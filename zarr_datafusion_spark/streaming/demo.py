@@ -96,6 +96,37 @@ def streaming_event_counts(
     )
 
 
+def stream_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> int:
+    """Streaming file sink with checkpointing: windowed counts appended
+    to parquet exactly-once (the production topology — memory sinks are
+    test-only).  Returns the number of result rows written.  Restarting
+    with the same checkpoint resumes instead of reprocessing — that's
+    the exactly-once contract a 100 TB pipeline needs."""
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()
+
+
 def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicates`` on the event id with a
     watermark bounding state (the streaming form of the batch
