@@ -110,7 +110,9 @@ def test_storage_parse_errors():
 
 
 def test_remote_store_gated():
-    from zarr_datafusion_spark.zarr.metadata import normalize_store_path
+    """Without fsspec installed, a remote read raises a clear message
+    at dispatch time (URLs parse fine — the reader is what's gated)."""
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
 
     with pytest.raises(NotImplementedError, match="fsspec"):
-        normalize_store_path("s3://bucket/store.zarr")
+        discover_arrays("s3://bucket/store.zarr")

@@ -137,15 +137,28 @@ def _chunk_path(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> s
     return os.path.join(store_path, meta.name, meta.chunk_key_separator.join(parts))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _store_fs(store_path: str):
+    """Adapter dispatch (local vs fsspec), memoized per store path —
+    executor tasks call read_chunk per chunk and the adapter is
+    stateless."""
+    from zarr_datafusion_spark.zarr.storage import store_fs
+
+    return store_fs(store_path)[0]
+
+
 def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np.ndarray:
     """Read + decode one chunk; missing file -> fill_value (Zarr spec)."""
+    fs = _store_fs(store_path)
     dtype = numpy_dtype_for(meta.dtype, meta.byte_order)
     path = _chunk_path(store_path, meta, idx)
-    if not os.path.exists(path):
+    if not fs.exists(path):
         fill = meta.fill_value if meta.fill_value is not None else 0
         return np.full(meta.chunks, fill, dtype=dtype)
-    with open(path, "rb") as f:
-        raw = f.read()
+    raw = fs.read_bytes(path)
     _IO.disk_bytes += len(raw)
     _IO.n_chunks += 1
     if meta.zarr_format == 2:

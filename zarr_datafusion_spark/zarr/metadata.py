@@ -172,43 +172,43 @@ class ZarrStoreMeta:
 
 
 def normalize_store_path(store_path: str) -> str:
-    """Accept plain paths and ``file:``/``file://`` URIs (Spark's DDL
-    path resolution produces the latter).  Remote schemes (s3/gs) parse
-    via :class:`zarr_datafusion_spark.zarr.storage.StorageLocation`
-    (reference ``storage.rs:63-89``) and dispatch to fsspec, which is
-    not installed in this environment — the gated open raises a clear
-    message."""
+    """Accept plain paths, ``file:``/``file://`` URIs (Spark's DDL path
+    resolution produces the latter), and remote ``s3://``/``gs://``
+    URLs (reference ``storage.rs:63-89``).  Remote URLs pass through
+    unchanged; their reads dispatch to fsspec via
+    :func:`zarr_datafusion_spark.zarr.storage.store_fs` (a clear
+    NotImplementedError if fsspec is absent)."""
     if store_path.startswith("file:") and not store_path.startswith("file://"):
         store_path = "file://" + store_path[len("file:") :]
-    from zarr_datafusion_spark.zarr.storage import StorageLocation, open_filesystem
+    from zarr_datafusion_spark.zarr.storage import StorageLocation
 
     loc = StorageLocation.parse(store_path)
-    if loc.is_remote:
-        open_filesystem(loc)  # raises NotImplementedError without fsspec
-        raise NotImplementedError(
-            f"remote Zarr chunk reads ({loc.scheme}://) are not enabled in "
-            "this environment"
-        )
-    return loc.path
+    return loc.url() if loc.is_remote else loc.path
+
+
+def _fs_for(store_path: str):
+    from zarr_datafusion_spark.zarr.storage import store_fs
+
+    return store_fs(store_path)
 
 
 def detect_zarr_version(store_path: str) -> int:
-    store_path = normalize_store_path(store_path)
+    fs, store_path = _fs_for(normalize_store_path(store_path))
     root_v3 = os.path.join(store_path, "zarr.json")
-    if os.path.exists(root_v3):
+    if fs.exists(root_v3):
         return 3
-    if os.path.exists(os.path.join(store_path, ".zgroup")) or os.path.exists(
+    if fs.exists(os.path.join(store_path, ".zgroup")) or fs.exists(
         os.path.join(store_path, ".zarray")
     ):
         return 2
     # Probe subdirectories (stores without root group metadata)
     try:
-        for entry in sorted(os.listdir(store_path)):
+        for entry in sorted(fs.listdir(store_path)):
             sub = os.path.join(store_path, entry)
-            if os.path.isdir(sub):
-                if os.path.exists(os.path.join(sub, "zarr.json")):
+            if fs.isdir(sub):
+                if fs.exists(os.path.join(sub, "zarr.json")):
                     return 3
-                if os.path.exists(os.path.join(sub, ".zarray")):
+                if fs.exists(os.path.join(sub, ".zarray")):
                     return 2
     except FileNotFoundError:
         raise FileNotFoundError(f"Zarr store not found: {store_path}")
@@ -292,23 +292,23 @@ def discover_arrays(store_path: str) -> ZarrStoreMeta:
     """Discover all arrays; classify, order, compute coord min/max."""
     from zarr_datafusion_spark.zarr.chunkio import read_array
 
-    store_path = normalize_store_path(store_path)
+    fs, store_path = _fs_for(normalize_store_path(store_path))
     version = detect_zarr_version(store_path)
     arrays: list[ZarrArrayMeta] = []
-    for entry in sorted(os.listdir(store_path)):
+    for entry in sorted(fs.listdir(store_path)):
         sub = os.path.join(store_path, entry)
-        if not os.path.isdir(sub):
+        if not fs.isdir(sub):
             continue
         if version == 2:
             zarray = os.path.join(sub, ".zarray")
-            if os.path.exists(zarray):
-                with open(zarray) as f:
-                    arrays.append(_parse_v2_array(entry, json.load(f)))
+            if fs.exists(zarray):
+                arrays.append(
+                    _parse_v2_array(entry, json.loads(fs.read_text(zarray)))
+                )
         else:
             zjson = os.path.join(sub, "zarr.json")
-            if os.path.exists(zjson):
-                with open(zjson) as f:
-                    meta = json.load(f)
+            if fs.exists(zjson):
+                meta = json.loads(fs.read_text(zjson))
                 if meta.get("node_type") == "array":
                     arrays.append(_parse_v3_array(entry, meta))
 

@@ -58,6 +58,71 @@ class StorageLocation:
         return f"{self.scheme}://{self.bucket}/{self.path}"
 
 
+class LocalStoreFS:
+    """Filesystem adapter for local stores (sync reads, like the
+    reference's local path ``zarr_reader.rs:61-64``)."""
+
+    def exists(self, p: str) -> bool:
+        import os
+
+        return os.path.exists(p)
+
+    def isdir(self, p: str) -> bool:
+        import os
+
+        return os.path.isdir(p)
+
+    def listdir(self, p: str) -> list[str]:
+        import os
+
+        return os.listdir(p)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as f:
+            return f.read()
+
+    def read_bytes(self, p: str) -> bytes:
+        with open(p, "rb") as f:
+            return f.read()
+
+
+class FsspecStoreFS:
+    """Filesystem adapter over an fsspec filesystem (S3/GCS) — each
+    executor task constructs its own client, fanning object-store reads
+    across the cluster (the reference reads remote stores through one
+    async client, ``storage.rs:112-188``)."""
+
+    def __init__(self, fs):
+        self.fs = fs
+
+    def exists(self, p: str) -> bool:
+        return self.fs.exists(p)
+
+    def isdir(self, p: str) -> bool:
+        return self.fs.isdir(p)
+
+    def listdir(self, p: str) -> list[str]:
+        return [
+            x.rstrip("/").rsplit("/", 1)[-1]
+            for x in self.fs.ls(p, detail=False)
+        ]
+
+    def read_text(self, p: str) -> str:
+        return self.fs.cat(p).decode()
+
+    def read_bytes(self, p: str) -> bytes:
+        return self.fs.cat(p)
+
+
+def store_fs(store_path: str):
+    """(adapter, normalized path) for a store location — the dispatch
+    point between local and object-store reads."""
+    loc = StorageLocation.parse(store_path)
+    if loc.is_remote:
+        return FsspecStoreFS(open_filesystem(loc)), loc.url()
+    return LocalStoreFS(), loc.path
+
+
 def open_filesystem(loc: StorageLocation):
     """fsspec filesystem for a remote location (the ``build_s3_store`` /
     ``build_gcs_store`` analog, ``storage.rs:134-188``).  Anonymous
