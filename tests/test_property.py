@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis): the flatten semantics hold for
+arbitrary store shapes, dtypes, and values — not just the fixture.
+
+The reference has no property tests (SURVEY §5); this closes that gap:
+any well-formed store (distinct dim sizes, Cartesian data vars) must
+flatten to exactly the numpy row-major expansion, under both Zarr
+formats, through the real Spark scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from zarr_datafusion_spark.zarr.writer import write_store
+
+_DTYPES = [np.int64, np.int32, np.float64, np.float32]
+
+
+@st.composite
+def grids(draw):
+    ndim = draw(st.integers(2, 3))
+    # distinct sizes so dimension-order inference is unambiguous
+    sizes = draw(
+        st.lists(
+            st.integers(1, 6), min_size=ndim, max_size=ndim, unique=True
+        )
+    )
+    dtype = draw(st.sampled_from(_DTYPES))
+    seed = draw(st.integers(0, 2**31 - 1))
+    chunks = tuple(
+        draw(st.integers(1, s)) for s in sizes
+    )
+    return tuple(sizes), dtype, seed, chunks
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(grid=grids(), zarr_format=st.sampled_from([2, 3]))
+def test_flatten_any_grid(spark, tmp_path_factory, grid, zarr_format):
+    sizes, dtype, seed, chunks = grid
+    rng = np.random.RandomState(seed)
+    if np.issubdtype(dtype, np.floating):
+        data = rng.randn(*sizes).astype(dtype)
+    else:
+        data = rng.randint(-1000, 1000, sizes).astype(dtype)
+
+    coord_names = [f"c{i}" for i in range(len(sizes))]
+    arrays = {
+        name: (np.arange(s, dtype=np.int64), (s,))
+        for name, s in zip(coord_names, sizes)
+    }
+    arrays["v"] = (data, chunks)
+
+    store = str(tmp_path_factory.mktemp("prop") / "g.zarr")
+    write_store(store, arrays, zarr_format=zarr_format)
+
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    pdf = (
+        read_zarr(spark, store)
+        .orderBy(*coord_names)
+        .toPandas()
+    )
+    assert len(pdf) == int(np.prod(sizes))
+    flat = data.reshape(-1)
+    got = pdf["v"].to_numpy()
+    if np.issubdtype(dtype, np.floating):
+        np.testing.assert_array_equal(got.astype(dtype), flat)
+    else:
+        np.testing.assert_array_equal(got, flat)
+    # coordinate columns repeat row-major
+    for d, name in enumerate(coord_names):
+        inner = int(np.prod(sizes[d + 1 :]))
+        outer = int(np.prod(sizes[:d]))
+        expected = np.tile(np.repeat(np.arange(sizes[d]), inner), outer)
+        np.testing.assert_array_equal(pdf[name].to_numpy(), expected)
