@@ -95,9 +95,12 @@ def asof_view_before_purchase(spark, sf_dir):
         F.lit(None).cast("long").alias("view_id"),
         F.col("event_id").alias("purchase_id"),
     )
+    # view_id as the final sort key: if ns→us truncation ever collapses
+    # two views of one user onto the same microsecond, the carried view
+    # is still deterministic (the highest id among the ties).
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts_us", "side")
+        .orderBy("ts_us", "side", "view_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     merged = v.unionByName(p).withColumn(

@@ -43,6 +43,10 @@ def salted_agg(
         fn, _, arg = spec.partition("(")
         arg = arg.rstrip(")")
         fn = fn.strip().lower()
+        if arg.strip().lower().startswith("distinct"):
+            # per-salt distincts would be double-counted by the stage-2
+            # combine — DISTINCT is not algebraic
+            raise ValueError(f"DISTINCT aggregate cannot be salted: {spec!r}")
         part = f"__p_{out}"
         if fn == "count":
             stage1.append(F.expr(f"count({arg})").alias(part))

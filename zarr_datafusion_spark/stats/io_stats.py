@@ -12,9 +12,12 @@ module provides the same numbers three ways:
 1. :func:`plan_scan_stats` — *planned* statistics computed purely from
    store metadata + pushdown windows.  Because the scan is
    deterministic (which chunks a window touches is metadata math), the
-   planned numbers equal what a tracked store would count, and they are
-   available before running the query — a superset of the reference's
-   after-the-fact counters.
+   planned chunk/data numbers equal what a tracked store counts, and
+   they are available before running the query — a superset of the
+   reference's after-the-fact counters.  One caveat: coordinate value
+   arrays (tiny) are re-read once per scan *task*, so tracked
+   coord_bytes exceed the planned single-read figure on multi-partition
+   scans.
 2. Live process-local counters in :mod:`zarr_datafusion_spark.zarr.chunkio`
    (``io_counters``/``reset_io_counters``) — the direct ``TrackedStore``
    analog, used by tests to prove pushdowns really reduce I/O.

@@ -128,7 +128,10 @@ def _sessionize_group(
         else:
             start, last, n = open_session
             if t - last < _GAP_US:
-                open_session = (start, t, n + 1)
+                # merge; clamp both ends so a cross-batch late event
+                # (t < last, possibly t < start) can never move the
+                # session end backwards or leave t outside [start, last]
+                open_session = (min(start, t), max(last, t), n + 1)
             else:
                 closed.append((start, last, n))
                 open_session = (t, t, 1)

@@ -202,11 +202,15 @@ class ZarrDataSourceReader(DataSourceReader):
         inner_sizes = [hi - lo for lo, hi in inner]
         inner_rows = int(np.prod(inner_sizes)) if inner_sizes else 1
 
-        # Pre-read (tiny) coordinate value slices once per task.
+        # Pre-read (tiny) coordinate value arrays once per task — only
+        # the coords the projection actually asks for (column pruning
+        # applies to coordinate reads too).
         from zarr_datafusion_spark.zarr.chunkio import read_array
 
         coord_values = {
-            c.name: read_array(self.store_path, c) for c in meta.coords
+            c.name: read_array(self.store_path, c)
+            for c in meta.coords
+            if c.name in self.columns
         }
         coord_decoded = io_counters()["decoded_bytes"] if self.stats_dir else 0
 
@@ -232,7 +236,7 @@ class ZarrDataSourceReader(DataSourceReader):
             if budget is not None:
                 batch_rows = min(batch_rows, budget - produced)
                 if batch_rows <= 0:
-                    return
+                    break  # budget exhausted; fall through to stats spill
 
             arrays = []
             for name in names:

@@ -46,12 +46,32 @@ def write_zarr(
     if len(coords) < 2:
         raise ValueError("need >= 2 coordinate columns (data vars must be nD)")
     spark = df.sparkSession
-    data_vars = data_vars or [
-        f.name for f in df.schema.fields if f.name not in coords
-    ]
+    spark_to_np = {
+        "tinyint": np.int8, "smallint": np.int16, "int": np.int32,
+        "bigint": np.int64, "float": np.float32, "double": np.float64,
+        "boolean": np.bool_,
+    }
+    if data_vars is None:
+        data_vars = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in coords and f.dataType.simpleString() in spark_to_np
+        ]
     if not data_vars:
-        raise ValueError("no data variable columns to write")
+        raise ValueError("no numeric data variable columns to write")
 
+    # One materialization for the coord/count/write passes (the input
+    # may be an expensive upstream plan).
+    df = df.select(*coords, *data_vars).persist()
+    try:
+        return _write_zarr_persisted(
+            df, spark, store_path, coords, data_vars, spark_to_np
+        )
+    finally:
+        df.unpersist()
+
+
+def _write_zarr_persisted(df, spark, store_path, coords, data_vars, spark_to_np):
     # --- driver side: coordinate values (tiny), grid validation, metadata
     coord_values: dict[str, np.ndarray] = {}
     for c in coords:
@@ -78,11 +98,6 @@ def write_zarr(
     for c in coords:
         write_v2_array(store_path, c, coord_values[c], (len(coord_values[c]),))
 
-    spark_to_np = {
-        "tinyint": np.int8, "smallint": np.int16, "int": np.int32,
-        "bigint": np.int64, "float": np.float32, "double": np.float64,
-        "boolean": np.bool_,
-    }
     var_dtypes = {}
     for v in data_vars:
         t = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[v]
@@ -128,7 +143,9 @@ def write_zarr(
         for v, dstr in b_dtypes.value.items():
             cell = np.empty(n, dtype=np.dtype(dstr))
             cell[pos] = pdf[v].to_numpy()
-            _write_chunk_file(store_path, v, oi, cell.tobytes())
+            _write_chunk_file(
+                store_path, v, oi, 1 + len(inner), cell.tobytes()
+            )
             files += 1
         return pd.DataFrame({"outer_idx": [oi], "files": [files]})
 
@@ -166,18 +183,14 @@ def _write_v2_metadata_only(
         json.dump(meta, f)
 
 
-def _write_chunk_file(store: str, name: str, outer_idx: int, payload: bytes) -> None:
-    """Chunk key ``<outer>.0.0...`` for the (1, d2, ...) grid."""
+def _write_chunk_file(
+    store: str, name: str, outer_idx: int, rank: int, payload: bytes
+) -> None:
+    """Chunk key ``<outer>.0.0...`` for the (1, d2, ...) grid.  ``rank``
+    is passed by the caller (1 + inner dims) so executor tasks never
+    need to read back driver-written metadata."""
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
-    # rank = 1 + len(inner dims); chunk index is (outer_idx, 0, 0, ...)
-    with open(os.path.join(adir, _chunk_key(store, name, outer_idx)), "wb") as f:
+    key = ".".join([str(outer_idx)] + ["0"] * (rank - 1))
+    with open(os.path.join(adir, key), "wb") as f:
         f.write(payload)
-
-
-def _chunk_key(store: str, name: str, outer_idx: int) -> str:
-    import json
-
-    with open(os.path.join(store, name, ".zarray")) as f:
-        rank = len(json.load(f)["shape"])
-    return ".".join([str(outer_idx)] + ["0"] * (rank - 1))
