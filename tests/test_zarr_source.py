@@ -362,3 +362,25 @@ def test_remote_store_via_fake_fsspec(monkeypatch, stores):
     got = read_window(url, temp, ((2, 3), (0, 10), (0, 10)))
     np.testing.assert_array_equal(got[0], ARRAYS["temperature"][0][2])
     _store_fs.cache_clear()
+
+
+def test_filter_pushdown_duplicate_coord_values(spark, tmp_path):
+    """Pushdown must stay a superset when a coordinate has duplicate
+    values: narrowing to the first match would silently drop rows
+    (Spark's re-applied filter can only remove, never restore)."""
+    store = str(tmp_path / "dup.zarr")
+    write_store(
+        store,
+        {
+            "t": (np.array([0, 5, 5, 7], dtype=np.int64), (4,)),
+            "x": (np.arange(3, dtype=np.int64), (3,)),
+            "v": (np.arange(12, dtype=np.int64).reshape(4, 3), (1, 3)),
+        },
+    )
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    df = read_zarr(spark, store)
+    got = df.filter(F.col("t") == 5).orderBy("v").collect()
+    assert [r.v for r in got] == [3, 4, 5, 6, 7, 8]  # BOTH t=5 slabs

@@ -206,8 +206,13 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
             grams = {
                 " ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 1))
             }
+            # mask shingle hashes to 30 bits so a*x + b < 2^61 stays
+            # exact in uint64 BEFORE the mod-p reduction — without the
+            # mask the product wraps mod 2^64 first and the family is
+            # no longer universal (a 30-bit shingle space is ample for
+            # per-document shingle sets)
             h = np.fromiter(
-                (_hash64(g) & 0x7FFFFFFFFFFFFFFF for g in grams),
+                (_hash64(g) & 0x3FFFFFFF for g in grams),
                 dtype=np.uint64,
                 count=len(grams),
             )

@@ -165,7 +165,9 @@ def plan_scan_stats(
             if len(matches) == 0:
                 stats.rows = 0
                 return stats  # empty-result short-circuit (filter.rs:222-230)
-            windows.append((int(matches[0]), int(matches[0]) + 1))
+            lo, hi = int(matches[0]), int(matches[-1]) + 1
+            # non-contiguous duplicates: reader bails to the full window
+            windows.append((lo, hi) if len(matches) == hi - lo else (0, c.shape[0]))
         else:
             windows.append((0, c.shape[0]))
 

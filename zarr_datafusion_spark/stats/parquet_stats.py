@@ -16,16 +16,7 @@ not needed at driver-testdata scale (single file per table).
 
 from __future__ import annotations
 
-import datetime
-
 import pyarrow.parquet as pq
-
-
-def _to_py(value):
-    """Normalize pyarrow statistics scalars to plain Python values."""
-    if isinstance(value, (datetime.datetime, datetime.date)):
-        return value
-    return value
 
 
 def parquet_table_stats(path: str):
@@ -63,7 +54,7 @@ def parquet_table_stats(path: str):
             ):
                 exact[name] = False
             else:
-                lo, hi = _to_py(st.min), _to_py(st.max)
+                lo, hi = st.min, st.max
                 if name not in mins or lo < mins[name]:
                     mins[name] = lo
                 if name not in maxs or hi > maxs[name]:

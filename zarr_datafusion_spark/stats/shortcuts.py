@@ -83,7 +83,10 @@ def try_stats_shortcut(
         if fn == "count":
             if arg in ("*", "1"):
                 value = stats.row_count
-                default_name = "count(1)" if arg == "1" else "count(*)"
+                # Catalyst rewrites COUNT(*) to count(1) — match its
+                # output column name so shortcut and fallback schemas
+                # are identical for unaliased queries.
+                default_name = "count(1)"
             else:
                 # COUNT(col) = rows - nulls; requires exact null count
                 # (guard parity: count_optimization.rs null_count check).

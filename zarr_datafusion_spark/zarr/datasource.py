@@ -81,13 +81,22 @@ class ZarrInputPartition(InputPartition):
 
 
 class ZarrDataSourceReader(DataSourceReader):
-    def __init__(self, schema: StructType, options: dict):
+    def __init__(
+        self,
+        schema: StructType,
+        options: dict,
+        meta: ZarrStoreMeta | None = None,
+    ):
         from zarr_datafusion_spark.zarr.metadata import normalize_store_path
 
         if not options.get("path"):
             raise ValueError("zarr source requires a 'path' option")
         self.store_path = normalize_store_path(options["path"])
-        self.meta: ZarrStoreMeta = discover_arrays(self.store_path)
+        # schema() already discovered the store (incl. the eager coord
+        # min/max reads) — reuse it instead of re-reading every
+        # coordinate array (the reference likewise caches discovery on
+        # the table, zarr.rs:69-83)
+        self.meta: ZarrStoreMeta = meta or discover_arrays(self.store_path)
         self.columns = [f.name for f in schema.fields]
         self.limit = int(options["limit"]) if "limit" in options else None
         self.target_batch_rows = int(options.get("target_batch_rows", 1 << 20))
@@ -129,8 +138,15 @@ class ZarrDataSourceReader(DataSourceReader):
                 matches = np.nonzero(values == self.coord_filters[c.name])[0]
                 if len(matches) == 0:
                     return None
-                lo = int(matches[0])
-                windows.append((lo, lo + 1))
+                lo, hi = int(matches[0]), int(matches[-1]) + 1
+                if len(matches) != hi - lo:
+                    # duplicate values scattered non-contiguously: a
+                    # narrowed window would silently drop rows (pushdown
+                    # must be a superset — Spark's re-applied filter can
+                    # only remove).  Bail to the full dimension.
+                    windows.append((0, c.shape[0]))
+                else:
+                    windows.append((lo, hi))
             else:
                 windows.append((0, c.shape[0]))
         return windows
@@ -303,8 +319,10 @@ class ZarrDataSource(DataSource):
         return "zarr"
 
     def schema(self) -> StructType:
-        meta = discover_arrays(self.options["path"])
-        schema = infer_spark_schema(meta)
+        if not self.options.get("path"):
+            raise ValueError("zarr source requires a 'path' option")
+        self._meta = discover_arrays(self.options["path"])
+        schema = infer_spark_schema(self._meta)
         if "columns" in self.options:
             wanted = [c.strip() for c in self.options["columns"].split(",")]
             fields = {f.name: f for f in schema.fields}
@@ -312,7 +330,9 @@ class ZarrDataSource(DataSource):
         return schema
 
     def reader(self, schema: StructType) -> ZarrDataSourceReader:
-        return ZarrDataSourceReader(schema, dict(self.options))
+        return ZarrDataSourceReader(
+            schema, dict(self.options), getattr(self, "_meta", None)
+        )
 
 
 # ---------------------------------------------------------------------------
