@@ -58,6 +58,9 @@ def _registries() -> tuple[dict, dict]:
         streaming_queries,
         temporal,
     ):
+        dup = queries.keys() & mod.QUERIES.keys()
+        if dup:  # a later module must never silently shadow an earlier one
+            raise ValueError(f"duplicate query names in {mod.__name__}: {dup}")
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
     return queries, oracles

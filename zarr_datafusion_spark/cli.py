@@ -59,7 +59,13 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
     while True:
         try:
             line = input("...> " if buffer else "zds> ")
-        except (EOFError, KeyboardInterrupt):
+        except KeyboardInterrupt:
+            # Ctrl-C clears the current statement (rustyline behavior),
+            # it does not kill the session
+            print()
+            buffer = []
+            continue
+        except EOFError:
             print()
             return
         if not buffer and line.strip().lower() in ("\\q", "quit", "exit"):
@@ -94,7 +100,10 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
         if engine.last_query_used_shortcut:
             print(f"{len(rows)} rows · answered from statistics (no scan) · {secs:.3f}s")
         elif scanned:
-            stats = plan_scan_stats(zarr_tables[scanned])
+            stats = plan_scan_stats(
+                zarr_tables[scanned],
+                coord_filters=_coord_eq_filters(sql, zarr_tables[scanned]),
+            )
             print(
                 f"{len(rows)} rows · {stats.n_arrays} arrays · "
                 f"scan {stats.rows} cells · "
@@ -102,6 +111,29 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
             )
         else:
             print(f"{len(rows)} rows · {secs:.3f}s")
+
+
+def _coord_eq_filters(sql: str, store_path: str) -> dict:
+    """Best-effort extraction of ``coord = literal`` conjuncts so the
+    stats line reflects what the pushdown actually read (same filter
+    shape the source's pushFilters handles; anything unparsed just
+    means the line shows the unpruned figure)."""
+    import re
+
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+
+    try:
+        coords = {c.name for c in discover_arrays(store_path).coords}
+    except Exception:
+        return {}
+    out: dict = {}
+    for name, lit in re.findall(
+        r"\b([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(-?\d+(?:\.\d+)?)", sql
+    ):
+        if name in coords:
+            v = float(lit)
+            out[name] = int(v) if v.is_integer() else v
+    return out
 
 
 def _base_zarr_table(sql: str, zarr_tables: dict[str, str]) -> str | None:

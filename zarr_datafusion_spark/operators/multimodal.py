@@ -43,9 +43,12 @@ def _q(name: str):
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, media_type, payload binary, declared_* meta).
 
-    Deterministic fake payloads (see module docstring).  JVM-side:
-    header fields are computed with Spark expressions and packed via
-    concat of binary casts — no Python in the synthesis path.
+    Deterministic fake payloads (see module docstring).  Header fields
+    are computed with JVM-side Spark expressions; the byte packing
+    itself runs in an Arrow-batched pandas UDF (struct.pack per row) —
+    a real pipeline carries (uri, offset, length) instead of
+    synthesizing payloads, so this Python stage exists only for the
+    self-contained fixture.
     """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     kind_idx = (F.col("doc_id") % 3).cast("int")

@@ -40,6 +40,16 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+def _dot(a: str, b: str) -> str:
+    """JVM-side exact dot product: sequential double fold over
+    zip_with — the single spelling every query in this module uses so
+    the fold semantics can't drift between call sites."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     # Rebalance for CPU-bound vector math: a small corpus arrives as one
@@ -71,10 +81,7 @@ def sim_topk_bruteforce(spark, sf_dir):
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
-    dot = (
-        "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "0D, (acc, v) -> acc + v)"
-    )
+    dot = _dot("embedding", "qe")
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
@@ -123,10 +130,7 @@ def sim_ann_lsh(spark, sf_dir):
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
     )
-    dot = (
-        "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "0D, (acc, v) -> acc + v)"
-    )
+    dot = _dot("embedding", "qe")
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
@@ -211,10 +215,7 @@ def sim_ann_ivf(spark, sf_dir):
         )
     )
 
-    dot_c = (
-        "aggregate(zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) * y), "
-        "0D, (acc, v) -> acc + v)"
-    )
+    dot_c = _dot("embedding", "centroid")
     # invert: every vector -> nearest centroid cell (ingest-time at scale)
     assigned = (
         e.crossJoin(F.broadcast(centroids))
@@ -238,20 +239,14 @@ def sim_ann_ivf(spark, sf_dir):
         centroids.crossJoin(F.broadcast(q))
         .select(
             "list_id",
-            F.expr(
-                "aggregate(zip_with(qe, centroid, (x, y) -> CAST(x AS DOUBLE) * y), "
-                "0D, (acc, v) -> acc + v)"
-            ).alias("cscore"),
+            F.expr(_dot("qe", "centroid")).alias("cscore"),
         )
         .orderBy(F.col("cscore").desc())
         .limit(N_PROBE)
         .select("list_id")
     )
 
-    dot_q = (
-        "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "0D, (acc, v) -> acc + v)"
-    )
+    dot_q = _dot("embedding", "qe")
     return (
         assigned.join(F.broadcast(probed), "list_id", "left_semi")
         .filter(F.col("vec_id") != QUERY_VEC_ID)

@@ -56,7 +56,12 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
     """Drive a finite streaming query to completion into a memory sink
-    and return the sink table (synchronous: processAllAvailable)."""
+    and return the sink table (synchronous: processAllAvailable).
+
+    The memory-sink temp view is dropped after the result is decoupled
+    via an eager localCheckpoint, so repeated calls don't park one
+    result copy per invocation in driver memory for the session's
+    lifetime."""
     name = f"zds_stream_sink_{next(_sink_ids)}"
     q = (
         agg.writeStream.outputMode(mode)
@@ -68,7 +73,10 @@ def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return agg.sparkSession.table(name)
+    spark = agg.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def streaming_event_counts(
@@ -128,15 +136,15 @@ def stream_to_parquet(
 
 
 def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup: ``dropDuplicates`` on the event id with a
-    watermark bounding state (the streaming form of the batch
-    hash-groupBy dedup; at scale, state is partitioned by id and
-    expired past the watermark).  Equals batch DISTINCT over a finite
-    source — the oracle."""
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` expires per-id state once the
+    watermark passes it (plain ``dropDuplicates`` on a non-event-time
+    key keeps state forever — unbounded on a real stream).  Equals
+    batch DISTINCT over a finite source — the oracle."""
     dedup = (
         _event_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type")
     )
     return _run_to_memory(dedup, "append")
