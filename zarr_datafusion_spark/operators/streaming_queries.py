@@ -70,17 +70,13 @@ ORACLE["streaming_dedup"] = (
     "SELECT DISTINCT event_id, event_type FROM events"
 )
 
+from zarr_datafusion_spark.streaming.sessionize import (  # noqa: E402
+    SESSION_WINDOW_ORACLE,
+)
+
 QUERIES["streaming_window_counts"] = streaming_window_counts
 ORACLE["streaming_window_counts"] = _WINDOW_COUNTS_ORACLE
 QUERIES["streaming_sliding_windows"] = streaming_sliding_windows
 QUERIES["sessionize_events"] = sessionize_events
 QUERIES["sessionize_stateful_stream"] = sessionize_stateful_stream
-
-
-def _session_oracle() -> str:
-    from zarr_datafusion_spark.streaming.sessionize import SESSION_WINDOW_ORACLE
-
-    return SESSION_WINDOW_ORACLE
-
-
-ORACLE["sessionize_events"] = _session_oracle()
+ORACLE["sessionize_events"] = SESSION_WINDOW_ORACLE

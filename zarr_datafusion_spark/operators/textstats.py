@@ -205,7 +205,8 @@ _LANG_PROFILES = {
     "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"},
     "fr": {"le", "la", "les", "et", "est", "pas", "pour", "une", "dans", "que"},
     "es": {"el", "la", "los", "y", "es", "no", "por", "una", "en", "que"},
-    "zh": set(),  # no-latin-stopword fallback bucket
+    # no zh entry: an empty profile can never win the argmax — texts
+    # matching no profile fall out as the 'unknown' initializer
 }
 
 

@@ -103,5 +103,10 @@ def zarr_stats_shortcut(spark, sf_dir):
         "SELECT COUNT(*) AS n_rows, MIN(time) AS min_time, MAX(time) AS max_time, "
         "MIN(lat) AS min_lat, MAX(lon) AS max_lon FROM zq_weather"
     )
-    assert eng.last_query_used_shortcut
+    if not eng.last_query_used_shortcut:  # not `assert`: must survive -O
+        raise RuntimeError(
+            "statistics shortcut did not fire for zq_weather (store stats "
+            "missing or query shape not recognized) — the query would "
+            "answer via a full scan, defeating the A7/A8 demonstration"
+        )
     return df

@@ -139,10 +139,15 @@ def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` expires per-id state once the
     watermark passes it (plain ``dropDuplicates`` on a non-event-time
-    key keeps state forever — unbounded on a real stream).  Equals
-    batch DISTINCT over a finite source — the oracle."""
+    key keeps state forever — unbounded on a real stream).
+
+    The stream is unioned with itself so every id genuinely arrives
+    twice — the fixture's ids are unique, and without the union the
+    dedup operator would never actually remove a row (a vacuous test).
+    Result equals batch DISTINCT over one copy — the oracle."""
+    stream = _event_stream(spark, sf_dir)
     dedup = (
-        _event_stream(spark, sf_dir)
+        stream.union(_event_stream(spark, sf_dir))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type")

@@ -142,18 +142,23 @@ def write_store(
     zarr_format: int = 2,
     compression: str | None = None,
 ) -> str:
-    """Write a whole store: ``arrays`` maps name -> (ndarray, chunks)."""
+    """Write a whole store: ``arrays`` maps name -> (ndarray, chunks).
+
+    The root group marker is written LAST so it doubles as a completion
+    marker: an interrupted write leaves a store that marker-checking
+    callers (e.g. ``fixture_store``) will regenerate rather than
+    treating a half-written store as complete."""
     os.makedirs(store, exist_ok=True)
     if zarr_format == 2:
-        with open(os.path.join(store, ".zgroup"), "w") as f:
-            json.dump({"zarr_format": 2}, f)
         for name, (arr, chunks) in arrays.items():
             write_v2_array(store, name, arr, chunks, compression)
+        with open(os.path.join(store, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
     else:
-        with open(os.path.join(store, "zarr.json"), "w") as f:
-            json.dump({"zarr_format": 3, "node_type": "group"}, f)
         for name, (arr, chunks) in arrays.items():
             write_v3_array(store, name, arr, chunks, compression)
+        with open(os.path.join(store, "zarr.json"), "w") as f:
+            json.dump({"zarr_format": 3, "node_type": "group"}, f)
     return store
 
 
