@@ -58,6 +58,11 @@ def duck():
     con.close()
 
 
+def plan_text(df) -> str:
+    """Physical-plan text (shared by plan-shape assertions)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name and rows by all values (driver compare is
     order-insensitive); normalize timestamps to us precision."""
@@ -66,7 +71,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].dt.floor("us").dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c].dt.floor("us")
         # decimal.Decimal values from either engine -> float for compare
-        elif df[c].dtype == object and len(df) and type(df[c].iloc[0]).__name__ == "Decimal":
+        # (sniff the first NON-NULL value: a None in row 0 must not
+        # leave a Decimal/None object column to crash the sort)
+        elif df[c].dtype == object and df[c].notna().any() and type(
+            df[c].dropna().iloc[0]
+        ).__name__ == "Decimal":
             df[c] = df[c].astype(float)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)

@@ -11,12 +11,8 @@ import re
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, plan_text
 from zarr_datafusion_spark.session import load_table
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -25,14 +21,14 @@ def test_filter_pushdown_reaches_scan(spark):
         .filter(F.col("l_quantity") > 40)
         .select("l_orderkey", "l_quantity")
     )
-    m = re.search(r"PushedFilters: \[([^\]]*)\]", _plan(df))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan_text(df))
     assert m, "no PushedFilters in scan"
     assert "GreaterThan(l_quantity,40.0)" in m.group(1)
 
 
 def test_column_pruning_reaches_scan(spark):
     df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
-    m = re.search(r"ReadSchema: struct<([^>]*)>", _plan(df))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan_text(df))
     assert m, "no ReadSchema in scan"
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"l_orderkey", "l_quantity"}, f"scan reads {cols}"
@@ -41,7 +37,7 @@ def test_column_pruning_reaches_scan(spark):
 def test_small_dimension_broadcasts(spark):
     n = load_table(spark, SF_DIR, "nation")
     c = load_table(spark, SF_DIR, "customer")
-    plan = _plan(c.join(n, c.c_nationkey == n.n_nationkey).select("c_name", "n_name"))
+    plan = plan_text(c.join(n, c.c_nationkey == n.n_nationkey).select("c_name", "n_name"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -50,7 +46,7 @@ def test_partial_aggregation_before_exchange(spark):
     df = load_table(spark, SF_DIR, "lineitem").groupBy("l_returnflag").agg(
         F.sum("l_quantity").alias("s")
     )
-    plan = _plan(df)
+    plan = plan_text(df)
     assert "partial_sum" in plan, "no map-side partial aggregation"
     # partial agg must appear below (after, in toString order) the exchange
     assert plan.index("partial_sum") > plan.index("Exchange")
@@ -62,7 +58,7 @@ def test_topk_avoids_global_sort(spark):
         .orderBy(F.col("o_totalprice").desc())
         .limit(5)
     )
-    assert "TakeOrderedAndProject" in _plan(df)
+    assert "TakeOrderedAndProject" in plan_text(df)
 
 
 def test_engine_explain_surface(engine):

@@ -5,13 +5,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, plan_text
 from zarr_datafusion_spark.scale import salted_agg, write_bucketed
 from zarr_datafusion_spark.session import load_table
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_salted_agg_equals_direct(spark):
@@ -60,12 +56,15 @@ def test_bucketed_join_has_no_shuffle(spark):
     joined = ob.join(
         cb, ob.o_custkey == cb.c_custkey
     ).select("o_orderkey", "c_name")
-    # disable broadcast so the join strategy decision is about shuffles
+    # disable broadcast so the join strategy decision is about shuffles;
+    # restore the PRIOR value, not a hard-coded default (session fixture
+    # is shared across the suite)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = _plan(joined)
+        plan = plan_text(joined)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed join still shuffles"
     # and the result is right
@@ -77,5 +76,5 @@ def test_bucketed_agg_has_no_shuffle(spark):
     o = load_table(spark, SF_DIR, "orders")
     write_bucketed(o, "orders_b2", "o_custkey")
     agg = spark.table("orders_b2").groupBy("o_custkey").agg(F.count("*").alias("n"))
-    assert "Exchange" not in _plan(agg)
+    assert "Exchange" not in plan_text(agg)
     assert agg.count() == o.select("o_custkey").distinct().count()

@@ -11,11 +11,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_DIR
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from tests.conftest import SF_DIR, plan_text
 
 
 @pytest.mark.parametrize(
@@ -33,7 +29,7 @@ def _plan(df) -> str:
 def test_shortcut_matches_full_scan(engine, spark, sql):
     fast = engine.sql(sql)
     assert engine.last_query_used_shortcut, sql
-    assert "parquet" not in _plan(fast).lower(), "shortcut plan must not scan"
+    assert "parquet" not in plan_text(fast).lower(), "shortcut plan must not scan"
     full = spark.sql(sql)
     assert fast.collect() == full.collect()
     assert [f.name for f in fast.schema.fields] == [f.name for f in full.schema.fields]
@@ -73,8 +69,21 @@ def test_zarr_store_shortcut(engine, spark, tmp_path):
     ).collect()[0]
 
 
-def test_unknown_table_falls_through(engine):
+def test_registered_table_uses_shortcut(engine):
     df = engine.sql("SELECT COUNT(*) AS n FROM region")
     # region was registered via register_parquet_dir -> shortcut fires
     assert engine.last_query_used_shortcut
     assert df.collect()[0].n == 5
+
+
+def test_unknown_table_falls_through(engine, spark):
+    """A table the engine has no cached stats for (registered directly
+    with Spark, not through the engine) must fall through to Catalyst —
+    and still answer correctly."""
+    spark.range(7).createOrReplaceTempView("no_stats_table")
+    try:
+        df = engine.sql("SELECT COUNT(*) AS n FROM no_stats_table")
+        assert not engine.last_query_used_shortcut
+        assert df.collect()[0].n == 7
+    finally:
+        spark.catalog.dropTempView("no_stats_table")

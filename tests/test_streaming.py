@@ -2,13 +2,16 @@
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_DIR, assert_frames_match
 from zarr_datafusion_spark.operators import streaming_queries
 
 
-def test_streaming_window_counts_vs_duckdb(spark, duck):
-    df = streaming_queries.QUERIES["streaming_window_counts"](spark, SF_DIR)
-    rel = duck.sql(streaming_queries.ORACLE["streaming_window_counts"])
+@pytest.mark.parametrize("name", sorted(streaming_queries.ORACLE))
+def test_streaming_oracles(spark, duck, name):
+    df = streaming_queries.QUERIES[name](spark, SF_DIR)
+    rel = duck.sql(streaming_queries.ORACLE[name])
     assert_frames_match(df, rel)
 
 
@@ -49,7 +52,6 @@ def test_sliding_windows_double_count(spark):
 
 
 def test_session_window_vs_duckdb(spark, duck):
-    from tests.conftest import SF_DIR, assert_frames_match
     from zarr_datafusion_spark.streaming.sessionize import (
         SESSION_WINDOW_ORACLE,
         session_window_agg,
@@ -61,7 +63,6 @@ def test_session_window_vs_duckdb(spark, duck):
 
 
 def test_stateful_sessions_subset_of_batch(spark):
-    from tests.conftest import SF_DIR
     from zarr_datafusion_spark.streaming.sessionize import (
         session_window_agg,
         sessionize_stateful,
@@ -87,7 +88,6 @@ def test_file_sink_checkpoint_resume(spark, tmp_path):
     only emits windows the watermark has closed — the final (open)
     window is withheld, hence strictly fewer rows than the batch
     count of distinct (window, type) pairs."""
-    from tests.conftest import SF_DIR
     from zarr_datafusion_spark.streaming.demo import stream_to_parquet
 
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
