@@ -235,3 +235,55 @@ def text_langid_heuristic(spark, sf_dir):
         F.col("lang").alias("labeled_lang"),
         predict_lang("text").alias("predicted_lang"),
     ).orderBy("doc_id")
+
+
+_SPLIT_ORACLE = """
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::UBIGINT % 100 < 80 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::UBIGINT % 100 < 90 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents)
+    GROUP BY split
+"""
+
+
+@_q("split_train_valid_test", _SPLIT_ORACLE)
+def split_train_valid_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test assignment — the
+    reproducible-split primitive every training pipeline needs.  The
+    split key is md5 of a salted document id (NOT rand(): stable across
+    runs, engines, partitionings, and dataset growth — a document keeps
+    its split when the corpus is extended).  md5 is computed identically
+    by Spark and DuckDB, so the assignment — not just the counts — is
+    oracle-exact."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
