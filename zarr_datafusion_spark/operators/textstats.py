@@ -287,3 +287,33 @@ def split_train_valid_test(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+_PCTL_ORACLE = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.50) AS p50,
+           quantile_cont(n_chars, 0.90) AS p90,
+           quantile_cont(n_chars, 0.99) AS p99
+    FROM documents GROUP BY lang
+"""
+
+
+@_q("text_length_percentiles", _PCTL_ORACLE)
+def text_length_percentiles(spark, sf_dir):
+    """Per-language document-length percentiles (exact, interpolated) —
+    the distribution profile behind length-based quality cuts.  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` use the same linear
+    interpolation over the exact sorted values, so results are
+    bit-identical (verified).  Exact percentiles sort per group; at
+    100 TB swap in ``approx_percentile`` (t-digest, mergeable sketch)
+    for the same query shape."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.50)").alias("p50"),
+        F.expr("percentile(n_chars, 0.90)").alias("p90"),
+        F.expr("percentile(n_chars, 0.99)").alias("p99"),
+    )
