@@ -1053,3 +1053,30 @@ def subquery_scalar(spark, sf_dir):
     decimal average so the threshold is bit-identical cross-engine)."""
     _views(spark, sf_dir)
     return spark.sql(_SUBQ_SCALAR_SQL)
+
+
+_VARIANCE_SQL = """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS mean_qty,
+           (CAST(SUM(l_quantity * l_quantity) AS DOUBLE)
+              - CAST(SUM(l_quantity) AS DOUBLE) * SUM(l_quantity) / COUNT(*))
+             / (COUNT(*) - 1) AS var_qty,
+           sqrt((CAST(SUM(l_quantity * l_quantity) AS DOUBLE)
+              - CAST(SUM(l_quantity) AS DOUBLE) * SUM(l_quantity) / COUNT(*))
+             / (COUNT(*) - 1)) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@_q("agg_variance", _VARIANCE_SQL)
+def agg_variance(spark, sf_dir):
+    """Sample variance / stddev computed from EXACT integer sums
+    (l_quantity is integer-valued: SUM and SUM-of-squares are exact in
+    the engines' integer/decimal accumulators, and the closing IEEE
+    expression over exact inputs is bit-deterministic — unlike the
+    built-in var_samp, whose float accumulation order differs per
+    engine).  One SQL string for both."""
+    _views(spark, sf_dir)
+    return spark.sql(_VARIANCE_SQL)
