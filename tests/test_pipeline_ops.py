@@ -65,7 +65,7 @@ def test_ann_lsh_recall(spark):
     recalls 2+/10 at both test SFs — measured, see similarity.py)."""
     exact = [r.vec_id for r in similarity.QUERIES["sim_topk_bruteforce"](spark, SF_DIR).collect()]
     approx = [r.vec_id for r in similarity.QUERIES["sim_ann_lsh"](spark, SF_DIR).collect()]
-    assert len(set(exact) & set(approx)) >= 1, (
+    assert len(set(exact) & set(approx)) >= 2, (
         f"ANN recall collapsed: exact={exact}, approx={approx}"
     )
 

@@ -322,11 +322,6 @@ def test_remote_store_via_fake_fsspec(monkeypatch, stores):
     local_root = stores["v2_plain"]
 
     class FakeS3FS:
-        def _map(self, p):
-            assert p.startswith("s3://test-bucket/"), p
-            return os.path.join(local_root, p[len("s3://test-bucket/"):].lstrip("/")) \
-                if p != "s3://test-bucket/weather" else local_root
-
         def _norm(self, p):
             rel = p[len("s3://test-bucket/weather"):].lstrip("/")
             return os.path.join(local_root, rel) if rel else local_root
@@ -353,15 +348,18 @@ def test_remote_store_via_fake_fsspec(monkeypatch, stores):
     from zarr_datafusion_spark.zarr.metadata import discover_arrays
 
     _store_fs.cache_clear()  # drop any cached local adapter
-    url = "s3://test-bucket/weather"
-    meta = discover_arrays(url)
-    assert meta.total_rows == 700
-    assert [c.name for c in meta.coords] == ["time", "lat", "lon"]
+    try:
+        url = "s3://test-bucket/weather"
+        meta = discover_arrays(url)
+        assert meta.total_rows == 700
+        assert [c.name for c in meta.coords] == ["time", "lat", "lon"]
 
-    temp = meta.array("temperature")
-    got = read_window(url, temp, ((2, 3), (0, 10), (0, 10)))
-    np.testing.assert_array_equal(got[0], ARRAYS["temperature"][0][2])
-    _store_fs.cache_clear()
+        temp = meta.array("temperature")
+        got = read_window(url, temp, ((2, 3), (0, 10), (0, 10)))
+        np.testing.assert_array_equal(got[0], ARRAYS["temperature"][0][2])
+    finally:
+        # never leave a fake-backed adapter cached after the monkeypatch
+        _store_fs.cache_clear()
 
 
 def test_filter_pushdown_duplicate_coord_values(spark, tmp_path):
