@@ -99,6 +99,18 @@ def assert_frames_match(spark_df, duck_rel, *, float_exact: bool = True):
     )
     for c in left.columns:
         lv, rv = left[c], right[c]
+        # The driver hashes TYPED values: an int column on one side and a
+        # float on the other hash-mismatches even when numerically equal
+        # (round-1 scalar_functions failure: Spark floor()->BIGINT vs
+        # DuckDB floor()->DOUBLE).  Only enforceable when neither side has
+        # nulls (pandas promotes nullable ints to float64 on both sides).
+        if not lv.isna().any() and not rv.isna().any():
+            li, ri = pd.api.types.is_integer_dtype(lv), pd.api.types.is_integer_dtype(rv)
+            lf, rf = pd.api.types.is_float_dtype(lv), pd.api.types.is_float_dtype(rv)
+            assert not (li and rf) and not (lf and ri), (
+                f"column {c}: dtype class mismatch {lv.dtype} vs {rv.dtype} "
+                "(driver value-hash is type-sensitive)"
+            )
         if pd.api.types.is_float_dtype(lv) or pd.api.types.is_float_dtype(rv):
             lv = lv.astype(float).to_numpy()
             rv = rv.astype(float).to_numpy()

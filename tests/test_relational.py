@@ -21,20 +21,16 @@ def test_relational_vs_duckdb(spark, duck, name):
     assert_frames_match(df, rel)
 
 
-#: queries that legitimately have no SQL oracle (engine-specific
-#: approximate results); each must carry its own accuracy test below.
-NO_ORACLE_OK = {"agg_approx_distinct"}
-
-
 def test_every_query_has_oracle():
-    missing = set(relational.QUERIES) - set(relational.ORACLE) - NO_ORACLE_OK
+    missing = set(relational.QUERIES) - set(relational.ORACLE)
     assert not missing, f"queries without oracle twins: {missing}"
 
 
 def test_approx_distinct_within_error(spark):
+    # rsd=0.02 → generous 5x band still catches a broken sketch; the
+    # band boolean is also oracle-pinned (must hash as TRUE).
     row = relational.QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()[0]
-    # rsd=0.02 → generous 5x band still catches a broken sketch
-    assert abs(row.approx_parts - row.exact_parts) <= 0.10 * row.exact_parts
+    assert row.approx_within_band
 
 
 def test_entry_smoke(spark):

@@ -20,9 +20,8 @@ from tests.conftest import SF_DIR, plan_text
         "SELECT COUNT(*) AS n FROM lineitem",
         "SELECT COUNT(1) AS n FROM orders",
         "SELECT COUNT(l_quantity) AS n FROM lineitem",
-        "SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi FROM lineitem",
-        "SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders",
         "SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders",
+        "SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events",
         "SELECT COUNT(*) AS n, MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi FROM lineitem",
     ],
 )
@@ -43,6 +42,10 @@ def test_shortcut_matches_full_scan(engine, spark, sql):
         "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
         "SELECT SUM(l_quantity) AS s FROM lineitem",
         "SELECT MIN(l_returnflag) AS lo FROM lineitem",  # string: no exact stats
+        # FLOAT/DOUBLE: footer min/max exclude NaN but Spark MIN/MAX order
+        # NaN above everything, so float bounds are never trusted (ADVICE r1)
+        "SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi FROM lineitem",
+        "SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders",
         "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
         "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem",
     ],
@@ -51,6 +54,60 @@ def test_guarded_shapes_fall_through(engine, spark, sql):
     df = engine.sql(sql)
     assert not engine.last_query_used_shortcut, sql
     assert df.collect() == spark.sql(sql).collect()
+
+
+def test_timestamp_shortcut_tz_independent(engine, spark):
+    """MIN/MAX(ts) answered from footer stats must equal the scan answer
+    even when the driver's OS timezone is not UTC (ADVICE r1: the old
+    path built the literal via TimestampType.toInternal on a naive
+    datetime, which consults time.mktime/OS TZ; footer stats are UTC
+    instants).  Both sides collect through the same fromInternal, so a
+    TZ-dependent literal shows up as a differential mismatch here."""
+    import os as _os
+    import time as _time
+
+    sql = "SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events"
+    old_tz = _os.environ.get("TZ")
+    _os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        fast = engine.sql(sql)
+        assert engine.last_query_used_shortcut
+        assert fast.collect() == spark.sql(sql).collect()
+    finally:
+        if old_tz is None:
+            _os.environ.pop("TZ", None)
+        else:
+            _os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
+def test_float_minmax_never_trusted(engine, tmp_path, spark):
+    """A float column containing NaN: footer min/max ignore NaN but
+    Spark's MIN/MAX rank NaN above every value — the shortcut must not
+    fire and the scan answer (NaN max) must come through (ADVICE r1)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "nanny.parquet")
+    # build the array directly — pandas->arrow would turn NaN into NULL
+    pq.write_table(
+        pa.table({"x": pa.array([1.0, float("nan"), 3.0], pa.float64())}), path
+    )
+    from zarr_datafusion_spark.stats.parquet_stats import parquet_table_stats
+
+    stats = parquet_table_stats(path)
+    assert "x" not in stats.column_min_max  # float bounds excluded
+    spark.read.parquet(path).createOrReplaceTempView("nanny")
+    try:
+        engine._stats["nanny"] = stats
+        row = engine.sql("SELECT MIN(x) AS lo, MAX(x) AS hi FROM nanny").collect()[0]
+        assert not engine.last_query_used_shortcut
+        assert row.lo == 1.0 and np.isnan(row.hi)
+    finally:
+        engine._stats.pop("nanny", None)
+        spark.catalog.dropTempView("nanny")
 
 
 def test_zarr_store_shortcut(engine, spark, tmp_path):

@@ -382,3 +382,18 @@ def test_filter_pushdown_duplicate_coord_values(spark, tmp_path):
     df = read_zarr(spark, store)
     got = df.filter(F.col("t") == 5).orderBy("v").collect()
     assert [r.v for r in got] == [3, 4, 5, 6, 7, 8]  # BOTH t=5 slabs
+
+
+def test_zarr_entries_match_parquet_mirror_oracle(spark, duck):
+    """Driver-contract differential for the zarr entries: each queries()
+    entry must hash-match its oracle_sql twin, which reads the parquet
+    mirror (independent row-major expansion of the same source arrays).
+    This is the round-2 conversion of the flatten semantics from a
+    rows-only check to a value-checked row (VERDICT r1 item 6)."""
+    from tests.conftest import assert_frames_match
+    from zarr_datafusion_spark.operators import zarr_queries as zq
+
+    assert set(zq.ORACLE) == set(zq.QUERIES)
+    for name in sorted(zq.QUERIES):
+        df = zq.QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert_frames_match(df, duck.sql(zq.ORACLE[name]))

@@ -358,18 +358,24 @@ _COS_PAIRS_ORACLE = """
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id)
     SELECT vec_a, vec_b, label, round(dot, 6) AS cosine
-    FROM pairs WHERE round(dot, 6) >= 0.5
+    FROM pairs WHERE round(dot, 6) >= 0.30
 """
 
 
 @_q("dedup_embedding_cosine", _COS_PAIRS_ORACLE)
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup: label-blocked pairs with cosine >= 0.5
+    """Embedding near-dup: label-blocked pairs with cosine >= 0.30
     (embeddings are unit-norm, so dot == cosine).
 
     Blocking on ``label`` stands in for the coarse quantizer an IVF
     index provides at scale — the shuffle key is the block, and the
     pair join never goes all-pairs global.
+
+    Threshold note: the synthetic driver embeddings are near-random
+    (best cosine ≈ 0.33 at sf0.01), so a production-style 0.5 cut
+    returns 0 rows and the differential oracle proves nothing.  0.30
+    keeps the oracle populated with real pairs at every sf (round-1
+    verdict: "vacuous pass").
     """
     e = _emb(spark, sf_dir)
     a = e.alias("a")
@@ -387,5 +393,5 @@ def dedup_embedding_cosine(spark, sf_dir):
             F.col("a.label").alias("label"),
             F.round(F.expr(dot), 6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.5)
+        .filter(F.col("cosine") >= 0.30)
     )

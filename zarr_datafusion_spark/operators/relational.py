@@ -204,8 +204,8 @@ _SCALAR_FN_SQL = """
            replace(o_orderpriority, '-', '_') AS prio_repl,
            abs(o_totalprice - 100000.0) AS dist_100k,
            round(o_totalprice, 1) AS price_r1,
-           floor(o_totalprice) AS price_fl,
-           ceil(o_totalprice) AS price_ce,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_fl,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ce,
            sqrt(o_totalprice) AS price_sqrt,
            lpad(o_orderstatus, 3, '*') AS status_pad,
            reverse(o_orderpriority) AS prio_rev,
@@ -231,7 +231,10 @@ def scalar_functions(spark, sf_dir):
     IEEE-correctly-rounded (bit-identical everywhere); ``ln``/``exp``
     are NOT (JVM StrictMath vs libm differ by 1 ulp on some inputs —
     measured) and ``dayofweek`` numbering differs across engines, so
-    both are excluded.  One SQL string for both engines."""
+    both are excluded.  ``floor``/``ceil`` are CAST to BIGINT because
+    the value is exact but the *return type* diverges (Spark: BIGINT,
+    DuckDB: DOUBLE) and the driver hashes typed values.  One SQL
+    string for both engines."""
     _views(spark, sf_dir)
     return spark.sql(_SCALAR_FN_SQL)
 
@@ -473,17 +476,31 @@ def agg_grouping_sets(spark, sf_dir):
     return spark.sql(_GROUPING_SETS_SQL)
 
 
-@_q("agg_approx_distinct")
+@_q(
+    "agg_approx_distinct",
+    """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+              TRUE AS approx_within_band
+       FROM lineitem""",
+)
 def agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) next to the exact count —
     the 100 TB path for distinct-cardinality profiling (single pass, no
-    per-key state explosion).  No oracle: HLL sketches are
-    engine-specific; tests assert the estimate lands within the
-    documented relative error of the exact answer."""
+    per-key state explosion).  The HLL estimate itself is
+    engine-specific so it cannot be hashed directly; instead the entry
+    emits the exact count plus a boolean asserting the estimate landed
+    within 5x the configured rsd (2%), and the oracle pins the exact
+    count and expects the boolean TRUE — a broken sketch flips the
+    boolean and fails the hash (round-1 verdict item 8)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.10 * F.countDistinct("l_partkey")
+        ).alias("approx_within_band"),
     )
 
 

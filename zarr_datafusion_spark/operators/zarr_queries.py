@@ -1,9 +1,14 @@
 """Zarr-source queries for the driver contract (SURVEY §2 Tier A rows).
 
-DuckDB cannot read Zarr, so these entries have no ``oracle_sql`` twin —
-the driver records rows-only checks (per ``__spark_entry__`` docstring);
-the full differential coverage lives in ``tests/test_zarr_source.py``
-against independently computed expectations.
+DuckDB cannot read Zarr directly, so each entry's ``oracle_sql`` twin
+reads a deterministic **parquet mirror** of the fixture store instead:
+the mirror is flattened row-major from the same source numpy arrays
+with an *independent* expansion (``np.repeat``/``np.tile``), i.e. the
+exact semantics the zarr scan implements (``coord.rs:80-105``,
+``README.md:23-34``) re-derived outside the reader under test.  A
+flatten bug in the reader therefore hash-mismatches against the mirror
+(round-1 verdict item 6: this converts the soul of the port from
+rows-only to a driver-checked differential).
 
 The fixture store is generated deterministically (seed 42, the
 reference's synthetic-weather recipe ``scripts/data_gen.py:52-133``)
@@ -19,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}  # intentionally empty — non-SQL-expressible source
+ORACLE: dict[str, str] = {}
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,15 +42,60 @@ def fixture_store(zarr_format: int = 2) -> str:
     return path
 
 
-def _q(name):
+def mirror_parquet() -> str:
+    """Row-major flattened parquet mirror of the weather fixture,
+    derived independently from the source arrays (repeat/tile over the
+    coordinate axes — NOT via the zarr reader under test).  ``row_idx``
+    is the row-major row number, so limit-pushdown oracles can select
+    "the first N row-major rows" without assuming coordinate
+    monotonicity."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zarr_datafusion_spark.zarr.writer import synthetic_weather_arrays
+
+    path = os.path.join(_REPO_ROOT, "data", "weather_mirror.parquet")
+    if not os.path.exists(path):
+        arrays = synthetic_weather_arrays()
+        time, lat, lon = (arrays[k][0] for k in ("time", "lat", "lon"))
+        temp, hum = arrays["temperature"][0], arrays["humidity"][0]
+        nt, nla, nlo = len(time), len(lat), len(lon)
+        tbl = pa.table(
+            {
+                "row_idx": np.arange(nt * nla * nlo, dtype=np.int64),
+                "time": np.repeat(time, nla * nlo),
+                "lat": np.tile(np.repeat(lat, nlo), nt),
+                "lon": np.tile(lon, nt * nla),
+                "temperature": temp.reshape(-1),
+                "humidity": hum.reshape(-1),
+            }
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(tbl, path)
+    return path
+
+
+def _q(name, oracle=None):
     def deco(fn):
         QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
         return fn
 
     return deco
 
 
-@_q("zarr_scan_flatten")
+#: absolute mirror path baked into the oracle SQL below (built once at
+#: import; deterministic content, so rebuilds are byte-identical)
+_MIRROR = mirror_parquet()
+
+
+@_q(
+    "zarr_scan_flatten",
+    f"""SELECT time, lat, lon, temperature, humidity
+        FROM read_parquet('{_MIRROR}')""",
+)
 def zarr_scan_flatten(spark, sf_dir):
     """A1: full nD->2D flattened scan, row-major coordinate expansion
     (700 rows; reference README.md:23-34)."""
@@ -54,7 +104,12 @@ def zarr_scan_flatten(spark, sf_dir):
     return read_zarr(spark, fixture_store(2)).orderBy("time", "lat", "lon")
 
 
-@_q("zarr_filter_pushdown")
+@_q(
+    "zarr_filter_pushdown",
+    f"""SELECT time, lat, lon, temperature, humidity
+        FROM read_parquet('{_MIRROR}')
+        WHERE time = 3 AND lat = 5""",
+)
 def zarr_filter_pushdown(spark, sf_dir):
     """A5: coordinate-equality pushdown shrinks the scan to one lat/time
     slab (10 rows); Spark re-applies the filter (Inexact contract)."""
@@ -64,9 +119,17 @@ def zarr_filter_pushdown(spark, sf_dir):
     return df.filter((F.col("time") == 3) & (F.col("lat") == 5)).orderBy("lon")
 
 
-@_q("zarr_agg")
+@_q(
+    "zarr_agg",
+    f"""SELECT lat, COUNT(*) AS n, AVG(temperature) AS avg_temp,
+               MIN(humidity) AS min_hum, MAX(humidity) AS max_hum
+        FROM read_parquet('{_MIRROR}')
+        GROUP BY lat""",
+)
 def zarr_agg(spark, sf_dir):
-    """Aggregation over the flattened store (per-lat climate summary)."""
+    """Aggregation over the flattened store (per-lat climate summary).
+    All fixture values are int64, so AVG (int sum / count in double) is
+    bit-identical cross-engine regardless of accumulation order."""
     from zarr_datafusion_spark.zarr import read_zarr
 
     df = read_zarr(spark, fixture_store(2))
@@ -82,19 +145,31 @@ def zarr_agg(spark, sf_dir):
     )
 
 
-@_q("zarr_limit_pushdown")
+@_q(
+    "zarr_limit_pushdown",
+    f"""SELECT time, lat, lon, temperature, humidity
+        FROM read_parquet('{_MIRROR}')
+        WHERE row_idx < 120""",
+)
 def zarr_limit_pushdown(spark, sf_dir):
     """A4: limit pushdown — the source plans only the first-N row-major
-    rows (coord.rs:112-158 semantics)."""
+    rows (coord.rs:112-158 semantics).  The oracle's ``row_idx < 120``
+    pins exactly which 120 rows a row-major limit must produce."""
     from zarr_datafusion_spark.zarr import read_zarr
 
     return read_zarr(spark, fixture_store(2), limit=120)
 
 
-@_q("zarr_stats_shortcut")
+@_q(
+    "zarr_stats_shortcut",
+    f"""SELECT COUNT(*) AS n_rows, MIN(time) AS min_time, MAX(time) AS max_time,
+               MIN(lat) AS min_lat, MAX(lon) AS max_lon
+        FROM read_parquet('{_MIRROR}')""",
+)
 def zarr_stats_shortcut(spark, sf_dir):
     """A7/A8: COUNT/MIN/MAX answered from store metadata, no scan
-    (count_optimization.rs / minmax_optimization.rs)."""
+    (count_optimization.rs / minmax_optimization.rs) — and now
+    oracle-checked against the mirror's scanned answer."""
     from zarr_datafusion_spark.engine import Engine
 
     eng = Engine(spark)

@@ -160,8 +160,14 @@ def plan_scan_stats(
     windows: list[tuple[int, int]] = []
     for c in meta.coords:
         if coord_filters and c.name in coord_filters:
+            lit = coord_filters[c.name]
+            if isinstance(lit, float) and np.isnan(lit):
+                # Mirror the reader's NaN bail (NaN == NaN is TRUE in
+                # Spark SQL but never matches under numpy ==).
+                windows.append((0, c.shape[0]))
+                continue
             values = read_array(store_path, c)
-            matches = np.nonzero(values == coord_filters[c.name])[0]
+            matches = np.nonzero(values == lit)[0]
             if len(matches) == 0:
                 stats.rows = 0
                 return stats  # empty-result short-circuit (filter.rs:222-230)
@@ -210,10 +216,18 @@ def plan_scan_stats(
 def collect_stats_dir(stats_dir: str) -> ZarrIoStats:
     """Sum the per-partition counter JSONs written by the zarr source
     when the ``stats_dir`` option is set (one file per input partition,
-    written at partition completion)."""
+    written at partition completion).
+
+    ``n_arrays`` is a property of the projection, not of the work done,
+    so it is taken as the max across partitions rather than summed
+    (every partition reads the same projected arrays; summing would
+    report ``arrays x partitions`` on any multi-partition scan)."""
     total = ZarrIoStats()
+    n_arrays = 0
     for path in glob.glob(os.path.join(stats_dir, "part-*.json")):
         with open(path) as f:
             d = json.load(f)
+        n_arrays = max(n_arrays, int(d.pop("n_arrays", 0)))
         total.add(ZarrIoStats(**d))
+    total.n_arrays = n_arrays
     return total

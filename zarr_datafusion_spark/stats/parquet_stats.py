@@ -46,11 +46,19 @@ def parquet_table_stats(path: str):
             st = col.statistics
             # BYTE_ARRAY min/max may be truncated by writers (not exact)
             # — exclude, mirroring the reference's numeric-only coord
-            # statistics scope (SURVEY §1.2).
+            # statistics scope (SURVEY §1.2).  FLOAT/DOUBLE are excluded
+            # too: footer min/max ignore NaN but Spark's MIN/MAX order
+            # NaN greater than any value, so a NaN-bearing column would
+            # make the stats answer diverge from the scan answer and the
+            # footer cannot prove NaN absence (null_count excludes NaN).
+            # The reference's minmax rule only covers integer coordinate
+            # arrays (minmax_optimization.rs:160-200), so this keeps a
+            # superset of its scope.
             if (
                 st is None
                 or not st.has_min_max
-                or col.physical_type in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")
+                or col.physical_type
+                in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY", "FLOAT", "DOUBLE")
             ):
                 exact[name] = False
             else:

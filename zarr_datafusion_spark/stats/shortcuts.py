@@ -28,10 +28,13 @@ scan, which tests assert the same way the reference asserts
 
 from __future__ import annotations
 
+import calendar
 import re
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 # SELECT <items> FROM <bare-table-identifier> — nothing else.
 _QUERY_RE = re.compile(
@@ -101,7 +104,21 @@ def try_stats_shortcut(
             lo, hi = stats.column_min_max[arg]
             value = lo if fn == "min" else hi
             default_name = f"{fn}({arg})"
-            col = F.lit(value).cast(schema[arg])
+            if isinstance(schema[arg], TimestampType) and isinstance(
+                value, datetime
+            ):
+                # F.lit(naive datetime).cast(timestamp) goes through
+                # TimestampType.toInternal, which interprets naive
+                # datetimes in the driver's OS timezone — but parquet
+                # footer stats are UTC instants.  Build the literal from
+                # epoch microseconds instead (TZ-independent).
+                us = (
+                    calendar.timegm(value.utctimetuple()) * 1_000_000
+                    + value.microsecond
+                )
+                col = F.timestamp_micros(F.lit(us))
+            else:
+                col = F.lit(value).cast(schema[arg])
         cols.append(col.alias(alias if alias else default_name))
 
     return spark.range(1).select(*cols)

@@ -133,9 +133,17 @@ class ZarrDataSourceReader(DataSourceReader):
         windows: list[tuple[int, int]] = []
         for c in self.meta.coords:
             if c.name in self.coord_filters:
+                lit = self.coord_filters[c.name]
+                if isinstance(lit, float) and np.isnan(lit):
+                    # Spark SQL defines NaN = NaN as TRUE but numpy ==
+                    # never matches NaN, so narrowing here would drop
+                    # rows Spark's re-applied filter keeps.  Bail to the
+                    # full dimension (pushdown stays a superset).
+                    windows.append((0, c.shape[0]))
+                    continue
                 values = read_array(self.store_path, c)
                 # int/float cross-cast comparison (filter.rs:262-302)
-                matches = np.nonzero(values == self.coord_filters[c.name])[0]
+                matches = np.nonzero(values == lit)[0]
                 if len(matches) == 0:
                     return None
                 lo, hi = int(matches[0]), int(matches[-1]) + 1
