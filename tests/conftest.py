@@ -91,6 +91,15 @@ def assert_frames_match(spark_df, duck_rel, *, float_exact: bool = True):
     1e-9 relative tolerance.
     """
     left = _normalize(spark_df.toPandas())
+    # DuckDB-declared column types: HUGEINT (e.g. SUM(INTEGER)) arrives
+    # in pandas as float64 but the driver consumes it as a Python int,
+    # so only a *declared* float column on the oracle side can cause a
+    # typed-hash mismatch against a Spark integer column.
+    duck_float_cols = {
+        c
+        for c, t in zip(duck_rel.columns, duck_rel.types)
+        if str(t) in ("FLOAT", "DOUBLE", "REAL")
+    }
     right = _normalize(duck_rel.df())
 
     assert len(left) == len(right), f"row count {len(left)} != {len(right)}"
@@ -103,11 +112,13 @@ def assert_frames_match(spark_df, duck_rel, *, float_exact: bool = True):
         # float on the other hash-mismatches even when numerically equal
         # (round-1 scalar_functions failure: Spark floor()->BIGINT vs
         # DuckDB floor()->DOUBLE).  Only enforceable when neither side has
-        # nulls (pandas promotes nullable ints to float64 on both sides).
+        # nulls (pandas promotes nullable ints to float64 on both sides),
+        # and only against DECLARED float oracle columns (HUGEINT shows
+        # up as float64 in pandas but reaches the driver as int).
         if not lv.isna().any() and not rv.isna().any():
             li, ri = pd.api.types.is_integer_dtype(lv), pd.api.types.is_integer_dtype(rv)
             lf, rf = pd.api.types.is_float_dtype(lv), pd.api.types.is_float_dtype(rv)
-            assert not (li and rf) and not (lf and ri), (
+            assert not (li and rf and c in duck_float_cols) and not (lf and ri), (
                 f"column {c}: dtype class mismatch {lv.dtype} vs {rv.dtype} "
                 "(driver value-hash is type-sensitive)"
             )

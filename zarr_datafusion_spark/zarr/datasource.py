@@ -69,6 +69,33 @@ _ARROW_TYPES = {
 }
 
 
+def _aligned_pieces(
+    lo: int, hi: int, chunk: int, want: int
+) -> list[tuple[int, int]]:
+    """Split the half-open window [lo, hi) into at most ``want``
+    contiguous chunk-aligned pieces (each piece's interior boundaries
+    fall on chunk-grid lines, so pieces read disjoint chunks)."""
+    if hi <= lo:
+        return []
+    first, last = lo // chunk, (hi - 1) // chunk
+    nch = last - first + 1
+    per = -(-nch // max(1, min(want, nch)))
+    out = []
+    for s in range(first, last + 1, per):
+        w_lo, w_hi = max(lo, s * chunk), min(hi, (s + per) * chunk)
+        if w_hi > w_lo:
+            out.append((w_lo, w_hi))
+    return out
+
+
+def _even_pieces(lo: int, hi: int, want: int) -> list[tuple[int, int]]:
+    """Split [lo, hi) into ``min(want, hi-lo)`` near-equal pieces
+    (NOT chunk-aligned — pieces may share chunks)."""
+    n = max(1, min(want, hi - lo))
+    edges = np.linspace(lo, hi, n + 1).astype(int)
+    return [(int(a), int(b)) for a, b in zip(edges[:-1], edges[1:]) if b > a]
+
+
 @dataclass
 class ZarrInputPartition(InputPartition):
     """One outer-dimension slab: absolute index window per dimension,
@@ -100,6 +127,9 @@ class ZarrDataSourceReader(DataSourceReader):
         self.columns = [f.name for f in schema.fields]
         self.limit = int(options["limit"]) if "limit" in options else None
         self.target_batch_rows = int(options.get("target_batch_rows", 1 << 20))
+        #: desired scan parallelism (read_zarr passes the session's
+        #: defaultParallelism; 32 matches the bench/test harness)
+        self.target_partitions = int(options.get("target_partitions", 32))
         #: when set, each partition writes its I/O-counter delta here as
         #: one JSON file (A10 distributed stats; reference tracked_store.rs)
         self.stats_dir = options.get("stats_dir")
@@ -159,15 +189,45 @@ class ZarrDataSourceReader(DataSourceReader):
                 windows.append((0, c.shape[0]))
         return windows
 
-    def _outer_chunk(self) -> int:
-        """Outer-dimension chunk length of the data variables (they
-        share it under the Cartesian model); coord chunking is the
-        fallback for a store with no data vars."""
+    def _dim_chunk(self, d: int) -> int:
+        """Chunk length of dimension ``d`` under the data variables'
+        grid (they share it under the Cartesian model); coord chunking
+        is the fallback for a store with no data vars."""
         if self.meta.data_vars:
-            return max(1, min(v.chunks[0] for v in self.meta.data_vars))
-        return max(1, self.meta.coords[0].chunks[0]) if self.meta.coords else 1
+            return max(1, min(v.chunks[d] for v in self.meta.data_vars))
+        return max(1, self.meta.coords[d].chunks[0]) if self.meta.coords else 1
+
+    def _outer_chunk(self) -> int:
+        return self._dim_chunk(0)
+
+    #: partitions are never split below this many rows — keeps tiny
+    #: fixtures single-partition and bounds per-task scheduling overhead
+    MIN_PARTITION_ROWS = 1 << 16
 
     def partitions(self):
+        """Plan scan partitions for ``target_partitions``-way parallelism.
+
+        Three stages, stopping as soon as the target is met:
+
+        1. chunk-aligned slabs of the outer dimension;
+        2. chunk-aligned splits of inner dimensions, most-chunks first
+           (free parallelism: each partition still reads disjoint
+           chunks).  This fixes the round-1 ERA5 cap, where an outer
+           dim of size 3 pinned the whole 6.2M-row scan to 3 tasks
+           (chunks ``(1,1,721,1440)``, ``scripts/data_gen.py:96,116``;
+           the reference's own roadmap item "chunk-level parallelism",
+           ``README.md:312``);
+        3. sub-chunk split of the largest remaining dimension — each
+           extra piece re-reads/re-decodes its shared chunk, the right
+           trade for huge-chunk stores (decode is cheap vs a 10x-idle
+           cluster) but never the default: only after 1+2 fall short.
+
+        A limit disables inner splitting (row budgets assume row-major
+        contiguity per slab) — limit queries are small by construction.
+        """
+        import itertools
+        import math
+
         windows = self._windows()
         if windows is None or self.meta.total_rows == 0:
             return [ZarrInputPartition(0, 0, ())]
@@ -177,25 +237,54 @@ class ZarrDataSourceReader(DataSourceReader):
         outer_lo, outer_hi = windows[0]
         inner = tuple(windows[1:])
         inner_rows = int(np.prod([hi - lo for lo, hi in inner])) if inner else 1
+        window_rows = (outer_hi - outer_lo) * inner_rows
 
-        # Chunk-aligned slabs of the outer dimension, grouped to the
-        # target batch size.  (On a cluster this is the unit of scan
-        # parallelism; locally it bounds per-task memory.)  Alignment
-        # must follow the DATA variables' outer chunking — coordinate
-        # arrays are typically one whole chunk, which would collapse
-        # the scan to a single partition.
+        n_parts_max = max(
+            1,
+            min(self.target_partitions, window_rows // self.MIN_PARTITION_ROWS),
+        )
+
+        # 1. outer-dimension chunk-aligned slabs
         outer_chunk = self._outer_chunk()
-        per_slab_outer = max(1, outer_chunk)
-        while per_slab_outer * inner_rows < self.target_batch_rows and (
-            per_slab_outer < outer_hi - outer_lo
-        ):
-            per_slab_outer += outer_chunk
+        outer_slabs = _aligned_pieces(outer_lo, outer_hi, outer_chunk, n_parts_max)
+        n_parts = len(outer_slabs)
+
+        # 2 + 3. inner splitting
+        pieces: list[list[tuple[int, int]]] = [[w] for w in inner]
+        if self.limit is None and inner and n_parts < n_parts_max:
+            def nch(d: int) -> int:
+                lo, hi = inner[d]
+                cd = self._dim_chunk(d + 1)
+                return (hi - 1) // cd - lo // cd + 1 if hi > lo else 0
+
+            for d in sorted(range(len(inner)), key=nch, reverse=True):
+                if n_parts >= n_parts_max or nch(d) <= 1:
+                    break
+                want = math.ceil(n_parts_max / n_parts)
+                lo, hi = inner[d]
+                pieces[d] = _aligned_pieces(lo, hi, self._dim_chunk(d + 1), want)
+                n_parts = len(outer_slabs) * int(
+                    np.prod([len(p) for p in pieces])
+                )
+            if n_parts < n_parts_max:
+                d = max(
+                    range(len(inner)),
+                    key=lambda i: (inner[i][1] - inner[i][0]) // len(pieces[i]),
+                )
+                want = math.ceil(n_parts_max / n_parts)
+                pieces[d] = [
+                    sub
+                    for piece in pieces[d]
+                    for sub in _even_pieces(piece[0], piece[1], want)
+                ]
+
+        inner_variants = (
+            [tuple(v) for v in itertools.product(*pieces)] if inner else [()]
+        )
 
         parts: list[ZarrInputPartition] = []
         remaining = self.limit
-        pos = outer_lo
-        while pos < outer_hi:
-            hi = min(pos + per_slab_outer, outer_hi)
+        for pos, hi in outer_slabs:
             rows = (hi - pos) * inner_rows
             if remaining is not None:
                 if remaining <= 0:
@@ -204,8 +293,8 @@ class ZarrDataSourceReader(DataSourceReader):
                 parts.append(ZarrInputPartition(pos, hi, inner, budget))
                 remaining -= budget
             else:
-                parts.append(ZarrInputPartition(pos, hi, inner))
-            pos = hi
+                for v in inner_variants:
+                    parts.append(ZarrInputPartition(pos, hi, v))
         return parts or [ZarrInputPartition(0, 0, ())]
 
     # -- execution (runs on executors) --------------------------------------
@@ -385,6 +474,7 @@ def read_zarr(
     limit: int | None = None,
     target_batch_rows: int | None = None,
     stats_dir: str | None = None,
+    target_partitions: int | None = None,
 ) -> DataFrame:
     """Flattened DataFrame over a Zarr store (engine API analog of the
     reference's ``register_table`` example path, EP2).
@@ -402,4 +492,7 @@ def read_zarr(
         reader = reader.option("target_batch_rows", str(target_batch_rows))
     if stats_dir is not None:
         reader = reader.option("stats_dir", stats_dir)
+    if target_partitions is None:
+        target_partitions = spark.sparkContext.defaultParallelism
+    reader = reader.option("target_partitions", str(target_partitions))
     return reader.load(store_path)
