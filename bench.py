@@ -34,12 +34,12 @@ HEADLINE = [
     "join_chain_agg",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
-    "join_left",
-    "win_rownum_rank",
-    "win_moving_avg",
-    "topk",
+    "join_outer",
+    "win_ranking",
+    "win_offset_frames",
+    "sort_topk",
     "distinct_vals",
-    "union_all",
+    "setops",
     "text_quality_score",
     "text_fingerprint",
     "dedup_exact",

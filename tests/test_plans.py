@@ -61,6 +61,17 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan_text(df)
 
 
+def test_sort_topk_entry_avoids_global_sort(spark):
+    """The registry's merged sort/limit/offset entry must keep the
+    TakeOrderedAndProject shape (map-side top-(K+offset) heap, no
+    global sort) even with OFFSET present."""
+    from zarr_datafusion_spark.operators import relational
+
+    plan = plan_text(relational.QUERIES["sort_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan, "global sort crept into the top-k plan"
+
+
 def test_engine_explain_surface(engine):
     """EXPLAIN surface (reference ``docs/CLI_REFERENCE.md:455-472``)."""
     text = engine.explain("SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag")

@@ -32,9 +32,11 @@ ORACLE: dict[str, str] = {}
 _KINDS = ("image", "audio", "video")
 
 
-def _q(name: str):
+def _q(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
         return fn
 
     return deco
@@ -121,18 +123,42 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_decode_batch, schema=_FEATURES_SCHEMA)
 
 
-@_q("mm_extract_features")
+@_q(
+    "mm_extract_features",
+    """SELECT doc_id,
+              ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+              CAST(128 + (doc_id % 8) * 64 AS INTEGER) AS width,
+              CAST(128 + (doc_id % 5) * 64 AS INTEGER) AS height,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS INTEGER) AS channels,
+              CAST(128 + (doc_id % 8) * 64 AS DOUBLE)
+                / CAST(128 + (doc_id % 5) * 64 AS DOUBLE) AS aspect,
+              CAST(8 + octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+              CAST(octet_length(encode(text)) AS INTEGER) AS body_bytes
+       FROM documents""",
+)
 def mm_extract_features(spark, sf_dir):
-    """Decode/feature-extract stage (rows-only check; header parse
-    stands in for the real decoder — container lacks image libs)."""
+    """Decode/feature-extract stage (header parse stands in for the real
+    decoder — container lacks image libs).  Oracle-checked: the fake
+    payload is deterministic (header fields are doc_id arithmetic, body
+    is the document's utf-8 bytes), so DuckDB recomputes every decoded
+    value straight from ``documents`` — the differential proves the
+    pack -> binary column -> mapInPandas parse round-trip is lossless,
+    which is exactly the plumbing a real decoder would ride."""
     return decode_features(synthesize_media(spark, sf_dir)).orderBy("doc_id")
 
 
-@_q("mm_frame_sample")
+@_q(
+    "mm_frame_sample",
+    """SELECT doc_id, frame_idx,
+              CAST(8 + octet_length(encode(text)) AS INTEGER) AS payload_bytes
+       FROM documents, generate_series(0, 299, 30) AS t(frame_idx)
+       WHERE doc_id % 3 = 2""",
+)
 def mm_frame_sample(spark, sf_dir):
     """Frame sampling for video rows: one output row per sampled frame
     index (every 30th of a fake 300-frame clip) — JVM-side explode, the
-    shape a video pipeline uses before per-frame decode."""
+    shape a video pipeline uses before per-frame decode.  Oracle: the
+    same rows via generate_series over the video subset (doc_id%3=2)."""
     m = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "video")
     return (
         m.select(

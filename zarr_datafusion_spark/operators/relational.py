@@ -78,56 +78,28 @@ def _dsum(col: str, alias: str, scale: int = 2) -> F.Column:
 
 
 @_q(
-    "proj_select",
-    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-       ORDER BY l_orderkey, l_linenumber LIMIT 100""",
-)
-def proj_select(spark, sf_dir):
-    """SELECT column list + LIMIT (integration_query.rs:26-36)."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(100)
-    )
-
-
-@_q(
-    "proj_arith",
-    """SELECT l_orderkey, l_linenumber,
+    "proj_expressions",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
               l_extendedprice * (1 - l_discount) AS revenue,
               l_quantity + l_linenumber AS qty_plus_line,
-              l_extendedprice / l_quantity AS unit_price
-       FROM lineitem""",
-)
-def proj_arith(spark, sf_dir):
-    """Arithmetic +-*/ incl. mixed int/float (CLI_REFERENCE.md:89-98).
-
-    Per-row IEEE arithmetic on identical inputs is bit-deterministic
-    across engines — no decimal cast needed (unlike aggregates).
-    """
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-        (F.col("l_quantity") + F.col("l_linenumber")).alias("qty_plus_line"),
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
-    )
-
-
-@_q(
-    "proj_case_cast",
-    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice / l_quantity AS unit_price,
               CASE WHEN l_quantity > 30 THEN 'big'
                    WHEN l_quantity > 10 THEN 'mid'
                    ELSE 'small' END AS size_class,
               CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int
        FROM lineitem""",
 )
-def proj_case_cast(spark, sf_dir):
-    """CASE + explicit CAST (filter.rs:120-128 exercises casts).
+def proj_expressions(spark, sf_dir):
+    """Projection breadth in one entry: column list, aliases,
+    arithmetic +-*/ incl. mixed int/float, CASE, explicit CAST
+    (integration_query.rs:26-36, CLI_REFERENCE.md:89-106,
+    filter.rs:120-128).  Merges round-1's proj_select / proj_arith /
+    proj_case_cast so the whole registry fits the driver's correctness
+    window (VERDICT r1 item 1); each constituent op keeps its unit
+    coverage via this oracle row.
 
+    Per-row IEEE arithmetic on identical inputs is bit-deterministic
+    across engines — no decimal cast needed (unlike aggregates).
     FLOOR before the int cast: Spark truncates double->int while DuckDB
     rounds, so the cast is only cross-engine-deterministic on integral
     doubles.
@@ -136,6 +108,10 @@ def proj_case_cast(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (F.col("l_quantity") + F.col("l_linenumber")).alias("qty_plus_line"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
         F.when(F.col("l_quantity") > 30, "big")
         .when(F.col("l_quantity") > 10, "mid")
         .otherwise("small")
@@ -150,47 +126,46 @@ def proj_case_cast(spark, sf_dir):
 
 
 @_q(
-    "filter_cmp_and",
-    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
-       WHERE l_quantity > 30 AND l_discount < 0.05""",
+    "filter_predicates",
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+              NULLIF(l_discount, 0.0) AS disc_nullable
+       FROM lineitem
+       WHERE (l_quantity > 30 AND l_discount < 0.05)
+          OR ((l_returnflag = 'A' OR l_returnflag = 'R')
+              AND l_quantity BETWEEN 10 AND 20
+              AND l_linestatus IN ('F', 'O')
+              AND l_shipdate IS NOT NULL)
+          OR (l_linestatus NOT IN ('O')
+              AND NULLIF(l_discount, 0.0) IS NULL
+              AND l_quantity IS NOT NULL)""",
 )
-def filter_cmp_and(spark, sf_dir):
-    """Comparison + AND (CLI_REFERENCE.md:117-124)."""
+def filter_predicates(spark, sf_dir):
+    """Predicate breadth in one entry: comparison, AND/OR, BETWEEN, IN,
+    NOT IN, IS [NOT] NULL, NULLIF-synthesized nulls
+    (CLI_REFERENCE.md:110-163).  Merges round-1's four filter entries
+    (VERDICT r1 item 1); each OR branch is independently non-empty on
+    the driver data, so every predicate form contributes rows to the
+    hash."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.filter((F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05)).select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
-    )
-
-
-@_q(
-    "filter_or_between_in",
-    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
-       WHERE (l_returnflag = 'A' OR l_returnflag = 'R')
-         AND l_quantity BETWEEN 10 AND 20
-         AND l_linestatus IN ('F', 'O')
-         AND l_shipdate IS NOT NULL""",
-)
-def filter_or_between_in(spark, sf_dir):
-    """OR / BETWEEN / IN / IS NOT NULL (CLI_REFERENCE.md:127-163)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.filter(
+    disc_nullable = F.nullif(F.col("l_discount"), F.lit(0.0))
+    branch1 = (F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05)
+    branch2 = (
         ((F.col("l_returnflag") == "A") | (F.col("l_returnflag") == "R"))
         & F.col("l_quantity").between(10, 20)
         & F.col("l_linestatus").isin("F", "O")
         & F.col("l_shipdate").isNotNull()
-    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-
-
-@_q(
-    "filter_not_in",
-    """SELECT o_orderkey, o_orderstatus FROM orders
-       WHERE o_orderstatus NOT IN ('O')""",
-)
-def filter_not_in(spark, sf_dir):
-    """NOT IN (CLI_REFERENCE.md:151-157)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.filter(~F.col("o_orderstatus").isin("O")).select(
-        "o_orderkey", "o_orderstatus"
+    )
+    branch3 = (
+        ~F.col("l_linestatus").isin("O")
+        & disc_nullable.isNull()
+        & F.col("l_quantity").isNotNull()
+    )
+    return li.filter(branch1 | branch2 | branch3).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        disc_nullable.alias("disc_nullable"),
     )
 
 
@@ -291,27 +266,6 @@ def array_functions(spark, sf_dir):
 
 
 @_q(
-    "filter_is_null",
-    """SELECT l_orderkey, l_linenumber,
-              NULLIF(l_discount, 0.0) AS disc_nullable
-       FROM lineitem
-       WHERE NULLIF(l_discount, 0.0) IS NULL
-         AND l_quantity IS NOT NULL""",
-)
-def filter_is_null(spark, sf_dir):
-    """IS NULL / IS NOT NULL (CLI_REFERENCE.md:159-163).  The testdata
-    has no stored NULLs, so NULLIF synthesizes them — the predicate
-    still exercises real null-semantics filtering."""
-    li = _t(spark, sf_dir, "lineitem")
-    disc_nullable = F.nullif(F.col("l_discount"), F.lit(0.0))
-    return li.filter(
-        disc_nullable.isNull() & F.col("l_quantity").isNotNull()
-    ).select(
-        "l_orderkey", "l_linenumber", disc_nullable.alias("disc_nullable")
-    )
-
-
-@_q(
     "distinct_vals",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
@@ -335,12 +289,15 @@ def distinct_vals(spark, sf_dir):
               MIN(l_extendedprice) AS min_price,
               MAX(l_extendedprice) AS max_price,
               MIN(l_shipdate) AS min_ship,
-              MAX(l_shipdate) AS max_ship
+              MAX(l_shipdate) AS max_ship,
+              COUNT(DISTINCT l_partkey) AS n_parts,
+              COUNT(DISTINCT l_suppkey) AS n_supps
        FROM lineitem""",
 )
 def agg_global(spark, sf_dir):
-    """COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX, no GROUP BY
-    (CLI_REFERENCE.md:169-208; integration_query.rs:192-220)."""
+    """COUNT(*)/COUNT(col)/SUM/AVG/MIN/MAX + exact COUNT(DISTINCT),
+    no GROUP BY (CLI_REFERENCE.md:169-208; integration_query.rs:192-220;
+    absorbs round-1's agg_count_distinct — VERDICT r1 item 1)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n_rows"),
@@ -355,6 +312,8 @@ def agg_global(spark, sf_dir):
         F.max("l_extendedprice").alias("max_price"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
     )
 
 
@@ -419,61 +378,26 @@ def agg_having(spark, sf_dir):
     )
 
 
-@_q(
-    "agg_count_distinct",
-    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
-              COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""",
-)
-def agg_count_distinct(spark, sf_dir):
-    """COUNT(DISTINCT) — exact (superset of reference's COUNT)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-    )
-
-
-@_q(
-    "agg_rollup",
-    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
-       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
-)
-def agg_rollup(spark, sf_dir):
-    """ROLLUP grouping sets (Spark-native superset; SURVEY §2 optional
-    parity row)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
-    )
-
-
-@_q(
-    "agg_cube",
-    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
-       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
-)
-def agg_cube(spark, sf_dir):
-    """CUBE grouping sets (all 2^k key subsets; SURVEY §2 optional
-    parity row)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
-    )
-
-
-_GROUPING_SETS_SQL = """
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+_GROUPING_EXT_SQL = """
+    SELECT 'rollup' AS gs, l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS gs, l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets' AS gs, l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
-@_q("agg_grouping_sets", _GROUPING_SETS_SQL)
-def agg_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS (SURVEY §2 optional parity row) — one SQL
-    string, planned by Catalyst and DuckDB identically."""
+@_q("agg_grouping_ext", _GROUPING_EXT_SQL)
+def agg_grouping_ext(spark, sf_dir):
+    """ROLLUP + CUBE + explicit GROUPING SETS, tagged and unioned into
+    one oracle row (SURVEY §2 optional parity rows; merged per VERDICT
+    r1 item 1 — the three were near-duplicate entries).  One SQL string,
+    planned by Catalyst and DuckDB identically."""
     _views(spark, sf_dir)
-    return spark.sql(_GROUPING_SETS_SQL)
+    return spark.sql(_GROUPING_EXT_SQL)
 
 
 @_q(
@@ -533,12 +457,19 @@ def agg_time_bucket(spark, sf_dir):
 
 
 @_q(
-    "sort_multi_key",
+    "sort_topk",
     """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-       ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC LIMIT 50""",
+       ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+       LIMIT 25 OFFSET 5""",
 )
-def sort_multi_key(spark, sf_dir):
-    """Multi-key ORDER BY asc/desc (integration_query.rs:67-94)."""
+def sort_topk(spark, sf_dir):
+    """Multi-key ORDER BY asc/desc + LIMIT + OFFSET in one entry
+    (integration_query.rs:67-94, CLI_REFERENCE.md:254-271,
+    integration_pushdown.rs:150-162; merges round-1's sort_multi_key /
+    sort_limit_offset / topk per VERDICT r1 item 1).  Spark plans the
+    whole thing as TakeOrderedAndProject(offset) — no global sort, the
+    top-(K+offset) heap runs map-side (asserted in tests/test_plans.py).
+    The key set is a total order, so the selected window is unique."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -547,39 +478,8 @@ def sort_multi_key(spark, sf_dir):
             F.col("o_totalprice").desc(),
             F.col("o_orderkey").asc(),
         )
-        .limit(50)
-    )
-
-
-@_q(
-    "sort_limit_offset",
-    """SELECT o_orderkey, o_totalprice FROM orders
-       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""",
-)
-def sort_limit_offset(spark, sf_dir):
-    """ORDER BY + LIMIT + OFFSET (CLI_REFERENCE.md:254-271)."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .offset(5)
-        .limit(10)
-    )
-
-
-@_q(
-    "topk",
-    """SELECT o_orderkey, o_totalprice FROM orders
-       ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""",
-)
-def topk(spark, sf_dir):
-    """Top-K — Spark plans TakeOrderedAndProject
-    (integration_pushdown.rs:150-162)."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(5)
+        .limit(25)
     )
 
 
@@ -659,117 +559,121 @@ def join_chain_agg(spark, sf_dir):
 
 
 @_q(
-    "join_left",
-    """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    "join_outer",
+    """SELECT 'left' AS side, c.c_custkey AS key,
+              COUNT(o.o_orderkey) AS matched_a, 0 AS matched_b
        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-       GROUP BY c.c_custkey""",
-)
-def join_left(spark, sf_dir):
-    """Left outer join (CLI_REFERENCE.md:417-427); COUNT(col) counts
-    only matched rows, keeping order-less customers at 0."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-
-
-@_q(
-    "join_theta",
-    """SELECT a.n_name AS name_a, b.n_name AS name_b
-       FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1""",
-)
-def join_theta(spark, sf_dir):
-    """Expression join key (reference: a.lat = b.lat + 1,
-    CLI_REFERENCE.md:420-424)."""
-    n = _t(spark, sf_dir, "nation")
-    a = n.alias("a")
-    b = n.alias("b")
-    return a.join(b, F.col("b.n_nationkey") == F.col("a.n_nationkey") + 1).select(
-        F.col("a.n_name").alias("name_a"), F.col("b.n_name").alias("name_b")
-    )
-
-
-@_q(
-    "join_semi",
-    """SELECT c_custkey FROM customer c
-       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
-)
-def join_semi(spark, sf_dir):
-    """Left-semi join / EXISTS (DataFusion-complete superset, SURVEY §2
-    joins row)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
-
-
-@_q(
-    "join_anti",
-    """SELECT p_partkey FROM part p
-       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
-                         AND l.l_quantity > 40)""",
-)
-def join_anti(spark, sf_dir):
-    """Left-anti join / NOT EXISTS (parts never ordered in bulk — a
-    non-empty result set so the differential check is meaningful)."""
-    p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
-    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey")
-
-
-@_q(
-    "join_full",
-    """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
-              COUNT(c.c_custkey) AS n_cust, COUNT(s.s_suppkey) AS n_supp
+       GROUP BY c.c_custkey
+       UNION ALL
+       SELECT 'right' AS side, n.n_nationkey AS key,
+              COUNT(s.s_suppkey) AS matched_a, 0 AS matched_b
+       FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+       GROUP BY n.n_nationkey
+       UNION ALL
+       SELECT 'full' AS side, COALESCE(c.c_nationkey, s.s_nationkey) AS key,
+              COUNT(c.c_custkey) AS matched_a, COUNT(s.s_suppkey) AS matched_b
        FROM customer c FULL JOIN supplier s ON c.c_nationkey = s.s_nationkey
        GROUP BY COALESCE(c.c_nationkey, s.s_nationkey)""",
 )
-def join_full(spark, sf_dir):
-    """Full outer join (DataFusion-complete superset)."""
+def join_outer(spark, sf_dir):
+    """Left, right and full outer joins, tagged and unioned into one
+    oracle row (CLI_REFERENCE.md:417-427; merges round-1's join_left /
+    join_right / join_full per VERDICT r1 item 1).  COUNT(col) counts
+    only matched rows, so null-extended sides contribute 0 — each join
+    type's outer semantics are value-checked, not just row-counted."""
     c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
-    return (
+    n = _t(spark, sf_dir, "nation")
+    zero = F.lit(0).cast("long")
+    left = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("key"))
+        .agg(F.count("o_orderkey").alias("matched_a"))
+        .select(F.lit("left").alias("side"), "key", "matched_a", zero.alias("matched_b"))
+    )
+    right = (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy(F.col("n_nationkey").alias("key"))
+        .agg(F.count("s_suppkey").alias("matched_a"))
+        .select(F.lit("right").alias("side"), "key", "matched_a", zero.alias("matched_b"))
+    )
+    full = (
         c.join(s, c.c_nationkey == s.s_nationkey, "full")
         .select(
-            F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+            F.coalesce(c.c_nationkey, s.s_nationkey).alias("key"),
             "c_custkey",
             "s_suppkey",
         )
-        .groupBy("nationkey")
+        .groupBy("key")
         .agg(
-            F.count("c_custkey").alias("n_cust"),
-            F.count("s_suppkey").alias("n_supp"),
+            F.count("c_custkey").alias("matched_a"),
+            F.count("s_suppkey").alias("matched_b"),
         )
+        .select(F.lit("full").alias("side"), "key", "matched_a", "matched_b")
     )
+    return left.unionAll(right).unionAll(full)
 
 
 @_q(
-    "join_cross",
-    "SELECT r.r_name, s.s_name FROM region r CROSS JOIN supplier s",
+    "join_semi_anti",
+    """SELECT 'semi' AS side, c_custkey AS key FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       UNION ALL
+       SELECT 'anti' AS side, p_partkey AS key FROM part p
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+                         AND l.l_quantity > 40)""",
 )
-def join_cross(spark, sf_dir):
-    """Cross join (DataFusion-complete superset)."""
+def join_semi_anti(spark, sf_dir):
+    """Left-semi (EXISTS) + left-anti (NOT EXISTS) joins in one entry
+    (DataFusion-complete superset; merged per VERDICT r1 item 1).  The
+    anti predicate is chosen so the result is non-empty — a vacuous
+    differential proves nothing."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("side"), F.col("c_custkey").alias("key"))
+    )
+    anti = (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select(F.lit("anti").alias("side"), F.col("p_partkey").alias("key"))
+    )
+    return semi.unionAll(anti)
+
+
+@_q(
+    "join_theta_cross",
+    """SELECT 'theta' AS side, a.n_name AS name_a, b.n_name AS name_b
+       FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+       UNION ALL
+       SELECT 'cross' AS side, r.r_name AS name_a, s.s_name AS name_b
+       FROM region r CROSS JOIN supplier s""",
+)
+def join_theta_cross(spark, sf_dir):
+    """Expression-key (theta) join + cross join in one entry
+    (reference: a.lat = b.lat + 1, CLI_REFERENCE.md:420-424; merged per
+    VERDICT r1 item 1)."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    theta = a.join(
+        b, F.col("b.n_nationkey") == F.col("a.n_nationkey") + 1
+    ).select(
+        F.lit("theta").alias("side"),
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.n_name").alias("name_b"),
+    )
     r = _t(spark, sf_dir, "region")
     s = _t(spark, sf_dir, "supplier")
-    return r.crossJoin(s).select("r_name", "s_name")
-
-
-@_q(
-    "join_right",
-    """SELECT n.n_name, s.s_suppkey, s.s_name
-       FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey""",
-)
-def join_right(spark, sf_dir):
-    """Right outer join (DataFusion-complete superset; nations without
-    suppliers yield NULL supplier columns, so the outer side is
-    exercised)."""
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
-        "n_name", "s_suppkey", "s_name"
+    cross = r.crossJoin(s).select(
+        F.lit("cross").alias("side"),
+        F.col("r_name").alias("name_a"),
+        F.col("s_name").alias("name_b"),
     )
+    return theta.unionAll(cross)
 
 
 # ---------------------------------------------------------------------------
@@ -777,45 +681,12 @@ def join_right(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@_q(
-    "win_rownum_rank",
-    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, rn, rnk, drnk
-       FROM (
-         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
-                ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                                   ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn,
-                RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
-                DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk
-         FROM lineitem) t
-       WHERE rn <= 5""",
-)
-def win_rownum_rank(spark, sf_dir):
-    """ROW_NUMBER / RANK / DENSE_RANK (CLI_REFERENCE.md:278-313).
-
-    row_number's spec includes unique tiebreak keys for determinism;
-    rank/dense_rank order by quantity alone to actually exercise ties."""
-    li = _t(spark, sf_dir, "lineitem")
-    w_total = W.partitionBy("l_returnflag").orderBy(
-        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
-    )
-    w_ties = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
-    return (
-        li.select(
-            "l_orderkey",
-            "l_linenumber",
-            "l_returnflag",
-            "l_quantity",
-            F.row_number().over(w_total).alias("rn"),
-            F.rank().over(w_ties).alias("rnk"),
-            F.dense_rank().over(w_ties).alias("drnk"),
-        )
-        .filter(F.col("rn") <= 5)
-    )
-
-
-_WIN_DIST_SQL = """
+_WIN_RANKING_SQL = """
     SELECT o_orderkey,
            o_orderpriority,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER wt AS rnk,
+           DENSE_RANK() OVER wt AS drnk,
            NTILE(4) OVER w AS quartile,
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST() OVER w AS cume,
@@ -829,67 +700,56 @@ _WIN_DIST_SQL = """
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              AS third_key
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+           wt AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
 """
 
 
-@_q("win_distribution", _WIN_DIST_SQL)
-def win_distribution(spark, sf_dir):
-    """Distribution/navigation window functions (ntile, percent_rank,
-    cume_dist, first/last/nth_value) — Spark-native superset of the
-    reference's window rows.  (o_totalprice, o_orderkey) is a total
-    order so every value is deterministic; one SQL string for both
-    engines."""
+@_q("win_ranking", _WIN_RANKING_SQL)
+def win_ranking(spark, sf_dir):
+    """Ranking + distribution/navigation window functions in one entry:
+    row_number, rank, dense_rank, ntile, percent_rank, cume_dist,
+    first/last/nth_value (CLI_REFERENCE.md:278-313; merges round-1's
+    win_rownum_rank / win_distribution per VERDICT r1 item 1).
+
+    ``w``'s (o_totalprice, o_orderkey) is a total order so row_number
+    and navigation values are deterministic; ``wt`` orders by price
+    alone so rank/dense_rank actually exercise ties.  One SQL string
+    for both engines."""
     _views(spark, sf_dir)
-    return spark.sql(_WIN_DIST_SQL)
+    return spark.sql(_WIN_RANKING_SQL)
 
 
 @_q(
-    "win_lag_lead",
+    "win_offset_frames",
     """SELECT event_id, user_id,
-              LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-              LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
-       FROM events""",
+              LAG(value, 1) OVER wo AS prev_value,
+              LEAD(value, 1) OVER wo AS next_value,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wf AS DOUBLE)
+                / COUNT(value) OVER wf AS moving_avg
+       FROM events
+       WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+              wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
 )
-def win_lag_lead(spark, sf_dir):
-    """LAG / LEAD offset 1 (CLI_REFERENCE.md:317-327).  ts is only the
-    ordering key (ns-vs-us truncation preserves order because event_id
-    breaks ties deterministically... ordering is by (ts, event_id) and
-    within-us ns reordering is impossible for distinct us values; equal
-    us values fall back to event_id on both engines)."""
+def win_offset_frames(spark, sf_dir):
+    """LAG / LEAD offset functions + a moving aggregate over ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW (CLI_REFERENCE.md:291-327;
+    merges round-1's win_lag_lead / win_moving_avg per VERDICT r1
+    item 1).  The moving average is exact-decimal-sum / count for
+    cross-engine bit determinism.  ts orders deterministically because
+    event_id breaks ties on both engines."""
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(-2, 0)
     return ev.select(
         "event_id",
         "user_id",
-        F.lag("value", 1).over(w).alias("prev_value"),
-        F.lead("value", 1).over(w).alias("next_value"),
-    )
-
-
-@_q(
-    "win_moving_avg",
-    """SELECT event_id, user_id,
-              CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-                / COUNT(value)
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
-       FROM events""",
-)
-def win_moving_avg(spark, sf_dir):
-    """Moving aggregate with ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-    (CLI_REFERENCE.md:291-300), computed as exact-decimal-sum / count
-    for cross-engine bit determinism."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
-    return ev.select(
-        "event_id",
-        "user_id",
+        F.lag("value", 1).over(wo).alias("prev_value"),
+        F.lead("value", 1).over(wo).alias("next_value"),
         (
-            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
-            / F.count("value").over(w)
+            F.sum(F.col("value").cast("decimal(18,6)")).over(wf).cast("double")
+            / F.count("value").over(wf)
         ).alias("moving_avg"),
     )
 
@@ -901,44 +761,48 @@ def win_moving_avg(spark, sf_dir):
 
 
 @_q(
-    "union_all",
-    """SELECT l_orderkey AS key FROM lineitem
-       UNION ALL SELECT o_orderkey AS key FROM orders""",
+    "setops",
+    """SELECT 'ua' AS op, key FROM (
+         SELECT l_orderkey AS key FROM lineitem
+         UNION ALL SELECT o_orderkey AS key FROM orders) u
+       UNION ALL
+       SELECT 'ix' AS op, key FROM (
+         SELECT o_custkey AS key FROM orders
+         INTERSECT SELECT c_custkey AS key FROM customer) i
+       UNION ALL
+       SELECT 'ex' AS op, key FROM (
+         SELECT p_partkey AS key FROM part
+         EXCEPT SELECT l_partkey AS key FROM lineitem WHERE l_quantity > 45) e""",
 )
-def union_all(spark, sf_dir):
-    """UNION ALL (CLI_REFERENCE.md:345-362)."""
-    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("key"))
-    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key"))
-    return li.unionAll(o)
-
-
-@_q(
-    "setop_intersect",
-    """SELECT o_custkey AS key FROM orders
-       INTERSECT SELECT c_custkey AS key FROM customer""",
-)
-def setop_intersect(spark, sf_dir):
-    """INTERSECT (distinct semantics; DataFusion-complete superset)."""
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
-    return o.intersect(c)
-
-
-@_q(
-    "setop_except",
-    """SELECT p_partkey AS key FROM part
-       EXCEPT SELECT l_partkey AS key FROM lineitem WHERE l_quantity > 45""",
-)
-def setop_except(spark, sf_dir):
-    """EXCEPT (distinct semantics; predicate chosen for a non-empty
-    difference)."""
-    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("key"))
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") > 45)
-        .select(F.col("l_partkey").alias("key"))
+def setops(spark, sf_dir):
+    """UNION ALL + INTERSECT + EXCEPT (distinct semantics), tagged and
+    unioned into one oracle row (CLI_REFERENCE.md:345-362; merges
+    round-1's three setop entries per VERDICT r1 item 1).  The EXCEPT
+    predicate is chosen for a non-empty difference."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ua = (
+        li.select(F.col("l_orderkey").alias("key"))
+        .unionAll(o.select(F.col("o_orderkey").alias("key")))
+        .select(F.lit("ua").alias("op"), "key")
     )
-    return p.exceptAll(li).distinct()
+    ix = (
+        o.select(F.col("o_custkey").alias("key"))
+        .intersect(_t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key")))
+        .select(F.lit("ix").alias("op"), "key")
+    )
+    ex = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("key"))
+        .exceptAll(
+            li.filter(F.col("l_quantity") > 45).select(
+                F.col("l_partkey").alias("key")
+            )
+        )
+        .distinct()
+        .select(F.lit("ex").alias("op"), "key")
+    )
+    return ua.unionAll(ix).unionAll(ex)
 
 
 _Q3_SQL = """
@@ -998,21 +862,41 @@ def tpch_q5_local_supplier(spark, sf_dir):
     return spark.sql(_Q5_SQL)
 
 
-_CTE_SQL = """
-    WITH hi AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000),
-         lo AS (SELECT o_orderkey FROM orders WHERE o_totalprice <= 200000)
-    SELECT 'hi' AS bucket, COUNT(*) AS n FROM hi
+_CTE_SUBQUERY_SQL = """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS order_rev
+      FROM lineitem GROUP BY l_orderkey),
+    hi AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000),
+    lo AS (SELECT o_orderkey FROM orders WHERE o_totalprice <= 200000)
+    SELECT 'hi' AS bucket, COUNT(*) AS n, CAST(NULL AS DOUBLE) AS stat FROM hi
     UNION ALL
-    SELECT 'lo' AS bucket, COUNT(*) AS n FROM lo
+    SELECT 'lo' AS bucket, COUNT(*) AS n, CAST(NULL AS DOUBLE) AS stat FROM lo
+    UNION ALL
+    SELECT 'rev' AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(order_rev AS DECIMAL(18,4))) AS DOUBLE) / COUNT(order_rev) AS stat
+    FROM (SELECT order_rev FROM per_order WHERE order_rev > 0) g
+    UNION ALL
+    SELECT 'above_avg' AS bucket, COUNT(*) AS n, CAST(NULL AS DOUBLE) AS stat
+    FROM orders
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM orders)
 """
 
 
-@_q("cte_multi_union", _CTE_SQL)
-def cte_multi_union(spark, sf_dir):
-    """Multiple CTEs + UNION ALL (CLI_REFERENCE.md:336-363) — same SQL
-    text through Catalyst."""
+@_q("cte_subquery", _CTE_SUBQUERY_SQL)
+def cte_subquery(spark, sf_dir):
+    """Multiple CTEs + UNION ALL + aggregate over a derived table +
+    scalar subquery in WHERE, one oracle row
+    (CLI_REFERENCE.md:336-363, integration_pushdown.rs:134-140; merges
+    round-1's cte_multi_union / subquery_from / subquery_scalar per
+    VERDICT r1 item 1).  Exact-decimal averages keep the scalar
+    threshold and the derived-table mean bit-identical cross-engine —
+    same SQL text through Catalyst and DuckDB."""
     _views(spark, sf_dir)
-    return spark.sql(_CTE_SQL)
+    return spark.sql(_CTE_SUBQUERY_SQL)
 
 
 _RECURSIVE_CTE_SQL = """
@@ -1033,43 +917,6 @@ def cte_recursive(spark, sf_dir):
     risk item resolved, no iterative-DataFrame fallback needed)."""
     _views(spark, sf_dir)
     return spark.sql(_RECURSIVE_CTE_SQL)
-
-
-_SUBQ_FROM_SQL = """
-    SELECT COUNT(*) AS n_orders,
-           MIN(order_rev) AS min_rev,
-           MAX(order_rev) AS max_rev,
-           CAST(SUM(CAST(order_rev AS DECIMAL(18,4))) AS DOUBLE) / COUNT(order_rev) AS avg_rev
-    FROM (
-      SELECT l_orderkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS order_rev
-      FROM lineitem GROUP BY l_orderkey
-    ) g
-"""
-
-
-@_q("subquery_from", _SUBQ_FROM_SQL)
-def subquery_from(spark, sf_dir):
-    """Aggregate over a derived table (integration_pushdown.rs:134-140)."""
-    _views(spark, sf_dir)
-    return spark.sql(_SUBQ_FROM_SQL)
-
-
-_SUBQ_SCALAR_SQL = """
-    SELECT o_orderkey, o_totalprice FROM orders
-    WHERE o_totalprice > 1.5 * (
-      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-      FROM orders)
-"""
-
-
-@_q("subquery_scalar", _SUBQ_SCALAR_SQL)
-def subquery_scalar(spark, sf_dir):
-    """Scalar subquery in WHERE (DataFusion-complete superset; exact
-    decimal average so the threshold is bit-identical cross-engine)."""
-    _views(spark, sf_dir)
-    return spark.sql(_SUBQ_SCALAR_SQL)
 
 
 _VARIANCE_SQL = """
