@@ -27,6 +27,11 @@ def stores(tmp_path_factory):
         "v2_zlib": dict(zarr_format=2, compression="zlib"),
         "v3_plain": dict(zarr_format=3, compression=None),
         "v3_gzip": dict(zarr_format=3, compression="gzip"),
+        # the reference's parity matrix is {v2,v3} x {plain, blosc-lz4}
+        # (tests/integration_formats.rs) — readable here via the
+        # pure-Python blosc decoder in zarr/lz4blosc.py
+        "v2_blosc_lz4": dict(zarr_format=2, compression="blosc-lz4"),
+        "v3_blosc_lz4": dict(zarr_format=3, compression="blosc-lz4"),
     }
     return {
         name: write_store(str(base / name), ARRAYS, **kw)
@@ -87,7 +92,10 @@ def test_version_detection(stores):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("variant", ["v2_plain", "v2_zlib", "v3_plain", "v3_gzip"])
+@pytest.mark.parametrize(
+    "variant",
+    ["v2_plain", "v2_zlib", "v3_plain", "v3_gzip", "v2_blosc_lz4", "v3_blosc_lz4"],
+)
 def test_flatten_matches_expected(spark, stores, variant):
     from zarr_datafusion_spark.zarr import read_zarr
 

@@ -6,9 +6,11 @@ rectangular window of an array by visiting only the chunks that
 intersect it — this is what makes coordinate-filter and limit pushdown
 actual I/O reductions (``zarr_reader.rs:243-317``).
 
-Codecs: raw, zlib, gzip, zstd and blosc are gated behind import-tries
-(this container ships neither ``numcodecs`` nor ``blosc``; the error
-message says exactly what's missing).  Missing chunk files materialize
+Codecs: raw, zlib, gzip natively; blosc (lz4/lz4hc/zlib inner codecs)
+via an installed ``blosc`` package when present, else the pure-Python
+fallback in :mod:`zarr_datafusion_spark.zarr.lz4blosc`; zstd and the
+remaining blosc inner codecs (blosclz, snappy) stay gated behind
+import-tries with actionable messages.  Missing chunk files materialize
 the array's fill_value, per the Zarr spec.
 """
 
@@ -73,15 +75,15 @@ def _decompress_v2(raw: bytes, compressor: dict | None) -> bytes:
             ) from e
     if cid == "blosc":
         try:
-            import blosc  # noqa: F401
+            import blosc
 
             return blosc.decompress(raw)
-        except ImportError as e:
-            raise NotImplementedError(
-                "blosc-compressed Zarr chunk but the 'blosc' package is not "
-                "installed in this environment (reference supports blosc via "
-                "its Rust codec; install python-blosc to enable)"
-            ) from e
+        except ImportError:
+            # dependency-free fallback: pure-Python blosc1/lz4 decoder
+            # (covers lz4/lz4hc/zlib codecs; see zarr/lz4blosc.py)
+            from zarr_datafusion_spark.zarr.lz4blosc import blosc_decompress
+
+            return blosc_decompress(raw)
     raise NotImplementedError(f"unsupported Zarr v2 compressor: {cid!r}")
 
 
@@ -120,10 +122,12 @@ def _decode_v3(raw: bytes, codecs: tuple, dtype: np.dtype) -> tuple[bytes, np.dt
                 import blosc
 
                 raw = blosc.decompress(raw)
-            except ImportError as e:
-                raise NotImplementedError(
-                    "blosc codec requires the 'blosc' package"
-                ) from e
+            except ImportError:
+                # v3 blosc codec payload is a blosc1 chunk; decode with
+                # the dependency-free fallback (zarr/lz4blosc.py)
+                from zarr_datafusion_spark.zarr.lz4blosc import blosc_decompress
+
+                raw = blosc_decompress(raw)
     return raw, dtype.newbyteorder("<" if endian == "little" else ">")
 
 

@@ -52,14 +52,20 @@ def _chunk_bytes(arr: np.ndarray, chunks: tuple[int, ...], idx: tuple[int, ...])
     return np.ascontiguousarray(block).tobytes()
 
 
-def _compress(raw: bytes, compression: str | None) -> bytes:
+def _compress(raw: bytes, compression: str | None, typesize: int = 1) -> bytes:
     if compression is None:
         return raw
     if compression == "zlib":
         return zlib.compress(raw, 1)
     if compression == "gzip":
         return gzip.compress(raw, 1)
-    raise ValueError(f"writer supports zlib/gzip/None, got {compression!r}")
+    if compression == "blosc-lz4":
+        from zarr_datafusion_spark.zarr.lz4blosc import blosc_compress
+
+        return blosc_compress(raw, typesize=typesize, do_shuffle=True)
+    raise ValueError(
+        f"writer supports zlib/gzip/blosc-lz4/None, got {compression!r}"
+    )
 
 
 def write_v2_array(
@@ -73,12 +79,24 @@ def write_v2_array(
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
     dtype_str = _V2_DTYPE[str(arr.dtype)]
+    if compression == "blosc-lz4":
+        compressor = {
+            "id": "blosc",
+            "cname": "lz4",
+            "clevel": 5,
+            "shuffle": 1,
+            "blocksize": 0,
+        }
+    elif compression:
+        compressor = {"id": compression, "level": 1}
+    else:
+        compressor = None
     meta = {
         "zarr_format": 2,
         "shape": list(arr.shape),
         "chunks": list(chunks),
         "dtype": dtype_str,
-        "compressor": {"id": compression, "level": 1} if compression else None,
+        "compressor": compressor,
         "fill_value": 0,
         "order": "C",
         "filters": None,
@@ -91,7 +109,13 @@ def write_v2_array(
         path = os.path.join(adir, *key.split("/"))
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
-            f.write(_compress(_chunk_bytes(arr, chunks, idx), compression))
+            f.write(
+                _compress(
+                    _chunk_bytes(arr, chunks, idx),
+                    compression,
+                    typesize=arr.dtype.itemsize,
+                )
+            )
 
 
 def write_v3_array(
@@ -106,8 +130,23 @@ def write_v3_array(
     codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
     if compression == "gzip":
         codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    elif compression == "blosc-lz4":
+        codecs.append(
+            {
+                "name": "blosc",
+                "configuration": {
+                    "cname": "lz4",
+                    "clevel": 5,
+                    "shuffle": "shuffle",
+                    "typesize": arr.dtype.itemsize,
+                    "blocksize": 0,
+                },
+            }
+        )
     elif compression is not None:
-        raise ValueError(f"v3 writer supports gzip/None, got {compression!r}")
+        raise ValueError(
+            f"v3 writer supports gzip/blosc-lz4/None, got {compression!r}"
+        )
     meta = {
         "zarr_format": 3,
         "node_type": "array",
@@ -133,7 +172,13 @@ def write_v3_array(
         path = os.path.join(adir, "c", *[str(i) for i in idx])
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
-            f.write(_compress(_chunk_bytes(le, chunks, idx), compression))
+            f.write(
+                _compress(
+                    _chunk_bytes(le, chunks, idx),
+                    compression,
+                    typesize=arr.dtype.itemsize,
+                )
+            )
 
 
 def write_store(
