@@ -126,7 +126,7 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer caches, plus one pandas-UDF
     # stage so Python worker spawn (pyspark/numpy/pandas imports) isn't
     # billed to the first UDF headline query.
-    _force(registry["topk"](spark, SF_DIR))
+    _force(registry["sort_topk"](spark, SF_DIR))
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")

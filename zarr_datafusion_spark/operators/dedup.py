@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from zarr_datafusion_spark.operators.common import cpu_rebalance
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
@@ -42,26 +44,14 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
-def _cpu_rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Rebalance a scan for CPU-bound per-row work (hashing UDFs): a
-    small corpus arrives as one parquet row group = one task; round-
-    robin repartition so the expensive map stage uses every core.  At
-    real scale (many files) the partition count already exceeds the
-    target and this is a no-op."""
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    return df
-
-
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return _cpu_rebalance(spark, df)
+    return cpu_rebalance(spark, df)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return _cpu_rebalance(spark, df)
+    return cpu_rebalance(spark, df)
 
 
 def _hash64(s: str) -> int:
@@ -282,7 +272,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     docs) are the hot spot — at scale, cap bucket size or salt; here
     buckets are tiny.
     """
-    return lsh_candidate_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+    # no trailing orderBy: a global sort adds a range-partitioning
+    # sampling pass that re-executes the signature UDF; the driver
+    # compare is order-insensitive
+    return lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +343,7 @@ def dedup_simhash(spark, sf_dir):
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= 8)
         .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    )  # no orderBy: avoids a second pass over the simhash UDF
 
 
 # ---------------------------------------------------------------------------

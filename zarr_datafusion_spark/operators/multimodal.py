@@ -85,7 +85,7 @@ def mm_synthesize(spark, sf_dir):
         F.length("payload").alias("payload_bytes"),
         "declared_width",
         "declared_height",
-    ).orderBy("doc_id")
+    )  # unsorted: a sort would re-run the pack UDF for range sampling
 
 
 _FEATURES_SCHEMA = (
@@ -144,7 +144,7 @@ def mm_extract_features(spark, sf_dir):
     value straight from ``documents`` — the differential proves the
     pack -> binary column -> mapInPandas parse round-trip is lossless,
     which is exactly the plumbing a real decoder would ride."""
-    return decode_features(synthesize_media(spark, sf_dir)).orderBy("doc_id")
+    return decode_features(synthesize_media(spark, sf_dir))
 
 
 @_q(
@@ -166,7 +166,6 @@ def mm_frame_sample(spark, sf_dir):
             F.explode(F.sequence(F.lit(0), F.lit(299), F.lit(30))).alias("frame_idx"),
             F.length("payload").alias("payload_bytes"),
         )
-        .orderBy("doc_id", "frame_idx")
     )
 
 
@@ -207,7 +206,7 @@ def mm_resize(spark, sf_dir):
             "doc_id long, width int, height int, new_width int, "
             "new_height int, out_bytes long"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 def decode_image_real(payload: bytes):

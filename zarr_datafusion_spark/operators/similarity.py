@@ -51,14 +51,11 @@ def _dot(a: str, b: str) -> str:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    # Rebalance for CPU-bound vector math: a small corpus arrives as one
-    # parquet row group = one task; at real scale (many files) this is a
-    # no-op because the scan already has >= defaultParallelism splits.
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    return df
+    from zarr_datafusion_spark.operators.common import cpu_rebalance
+
+    return cpu_rebalance(
+        spark, spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    )
 
 
 _TOPK_ORACLE = f"""

@@ -53,15 +53,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents scan rebalanced for CPU-bound per-row work (regex,
-    UDFs).  A small corpus arrives as one parquet row group = one task;
-    round-robin repartition to the cluster's parallelism so the
-    expensive map stage uses every core.  Cost is one tiny shuffle of
-    the raw text; at real scale (many files) it's a cheap rebalance."""
-    df = _docs(spark, sf_dir)
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    return df
+    UDFs) — see :func:`zarr_datafusion_spark.operators.common.cpu_rebalance`."""
+    from zarr_datafusion_spark.operators.common import cpu_rebalance
+
+    return cpu_rebalance(spark, _docs(spark, sf_dir))
 
 
 _TOKENS = "split(trim(text), '\\\\s+')"
@@ -234,7 +229,7 @@ def text_langid_heuristic(spark, sf_dir):
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         predict_lang("text").alias("predicted_lang"),
-    ).orderBy("doc_id")
+    )  # unsorted: a sort would re-run the lang-id UDF for range sampling
 
 
 _SPLIT_ORACLE = """
