@@ -77,3 +77,38 @@ def test_repl_zarr_stats_line(monkeypatch, capsys, engine):
         zarr_tables={"weather_cli": store},
     )
     assert "arrays · scan 700 cells ·" in out and "disk" in out
+
+
+def test_status_line_format():
+    from zarr_datafusion_spark.cli import _status_line
+
+    assert _status_line(1.23, []) == "1.2s"
+    assert (
+        _status_line(0.5, [(3, 5, 8), (4, 0, 32)])
+        == "0.5s · stage 3: 5/8 tasks · stage 4: 0/32 tasks"
+    )
+
+
+def test_live_status_paints_and_clears_tty(spark):
+    """With a TTY-like sink the live line paints \r-updates and erases
+    itself on exit; with a non-TTY sink it stays silent."""
+    import io
+    import time as _t
+
+    from zarr_datafusion_spark.cli import _live_status
+
+    class FakeTty(io.StringIO):
+        def isatty(self):
+            return True
+
+    out = FakeTty()
+    with _live_status(spark, out=out, interval=0.05):
+        _t.sleep(0.25)
+    text = out.getvalue()
+    assert "\r" in text and "s" in text
+    assert text.endswith("\r"), "line must erase itself before results print"
+
+    silent = io.StringIO()
+    with _live_status(spark, out=silent, interval=0.05):
+        _t.sleep(0.15)
+    assert silent.getvalue() == ""

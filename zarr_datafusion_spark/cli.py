@@ -46,6 +46,75 @@ def _is_ddl(sql: str) -> bool:
     return bool(head) and head[0].upper() in ("CREATE", "DROP", "ALTER")
 
 
+def _status_line(elapsed: float, stages: list[tuple[int, int, int]]) -> str:
+    """One live progress line: elapsed seconds + per-active-stage task
+    completion (the reference's background stats line,
+    ``main.rs:282-301``; ours shows Spark stage progress instead of
+    byte counters, which aren't observable mid-flight from the driver)."""
+    parts = [f"{elapsed:.1f}s"]
+    for sid, done, total in stages:
+        parts.append(f"stage {sid}: {done}/{total} tasks")
+    return " · ".join(parts)
+
+
+class _live_status:
+    """Context manager painting :func:`_status_line` to a TTY at 5 Hz
+    while the query runs; silent when stdout is not a terminal (tests,
+    pipes).  The line is erased before results print."""
+
+    def __init__(self, spark, out=None, interval: float = 0.2):
+        self._spark = spark
+        self._out = out if out is not None else sys.stdout
+        self._interval = interval
+        self._stop = None
+        self._thread = None
+
+    def _stages(self) -> list[tuple[int, int, int]]:
+        try:
+            tracker = self._spark.sparkContext.statusTracker()
+            out = []
+            for sid in sorted(tracker.getActiveStageIds()):
+                info = tracker.getStageInfo(sid)
+                if info is not None:
+                    out.append((sid, info.numCompletedTasks, info.numTasks))
+            return out
+        except Exception:
+            return []
+
+    def _run(self, t0: float) -> None:
+        import threading  # noqa: F401  (imported for clarity; see __enter__)
+
+        last_len = 0
+        while not self._stop.wait(self._interval):
+            line = _status_line(time.perf_counter() - t0, self._stages())
+            pad = max(0, last_len - len(line))
+            self._out.write("\r" + line + " " * pad)
+            self._out.flush()
+            last_len = len(line)
+        if last_len:
+            self._out.write("\r" + " " * last_len + "\r")
+            self._out.flush()
+
+    def __enter__(self):
+        if not getattr(self._out, "isatty", lambda: False)():
+            return self
+        import threading
+
+        self._stop = threading.Event()
+        t0 = time.perf_counter()
+        self._thread = threading.Thread(
+            target=self._run, args=(t0,), daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join(timeout=2)
+        return False
+
+
 def repl(engine, zarr_tables: dict[str, str]) -> None:
     """Read-eval-print loop over ``engine.sql``.
 
@@ -89,7 +158,8 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
                 print(f"OK ({time.perf_counter() - t0:.3f}s)")
                 continue
             df = engine.sql(sql)
-            rows = df.collect()
+            with _live_status(engine.spark):
+                rows = df.collect()
             secs = time.perf_counter() - t0
         except Exception as e:  # session survives errors (integration_error.rs)
             print(f"Error: {e}")
