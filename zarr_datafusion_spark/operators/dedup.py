@@ -403,3 +403,79 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
         .filter(F.col("cosine") >= 0.30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = rf"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(a.grams || b.grams)) >= {NGRAM_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s
+    )
+    SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src
+"""
+
+
+@_q("dedup_components", _COMPONENTS_ORACLE)
+def dedup_components(spark, sf_dir, max_iter: int = 20):
+    """Duplicate-cluster assignment: connected components over the
+    LSH-verified near-dup pairs, labeling every document with the
+    smallest doc_id reachable through near-dup edges (singletons label
+    themselves).  The finishing step of a dedup pipeline — "keep one
+    doc per cluster" is then a filter on ``doc_id = component``.
+
+    Iterative min-label propagation, the standard big-data connected
+    components (converges in O(diameter) rounds; the large-star/
+    small-star variant gets O(log n) — at 100 TB each round is one
+    shuffle of (doc_id, label) pairs, NOT of document text).  The
+    driver-side loop materializes exactly one scalar per round (the
+    label-sum convergence check, monotonically decreasing) and
+    ``localCheckpoint`` truncates the growing lineage.  The oracle is a
+    DuckDB recursive-CTE transitive closure over the same pairs —
+    engine-independent ground truth for the iterative algorithm.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS s", "doc_b AS t").unionAll(
+        pairs.selectExpr("doc_b AS s", "doc_a AS t")
+    ).localCheckpoint()  # pairs are tiny post-verify; computed once, reused every round
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    prev_sum = None
+    for _ in range(max_iter):
+        cand = edges.join(labels, edges.s == labels.doc_id).select(
+            F.col("t").alias("doc_id"), "component"
+        )
+        labels = (
+            labels.unionByName(cand)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
