@@ -479,3 +479,103 @@ def dedup_components(spark, sf_dir, max_iter: int = 20):
             break
         prev_sum = cur_sum
     return labels
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation (near-dup removal -> quality gate -> split)
+# ---------------------------------------------------------------------------
+
+_CURATE_ORACLE = rf"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(a.grams || b.grams)) >= {NGRAM_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    comp AS (SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src),
+    scored AS (
+      SELECT d.doc_id, c.component,
+             len(regexp_split_to_array(trim(d.text), '\s+')) AS n_tokens,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':split'), 1, 8))::UBIGINT
+               % 100 AS b
+      FROM documents d JOIN comp c USING (doc_id))
+    SELECT CASE WHEN doc_id != component THEN 'dropped_neardup'
+                WHEN n_tokens < 20 THEN 'dropped_quality'
+                WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS bucket,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM scored GROUP BY 1
+"""
+
+
+@_q("pipeline_curate", _CURATE_ORACLE)
+def pipeline_curate(spark, sf_dir):
+    """End-to-end training-set curation in one value-checked entry:
+    keep one document per near-dup cluster (:func:`dedup_components`),
+    drop low-quality docs (token-count gate), assign the survivors a
+    deterministic md5-keyed 80/10/10 split, and report per-bucket
+    counts incl. the dropped groups.  This is the composition a real
+    data pipeline runs nightly; every stage's effect lands in the
+    hashed output (each bucket, including both dropped_* groups, is
+    non-empty on the driver corpus).
+
+    Scale shape: components shuffle (doc_id, label) pairs only; the
+    gate/split are map-side expressions; the final agg is a 6-group
+    hash aggregate — no stage touches document text after tokenize.
+    """
+    docs = _docs(spark, sf_dir)
+    comp = dedup_components(spark, sf_dir)
+    n_tokens = F.expr("size(split(trim(text), '\\\\s+'))")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    bucket = (
+        F.when(F.col("doc_id") != F.col("component"), "dropped_neardup")
+        .when(F.col("n_tokens") < 20, "dropped_quality")
+        .when(F.col("b") < 80, "train")
+        .when(F.col("b") < 90, "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.join(comp, "doc_id")
+        .select("doc_id", "component", n_tokens.alias("n_tokens"), b.alias("b"))
+        .select("doc_id", "n_tokens", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
