@@ -89,7 +89,11 @@ def _decompress_v2(raw: bytes, compressor: dict | None) -> bytes:
 
 def _decode_v3(raw: bytes, codecs: tuple, dtype: np.dtype) -> tuple[bytes, np.dtype]:
     """Apply the v3 codec chain in reverse (bytes->bytes codecs first,
-    then the array->bytes 'bytes' codec fixes endianness)."""
+    then the array->bytes 'bytes' codec fixes endianness).
+
+    ``sharding_indexed`` is handled one level up (``_decode_shard`` in
+    ``read_chunk``) because it is an array->bytes codec producing a
+    whole chunk, not a bytes transform."""
     endian = "little"
     byte_codecs = []
     for codec in codecs:
@@ -99,7 +103,7 @@ def _decode_v3(raw: bytes, codecs: tuple, dtype: np.dtype) -> tuple[bytes, np.dt
         elif name in ("gzip", "zstd", "blosc", "crc32c"):
             byte_codecs.append(codec)
         elif name in ("transpose", "sharding_indexed"):
-            raise NotImplementedError(f"Zarr v3 codec not supported: {name}")
+            raise NotImplementedError(f"Zarr v3 codec not supported here: {name}")
         else:
             raise NotImplementedError(f"unknown Zarr v3 codec: {name}")
     for codec in reversed(byte_codecs):
@@ -129,6 +133,90 @@ def _decode_v3(raw: bytes, codecs: tuple, dtype: np.dtype) -> tuple[bytes, np.dt
 
                 raw = blosc_decompress(raw)
     return raw, dtype.newbyteorder("<" if endian == "little" else ">")
+
+
+def _index_nbytes(n_inner: int, index_codecs: tuple) -> int:
+    """Encoded size of a shard index: 16 bytes per inner chunk
+    (offset u64le, nbytes u64le) plus 4 for a crc32c suffix if the
+    declared index codec chain includes one."""
+    size = n_inner * 16
+    if any(c.get("name") == "crc32c" for c in index_codecs):
+        size += 4
+    return size
+
+
+def _decode_shard(
+    raw: bytes, cfg: dict, dtype: np.dtype, shard_shape: tuple, fill_value
+) -> np.ndarray:
+    """Decode one ``sharding_indexed`` shard (Zarr v3 ZEP-2).
+
+    A shard is a container of inner chunks plus an index: a
+    ``(*chunks_per_shard, 2)`` uint64-le array of (offset, nbytes)
+    pairs, offsets relative to the shard start, ``2**64-1`` marking a
+    missing inner chunk (fill value).  The index sits at
+    ``index_location`` ("start" | "end", default end), encoded by
+    ``index_codecs`` (only bytes-little [+ crc32c suffix, stripped
+    unverified] supported — zarr-python's defaults).  Inner chunks
+    decode through the regular v3 chain (``configuration.codecs``),
+    so gzip / blosc-lz4 inner compression works, and nested sharding
+    recurses naturally via ``read_chunk``'s dispatch.
+
+    The reference reads sharded stores through the zarrs crate
+    (``src/reader/zarr_reader.rs:68-184``); this is the from-scratch
+    equivalent."""
+    inner_shape = tuple(cfg["chunk_shape"])
+    if len(inner_shape) != len(shard_shape) or any(
+        s % i for s, i in zip(shard_shape, inner_shape)
+    ):
+        raise ValueError(
+            f"inner chunk shape {inner_shape} does not tile shard {shard_shape}"
+        )
+    cps = tuple(s // i for s, i in zip(shard_shape, inner_shape))
+    n_inner = int(np.prod(cps))
+    index_codecs = tuple(cfg.get("index_codecs") or ({"name": "bytes"},))
+    for c in index_codecs:
+        if c.get("name") not in ("bytes", "crc32c"):
+            raise NotImplementedError(
+                f"shard index codec not supported: {c.get('name')}"
+            )
+        if c.get("name") == "bytes" and (
+            (c.get("configuration") or {}).get("endian", "little") != "little"
+        ):
+            raise NotImplementedError("big-endian shard index not supported")
+    idx_nbytes = _index_nbytes(n_inner, index_codecs)
+    if len(raw) < idx_nbytes:
+        raise ValueError("shard smaller than its index")
+    if cfg.get("index_location", "end") == "start":
+        idx_raw = raw[:idx_nbytes]
+    else:
+        idx_raw = raw[-idx_nbytes:]
+    if any(c.get("name") == "crc32c" for c in index_codecs):
+        idx_raw = idx_raw[:-4]  # checksum stripped, not verified
+    index = np.frombuffer(idx_raw, dtype="<u8").reshape(n_inner, 2)
+
+    inner_codecs = tuple(cfg.get("codecs") or ({"name": "bytes"},))
+    missing = np.uint64(2**64 - 1)
+    out = np.full(shard_shape, fill_value if fill_value is not None else 0, dtype=dtype)
+    import itertools
+
+    for flat, inner_idx in enumerate(itertools.product(*(range(c) for c in cps))):
+        off, nb = index[flat]
+        if off == missing and nb == missing:
+            continue  # missing inner chunk -> fill value
+        payload = raw[int(off) : int(off) + int(nb)]
+        if any(c.get("name") == "sharding_indexed" for c in inner_codecs):
+            sub_cfg = next(
+                c for c in inner_codecs if c.get("name") == "sharding_indexed"
+            )["configuration"]
+            block = _decode_shard(payload, sub_cfg, dtype, inner_shape, fill_value)
+        else:
+            dec, dt = _decode_v3(payload, inner_codecs, dtype)
+            block = np.frombuffer(dec, dtype=dt).reshape(inner_shape)
+        sel = tuple(
+            slice(i * s, (i + 1) * s) for i, s in zip(inner_idx, inner_shape)
+        )
+        out[sel] = block
+    return out
 
 
 def _chunk_path(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> str:
@@ -172,6 +260,19 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
             )
         raw = _decompress_v2(raw, meta.compressor)
     else:
+        shard = next(
+            (c for c in meta.codecs if c.get("name") == "sharding_indexed"), None
+        )
+        if shard is not None:
+            arr = _decode_shard(
+                raw,
+                shard.get("configuration") or {},
+                dtype,
+                tuple(meta.chunks),
+                meta.fill_value,
+            )
+            _IO.decoded_bytes += arr.nbytes
+            return arr
         raw, dtype = _decode_v3(raw, meta.codecs, dtype)
     arr = np.frombuffer(raw, dtype=dtype)
     if arr.size != int(np.prod(meta.chunks)):

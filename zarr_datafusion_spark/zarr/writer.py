@@ -118,12 +118,40 @@ def write_v2_array(
             )
 
 
+def _encode_shard(
+    block: np.ndarray,
+    inner_shape: tuple[int, ...],
+    compression: str | None,
+) -> bytes:
+    """Encode one ``sharding_indexed`` shard (index at end, bytes-le
+    index codec): concatenated encoded inner chunks followed by the
+    (n_inner, 2) uint64-le (offset, nbytes) index."""
+    import struct as _struct
+
+    cps = tuple(s // i for s, i in zip(block.shape, inner_shape))
+    payloads: list[bytes] = []
+    index: list[tuple[int, int]] = []
+    pos = 0
+    for idx in itertools.product(*(range(c) for c in cps)):
+        sel = tuple(
+            slice(i * s, (i + 1) * s) for i, s in zip(idx, inner_shape)
+        )
+        raw = np.ascontiguousarray(block[sel]).tobytes()
+        enc = _compress(raw, compression, typesize=block.dtype.itemsize)
+        payloads.append(enc)
+        index.append((pos, len(enc)))
+        pos += len(enc)
+    idx_bytes = b"".join(_struct.pack("<QQ", o, n) for o, n in index)
+    return b"".join(payloads) + idx_bytes
+
+
 def write_v3_array(
     store: str,
     name: str,
     arr: np.ndarray,
     chunks: tuple[int, ...],
     compression: str | None = None,
+    inner_chunks: tuple[int, ...] | None = None,
 ) -> None:
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
@@ -147,6 +175,22 @@ def write_v3_array(
         raise ValueError(
             f"v3 writer supports gzip/blosc-lz4/None, got {compression!r}"
         )
+    if inner_chunks is not None:
+        # wrap the chain in sharding_indexed: chunk files become shards
+        # of inner chunks (ZEP-2); index at end, bytes-le index codec
+        codecs = [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(inner_chunks),
+                    "codecs": codecs,
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}}
+                    ],
+                    "index_location": "end",
+                },
+            }
+        ]
     meta = {
         "zarr_format": 3,
         "node_type": "array",
@@ -171,14 +215,25 @@ def write_v3_array(
     for idx in _chunks_of(arr.shape, chunks):
         path = os.path.join(adir, "c", *[str(i) for i in idx])
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(
-                _compress(
-                    _chunk_bytes(le, chunks, idx),
-                    compression,
-                    typesize=arr.dtype.itemsize,
-                )
+        if inner_chunks is not None:
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, chunks, le.shape)
             )
+            block = le[sel]
+            if block.shape != tuple(chunks):  # pad partial edge shard
+                padded = np.zeros(chunks, dtype=le.dtype)
+                padded[tuple(slice(0, e) for e in block.shape)] = block
+                block = padded
+            payload = _encode_shard(block, inner_chunks, compression)
+        else:
+            payload = _compress(
+                _chunk_bytes(le, chunks, idx),
+                compression,
+                typesize=arr.dtype.itemsize,
+            )
+        with open(path, "wb") as f:
+            f.write(payload)
 
 
 def write_store(
