@@ -575,3 +575,121 @@ def test_v3_sharded_store_through_spark(spark, tmp_path):
     a = read_zarr(spark, sharded).toPandas()
     b = read_zarr(spark, plain).toPandas()
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# v2 filters, v3 transpose, consolidated metadata
+# ---------------------------------------------------------------------------
+
+
+def test_v2_filter_chain_delta_shuffle(tmp_path):
+    """Zarr v2 numcodecs filter chain: delta then shuffle, zlib
+    compressed — encoded by hand per the numcodecs algorithms, decoded
+    by the reader (filters inverted in reverse order after
+    decompression)."""
+    import json
+    import os
+    import zlib
+
+    from zarr_datafusion_spark.zarr.chunkio import read_window
+    from zarr_datafusion_spark.zarr.lz4blosc import shuffle as byte_shuffle
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(-100, 100, 40).astype("<i8").cumsum()  # smooth-ish
+    store = str(tmp_path / "v2filters")
+    adir = os.path.join(store, "v")
+    os.makedirs(adir)
+    meta = {
+        "zarr_format": 2, "shape": [40], "chunks": [40], "dtype": "<i8",
+        "compressor": {"id": "zlib", "level": 1},
+        "filters": [
+            {"id": "delta", "dtype": "<i8", "astype": "<i8"},
+            {"id": "shuffle", "elementsize": 8},
+        ],
+        "fill_value": 0, "order": "C", "dimension_separator": ".",
+    }
+    json.dump(meta, open(os.path.join(adir, ".zarray"), "w"))
+    # encode: delta (first value + diffs), then byte-shuffle, then zlib
+    delta = np.empty_like(arr)
+    delta[0] = arr[0]
+    delta[1:] = arr[1:] - arr[:-1]
+    payload = zlib.compress(byte_shuffle(delta.tobytes(), 8), 1)
+    open(os.path.join(adir, "0"), "wb").write(payload)
+    # 1-D data var needs a coordinate of the same length
+    from zarr_datafusion_spark.zarr.writer import write_v2_array
+
+    # v is 1-D => classified as a coordinate itself; verify via direct read
+    json.dump({"zarr_format": 2}, open(os.path.join(store, ".zgroup"), "w"))
+    m = discover_arrays(store)
+    out = read_window(store, m.array("v"), ((0, 40),))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_v3_transpose_codec(tmp_path):
+    """v3 transpose codec: stored bytes are input.transpose(order); the
+    reader inverts the permutation."""
+    import json
+    import os
+
+    from zarr_datafusion_spark.zarr.chunkio import read_window
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+    from zarr_datafusion_spark.zarr.writer import write_v3_array
+
+    rng = np.random.RandomState(6)
+    arr = rng.randint(0, 1000, (6, 10)).astype(np.int64)
+    store = str(tmp_path / "v3transpose")
+    adir = os.path.join(store, "v")
+    os.makedirs(adir)
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [6, 10],
+        "data_type": "int64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [6, 10]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": [1, 0]}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+        ],
+        "fill_value": 0, "attributes": {},
+    }
+    json.dump(meta, open(os.path.join(adir, "zarr.json"), "w"))
+    os.makedirs(os.path.join(adir, "c", "0"), exist_ok=True)
+    with open(os.path.join(adir, "c", "0", "0"), "wb") as f:
+        f.write(np.ascontiguousarray(arr.transpose(1, 0)).astype("<i8").tobytes())
+    write_v3_array(store, "x", np.arange(6, dtype=np.int64), (6,))
+    write_v3_array(store, "y", np.arange(10, 20, dtype=np.int64), (10,))
+    json.dump({"zarr_format": 3, "node_type": "group"},
+              open(os.path.join(store, "zarr.json"), "w"))
+
+    m = discover_arrays(store)
+    out = read_window(store, m.array("v"), ((0, 6), (0, 10)))
+    np.testing.assert_array_equal(out, arr)
+    # windowed read through the transpose too
+    out = read_window(store, m.array("v"), ((1, 5), (3, 9)))
+    np.testing.assert_array_equal(out, arr[1:5, 3:9])
+
+
+def test_v2_consolidated_metadata_discovery(tmp_path):
+    """.zmetadata consolidated discovery: one read instead of per-array
+    .zarray reads (the object-store fast path).  Per-array .zarray
+    files are deleted to prove the consolidated document is used."""
+    import json
+    import os
+
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+
+    store = write_store(str(tmp_path / "cons"), ARRAYS, zarr_format=2)
+    entries = {}
+    for name in ARRAYS:
+        p = os.path.join(store, name, ".zarray")
+        entries[f"{name}/.zarray"] = json.load(open(p))
+        os.remove(p)
+    json.dump(
+        {"zarr_consolidated_format": 1, "metadata": entries},
+        open(os.path.join(store, ".zmetadata"), "w"),
+    )
+    m = discover_arrays(store)
+    assert [c.name for c in m.coords] == ["time", "lat", "lon"]
+    assert [v.name for v in m.data_vars] == ["humidity", "temperature"]
+    assert m.total_rows == 700
+    assert m.coord_min_max["time"] == (0, 6)

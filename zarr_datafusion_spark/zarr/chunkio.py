@@ -87,6 +87,28 @@ def _decompress_v2(raw: bytes, compressor: dict | None) -> bytes:
     raise NotImplementedError(f"unsupported Zarr v2 compressor: {cid!r}")
 
 
+def _apply_v2_filters_inverse(raw: bytes, filters: tuple, dtype: np.dtype) -> bytes:
+    """Invert a Zarr v2 / numcodecs filter chain (applied in reverse of
+    encode order, after decompression).  Supported: ``shuffle``
+    (byte-transpose by elementsize) and ``delta`` (first value +
+    differences -> cumulative sum), the two filters common in real v2
+    stores; anything else raises with the filter id."""
+    from zarr_datafusion_spark.zarr.lz4blosc import unshuffle
+
+    for f in reversed(filters):
+        fid = (f or {}).get("id")
+        if fid == "shuffle":
+            raw = unshuffle(raw, int(f.get("elementsize", dtype.itemsize)))
+        elif fid == "delta":
+            enc_dtype = np.dtype(f.get("astype") or f.get("dtype") or dtype)
+            out_dtype = np.dtype(f.get("dtype") or dtype)
+            arr = np.frombuffer(raw, dtype=enc_dtype)
+            raw = np.cumsum(arr, dtype=out_dtype).tobytes()
+        else:
+            raise NotImplementedError(f"Zarr v2 filter not supported: {fid!r}")
+    return raw
+
+
 def _decode_v3(raw: bytes, codecs: tuple, dtype: np.dtype) -> tuple[bytes, np.dtype]:
     """Apply the v3 codec chain in reverse (bytes->bytes codecs first,
     then the array->bytes 'bytes' codec fixes endianness).
@@ -253,12 +275,11 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
     raw = fs.read_bytes(path)
     _IO.disk_bytes += len(raw)
     _IO.n_chunks += 1
+    transpose_order = None
     if meta.zarr_format == 2:
-        if meta.filters:
-            raise NotImplementedError(
-                f"Zarr v2 filter chain not supported: {meta.filters}"
-            )
         raw = _decompress_v2(raw, meta.compressor)
+        if meta.filters:
+            raw = _apply_v2_filters_inverse(raw, meta.filters, dtype)
     else:
         shard = next(
             (c for c in meta.codecs if c.get("name") == "sharding_indexed"), None
@@ -273,7 +294,17 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
             )
             _IO.decoded_bytes += arr.nbytes
             return arr
-        raw, dtype = _decode_v3(raw, meta.codecs, dtype)
+        transpose = next(
+            (c for c in meta.codecs if c.get("name") == "transpose"), None
+        )
+        if transpose is not None:
+            transpose_order = tuple(
+                (transpose.get("configuration") or {}).get(
+                    "order", range(len(meta.chunks))
+                )
+            )
+        codecs = tuple(c for c in meta.codecs if c.get("name") != "transpose")
+        raw, dtype = _decode_v3(raw, codecs, dtype)
     arr = np.frombuffer(raw, dtype=dtype)
     if arr.size != int(np.prod(meta.chunks)):
         raise ValueError(
@@ -281,6 +312,13 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
             f"expected {int(np.prod(meta.chunks))}"
         )
     _IO.decoded_bytes += arr.nbytes
+    if transpose_order is not None:
+        # v3 transpose codec: stored array = input.transpose(order);
+        # invert by reshaping to the stored (permuted) shape and
+        # transposing back with the inverse permutation.
+        stored_shape = tuple(meta.chunks[i] for i in transpose_order)
+        inverse = tuple(int(i) for i in np.argsort(transpose_order))
+        return np.ascontiguousarray(arr.reshape(stored_shape).transpose(inverse))
     return arr.reshape(meta.chunks, order=meta.order)
 
 

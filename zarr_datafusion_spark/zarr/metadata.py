@@ -197,8 +197,10 @@ def detect_zarr_version(store_path: str) -> int:
     root_v3 = os.path.join(store_path, "zarr.json")
     if fs.exists(root_v3):
         return 3
-    if fs.exists(os.path.join(store_path, ".zgroup")) or fs.exists(
-        os.path.join(store_path, ".zarray")
+    if (
+        fs.exists(os.path.join(store_path, ".zgroup"))
+        or fs.exists(os.path.join(store_path, ".zarray"))
+        or fs.exists(os.path.join(store_path, ".zmetadata"))
     ):
         return 2
     # Probe subdirectories (stores without root group metadata)
@@ -288,29 +290,56 @@ def _infer_coord_order(
     return coords
 
 
+def _arrays_from_consolidated(fs, store_path: str) -> list[ZarrArrayMeta] | None:
+    """Zarr v2 consolidated metadata: a root ``.zmetadata`` file holds
+    every ``.zarray``/``.zattrs`` document, so discovery is ONE read
+    instead of one per array — the difference between milliseconds and
+    seconds of round-trips on an object store.  Returns None when the
+    file is absent/unusable (fall back to directory walking)."""
+    path = os.path.join(store_path, ".zmetadata")
+    if not fs.exists(path):
+        return None
+    try:
+        doc = json.loads(fs.read_text(path))
+        entries = doc["metadata"]
+    except Exception:
+        return None
+    arrays: list[ZarrArrayMeta] = []
+    for key in sorted(entries):
+        if key.endswith("/.zarray") and "/" not in key[: -len("/.zarray")]:
+            arrays.append(
+                _parse_v2_array(key[: -len("/.zarray")], entries[key])
+            )
+    return arrays or None
+
+
 def discover_arrays(store_path: str) -> ZarrStoreMeta:
     """Discover all arrays; classify, order, compute coord min/max."""
     from zarr_datafusion_spark.zarr.chunkio import read_array
 
     fs, store_path = _fs_for(normalize_store_path(store_path))
     version = detect_zarr_version(store_path)
-    arrays: list[ZarrArrayMeta] = []
-    for entry in sorted(fs.listdir(store_path)):
-        sub = os.path.join(store_path, entry)
-        if not fs.isdir(sub):
-            continue
-        if version == 2:
-            zarray = os.path.join(sub, ".zarray")
-            if fs.exists(zarray):
-                arrays.append(
-                    _parse_v2_array(entry, json.loads(fs.read_text(zarray)))
-                )
-        else:
-            zjson = os.path.join(sub, "zarr.json")
-            if fs.exists(zjson):
-                meta = json.loads(fs.read_text(zjson))
-                if meta.get("node_type") == "array":
-                    arrays.append(_parse_v3_array(entry, meta))
+    arrays: list[ZarrArrayMeta] | None = None
+    if version == 2:
+        arrays = _arrays_from_consolidated(fs, store_path)
+    if arrays is None:
+        arrays = []
+        for entry in sorted(fs.listdir(store_path)):
+            sub = os.path.join(store_path, entry)
+            if not fs.isdir(sub):
+                continue
+            if version == 2:
+                zarray = os.path.join(sub, ".zarray")
+                if fs.exists(zarray):
+                    arrays.append(
+                        _parse_v2_array(entry, json.loads(fs.read_text(zarray)))
+                    )
+            else:
+                zjson = os.path.join(sub, "zarr.json")
+                if fs.exists(zjson):
+                    meta = json.loads(fs.read_text(zjson))
+                    if meta.get("node_type") == "array":
+                        arrays.append(_parse_v3_array(entry, meta))
 
     coords = [a for a in arrays if a.is_coordinate]
     data_vars = sorted(
