@@ -693,3 +693,45 @@ def test_v2_consolidated_metadata_discovery(tmp_path):
     assert [v.name for v in m.data_vars] == ["humidity", "temperature"]
     assert m.total_rows == 700
     assert m.coord_min_max["time"] == (0, 6)
+
+
+def test_datetime64_time_coordinate(spark, tmp_path):
+    """datetime64[ns] time axis (the standard xarray/climate layout):
+    surfaces as a Spark TimestampType column with correct UTC instants;
+    equality filters on it return exact rows (re-applied by Spark —
+    datetime coords are excluded from window pushdown by design, and
+    from stats min/max, so neither can fire wrong)."""
+    import datetime
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+
+    times = np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T06:00:00", "2024-01-01T12:00:00"],
+        dtype="M8[ns]",
+    )
+    temp = np.arange(12, dtype=np.int64).reshape(3, 4)
+    store = write_store(
+        str(tmp_path / "dt"),
+        {
+            "time": (times, (3,)),
+            "cell": (np.arange(4, dtype=np.int64), (4,)),
+            "temp": (temp, (1, 4)),
+        },
+    )
+    meta = discover_arrays(store)
+    assert meta.array("time").dtype == "datetime64[ns]"
+    assert "time" not in meta.coord_min_max  # shortcut guard
+
+    df = read_zarr(spark, store)
+    assert dict(df.dtypes)["time"] == "timestamp"
+    rows = df.orderBy("time", "cell").collect()
+    assert len(rows) == 12
+    assert rows[0].time == datetime.datetime(2024, 1, 1, 0, 0)
+    assert rows[-1].time == datetime.datetime(2024, 1, 1, 12, 0)
+
+    from pyspark.sql import functions as F
+
+    sel = df.filter(F.col("time") == "2024-01-01 06:00:00").orderBy("cell")
+    got = sel.collect()
+    assert [r.temp for r in got] == [4, 5, 6, 7]

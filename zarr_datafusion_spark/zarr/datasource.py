@@ -66,6 +66,12 @@ _ARROW_TYPES = {
     "float32": pa.float32(),
     "float64": pa.float64(),
     "bool": pa.bool_(),
+    # Spark timestamps are microsecond precision; arrow casts ns -> us
+    # by truncation, matching Spark's own parquet TIMESTAMP(NANOS) read
+    "datetime64[ns]": pa.timestamp("us"),
+    "datetime64[us]": pa.timestamp("us"),
+    "datetime64[ms]": pa.timestamp("us"),
+    "datetime64[s]": pa.timestamp("us"),
 }
 
 
@@ -142,7 +148,15 @@ class ZarrDataSourceReader(DataSourceReader):
         """Record ``coord = literal`` conjuncts for window pruning;
         yield every filter back as unsupported so Spark re-applies them
         (the reference's Inexact pushdown contract)."""
-        coord_names = {c.name for c in self.meta.coords}
+        # datetime coords excluded: the pushed literal's timezone/unit
+        # semantics vs the stored datetime64 ticks are engine-dependent,
+        # and a wrong window silently drops rows — Spark re-applies the
+        # filter over the full window instead (Inexact contract).
+        coord_names = {
+            c.name
+            for c in self.meta.coords
+            if not c.dtype.startswith("datetime64")
+        }
         for f in filters:
             if (
                 isinstance(f, EqualTo)

@@ -70,6 +70,10 @@ _SPARK_TYPES = {
     "float32": T.FloatType(),
     "float64": T.DoubleType(),
     "bool": T.BooleanType(),
+    "datetime64[ns]": T.TimestampType(),
+    "datetime64[us]": T.TimestampType(),
+    "datetime64[ms]": T.TimestampType(),
+    "datetime64[s]": T.TimestampType(),
 }
 
 #: normalized dtype -> numpy dtype used when decoding chunk bytes
@@ -91,12 +95,17 @@ _NUMPY_TYPES = {
 
 def parse_v2_dtype(dtype_raw: str) -> tuple[str, str]:
     """Normalize a numpy dtype string like ``<i8`` -> (``int64``, byte
-    order char) (reference ``dtype.rs:9-56``)."""
+    order char) (reference ``dtype.rs:9-56``).  ``M8[ns]`` (datetime64,
+    the standard xarray/climate time axis) normalizes to
+    ``datetime64[ns]``."""
     s = dtype_raw.strip()
     order = "<"
     if s and s[0] in "<>|=":
         order = "<" if s[0] in "|=" else s[0]
         s = s[1:]
+    if s.startswith("M8"):
+        unit = s[3:-1] if "[" in s else "ns"
+        return f"datetime64[{unit}]", order
     return _V2_DTYPE_CODES.get(s, s), order
 
 
@@ -105,6 +114,9 @@ def spark_type_for(dtype: str) -> T.DataType:
 
 
 def numpy_dtype_for(dtype: str, byte_order: str = "<") -> np.dtype:
+    if dtype.startswith("datetime64"):
+        unit = dtype[len("datetime64[") : -1] if "[" in dtype else "ns"
+        return np.dtype(f"{byte_order}M8[{unit}]")
     code = _NUMPY_TYPES.get(dtype)
     if code is None:
         raise NotImplementedError(f"unsupported Zarr dtype: {dtype!r}")
@@ -361,8 +373,14 @@ def discover_arrays(store_path: str) -> ZarrStoreMeta:
         data_vars=data_vars,
         total_rows=int(np.prod([c.shape[0] for c in coords])) if coords else 0,
     )
-    # Eager exact coord min/max (schema_inference.rs:214-302)
+    # Eager exact coord min/max (schema_inference.rs:214-302).
+    # datetime64 coords are excluded: .item() yields raw integer ticks,
+    # and a stats-shortcut literal built from them would not be the
+    # timestamp the scan returns — the shortcut must not fire rather
+    # than fire wrong (same guard discipline as float NaN bounds).
     for c in coords:
+        if c.dtype.startswith("datetime64"):
+            continue
         values = read_array(store_path, c)
         if len(values):
             meta.coord_min_max[c.name] = (values.min().item(), values.max().item())

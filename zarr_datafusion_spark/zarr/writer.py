@@ -31,6 +31,9 @@ _V2_DTYPE = {
     "float32": "<f4",
     "float64": "<f8",
     "bool": "|b1",
+    "datetime64[ns]": "<M8[ns]",
+    "datetime64[us]": "<M8[us]",
+    "datetime64[s]": "<M8[s]",
 }
 
 
