@@ -80,3 +80,53 @@ def test_flatten_any_grid(spark, tmp_path_factory, grid, zarr_format):
         outer = int(np.prod(sizes[:d]))
         expected = np.tile(np.repeat(np.arange(sizes[d]), inner), outer)
         np.testing.assert_array_equal(pdf[name].to_numpy(), expected)
+
+
+# ---------------------------------------------------------------------------
+# Partition-planner helper invariants (round-2 inner-dim splitting)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    lo=st.integers(0, 1000),
+    span=st.integers(1, 2000),
+    chunk=st.integers(1, 100),
+    want=st.integers(1, 64),
+)
+@settings(max_examples=200, deadline=None)
+def test_aligned_pieces_tile_window(lo, span, chunk, want):
+    """_aligned_pieces: pieces exactly tile [lo, hi), are ordered and
+    disjoint, stay within bounds, number <= want, and every interior
+    boundary falls on the chunk grid."""
+    from zarr_datafusion_spark.zarr.datasource import _aligned_pieces
+
+    hi = lo + span
+    pieces = _aligned_pieces(lo, hi, chunk, want)
+    assert 1 <= len(pieces) <= want
+    assert pieces[0][0] == lo and pieces[-1][1] == hi
+    for (a, b), (c, d) in zip(pieces, pieces[1:]):
+        assert b == c, "pieces must be contiguous"
+        assert b % chunk == 0, "interior boundary off the chunk grid"
+    assert all(b > a for a, b in pieces)
+
+
+@given(
+    lo=st.integers(0, 1000),
+    span=st.integers(1, 2000),
+    want=st.integers(1, 64),
+)
+@settings(max_examples=200, deadline=None)
+def test_even_pieces_tile_window(lo, span, want):
+    from zarr_datafusion_spark.zarr.datasource import _even_pieces
+
+    hi = lo + span
+    pieces = _even_pieces(lo, hi, want)
+    assert 1 <= len(pieces) <= want
+    assert pieces[0][0] == lo and pieces[-1][1] == hi
+    for (a, b), (c, d) in zip(pieces, pieces[1:]):
+        assert b == c
+    sizes = [b - a for a, b in pieces]
+    assert max(sizes) - min(sizes) <= 1, "pieces should be near-equal"
