@@ -151,8 +151,23 @@ def dedup_ngram_jaccard(spark, sf_dir):
     item 4).
     """
     docs = _docs(spark, sf_dir)
-    cands = lsh_candidate_pairs(docs)
-    g = docs.select("doc_id", F.expr(_GRAMS_EXPR).alias("grams"))
+    # localCheckpoint: the candidate list is referenced twice below
+    # (pair join + id prune); materializing it once keeps the MinHash
+    # signature UDF to a single execution.  Candidates are tiny
+    # relative to the corpus, so the checkpoint cost is negligible.
+    cands = lsh_candidate_pairs(docs).localCheckpoint()
+    # Tokenize ONLY documents that appear in a candidate pair: the
+    # left-semi prune keeps the expensive trigram computation
+    # proportional to the near-dup set, not the corpus (at 100 TB the
+    # corpus-wide gram build would dominate the whole job).
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    g = docs.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", F.expr(_GRAMS_EXPR).alias("grams")
+    )
     ga = g.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("a_grams"))
     gb = g.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("b_grams"))
     jac = (
