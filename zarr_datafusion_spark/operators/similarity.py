@@ -252,3 +252,59 @@ def sim_ann_ivf(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+RERANK_POOL = 50  # quantized candidates fed to the exact rerank
+
+
+@_q("sim_topk_quantized", _TOPK_ORACLE)
+def sim_topk_quantized(spark, sf_dir):
+    """Two-stage retrieve-and-rerank top-k with int8 scalar
+    quantization — the standard serving shape for billion-vector ANN:
+
+    1. quantize each embedding to int8 with a per-vector scale
+       (127 / max|x|), entirely in JVM higher-order functions;
+    2. score all vectors with the cheap int8 dot product (int
+       arithmetic, 4x smaller data than float32) and keep the top
+       ``RERANK_POOL`` via TakeOrderedAndProject;
+    3. rerank only that pool with the exact double fold.
+
+    The oracle is the exact brute-force answer: the entry is only
+    green if the quantized retrieval stage has recall 1 on the true
+    top-k (int8 cosine error ~1e-2 against a pool 5x the k makes that
+    robust).  At scale the int8 column is what you persist; stage 2
+    reads 1/4 the bytes of the float scan.
+    """
+    e = _emb(spark, sf_dir)
+    scale = (
+        "CAST(127.0 / aggregate(embedding, 0D, "
+        "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) AS DOUBLE)"
+    )
+    eq = e.withColumn("qscale", F.expr(scale)).withColumn(
+        "qvec",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * qscale) AS INT))"
+        ),
+    )
+    q = eq.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("qscale").alias("q_scale"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("embedding").alias("qe"),
+    )
+    approx = (
+        "aggregate(zip_with(qvec, q_qvec, (x, y) -> x * y), 0, (a, v) -> a + v)"
+        " / (qscale * q_scale)"
+    )
+    pool = (
+        eq.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("approx", F.expr(approx))
+        .orderBy(F.col("approx").desc(), "vec_id")
+        .limit(RERANK_POOL)
+    )
+    dot = _dot("embedding", "qe")
+    return (
+        pool.select("vec_id", "label", F.round(F.expr(dot), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
