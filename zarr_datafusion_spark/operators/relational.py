@@ -983,7 +983,14 @@ def scale_salted_agg(spark, sf_dir):
 # Keep round-1-green names in this module's tail so any overflow falls
 # on entries whose correctness is already on record from round 1 —
 # never on a newly-named merged entry.
-_TAIL = ("array_functions", "json_functions", "distinct_vals", "cte_recursive", "agg_variance")
+_TAIL = (
+    "agg_time_bucket",
+    "array_functions",
+    "json_functions",
+    "distinct_vals",
+    "cte_recursive",
+    "agg_variance",
+)
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _TAIL},
     **{k: QUERIES[k] for k in _TAIL if k in QUERIES},

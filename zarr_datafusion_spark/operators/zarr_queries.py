@@ -185,3 +185,27 @@ def zarr_stats_shortcut(spark, sf_dir):
             "answer via a full scan, defeating the A7/A8 demonstration"
         )
     return df
+
+
+@_q(
+    "zarr_sink_roundtrip",
+    f"""SELECT time, lat, lon, temperature, humidity
+        FROM read_parquet('{_MIRROR}')""",
+)
+def zarr_sink_roundtrip(spark, sf_dir):
+    """Sink + source round-trip, value-checked: scan the fixture store,
+    write it back through the distributed Zarr sink (executors own
+    chunk slabs; beyond-reference — the reference has no sink), then
+    scan the rewritten store.  The oracle is the independent parquet
+    mirror, so a lossy write OR read shows up as a hash mismatch."""
+    import tempfile
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.sink import write_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="zds_sink_rt_"), "weather_rt.zarr"
+    )
+    write_zarr(src, out, coords=["time", "lat", "lon"])
+    return read_zarr(spark, out)
