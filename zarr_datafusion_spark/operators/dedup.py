@@ -54,14 +54,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cpu_rebalance(spark, df)
 
 
-def _hash64(s: str) -> int:
-    """Deterministic 64-bit string hash (blake2b/8, C speed).  Python's
-    builtin ``hash`` is per-process salted — useless across executors."""
-    import hashlib
-
-    return int.from_bytes(
-        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-    )
+#: odd 64-bit mixing constant (golden-ratio) for polynomial gram hashing.
+#: Word/token hashes come from pandas' hash_array (siphash, fixed key —
+#: deterministic across executor processes, unlike builtin hash).
+_POLY = np.uint64(0x9E3779B97F4A7C15)
 
 
 # ---------------------------------------------------------------------------
@@ -217,17 +213,29 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
 
     @F.pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
+        from pandas.util import hash_array
+
         out = []
         for t in texts:
             words = t.lower().split()
-            grams = {
-                " ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 1))
-            }
-            h = np.fromiter(
-                (_hash64(g) for g in grams),
-                dtype=np.uint64,
-                count=len(grams),
-            )
+            # Word hashes once per doc at C speed (siphash, fixed key —
+            # deterministic across executors, unlike builtin hash), then
+            # gram hash = wrap-around polynomial over 3 consecutive word
+            # hashes.  No gram strings are materialized and no per-gram
+            # Python hashing runs — this stage was the MinHash hot spot
+            # (~50 blake2b calls + string joins per doc).  The per-doc
+            # shingle SET is gone too: duplicates never change a min.
+            wh = hash_array(np.array(words, dtype=object))
+            if len(wh) >= 3:
+                h = (wh[:-2] * _POLY + wh[1:-1]) * _POLY + wh[2:]
+            else:
+                # short doc: one gram over whatever words exist (empty
+                # doc hashes the empty sequence), matching the old
+                # "at least one shingle" behavior
+                g = np.uint64(0)
+                for w in wh:
+                    g = g * _POLY + w
+                h = np.array([g], dtype=np.uint64)
             # n_perm wrap-around affine hashes of every shingle,
             # column-min (the per-permutation minhash)
             m = h[:, None] * a[None, :] + b[None, :]
@@ -307,16 +315,24 @@ def dedup_simhash(spark, sf_dir):
 
     @F.pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
+        from pandas.util import hash_array
+
+        shifts = np.arange(64, dtype=np.uint64)
+
         def sh(t: str) -> int:
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in t.lower().split():
-                h = np.uint64(_hash64(tok))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            v = int(
-                "".join("1" if x > 0 else "0" for x in acc[::-1]), 2
+            toks = t.lower().split()
+            if not toks:
+                return 0
+            # token hashes in one C-level call (duplicates kept: simhash
+            # is a frequency-weighted sign sum), bit matrix (ntok x 64)
+            # vectorized instead of a per-token Python loop
+            h = hash_array(np.array(toks, dtype=object))
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
             )
-            return v - (1 << 64) if v >= 1 << 63 else v
+            acc = (2 * bits - 1).sum(axis=0)
+            v = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            return int(v.astype(np.int64))
 
         return texts.map(sh)
 
