@@ -48,6 +48,7 @@ def _registries() -> tuple[dict, dict]:
     """
     from zarr_datafusion_spark.operators import (
         dedup,
+        extras,
         multimodal,
         relational,
         similarity,
@@ -57,6 +58,9 @@ def _registries() -> tuple[dict, dict]:
         zarr_queries,
     )
 
+    # ``extras`` is deliberately LAST: new round-2+ oracle entries
+    # append after the curated ~50-slot checked window instead of
+    # displacing rows whose green record the driver already holds.
     mods = (
         zarr_queries,
         temporal,
@@ -66,6 +70,7 @@ def _registries() -> tuple[dict, dict]:
         textstats,
         streaming_queries,
         relational,
+        extras,
     )
     seen: set[str] = set()
     for mod in mods:
