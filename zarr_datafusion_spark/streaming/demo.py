@@ -61,19 +61,33 @@ def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
     The memory-sink temp view is dropped after the result is decoupled
     via an eager localCheckpoint, so repeated calls don't park one
     result copy per invocation in driver memory for the session's
-    lifetime."""
-    name = f"zds_stream_sink_{next(_sink_ids)}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    lifetime.
+
+    State-store parallelism: a stateful query allocates one state store
+    per shuffle partition *per stateful operator*, each with its own
+    commit/snapshot files every micro-batch — the standard deployment
+    knob is to size ``spark.sql.shuffle.partitions`` to the stream's
+    key volume before the first start (it is frozen into the
+    checkpoint).  The demo streams carry thousands of keys, so 8 stores
+    beat the batch-tuned 32; the batch setting is restored after the
+    run."""
     spark = agg.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    name = f"zds_stream_sink_{next(_sink_ids)}"
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
