@@ -48,3 +48,41 @@ def test_streaming_join_nonempty_and_within_window(spark):
     assert rows, "no click->purchase pairs within an hour at this sf"
     ids = {(r.click_id, r.purchase_id) for r in rows}
     assert len(ids) == len(rows), "duplicate attribution pairs"
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = {r.source: r for r in extras.QUERIES["sample_stratified"](spark, SF_DIR).collect()}
+    assert rows, "no sources"
+    for r in rows.values():
+        assert 0 <= r.n_kept <= r.n_total
+        if r.rate_pct == 100:
+            assert r.n_kept == r.n_total, "rate-100 stratum must keep all"
+    # deterministic: a second run keeps exactly the same counts
+    again = {r.source: r.n_kept for r in extras.QUERIES["sample_stratified"](spark, SF_DIR).collect()}
+    assert again == {s: r.n_kept for s, r in rows.items()}
+
+
+def test_topk_per_group_shape(spark):
+    rows = extras.QUERIES["topk_per_group"](spark, SF_DIR).collect()
+    assert rows
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in per_lang.items():
+        assert sorted(x.rk for x in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # rank order must follow (n_tokens desc, doc_id asc)
+        ordered = sorted(rs, key=lambda x: (-x.n_tokens, x.doc_id))
+        assert [x.rk for x in ordered] == sorted(x.rk for x in rs)
+
+
+def test_topk_per_group_uses_group_limit(spark):
+    """The rank predicate must compile to WindowGroupLimit (per-partition
+    top-k), not a full per-group sort."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        extras.QUERIES["topk_per_group"](spark, SF_DIR).explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()

@@ -250,3 +250,116 @@ def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.value").alias("purchase_value"),
     )
     return _run_to_memory(joined, "append")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+#: per-source keep rates (percent) — the "mixing weights" a training
+#: pipeline applies to rebalance over-represented sources
+_MIX_CASE = (
+    "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100 "
+    "WHEN source IN ('src5','src6','src7','src8','src9') THEN 50 "
+    "ELSE 20 END"
+)
+
+_MIX_BUCKET_DUCK = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::UBIGINT % 100"
+)
+
+_SAMPLE_ORACLE = f"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE bucket < rate) AS n_kept,
+           CAST({_MIX_CASE} AS BIGINT) AS rate_pct
+    FROM (
+      SELECT doc_id, source,
+             {_MIX_BUCKET_DUCK} AS bucket,
+             {_MIX_CASE} AS rate
+      FROM documents)
+    GROUP BY source
+"""
+
+
+@_q("sample_stratified", _SAMPLE_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-source) downsampling — the data
+    mixing primitive that rebalances over-represented sources before
+    training.  The keep decision is ``md5(doc_id || ':mix') % 100 <
+    rate``, NOT ``df.sample()``: hash-keyed selection is stable across
+    runs, engines, partitionings, and corpus growth, and needs no RNG
+    state.  Per-source keep rates are the mixing weights.
+
+    100 TB shape: the decision is a pure row-local projection (no
+    shuffle at all for the sampled OUTPUT — this entry aggregates per
+    source only to make the oracle compact).
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.expr(_MIX_CASE)
+    return (
+        docs.select("source", bucket.alias("bucket"), rate.alias("rate"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(F.col("bucket") < F.col("rate")).alias("n_kept"),
+            F.first("rate").cast("long").alias("rate_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k (per-stratum curation)
+# ---------------------------------------------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+    SELECT lang, doc_id, n_tokens, rk
+    FROM (
+      SELECT lang, doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY len(regexp_split_to_array(lower(trim(text)), '\\s+')) DESC,
+                        doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 3
+"""
+
+
+@_q("topk_per_group", _TOPK_GROUP_ORACLE)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 3 longest documents per language (curation's
+    "best k per stratum" shape).  ROW_NUMBER over (lang) with a
+    doc_id tie-break for full determinism, then filter rk <= k.
+
+    100 TB: one shuffle on the group key; Spark pushes the rk <= k
+    predicate into the sort as a per-partition top-k (WindowGroupLimit),
+    so no group is ever fully sorted — check the plan for
+    ``WindowGroupLimit`` below the Window node."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_tokens = F.expr(
+        "CAST(size(split(lower(trim(text)), '\\\\s+')) AS BIGINT)"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+    )
+    return (
+        docs.select("lang", "doc_id", n_tokens.alias("n_tokens"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
