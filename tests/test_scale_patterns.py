@@ -78,3 +78,39 @@ def test_bucketed_agg_has_no_shuffle(spark):
     agg = spark.table("orders_b2").groupBy("o_custkey").agg(F.count("*").alias("n"))
     assert "Exchange" not in plan_text(agg)
     assert agg.count() == o.select("o_custkey").distinct().count()
+
+
+def test_write_sorted_files_own_disjoint_key_ranges(spark, tmp_path):
+    """write_sorted must produce footer min/max ranges that never
+    interleave across files — the property engines prune on.  Verified
+    independently with pyarrow (not through Spark)."""
+    import pyarrow.parquet as pq
+
+    from zarr_datafusion_spark.scale import write_sorted
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = str(tmp_path / "li_sorted")
+    write_sorted(li, out, "l_orderkey", n_files=4)
+
+    ranges = []
+    total = 0
+    for f in sorted((tmp_path / "li_sorted").glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        total += md.num_rows
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_orderkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert total == li.count(), "sorted rewrite lost rows"
+    assert len(ranges) > 1, "need multiple files to prove disjointness"
+    ranges.sort()
+    for (_, prev_hi), (nxt_lo, _) in zip(ranges, ranges[1:]):
+        # equal keys land in one range partition, so file ranges are
+        # strictly disjoint — an interleaved layout would defeat skipping
+        assert prev_hi < nxt_lo, f"file key ranges interleave: {ranges}"

@@ -67,6 +67,26 @@ def salted_agg(
     )
 
 
+def write_sorted(
+    df: DataFrame, path: str, key: str, n_files: int = 8
+) -> None:
+    """Range-partitioned sorted layout for data skipping: every output
+    file owns a disjoint ``key`` range, so any engine that reads footer
+    min/max (Spark, DuckDB, Trino) prunes whole files / row groups on
+    ``key`` predicates.  ``repartitionByRange`` samples the key
+    distribution to place equal keys in one partition;
+    ``sortWithinPartitions`` then orders rows so row-group stats nest
+    inside the file range.  This is the layout knob that turns a
+    100 TB full scan into a bounded range read — the parquet analog of
+    the zarr source's coordinate-window pruning (A5)."""
+    (
+        df.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int = 8
 ) -> None:
