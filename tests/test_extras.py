@@ -86,3 +86,21 @@ def test_topk_per_group_uses_group_limit(spark):
     with contextlib.redirect_stdout(buf):
         extras.QUERIES["topk_per_group"](spark, SF_DIR).explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_streaming_lsh_dedup_equals_batch(spark):
+    """Ingestion-time dedup must flag exactly the pairs a batch re-scan
+    finds: the stream-static probe and the batch band self-join share
+    the signature UDF and band index, so the candidate sets are equal."""
+    from zarr_datafusion_spark.operators import dedup
+
+    streamed = {
+        (r.doc_a, r.doc_b)
+        for r in extras.QUERIES["streaming_lsh_dedup"](spark, SF_DIR).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert streamed, "no candidate pairs at this sf — vacuous equality"

@@ -245,6 +245,22 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     return docs.select("doc_id", sig("text").alias("signature"))
 
 
+def signature_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — each signature exploded into its
+    LSH bands.  Shared by the batch pair generator and the streaming
+    ingestion probe (:func:`extras.streaming_lsh_dedup`)."""
+    rows_per_band = N_PERM // N_BANDS
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) MinHash-LSH candidate pairs.
 
@@ -255,17 +271,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     :func:`dedup_minhash_lsh` (candidates as the product) and
     :func:`dedup_ngram_jaccard` (candidates feeding exact verify).
     """
-    sigs = minhash_signatures(docs)
-    rows_per_band = N_PERM // N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {N_BANDS - 1}), "
-                f"b -> hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band})))"
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    bands = signature_bands(minhash_signatures(docs))
     return (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))

@@ -253,6 +253,71 @@ def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Online dedup at ingestion (stream-static LSH probe)
+# ---------------------------------------------------------------------------
+
+
+@_q("streaming_lsh_dedup")
+def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate detection AT INGESTION: documents arrive as a
+    stream, their MinHash band hashes are computed in-flight (the same
+    vectorized signature UDF as the batch path), and each band probes a
+    STATIC index of the already-ingested corpus — the stream-static
+    join pattern.  Returns the same normalized candidate pairs as the
+    batch ``dedup_minhash_lsh``; the test asserts set equality, which
+    is the whole point: ingestion-time dedup must flag exactly what a
+    batch re-scan would.
+
+    100 TB posture: the static band index is the bucketed/ sorted
+    corpus table, so the probe is a per-batch hash join against a
+    broadcast-or-bucket-local build; stream state is only the
+    dedup-on-pair distinct, bounded by candidate volume (at real scale,
+    watermark on ingestion time bounds it further).  Rows-only entry
+    (hash-family-dependent, like the batch LSH entry).
+    """
+    from pyspark.sql import types as T
+
+    from zarr_datafusion_spark.operators.dedup import (
+        _docs,
+        minhash_signatures,
+        signature_bands,
+    )
+    from zarr_datafusion_spark.streaming.demo import _run_to_memory
+
+    # static side: the corpus band index (in production: maintained
+    # incrementally as ingested docs are appended)
+    corpus_bands = signature_bands(
+        minhash_signatures(_docs(spark, sf_dir))
+    ).withColumnsRenamed({"doc_id": "corpus_doc"})
+
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    probe = signature_bands(minhash_signatures(stream))
+    cands = (
+        probe.join(corpus_bands, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id") != F.col("corpus_doc"))
+        .select(
+            F.least("doc_id", "corpus_doc").alias("doc_a"),
+            F.greatest("doc_id", "corpus_doc").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _run_to_memory(cands, "append")
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling (data mixing)
 # ---------------------------------------------------------------------------
 
