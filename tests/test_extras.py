@@ -104,3 +104,16 @@ def test_streaming_lsh_dedup_equals_batch(spark):
     }
     assert streamed == batch
     assert streamed, "no candidate pairs at this sf — vacuous equality"
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    """unpivot(pivot(x)) must recover every (priority, status, total)
+    cell of the pivot output."""
+    wide = {
+        r.o_orderpriority: {"status_o": r.status_o, "status_f": r.status_f, "status_p": r.status_p}
+        for r in extras.QUERIES["agg_pivot"](spark, SF_DIR).collect()
+    }
+    long_rows = extras.QUERIES["agg_unpivot"](spark, SF_DIR).collect()
+    assert len(long_rows) == 3 * len(wide)
+    for r in long_rows:
+        assert wide[r.o_orderpriority][r.status] == r.total

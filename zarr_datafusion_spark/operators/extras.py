@@ -191,6 +191,31 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_ORACLE = f"""
+    WITH p AS ({_PIVOT_ORACLE})
+    SELECT o_orderpriority, 'status_o' AS status, status_o AS total FROM p
+    UNION ALL
+    SELECT o_orderpriority, 'status_f' AS status, status_f AS total FROM p
+    UNION ALL
+    SELECT o_orderpriority, 'status_p' AS status, status_p AS total FROM p
+"""
+
+
+@_q("agg_unpivot", _UNPIVOT_ORACLE)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the wide->long dual of ``agg_pivot``, run on the
+    pivot's own output so the pair round-trips.  ``DataFrame.unpivot``
+    keeps NULL cells (unlike SQL UNPIVOT defaults), so the oracle is an
+    explicit UNION ALL with the same semantics.  Row-local: no shuffle
+    beyond the upstream pivot's single aggregate."""
+    return agg_pivot(spark, sf_dir).unpivot(
+        ids=["o_orderpriority"],
+        values=["status_o", "status_f", "status_p"],
+        variableColumnName="status",
+        valueColumnName="total",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stream-stream interval join
 # ---------------------------------------------------------------------------
