@@ -92,13 +92,15 @@ def assert_frames_match(spark_df, duck_rel, *, float_exact: bool = True):
     """
     left = _normalize(spark_df.toPandas())
     # DuckDB-declared column types: HUGEINT (e.g. SUM(INTEGER)) arrives
-    # in pandas as float64 but the driver consumes it as a Python int,
-    # so only a *declared* float column on the oracle side can cause a
-    # typed-hash mismatch against a Spark integer column.
+    # in pandas as float64, and the round-2 driver record shows it is
+    # hashed as float there too (text_lang_distribution /
+    # split_train_valid_test / pipeline_curate all hash-mismatched on
+    # an integer SUM).  Oracles must CAST(SUM(..) AS BIGINT); the
+    # harness therefore flags HUGEINT alongside declared floats.
     duck_float_cols = {
         c
         for c, t in zip(duck_rel.columns, duck_rel.types)
-        if str(t) in ("FLOAT", "DOUBLE", "REAL")
+        if str(t) in ("FLOAT", "DOUBLE", "REAL", "HUGEINT")
     }
     right = _normalize(duck_rel.df())
 

@@ -560,7 +560,7 @@ _CURATE_ORACLE = rf"""
                 WHEN b < 90 THEN 'valid'
                 ELSE 'test' END AS bucket,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc
     FROM scored GROUP BY 1

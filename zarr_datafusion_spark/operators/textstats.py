@@ -148,7 +148,7 @@ def text_fingerprint(spark, sf_dir):
 @_q(
     "text_lang_distribution",
     """SELECT lang, source, COUNT(*) AS n_docs,
-              SUM(n_chars) AS total_chars,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
        FROM documents GROUP BY lang, source""",
 )
@@ -233,7 +233,7 @@ def text_langid_heuristic(spark, sf_dir):
 
 
 _SPLIT_ORACLE = """
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM (
       SELECT doc_id, n_chars,
