@@ -89,6 +89,33 @@ def _registries() -> tuple[dict, dict]:
         if with_oracle:
             for mod in mods:
                 oracles.update(mod.ORACLE)
+
+    # Round-4 rotation (VERDICT r3 item 5): the driver records the first
+    # ~50 slots only.  Entries with NO green CORRECTNESS row across
+    # r1-r3 (they sat at slots 51-62) rotate INTO the window; an equal
+    # number of entries that are already green in r1+r2+r3 rotate out to
+    # the end of the oracle-backed block (their record stands; local
+    # differential tests still cover them every run).  Goal: every
+    # oracle-backed entry holds at least one green driver record.
+    demote = [
+        "proj_expressions",
+        "filter_predicates",
+        "agg_global",
+        "agg_having",
+        "agg_approx_distinct",
+        "sort_topk",
+        "join_inner",
+        "join_inner_multikey",
+        "join_chain_agg",
+        "join_outer",
+        "join_semi_anti",
+        "join_theta_cross",
+    ]
+    assert all(n in oracles for n in demote)
+    ordered = [n for n in queries if n not in demote]
+    n_oracle_kept = sum(1 for n in ordered if n in oracles)
+    ordered[n_oracle_kept:n_oracle_kept] = demote  # end of oracle block
+    queries = {n: queries[n] for n in ordered}
     return queries, oracles
 
 

@@ -115,8 +115,9 @@ def assert_frames_match(spark_df, duck_rel, *, float_exact: bool = True):
         # (round-1 scalar_functions failure: Spark floor()->BIGINT vs
         # DuckDB floor()->DOUBLE).  Only enforceable when neither side has
         # nulls (pandas promotes nullable ints to float64 on both sides),
-        # and only against DECLARED float oracle columns (HUGEINT shows
-        # up as float64 in pandas but reaches the driver as int).
+        # and only against declared-float-or-HUGEINT oracle columns
+        # (duck_float_cols above — both classes hash as float at the
+        # driver).
         if not lv.isna().any() and not rv.isna().any():
             li, ri = pd.api.types.is_integer_dtype(lv), pd.api.types.is_integer_dtype(rv)
             lf, rf = pd.api.types.is_float_dtype(lv), pd.api.types.is_float_dtype(rv)

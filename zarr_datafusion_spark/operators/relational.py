@@ -18,9 +18,11 @@ Cross-engine determinism policy (SURVEY §7 "hard/risky bits"):
   ``exact_sum / count`` (one deterministic IEEE division), never the
   engine's own AVG over floats.  Sums of integer-valued doubles
   (``l_quantity``) are exact in binary and need no cast.
-* Raw ``events.ts`` values are nanosecond-precision in parquet; Spark
-  truncates to microseconds, DuckDB keeps ns — queries returning event
-  timestamps therefore bucket them (``date_trunc``) on both sides.
+* ``events.ts`` is normalized to a microsecond session-TZ TIMESTAMP
+  whatever physical encoding the parquet uses (the driver's testdata
+  has shipped both ns and us — see ``session.normalize_event_ts``);
+  queries returning event timestamps bucket them (``date_trunc``) on
+  both sides so a precision mismatch can never skew oracles.
 
 Scale notes (100 TB posture): all queries are pure declarative plans —
 filters/projections push into the parquet scan, aggregations get

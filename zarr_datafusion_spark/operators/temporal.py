@@ -20,7 +20,8 @@ operator-composition ladder (built-in DataFrame ops first):
   handled by AQE.  Plain inequality-join SQL is the oracle.
 
 Timestamps are compared at microsecond precision on BOTH engines
-(parquet stores ns; Spark truncates to us — see session.load_table).
+(``session.normalize_event_ts`` yields us-precision TIMESTAMP from any
+parquet encoding; DuckDB oracles use ``epoch_us``).
 """
 
 from __future__ import annotations

@@ -75,15 +75,41 @@ def get_spark(app_name: str = "zarr_datafusion_spark") -> SparkSession:
     return spark
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize an ``events`` DataFrame's ``ts`` column to a session-TZ
+    TIMESTAMP in microseconds, whatever encoding the parquet used.
+
+    The driver's testdata has shipped ``events.ts`` two ways across
+    regenerations:
+
+    * parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects it,
+      so with ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives
+      as a raw ns-since-epoch LongType; convert with exact integer math
+      (``DIV 1000`` — float division would lose precision at 1e18 ns
+      magnitudes).
+    * parquet ``timestamp[us]`` — arrives as TIMESTAMP_NTZ; only a
+      cast to session-TZ TIMESTAMP is needed (value-preserving under
+      the UTC session timezone, and required because ``unix_micros``
+      and streaming ``window()`` reject NTZ input).
+
+    Type-adaptive so the next testdata regeneration cannot break every
+    events consumer again (round-3 regression).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    t = df.schema["ts"].dataType
+    if isinstance(t, T.LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table (columnar scan, pushdown-capable).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw ns-since-epoch
-    (``nanosAsLong``) and convert with exact integer math (``DIV 1000``
-    — float division would lose precision at 1e18 ns magnitudes) to a
-    microsecond timestamp.  DuckDB keeps ns; all queries that *return*
-    event timestamps bucket them coarsely so this cannot skew oracles.
+    ``events.ts`` is normalized to a microsecond session-TZ TIMESTAMP
+    regardless of the file's physical encoding — see
+    :func:`normalize_event_ts`.
     """
     # Deterministic timestamp semantics regardless of who built the
     # session (the driver hands queries its own SparkSession):
@@ -92,12 +118,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Harmless for timestamp[us] files; lets TIMESTAMP(NANOS) files
+        # load as LongType instead of crashing the vectorized reader.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)")
-        )
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

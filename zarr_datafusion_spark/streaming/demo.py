@@ -22,36 +22,33 @@ from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+from ..session import normalize_event_ts
 
 _sink_ids = count()
 
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns-since-epoch (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events parquet (ns timestamps read as
-    long + exact integer conversion, as in ``session.load_table``)."""
+    """File-source stream of the events parquet.
+
+    The stream schema is derived from a batch read of the same file —
+    never hardcoded — so whichever ts encoding the testdata ships
+    (ns-as-long or timestamp[us]) the stream sees exactly what the batch
+    reader sees, and ``normalize_event_ts`` applies the matching
+    conversion (the round-3 regression was a hardcoded LongType schema
+    silently dividing microseconds by 1000)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle determinism
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
     # The file stream source requires a directory; glob-filter the
     # events file out of the shared sf_dir.
     stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
-    return stream
+    return normalize_event_ts(stream)
 
 
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
