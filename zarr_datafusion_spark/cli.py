@@ -25,9 +25,11 @@ import time
 HISTORY_FILE = os.path.expanduser("~/.zds_cli_history")
 
 
-def _setup_readline() -> None:
+def _setup_readline(tables: list[str] | None = None) -> None:
     """History persistence like the reference's ~/.zarr_cli_history
-    (``main.rs:83-95``)."""
+    (``main.rs:83-95``), plus tab-completion over SQL keywords, table
+    names, and history continuations (the plain-readline analog of the
+    reference's Hinter, ``highlight.rs:29-59``)."""
     try:
         import readline
     except ImportError:  # non-readline platform: plain input()
@@ -38,6 +40,17 @@ def _setup_readline() -> None:
         pass
     readline.set_history_length(1000)
     atexit.register(lambda: readline.write_history_file(HISTORY_FILE))
+
+    from zarr_datafusion_spark.highlight import SqlCompleter
+
+    history = [
+        readline.get_history_item(i + 1)
+        for i in range(readline.get_current_history_length())
+        if readline.get_history_item(i + 1)
+    ]
+    readline.set_completer(SqlCompleter(tables or [], history))
+    readline.set_completer_delims(" \t\n,;()")
+    readline.parse_and_bind("tab: complete")
 
 
 def _is_ddl(sql: str) -> bool:
@@ -121,9 +134,11 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
     ``zarr_tables`` maps registered table name -> store path, used to
     print the A10 I/O stats line when a query's base table is a zarr
     store."""
+    from zarr_datafusion_spark.highlight import highlight_sql
     from zarr_datafusion_spark.stats.io_stats import plan_scan_stats
 
-    _setup_readline()
+    _setup_readline(list(zarr_tables) + [t.name for t in engine.spark.catalog.listTables()])
+    tty = getattr(sys.stdout, "isatty", lambda: False)()
     buffer: list[str] = []
     while True:
         try:
@@ -150,6 +165,12 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
             continue
         sql = "\n".join(buffer).rstrip().rstrip(";")
         buffer = []
+        if tty:
+            # Syntax-colored echo of the statement above its result —
+            # the post-hoc analog of the reference's live line
+            # highlighting (readline can't restyle the buffer in
+            # flight).  Token colors match highlight.rs.
+            print(highlight_sql(sql))
 
         t0 = time.perf_counter()
         try:
