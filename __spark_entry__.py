@@ -110,6 +110,12 @@ def _registries() -> tuple[dict, dict]:
         "join_outer",
         "join_semi_anti",
         "join_theta_cross",
+        # r4 rows-only -> oracle-backed upgrades: appended past the
+        # window (not displacing recorded rows); their oracle record is
+        # the local verify run until a future rotation.
+        "sim_ann_ivf",
+        "streaming_sliding_windows",
+        "sessionize_stateful_stream",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

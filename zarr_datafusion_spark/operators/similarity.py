@@ -179,8 +179,49 @@ def sim_label_centroids(spark, sf_dir):
 
 N_PROBE = 3  # centroid lists scored at query time
 
+# The whole IVF pipeline is deterministic given the corpus (centroid
+# means -> argmax assignment -> top-N_PROBE cells -> exact scoring), so
+# it has a full value oracle (upgraded from rows-only in r4).  The only
+# cross-engine float risk is centroid-mean accumulation order flipping
+# an argmax/probe near-tie (~1e-15 rel — unobserved); final cosines use
+# the same sequential fold as _TOPK_ORACLE and round(6).
+_IVF_ORACLE = f"""
+    WITH comp AS (
+      SELECT label, r.range AS dim, embedding[r.range]::DOUBLE AS v
+      FROM embeddings, range(1, 65) r
+    ),
+    cent AS (
+      SELECT label AS list_id, list(avg_v ORDER BY dim) AS centroid
+      FROM (SELECT label, dim, AVG(v) AS avg_v FROM comp GROUP BY label, dim)
+      GROUP BY label
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    assign AS (
+      SELECT vec_id, e.label, e.embedding, c.list_id,
+             list_sum(list_transform(range(1,65),
+                   i -> e.embedding[i]::DOUBLE * c.centroid[i])) AS cscore
+      FROM embeddings e, cent c
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cscore DESC, c.list_id DESC) = 1
+    ),
+    probed AS (
+      SELECT c.list_id
+      FROM cent c, q
+      ORDER BY list_sum(list_transform(range(1,65),
+                    i -> q.qe[i]::DOUBLE * c.centroid[i])) DESC
+      LIMIT {N_PROBE}
+    )
+    SELECT a.vec_id, a.label,
+           round(list_sum(list_transform(range(1,65),
+                 i -> a.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), 6) AS cosine
+    FROM assign a, q
+    WHERE a.list_id IN (SELECT list_id FROM probed)
+      AND a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+"""
 
-@_q("sim_ann_ivf")
+
+@_q("sim_ann_ivf", _IVF_ORACLE)
 def sim_ann_ivf(spark, sf_dir):
     """IVF (inverted-file) ANN: coarse-quantize the corpus into nlist
     centroid cells, then score only the ``N_PROBE`` cells nearest the
@@ -199,8 +240,9 @@ def sim_ann_ivf(spark, sf_dir):
     cells nearest the query.  At 100 TB the assignment happens at
     ingest (the table is written partitioned by ``list_id``) so a query
     reads ``nprobe/nlist`` of the data — here both run in one job for
-    self-containedness.  Rows-only check (approximate); recall vs brute
-    force asserted in tests."""
+    self-containedness.  Full value oracle (the pipeline is
+    deterministic); recall vs brute force additionally asserted in
+    tests."""
     e = _emb(spark, sf_dir)
 
     # centroid table: label -> mean vector (nlist x dim, tiny)

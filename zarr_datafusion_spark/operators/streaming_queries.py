@@ -3,9 +3,20 @@
 ``streaming_window_counts`` has a genuine DuckDB oracle: a finite
 file-source stream aggregated in complete mode must equal the batch
 GROUP BY over the same data (``time_bucket`` in DuckDB == epoch-aligned
-``window()`` in Spark).  ``streaming_sliding_windows`` is rows-only
-(DuckDB has no overlapping-window relational form as a single
-expression; semantics tested in tests/test_streaming.py).
+``window()`` in Spark).
+
+``streaming_sliding_windows`` (oracle added r4): a 10-minute window
+sliding by 5 minutes assigns each event to exactly two epoch-aligned
+window starts — ``time_bucket(5min, ts) - k*5min`` for k in {0,1} —
+so the overlapping-window aggregate is a plain GROUP BY after a 2-way
+offset expansion.
+
+``sessionize_stateful_stream`` (oracle added r4): the stateful
+operator emits sessions *closed* while draining the finite source;
+with the fixture arriving as one in-order micro-batch that is exactly
+the batch sessionization minus each user's final (still-open) session
+— expressible as the gaps-and-islands SQL with a
+``QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)`` cut.
 """
 
 from __future__ import annotations
@@ -80,3 +91,46 @@ QUERIES["streaming_sliding_windows"] = streaming_sliding_windows
 QUERIES["sessionize_events"] = sessionize_events
 QUERIES["sessionize_stateful_stream"] = sessionize_stateful_stream
 ORACLE["sessionize_events"] = SESSION_WINDOW_ORACLE
+
+ORACLE["streaming_sliding_windows"] = """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts)
+               - k * INTERVAL '5 minutes' AS window_start
+      FROM events, (VALUES (0),(1)) offs(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '10 minutes' AS window_end,
+           COUNT(*) AS n_events
+    FROM w GROUP BY 1
+"""
+
+from zarr_datafusion_spark.streaming.sessionize import (  # noqa: E402
+    _GAP_US as _G,
+)
+
+ORACLE["sessionize_stateful_stream"] = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_G}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             MIN(ts_us) AS session_start_us,
+             MAX(ts_us) + {_G} AS session_end_us,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM sess
+    QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
+"""
