@@ -116,6 +116,9 @@ def _registries() -> tuple[dict, dict]:
         "sim_ann_ivf",
         "streaming_sliding_windows",
         "sessionize_stateful_stream",
+        "mm_synthesize",
+        "mm_resize",
+        "text_langid_heuristic",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

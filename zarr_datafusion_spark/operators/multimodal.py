@@ -75,9 +75,20 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("mm_synthesize")
+@_q(
+    "mm_synthesize",
+    """SELECT doc_id,
+              ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+              CAST(8 + octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+              CAST(128 + (doc_id % 8) * 64 AS INTEGER) AS declared_width,
+              CAST(128 + (doc_id % 5) * 64 AS INTEGER) AS declared_height
+       FROM documents""",
+)
 def mm_synthesize(spark, sf_dir):
-    """Binary-column synthesis + size accounting (rows-only check)."""
+    """Binary-column synthesis + size accounting.  Oracle (added r4):
+    every output column is doc_id arithmetic or utf-8 byte length, so
+    DuckDB recomputes them from ``documents`` directly — proving the
+    pack UDF emits exactly 8 header bytes + the utf-8 body."""
     m = synthesize_media(spark, sf_dir)
     return m.select(
         "doc_id",
@@ -172,13 +183,38 @@ def mm_frame_sample(spark, sf_dir):
 RESIZE_TARGET = 224  # the classic vision-model input edge
 
 
-@_q("mm_resize")
+@_q(
+    "mm_resize",
+    f"""WITH g AS (
+          SELECT doc_id,
+                 CAST(128 + (doc_id % 8) * 64 AS INTEGER) AS width,
+                 CAST(128 + (doc_id % 5) * 64 AS INTEGER) AS height
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        s AS (
+          SELECT *, {RESIZE_TARGET}.0 / greatest(width, height) AS sc FROM g
+        )
+        SELECT doc_id, width, height,
+               CAST(round(width * sc) AS INTEGER) AS new_width,
+               CAST(round(height * sc) AS INTEGER) AS new_height,
+               CAST(CAST(round(width * sc) AS BIGINT)
+                    * CAST(round(height * sc) AS BIGINT) * 3 AS BIGINT) AS out_bytes
+        FROM s""",
+)
 def mm_resize(spark, sf_dir):
     """Resize stage for image rows: scale the longer edge to
     ``RESIZE_TARGET`` preserving aspect (integer math on the header —
     the real resampler slot sits in the same mapInPandas stage as the
     decoder).  Emits old/new geometry so tests can check the aspect
-    invariant; rows-only driver check."""
+    invariant.
+
+    Oracle (added r4) recomputes the geometry from doc_id arithmetic.
+    Rounding parity: pandas ``.round()`` is half-even and DuckDB
+    ``round()`` is half-away, but the fixture's scale ratios
+    (224·a/b for a in 2..9, b in 2..6) never produce an exact .5
+    fraction, so the two conventions agree on every occurring value;
+    the oracle mirrors the Python association ``w * (224/long)`` so
+    the doubles are bit-identical before rounding."""
     imgs = decode_features(
         synthesize_media(spark, sf_dir).filter(F.col("media_type") == "image")
     )

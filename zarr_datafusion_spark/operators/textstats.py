@@ -205,11 +205,40 @@ _LANG_PROFILES = {
 }
 
 
-@_q("text_langid_heuristic")
+def _langid_oracle() -> str:
+    """DuckDB twin of the stopword-profile classifier, generated from
+    ``_LANG_PROFILES`` so SQL and Python can never drift.  Score = size
+    of the distinct-token ∩ profile intersection; the CASE chain
+    replicates the Python loop's first-language-wins tie-break (dict
+    order) and the score>0 requirement ('unknown' otherwise)."""
+    langs = list(_LANG_PROFILES)
+    score_cols = ", ".join(
+        "len(list_intersect(toks, ["
+        + ",".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+        + f"])) AS s_{lang}"
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {mx} = 0 THEN 'unknown' " + " ".join(
+        f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang AS labeled_lang,
+                 list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+          FROM documents
+        ),
+        s AS (SELECT doc_id, labeled_lang, {score_cols} FROM t)
+        SELECT doc_id, labeled_lang, {case} AS predicted_lang FROM s
+    """
+
+
+@_q("text_langid_heuristic", _langid_oracle())
 def text_langid_heuristic(spark, sf_dir):
-    """Language-ID via stopword-profile scoring (rows-only check: the
-    heuristic is not SQL-expressible).  Arrow-vectorized pandas UDF —
-    scales as a pure map over batches."""
+    """Language-ID via stopword-profile scoring.  Arrow-vectorized
+    pandas UDF — scales as a pure map over batches.  Oracle (added
+    r4): the heuristic is set-intersection counting, expressible in
+    DuckDB list functions — see :func:`_langid_oracle`."""
 
     @F.pandas_udf("string")
     def predict_lang(texts: pd.Series) -> pd.Series:
