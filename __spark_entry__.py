@@ -110,15 +110,21 @@ def _registries() -> tuple[dict, dict]:
         "join_outer",
         "join_semi_anti",
         "join_theta_cross",
-        # r4 rows-only -> oracle-backed upgrades: appended past the
-        # window (not displacing recorded rows); their oracle record is
-        # the local verify run until a future rotation.
-        "sim_ann_ivf",
-        "streaming_sliding_windows",
-        "sessionize_stateful_stream",
-        "mm_synthesize",
-        "mm_resize",
-        "text_langid_heuristic",
+        # Second demotion tranche (all green r1+r2+r3): frees window
+        # slots for the r4 rows-only -> oracle-backed upgrades
+        # (sim_ann_ivf, streaming_sliding_windows,
+        # sessionize_stateful_stream, mm_synthesize, mm_resize,
+        # text_langid_heuristic) and the two new r4 operators
+        # (text_repetition_signals, pii_redact), so every oracle-backed
+        # entry holds at least one green driver record across r1-r4.
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "sim_topk_bruteforce",
+        "mm_frame_sample",
+        "text_token_count",
+        "text_quality_score",
+        "text_fingerprint",
+        "streaming_dedup",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

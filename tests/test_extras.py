@@ -117,3 +117,50 @@ def test_pivot_unpivot_roundtrip(spark):
     assert len(long_rows) == 3 * len(wide)
     for r in long_rows:
         assert wide[r.o_orderpriority][r.status] == r.total
+
+
+def test_repetition_signals_bounds(spark):
+    rows = extras.QUERIES["text_repetition_signals"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens >= 1
+        assert 0.0 < r.unique_token_frac <= 1.0
+        # most-frequent token appears at least once and at most n times
+        assert 1.0 / r.n_tokens <= r.top_token_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        # a doc can't have more distinct tokens than tokens
+        assert r.unique_token_frac * r.n_tokens <= r.n_tokens
+    # the synthetic word-salad corpus must show real repetition spread
+    fracs = {round(r.top_token_frac, 2) for r in rows}
+    assert len(fracs) > 5
+
+
+def test_pii_redact_masks_everything(spark):
+    import re
+
+    rows = extras.QUERIES["pii_redact"](spark, SF_DIR).collect()
+    assert rows
+    email = re.compile(extras._EMAIL_RE)
+    phone = re.compile(extras._PHONE_RE)
+    for r in rows:
+        # redaction is complete: no residual match survives
+        assert not email.search(r.redacted), r.redacted[-80:]
+        assert not phone.search(r.redacted), r.redacted[-80:]
+        # counts follow the deterministic injection rule
+        assert r.n_emails == (1 if r.doc_id % 3 != 0 else 0)
+        assert r.n_phones == (1 if r.doc_id % 2 == 0 else 0)
+        assert ("<EMAIL>" in r.redacted) == (r.n_emails == 1)
+        assert ("<PHONE>" in r.redacted) == (r.n_phones == 1)
+
+
+@pytest.mark.parametrize("name", ["text_repetition_signals", "pii_redact"])
+def test_scrub_ops_are_map_only(spark, name):
+    """Both scrub operators must stay shuffle-free (the 100 TB contract
+    documented in their docstrings)."""
+    plan = (
+        extras.QUERIES[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:800]

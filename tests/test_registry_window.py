@@ -22,6 +22,16 @@ ROTATED_IN = {
     "streaming_join",
     "sample_stratified",
     "topk_per_group",
+    # r4 rows-only -> oracle-backed upgrades (no prior green record)
+    "sim_ann_ivf",
+    "streaming_sliding_windows",
+    "sessionize_stateful_stream",
+    "mm_synthesize",
+    "mm_resize",
+    "text_langid_heuristic",
+    # new r4 operators
+    "text_repetition_signals",
+    "pii_redact",
 }
 
 #: Entries restored by the round-4 events.ts fix — their r4 green row

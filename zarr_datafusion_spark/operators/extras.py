@@ -453,3 +453,164 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher-style filters)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w,
+             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS unique_token_frac,
+           CAST(list_max(list_transform(list_distinct(w),
+                  tok -> len(list_filter(w, x -> x = tok)))) AS DOUBLE)
+             / len(w) AS top_token_frac,
+           CASE WHEN len(bg) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(list_max(list_transform(list_distinct(bg),
+                       g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
+                     / len(bg) END AS top_bigram_frac
+    FROM b
+"""
+
+
+@_q("text_repetition_signals", _REPETITION_ORACLE)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: type-token
+    ratio, most-frequent-token fraction, and most-frequent-bigram
+    fraction (the "top n-gram character/token fraction" family of
+    filters from published LLM-corpus curation pipelines; docs above a
+    repetition threshold get dropped before training).
+
+    100 TB posture: ENTIRELY map-side — the token/bigram frequency
+    argmax is a nested higher-order-function expression over the
+    per-row token array (array_distinct -> filter-count -> array_max),
+    so there is NO shuffle, no UDF, and the whole stage is one
+    WholeStageCodegen span over the scan.  Per-row cost is
+    O(distinct_tokens x n_tokens), bounded by document length -- the
+    operative denominator at scale is bytes scanned, and every byte is
+    touched exactly once.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        docs.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+        )
+        .withColumn(
+            "bg",
+            F.expr(
+                "CASE WHEN size(w) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(size(w) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                "CAST(size(array_distinct(w)) AS DOUBLE) / size(w)"
+            ).alias("unique_token_frac"),
+            F.expr(
+                "CAST(array_max(transform(array_distinct(w), "
+                "tok -> size(filter(w, x -> x = tok)))) AS DOUBLE) / size(w)"
+            ).alias("top_token_frac"),
+            F.expr(
+                "CASE WHEN size(bg) = 0 THEN CAST(0 AS DOUBLE) "
+                "ELSE CAST(array_max(transform(array_distinct(bg), "
+                "g -> size(filter(bg, x -> x = g)))) AS DOUBLE) / size(bg) END"
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+# ---------------------------------------------------------------------------
+
+#: Conservative patterns valid in BOTH Java regex (Spark) and RE2
+#: (DuckDB): no backrefs, no lookarounds, leftmost-first equivalent.
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-\d{3}-\d{4}"
+
+_PII_ORACLE = rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 <> 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+"""
+
+
+@_q("pii_redact", _PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and mask email addresses and
+    phone numbers per document (the pre-training scrub every public
+    corpus pipeline runs).
+
+    The driver's synthetic documents carry no organic PII, so a
+    deterministic doc_id-derived email/phone is appended first —
+    IDENTICALLY on the Spark and DuckDB sides (the injection is test
+    fixture, the redaction is the operator under test; docs where
+    ``doc_id % 3 == 0`` / ``% 2 == 1`` get no email / no phone, so the
+    counts genuinely vary and the zero-match path is exercised).
+
+    100 TB posture: pure map-side regexp in whole-stage codegen — no
+    shuffle, no UDF; regex cost is linear in bytes scanned.  Patterns
+    are restricted to the Java-regex/RE2 common subset (no backrefs or
+    lookarounds) so results are engine-portable.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
