@@ -335,7 +335,18 @@ def agg_global(spark, sf_dir):
 def agg_groupby(spark, sf_dir):
     """TPC-H-Q1-style pricing summary: GROUP BY + multi-agg
     (README.md:235-241, integration_query.rs:97-110).  The flagship."""
-    li = _t(spark, sf_dir, "lineitem")
+    from zarr_datafusion_spark.operators.common import cpu_rebalance
+
+    # The sf0.1 lineitem file is ONE parquet row group, so the scan +
+    # the 8-aggregate partial agg (the query's entire cost) run in one
+    # task no matter how maxPartitionBytes is set; a round-robin
+    # repartition spreads the decimal aggregation across every core
+    # (measured ~1.3s -> ~0.9s at sf0.1/local[32]).  At cluster scale
+    # many row groups make the planned scan wide and cpu_rebalance is a
+    # no-op — no extra shuffle.  NOT applied to the broadcast-join
+    # queries (Q3/Q5): their post-pushdown probe work is too small to
+    # amortize the shuffle (measured 0.55s -> 0.85s REGRESSION).
+    li = cpu_rebalance(spark, _t(spark, sf_dir, "lineitem"))
     # Narrow casts keep the decimal products <= 18 digits so Spark's
     # long-backed Decimal fast path applies (price 12+disc 4+1 = 17);
     # exactness is unchanged, so the oracle still bit-matches.  Bounds:
