@@ -125,6 +125,10 @@ def _registries() -> tuple[dict, dict]:
         "text_quality_score",
         "text_fingerprint",
         "streaming_dedup",
+        # Third tranche (green r1+r2+r3): window slots for the two
+        # late-r4 operators (pack_sequences, corpus_upsert).
+        "text_lang_distribution",
+        "text_top_tokens",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

@@ -164,3 +164,45 @@ def test_scrub_ops_are_map_only(spark, name):
         .toString()
     )
     assert "Exchange" not in plan, plan[:800]
+
+
+def test_pack_sequences_conservation_and_budget(spark):
+    """Packing must conserve tokens per stratum and respect the budget
+    geometry (a sequence can only exceed the budget by the one doc that
+    straddles its boundary)."""
+    rows = extras.QUERIES["pack_sequences"](spark, SF_DIR).collect()
+    assert rows
+    docs = extras.QUERIES["text_repetition_signals"](spark, SF_DIR).collect()
+    total_tokens = sum(r.n_tokens for r in docs)
+    max_doc = max(r.n_tokens for r in docs)
+    assert sum(r.seq_tokens for r in rows) == total_tokens
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, seqs in by_source.items():
+        assert min(s.seq_id for s in seqs) == 0
+        for s in seqs:
+            assert s.n_docs >= 1
+            assert s.seq_tokens <= extras._PACK_BUDGET + max_doc
+
+
+def test_corpus_upsert_merge_semantics(spark):
+    rows = extras.QUERIES["corpus_upsert"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    base_ids = {d.doc_id for d in docs}
+    n_upd = sum(1 for d in docs if d.doc_id % 7 == 0)
+    n_ins = sum(1 for d in docs if d.doc_id % 11 == 0)
+    ops = {}
+    for r in rows:
+        ops[r.op] = ops.get(r.op, 0) + 1
+        if r.op == "updated":
+            assert r.text.endswith(" [rev2]")
+            assert r.doc_id in base_ids
+        elif r.op == "inserted":
+            assert r.doc_id >= 1000000
+    assert ops == {
+        "kept": len(base_ids) - n_upd,
+        "updated": n_upd,
+        "inserted": n_ins,
+    }
+    assert len(rows) == len(base_ids) + n_ins

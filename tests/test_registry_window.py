@@ -32,6 +32,8 @@ ROTATED_IN = {
     # new r4 operators
     "text_repetition_signals",
     "pii_redact",
+    "pack_sequences",
+    "corpus_upsert",
 }
 
 #: Entries restored by the round-4 events.ts fix — their r4 green row

@@ -614,3 +614,163 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch assembly)
+# ---------------------------------------------------------------------------
+
+#: token budget per packed training sequence
+_PACK_BUDGET = 512
+
+_PACK_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM c
+    GROUP BY source, CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT)
+"""
+
+
+@_q("pack_sequences", _PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    sequences (the batch-assembly step between curation and the trainer;
+    packing short docs together is how pipelines avoid padding waste).
+
+    A doc lands in the sequence where its tokens BEGIN (cumulative
+    token count before the doc, integer-divided by the budget), giving
+    the same deterministic greedy packing in both engines — all-integer
+    arithmetic, exact oracle.
+
+    100 TB posture: the running sum windows over (source) strata in
+    doc_id order — state is one long per window partition, and
+    parallelism is the stratum count.  At real scale the stratum key is
+    refined (source x shard-of-doc_id-range) so no single stratum
+    dominates; the shape stays one shuffle + one window pass, and the
+    final per-sequence rollup is a map-side partial aggregation.
+    """
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(split(lower(trim(text)), '\\\\s+')) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "seq_id",
+            ((F.col("cum") - F.col("n_tokens")) / F.lit(_PACK_BUDGET))
+            .cast("long"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus upsert (MERGE semantics)
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+    WITH delta AS (
+      SELECT doc_id, text || ' [rev2]' AS text, lang, source, n_chars
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'new crawl document ' || CAST(doc_id AS VARCHAR),
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(d.doc_id, b.doc_id) AS doc_id,
+           COALESCE(d.text, b.text) AS text,
+           COALESCE(d.lang, b.lang) AS lang,
+           COALESCE(d.source, b.source) AS source,
+           CASE WHEN b.doc_id IS NULL THEN 'inserted'
+                WHEN d.doc_id IS NULL THEN 'kept'
+                ELSE 'updated' END AS op
+    FROM documents b FULL OUTER JOIN delta d USING (doc_id)
+"""
+
+
+@_q("corpus_upsert", _UPSERT_ORACLE)
+def corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh: MERGE a delta batch (updated
+    revisions + newly crawled docs) into the base corpus — new version
+    wins, untouched rows survive, inserts append.  Vanilla Spark has no
+    MERGE INTO without a table format underneath, so this re-expresses
+    it as a full outer join + coalesce, which is exactly the physical
+    shape a MERGE executes anyway.
+
+    The delta is derived deterministically from the base table
+    (doc_id % 7 revisions, doc_id % 11 inserts) so both engines build
+    the identical delta — fixture plumbing, not operator logic.
+
+    100 TB posture: one shuffle on doc_id for each side of the join (or
+    zero if both corpora are bucketed by doc_id — see
+    ``scale.write_bucketed``); rows never collect to the driver, and
+    AQE handles the delta being orders of magnitude smaller than the
+    base (it plans the small side as broadcast when it fits).
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    delta = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(
+                    F.lit("new crawl document "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    b = docs.alias("b")
+    d = delta.alias("d")
+    return (
+        b.join(d, on=F.col("b.doc_id") == F.col("d.doc_id"), how="full_outer")
+        .select(
+            F.coalesce(F.col("d.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.coalesce(F.col("d.text"), F.col("b.text")).alias("text"),
+            F.coalesce(F.col("d.lang"), F.col("b.lang")).alias("lang"),
+            F.coalesce(F.col("d.source"), F.col("b.source")).alias("source"),
+            F.when(F.col("b.doc_id").isNull(), F.lit("inserted"))
+            .when(F.col("d.doc_id").isNull(), F.lit("kept"))
+            .otherwise(F.lit("updated"))
+            .alias("op"),
+        )
+    )
