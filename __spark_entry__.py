@@ -129,6 +129,16 @@ def _registries() -> tuple[dict, dict]:
         # late-r4 operators (pack_sequences, corpus_upsert).
         "text_lang_distribution",
         "text_top_tokens",
+        # Fourth tranche (green through r3): window slots for the six
+        # late-r4 operators (tpch_q6_forecast_revenue,
+        # subquery_correlated, dedup_bloom_prefilter,
+        # quota_sample_per_lang, text_oov_rate, embedding_project).
+        "dedup_embedding_cosine",
+        "dedup_components",
+        "sim_label_centroids",
+        "sim_topk_quantized",
+        "mm_extract_features",
+        "setops",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

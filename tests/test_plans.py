@@ -82,3 +82,35 @@ def test_engine_explain_shortcut_notes_no_scan(engine):
     text = engine.explain("SELECT COUNT(*) AS n FROM lineitem")
     assert "statistics" in text.lower()
     assert "Scan parquet" not in text
+
+
+def test_q6_filters_reach_scan(spark):
+    """Every Q6 predicate must be a PushedFilter on the parquet scan and
+    the scan must read only the four referenced columns — the query IS
+    its plan (SURVEY §4 pushdown parity)."""
+    from zarr_datafusion_spark.operators.relational import QUERIES
+
+    plan = plan_text(QUERIES["tpch_q6_forecast_revenue"](spark, SF_DIR))
+    # toString truncates the filter list (no closing bracket) — match
+    # from the marker to end-of-line instead
+    m = re.search(r"PushedFilters: \[([^\n]*)", plan)
+    assert m, "no PushedFilters in scan"
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Catalyst must rewrite the correlated scalar subquery into a
+    grouped aggregate + equi-join on the correlation key — never a
+    per-row nested-loop re-scan (the difference between O(n) and
+    O(n^2) at scale)."""
+    from zarr_datafusion_spark.operators.relational import QUERIES
+
+    plan = plan_text(QUERIES["subquery_correlated"](spark, SF_DIR))
+    assert "NestedLoop" not in plan, "correlated subquery executed as nested loop"
+    assert "HashAggregate" in plan
+    assert "Join" in plan

@@ -34,6 +34,12 @@ ROTATED_IN = {
     "pii_redact",
     "pack_sequences",
     "corpus_upsert",
+    "tpch_q6_forecast_revenue",
+    "subquery_correlated",
+    "dedup_bloom_prefilter",
+    "quota_sample_per_lang",
+    "text_oov_rate",
+    "embedding_project",
 }
 
 #: Entries restored by the round-4 events.ts fix — their r4 green row

@@ -774,3 +774,340 @@ def corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("op"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup (round 4)
+# ---------------------------------------------------------------------------
+
+#: normalized-text fingerprint — same normalization as
+#: textstats.text_fingerprint and the exact-dedup family
+_FP_SPARK = "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))"
+_FP_DUCK = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+
+#: bloom filter geometry: 2^16 bits in 1024 64-bit words, 4 hashes.
+#: At the production scale this models (corpus fingerprints >> new
+#: batch), m is sized to the corpus (~10 bits/key for ~1% FP).
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 4
+
+_BLOOM_ORACLE = rf"""
+    WITH base AS (
+      SELECT doc_id, {_FP_DUCK} AS fingerprint FROM documents
+    ),
+    newb AS (
+      SELECT doc_id, fingerprint FROM base WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, fingerprint
+      FROM base WHERE doc_id % 5 <> 0 AND doc_id % 17 = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT fingerprint FROM base WHERE doc_id % 5 <> 0
+    )
+    SELECT n.doc_id, n.fingerprint,
+           (c.fingerprint IS NOT NULL) AS is_dup
+    FROM newb n LEFT JOIN corpus c USING (fingerprint)
+"""
+
+
+@_q("dedup_bloom_prefilter", _BLOOM_ORACLE)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact dedup with a DISTRIBUTED Bloom
+    prefilter: a newly crawled batch is checked against the corpus's
+    normalized-text fingerprints.  The Bloom bitmap is built as a
+    DataFrame aggregation (explode k hash positions -> groupBy 64-bit
+    word -> BIT_OR of masks), so the build is a normal shuffle over
+    ~m/64 rows — never a driver-side ``df.stat.bloomFilter`` collect.
+    Probing broadcasts the (tiny) bitmap table; only batch rows whose k
+    bits are all set reach the exact verify semi-join against the
+    corpus.  Bloom false positives are removed by the verify stage, so
+    the result is EXACTLY the anti/semi-join answer — which is what the
+    oracle computes, proving the prefilter loses nothing.
+
+    The new batch is derived deterministically from the base table
+    (doc_id % 5 = novel docs, doc_id % 17 re-crawls with shifted ids)
+    so both engines build the identical fixture — same pattern as
+    ``corpus_upsert``.
+
+    100 TB posture: the corpus fingerprint set is petabyte-shaped but
+    the bitmap is m/8 bytes (a few GB for 10^11 keys at 10 bits/key) —
+    broadcast once, probed map-side; the expensive exact join then runs
+    only on the ~1% of the batch that bloom-passes instead of shuffling
+    the full corpus against the full batch.  All integer/bit ops stay
+    in whole-stage codegen.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = docs.select("doc_id", F.expr(_FP_SPARK).alias("fingerprint"))
+    newb = (
+        base.filter(F.col("doc_id") % 5 == 0)
+        .unionAll(
+            base.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 17 == 0))
+            .select((F.col("doc_id") + 3000000).alias("doc_id"), "fingerprint")
+        )
+    )
+    corpus = base.filter(F.col("doc_id") % 5 != 0).select("fingerprint").distinct()
+
+    def _positions(df: DataFrame) -> DataFrame:
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("fingerprint", F.lit(j)), F.lit(_BLOOM_BITS))
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+        return df.select("fingerprint", pos).select(
+            "fingerprint",
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            # pyspark's shiftleft() only takes a literal shift amount;
+            # the SQL form accepts a column expression
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+
+    bitmap = (
+        _positions(corpus)
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe = (
+        _positions(newb.select("fingerprint").distinct())
+        .join(F.broadcast(bitmap), "word_idx", "left")
+        .select(
+            "fingerprint",
+            (
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+            ).alias("hit"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.bool_and("hit").alias("maybe_dup"))
+        .filter("maybe_dup")
+        .select("fingerprint")
+    )
+    confirmed = probe.join(corpus, "fingerprint", "left_semi").withColumn(
+        "dup", F.lit(True)
+    )
+    return newb.join(confirmed, "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.coalesce(F.col("dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-stratum quota sampling (round 4)
+# ---------------------------------------------------------------------------
+
+_QUOTA = 40
+
+_QUOTA_ORACLE = f"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {_QUOTA}
+"""
+
+
+@_q("quota_sample_per_lang", _QUOTA_ORACLE)
+def quota_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota uniform sampling per language: keep exactly
+    min(quota, stratum size) documents per lang, chosen by ranking on a
+    salted md5 of the doc id.  This is the "data mixing to a target
+    budget" dual of ``sample_stratified``'s keep-RATE form — quotas give
+    hard token budgets per stratum, and the hash ranking makes the
+    sample uniform-without-replacement, deterministic across runs and
+    engines, and stable under partitioning (no RNG, no ``df.sample``).
+
+    100 TB shape: one shuffle on the stratum key; the rk <= quota
+    predicate compiles to WindowGroupLimit so each partition keeps a
+    bounded heap instead of fully sorting its stratum (same plan
+    property as ``topk_per_group`` — asserted in tests).  When strata
+    are skewed, the production refinement pre-filters with an
+    approximate per-stratum hash threshold so only ~quota rows per
+    stratum reach the exact ranking shuffle.
+    """
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":quota")))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _QUOTA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate vs train-split vocabulary (round 4)
+# ---------------------------------------------------------------------------
+
+_VOCAB_N = 20
+
+_OOV_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT unnest(w) AS token FROM d WHERE split = 'train')
+      GROUP BY token
+      ORDER BY COUNT(*) DESC, token
+      LIMIT {_VOCAB_N}
+    ),
+    te AS (SELECT doc_id, unnest(w) AS token FROM d WHERE split = 'test'),
+    oov AS (
+      SELECT doc_id, COUNT(*) AS n_oov
+      FROM te WHERE token NOT IN (SELECT token FROM vocab)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / len(d.w) AS oov_rate
+    FROM d LEFT JOIN oov o USING (doc_id)
+    WHERE d.split = 'test'
+"""
+
+
+@_q("text_oov_rate", _OOV_ORACLE)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate: for every *test*-split document, the
+    fraction of its tokens (with multiplicity) outside the top-N token
+    vocabulary of the *train* split (N=20 here — the driver's synthetic
+    corpus has only 31 distinct tokens, so a larger N would make the
+    check vacuous; production N is 10^4-10^5 and everything below
+    scales unchanged) — the cheap proxy for "how surprising
+    is this document to a model trained on the corpus" that pipelines
+    use as a quality / domain-shift filter before spending on real
+    perplexity scoring.  Same deterministic split and tokenizer as the
+    rest of the text family; the vocabulary tie-breaks (count DESC,
+    token ASC) so both engines pick the identical top-N.
+
+    100 TB posture: the vocabulary is top-N small by construction, so
+    membership is a broadcast anti-join against an exploded token
+    stream — the only real shuffle is the per-doc OOV count's groupBy
+    on doc_id, which is skew-free (doc_id is unique-dense).  Counts are
+    integers; the single final division is the only float op.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    d = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+    )
+    vocab = (
+        d.filter(F.col("split") == "train")
+        .select(F.explode("w").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(_VOCAB_N)
+        .select("token")
+    )
+    test = d.filter(F.col("split") == "test")
+    oov = (
+        test.select("doc_id", F.explode("w").alias("token"))
+        .join(F.broadcast(vocab), "token", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_oov"))
+    )
+    return (
+        test.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            (
+                F.coalesce(F.col("n_oov"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random projection of embeddings (round 4)
+# ---------------------------------------------------------------------------
+
+_PROJ_IN = 64  # embedding dimensionality (driver testdata)
+_PROJ_OUT = 4
+
+
+def _proj_coeff(i: int, d: int) -> float:
+    """Sparse signed-quarter projection matrix, derived from (i, d) so
+    both engines share it without a side channel.  Values are exact
+    binary fractions (k/4), so float multiply+add rounds identically
+    everywhere."""
+    return ((i * 31 + d * 17) % 7 - 3) / 4.0
+
+
+def _proj_expr(d: int, one_based: bool) -> str:
+    terms = []
+    for i in range(_PROJ_IN):
+        c = _proj_coeff(i, d)
+        if c == 0.0:
+            continue
+        idx = i + 1 if one_based else i
+        terms.append(f"CAST(embedding[{idx}] AS DOUBLE) * ({c})")
+    return " + ".join(terms)
+
+
+_PROJ_ORACLE = "SELECT vec_id, " + ", ".join(
+    f"{_proj_expr(d, one_based=True)} AS p{d}" for d in range(_PROJ_OUT)
+) + " FROM embeddings"
+
+
+@_q("embedding_project", _PROJ_ORACLE)
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (64 -> 4) with a
+    deterministic sparse sign matrix — the Achlioptas-style projection
+    a pipeline runs before LSH bucketing or coarse ANN indexing, where
+    preserving pairwise distances approximately at 1/16th the width
+    makes every downstream shuffle 16x cheaper.
+
+    Cross-engine exactness: the matrix entries are signed quarters
+    (exact binary fractions) generated from (i, d) by the same formula
+    on both sides, and each output component is ONE explicit
+    left-associated multiply-add chain — identical IEEE rounding in
+    Spark and DuckDB, so the driver's value hash matches bit-for-bit
+    with no tolerance games.
+
+    100 TB posture: pure map-side projection in whole-stage codegen
+    (the generated expression is plain arithmetic over array elements —
+    no UDF, no shuffle); column pruning reads only (vec_id, embedding).
+    """
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb.select(
+        "vec_id",
+        *[
+            F.expr(_proj_expr(d, one_based=False)).alias(f"p{d}")
+            for d in range(_PROJ_OUT)
+        ],
+    )

@@ -888,6 +888,57 @@ def tpch_q5_local_supplier(spark, sf_dir):
     return spark.sql(_Q5_SQL)
 
 
+_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      AND l_shipdate <  TIMESTAMP '2001-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@_q("tpch_q6_forecast_revenue", _Q6_SQL)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: single-table scan with a multi-predicate filter
+    and one exact-decimal aggregate — the canonical "how fast can you
+    scan" query.  At scale this is the plan to read: every predicate
+    reaches the parquet scan as a PushedFilter (date + two numeric
+    ranges prune row groups via footer min/max), the projection reads
+    four columns, and the aggregate is a map-side partial -> one
+    exchange of a single row per partition.  One SQL string for both
+    engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
+_CORRELATED_SQL = """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*)
+      FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+@_q("subquery_correlated", _CORRELATED_SQL)
+def subquery_correlated(spark, sf_dir):
+    """Correlated scalar subquery in WHERE: orders whose total price
+    exceeds twice the mean line price of *that order's* lines.
+    Exercises Catalyst's subquery decorrelation — the correlated
+    aggregate is rewritten into a grouped aggregate joined back on the
+    correlation key, so execution is one shuffle-join, not a per-row
+    re-scan (check the plan: no nested-loop, one Aggregate + Join).
+    The inner mean uses exact-decimal accumulation so both engines
+    compare against a bit-identical threshold."""
+    _views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)
+
+
 _CTE_SUBQUERY_SQL = """
     WITH per_order AS (
       SELECT l_orderkey,
