@@ -167,3 +167,54 @@ def test_ivf_assignment_never_shuffles_corpus(spark):
         .toString()
     )
     assert "hashpartitioning(vec_id" not in plan, plan[:1200]
+
+
+def test_kmeans_partitions_corpus_and_converges(spark):
+    """Lloyd invariants: every vector is assigned (sizes sum to corpus),
+    inertia is monotone non-increasing across iterations, and the final
+    assignment is exactly nearest-final-centroid (numpy cross-check)."""
+    import numpy as np
+
+    from zarr_datafusion_spark.operators import similarity as S
+
+    rows = S.QUERIES["sim_kmeans_train"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_corpus = emb.count()
+    assert sum(r.n_vectors for r in rows) == n_corpus
+    assert len(rows) <= S.K_CLUSTERS
+    assert all(r.inertia >= 0 for r in rows)
+
+    # monotone improvement: more Lloyd iterations can't increase inertia
+    def total_inertia(C):
+        d = S._dist2_udf(C)
+        from pyspark.sql import functions as F
+
+        return (
+            emb.select(d("embedding").alias("d")).agg(F.sum("d")).collect()[0][0]
+        )
+
+    C1 = S.kmeans_fit(emb, max_iter=1)
+    C5 = S.kmeans_fit(emb, max_iter=5)
+    assert total_inertia(C5) <= total_inertia(C1) + 1e-9
+
+    # exact nearest-centroid agreement on a sample
+    C = S.kmeans_fit(emb)
+    sample = emb.limit(50).collect()
+    assigned = {
+        r.vec_id: r.cluster
+        for r in emb.limit(50)
+        .withColumn("cluster", S._assign_udf(C)("embedding"))
+        .collect()
+    }
+    for r in sample:
+        e = np.array(r.embedding, dtype=np.float64)
+        want = int(np.argmin(((C - e) ** 2).sum(axis=1)))
+        assert assigned[r.vec_id] == want
+
+
+def test_kmeans_deterministic(spark):
+    from zarr_datafusion_spark.operators import similarity as S
+
+    a = [tuple(r) for r in S.QUERIES["sim_kmeans_train"](spark, SF_DIR).collect()]
+    b = [tuple(r) for r in S.QUERIES["sim_kmeans_train"](spark, SF_DIR).collect()]
+    assert a == b

@@ -361,3 +361,106 @@ def sim_topk_quantized(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means training (Lloyd iterations) — round 4
+# ---------------------------------------------------------------------------
+
+K_CLUSTERS = 8
+
+
+def _assign_udf(C: np.ndarray):
+    """Vectorized nearest-centroid assignment: Arrow-batched pandas UDF
+    doing one numpy matmul per batch (argmin of ||e||^2 - 2eC^T + ||c||^2;
+    the ||e||^2 term is constant per row and dropped).  The centroid
+    matrix is tiny (k x dim model parameters) and ships in the UDF
+    closure — the Spark-broadcast of a k-means model."""
+    c_norm = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        E = np.stack(embs.to_numpy()).astype(np.float64)
+        d = c_norm[None, :] - 2.0 * (E @ C.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _dist2_udf(C: np.ndarray):
+    """Squared distance to the nearest centroid (for inertia)."""
+    c_norm = (C * C).sum(axis=1)
+
+    @F.pandas_udf("double")
+    def dist2(embs: pd.Series) -> pd.Series:
+        E = np.stack(embs.to_numpy()).astype(np.float64)
+        d = (E * E).sum(axis=1)[:, None] + c_norm[None, :] - 2.0 * (E @ C.T)
+        return pd.Series(np.maximum(d.min(axis=1), 0.0))
+
+    return dist2
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = K_CLUSTERS, max_iter: int = 10, tol: float = 1e-9
+) -> np.ndarray:
+    """Lloyd's algorithm as repeated DataFrame jobs — the iterative
+    counterpart of ``sim_label_centroids`` and the real trainer for the
+    IVF index in ``sim_ann_ivf`` (reference scope is batch SQL only;
+    this is the beyond-reference ML-adjacent slice).
+
+    Per iteration: ONE scan + ONE aggregate shuffle.  Assignment is
+    map-side (broadcast centroids, numpy matmul in an Arrow-batched
+    UDF); the update collects exactly k x (dim+1) partial aggregates to
+    the driver — model parameters, not data (the same contract as
+    MLlib's own KMeans; at 100 TB per-executor partial sums are k*dim
+    doubles each, merged by Spark's aggregate exchange).  Init is the
+    first k vectors by ``vec_id`` — deterministic, no RNG.
+    """
+    init = (
+        emb.filter(F.col("vec_id") < k).orderBy("vec_id").select("embedding").collect()
+    )
+    C = np.array([r.embedding for r in init], dtype=np.float64)
+    dim = C.shape[1]
+    sum_cols = [
+        F.sum(F.element_at("embedding", i + 1).cast("double")).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    for _ in range(max_iter):
+        stats = (
+            emb.withColumn("cluster", _assign_udf(C)("embedding"))
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n"), *sum_cols)
+            .collect()
+        )
+        newC = C.copy()  # an emptied cluster keeps its old centroid
+        for r in stats:
+            newC[r["cluster"]] = (
+                np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
+            )
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        if shift < tol:
+            break
+    return C
+
+
+@_q("sim_kmeans_train")
+def sim_kmeans_train(spark, sf_dir):
+    """Train k=8 means over the corpus, then report per-cluster size
+    and inertia (sum of squared distances to the final centroid).
+    Rows-only entry: iterative float means are engine-specific (DuckDB
+    has no iteration), so correctness is pinned by property tests —
+    monotone inertia, exact nearest-centroid agreement with numpy, and
+    full-corpus coverage — instead of a SQL twin."""
+    emb = _emb(spark, sf_dir)
+    C = kmeans_fit(emb)
+    return (
+        emb.withColumn("cluster", _assign_udf(C)("embedding"))
+        .withColumn("dist2", _dist2_udf(C)("embedding"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("dist2").alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
