@@ -129,7 +129,7 @@ def test_filter_pushdown_counts(spark, stores):
 
     from zarr_datafusion_spark.zarr import read_zarr
 
-    df = read_zarr(spark, stores["v2_plain"])
+    df = read_zarr(spark, stores["v2_plain"], eager_pushdown=True)
     assert df.filter(F.col("time") == 0).count() == 100
     assert df.filter((F.col("time") == 0) & (F.col("lat") == 0)).count() == 10
     assert (
@@ -151,7 +151,7 @@ def test_filter_pushdown_values(spark, stores):
 
     from zarr_datafusion_spark.zarr import read_zarr
 
-    df = read_zarr(spark, stores["v3_gzip"])
+    df = read_zarr(spark, stores["v3_gzip"], eager_pushdown=True)
     got = (
         df.filter((F.col("time") == 2) & (F.col("lat") == 5))
         .orderBy("lon")
@@ -387,7 +387,7 @@ def test_filter_pushdown_duplicate_coord_values(spark, tmp_path):
 
     from zarr_datafusion_spark.zarr import read_zarr
 
-    df = read_zarr(spark, store)
+    df = read_zarr(spark, store, eager_pushdown=True)
     got = df.filter(F.col("t") == 5).orderBy("v").collect()
     assert [r.v for r in got] == [3, 4, 5, 6, 7, 8]  # BOTH t=5 slabs
 
@@ -735,3 +735,106 @@ def test_datetime64_time_coordinate(spark, tmp_path):
     sel = df.filter(F.col("time") == "2024-01-01 06:00:00").orderBy("cell")
     got = sel.collect()
     assert [r.temp for r in got] == [4, 5, 6, 7]
+
+
+# ---------------------------------------------------------------------------
+# Relation-reuse safety (Spark 4.1 readInfo cache) + string coordinates
+# ---------------------------------------------------------------------------
+
+
+def _station_store(tmp_path) -> str:
+    store = str(tmp_path / "stations.zarr")
+    write_store(
+        store,
+        {
+            "time": (np.arange(4, dtype=np.int64), (4,)),
+            "station": (
+                np.array([f"st{i:02d}" for i in range(6)], dtype="S6"),
+                (3,),
+            ),
+            "reading": (np.arange(24, dtype=np.float64).reshape(4, 6), (1, 3)),
+        },
+    )
+    return store
+
+
+def test_string_coordinate_roundtrip(spark, tmp_path):
+    """v2 fixed-length |S coords decode to real StringType columns —
+    the reference's own unchecked roadmap item (README.md:317-321; its
+    dtype fallback maps unknowns to Utf8 but the readers never
+    materialize them, zarr_reader.rs:68-124)."""
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    df = read_zarr(spark, _station_store(tmp_path))
+    assert dict(df.dtypes)["station"] == "string"
+    rows = df.orderBy("time", "station").collect()
+    assert len(rows) == 24
+    assert rows[0].station == "st00" and rows[5].station == "st05"
+    assert rows[0].reading == 0.0 and rows[5].reading == 5.0
+    # equality filter on a string coord (re-applied by Spark; with
+    # eager narrowing it also prunes — both paths must agree)
+    for eager in (False, True):
+        d = read_zarr(spark, _station_store(tmp_path), eager_pushdown=eager)
+        got = sorted(r.reading for r in d.filter(d.station == "st03").collect())
+        assert got == [3.0, 9.0, 15.0, 21.0]
+
+
+def test_string_coordinate_minmax_stats(spark, tmp_path):
+    """Coord min/max stats extend to string coords (lexicographic,
+    matching Spark's UTF-8 ordering), so the A7/A8 shortcut can answer
+    MIN/MAX(station) scan-free."""
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+
+    store = _station_store(tmp_path)
+    meta = discover_arrays(store)
+    assert meta.coord_min_max["station"] == ("st00", "st05")
+
+
+def test_temp_view_not_poisoned_by_filtered_query(spark, tmp_path):
+    """REGRESSION (found round 4): Spark 4.1 caches planned partitions
+    per relation (PythonDataSourceV2.readInfo) and the filter-pushdown
+    planner OVERWRITES that shared cache.  With eager window narrowing
+    a `USING zarr` temp view returned the previous query's filtered
+    subset for every later query.  The safe default must keep a shared
+    relation correct across arbitrary query sequences."""
+    from zarr_datafusion_spark.zarr.datasource import register_zarr_source
+
+    store = _station_store(tmp_path)
+    register_zarr_source(spark)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW sv_poison USING zarr OPTIONS (path '{store}')"
+    )
+    try:
+        assert (
+            spark.sql("SELECT COUNT(*) AS n FROM sv_poison WHERE station = 'st03'")
+            .collect()[0].n
+            == 4
+        )
+        # the poisoning bug returned 4 here
+        assert spark.sql("SELECT COUNT(*) AS n FROM sv_poison").collect()[0].n == 24
+        assert (
+            spark.sql("SELECT MIN(station) AS m FROM sv_poison").collect()[0].m
+            == "st00"
+        )
+        # unmatched literal then full scan (the empty short-circuit
+        # variant of the same staleness)
+        assert (
+            spark.sql("SELECT COUNT(*) AS n FROM sv_poison WHERE station = 'zz'")
+            .collect()[0].n
+            == 0
+        )
+        assert spark.sql("SELECT COUNT(*) AS n FROM sv_poison").collect()[0].n == 24
+    finally:
+        spark.catalog.dropTempView("sv_poison")
+
+
+def test_reused_dataframe_not_poisoned(spark, tmp_path):
+    """Same staleness through the DataFrame-reuse path: filtered query
+    then unfiltered aggregates on ONE read_zarr result."""
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    df = read_zarr(spark, _station_store(tmp_path))
+    assert df.filter(df.station == "st03").count() == 4
+    assert df.count() == 24
+    mm = df.agg({"station": "max"}).collect()[0][0]
+    assert mm == "st05"

@@ -112,10 +112,12 @@ def zarr_scan_flatten(spark, sf_dir):
 )
 def zarr_filter_pushdown(spark, sf_dir):
     """A5: coordinate-equality pushdown shrinks the scan to one lat/time
-    slab (10 rows); Spark re-applies the filter (Inexact contract)."""
+    slab (10 rows); Spark re-applies the filter (Inexact contract).
+    ``eager_pushdown`` is safe here: the DataFrame serves exactly one
+    query (see ``ZarrDataSourceReader.eager_pushdown``)."""
     from zarr_datafusion_spark.zarr import read_zarr
 
-    df = read_zarr(spark, fixture_store(3))
+    df = read_zarr(spark, fixture_store(3), eager_pushdown=True)
     return df.filter((F.col("time") == 3) & (F.col("lat") == 5)).orderBy("lon")
 
 

@@ -271,6 +271,8 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
     path = _chunk_path(store_path, meta, idx)
     if not fs.exists(path):
         fill = meta.fill_value if meta.fill_value is not None else 0
+        if dtype.kind in "SU" and not isinstance(fill, (str, bytes)):
+            fill = b"" if dtype.kind == "S" else ""
         return np.full(meta.chunks, fill, dtype=dtype)
     raw = fs.read_bytes(path)
     _IO.disk_bytes += len(raw)
@@ -339,7 +341,7 @@ def read_window(
         for (lo, hi), cs in zip(window, meta.chunks)
     ]
     if any(len(r) == 0 for r in chunk_ranges):
-        return out
+        return _decode_fixed_strings(out)
 
     import itertools
 
@@ -354,7 +356,17 @@ def read_window(
             src_sel.append(slice(s_lo - c_lo, s_hi - c_lo))
             dst_sel.append(slice(s_lo - lo, s_hi - lo))
         out[tuple(dst_sel)] = chunk[tuple(src_sel)]
-    return out
+    return _decode_fixed_strings(out)
+
+
+def _decode_fixed_strings(arr: np.ndarray) -> np.ndarray:
+    """Fixed-length byte strings (|S<n>) decode to unicode at the read
+    boundary, so every consumer (coord expansion, filter-literal
+    comparison, min/max stats, Arrow conversion) sees Python-comparable
+    strings; chunk assembly above stays raw bytes."""
+    if arr.dtype.kind == "S":
+        return np.char.decode(arr, "utf-8")
+    return arr
 
 
 def read_array(store_path: str, meta: ZarrArrayMeta) -> np.ndarray:

@@ -141,6 +141,20 @@ class ZarrDataSourceReader(DataSourceReader):
         self.stats_dir = options.get("stats_dir")
         #: coord name -> pushed literal (reference CoordFilters, filter.rs:70-129)
         self.coord_filters: dict[str, object] = {}
+        #: window narrowing from pushed filters is OPT-IN
+        #: (``filter_pushdown 'eager'``): Spark 4.1 caches the planned
+        #: partitions per relation (``PythonDataSourceV2.readInfo``,
+        #: overwritten by each pushdown planning run), so when ONE
+        #: relation serves many queries — a ``USING zarr`` temp view, or
+        #: a reused DataFrame — partitions narrowed for an earlier
+        #: query's filter are silently replayed for later queries that
+        #: want more data (wrong COUNT/MIN/MAX; caught by the
+        #: string-coord regression test).  The safe default keeps the
+        #: Inexact contract (all filters handed back, Spark re-applies)
+        #: without baking any filter into cacheable state; single-query
+        #: relations (read_zarr per query) opt in for the A5 I/O
+        #: reduction.
+        self.eager_pushdown = options.get("filter_pushdown", "safe") == "eager"
 
     # -- filter pushdown ----------------------------------------------------
 
@@ -148,6 +162,12 @@ class ZarrDataSourceReader(DataSourceReader):
         """Record ``coord = literal`` conjuncts for window pruning;
         yield every filter back as unsupported so Spark re-applies them
         (the reference's Inexact pushdown contract)."""
+        # Reset per planning pass (defense-in-depth on top of the
+        # eager_pushdown opt-in above).
+        self.coord_filters = {}
+        if not self.eager_pushdown:
+            yield from filters
+            return
         # datetime coords excluded: the pushed literal's timezone/unit
         # semantics vs the stored datetime64 ticks are engine-dependent,
         # and a wrong window silently drops rows — Spark re-applies the
@@ -243,6 +263,14 @@ class ZarrDataSourceReader(DataSourceReader):
         import math
 
         windows = self._windows()
+        # Consume-and-clear the pushed filters: Spark reuses this ONE
+        # reader instance for every query planned from the same
+        # DataFrame, and pushFilters only runs for queries that HAVE
+        # filters — without the clear, a window pushed by an earlier
+        # query silently constrains a later filterless one (wrong
+        # min/max, wrong counts).  partitions() runs once per query,
+        # after any pushFilters, so this is the per-query reset point.
+        self.coord_filters = {}
         if windows is None or self.meta.total_rows == 0:
             return [ZarrInputPartition(0, 0, ())]
         if not self.meta.coords:
@@ -489,15 +517,26 @@ def read_zarr(
     target_batch_rows: int | None = None,
     stats_dir: str | None = None,
     target_partitions: int | None = None,
+    eager_pushdown: bool = False,
 ) -> DataFrame:
     """Flattened DataFrame over a Zarr store (engine API analog of the
     reference's ``register_table`` example path, EP2).
 
     ``stats_dir``: directory where each scan partition spills its I/O
     counter delta (A10); aggregate after an action with
-    :func:`zarr_datafusion_spark.stats.io_stats.collect_stats_dir`."""
+    :func:`zarr_datafusion_spark.stats.io_stats.collect_stats_dir`.
+
+    ``eager_pushdown``: enable coord-equality window narrowing (the A5
+    I/O reduction).  Only safe when the returned DataFrame serves ONE
+    query: Spark 4.1 caches planned partitions per relation and a
+    narrowed plan poisons later queries on the same DataFrame (see
+    ``ZarrDataSourceReader.eager_pushdown``).  Results are correct
+    either way — Spark re-applies every filter (Inexact contract) —
+    the flag only controls whether non-matching chunks are skipped."""
     register_zarr_source(spark)
     reader = spark.read.format("zarr")
+    if eager_pushdown:
+        reader = reader.option("filter_pushdown", "eager")
     if columns:
         reader = reader.option("columns", ",".join(columns))
     if limit is not None:

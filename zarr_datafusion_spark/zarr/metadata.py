@@ -117,6 +117,15 @@ def numpy_dtype_for(dtype: str, byte_order: str = "<") -> np.dtype:
     if dtype.startswith("datetime64"):
         unit = dtype[len("datetime64[") : -1] if "[" in dtype else "ns"
         return np.dtype(f"{byte_order}M8[{unit}]")
+    # v2 fixed-length strings: |S<n> bytes (no byte order) and <U<n>
+    # UCS-4 — the reference maps these to its Utf8 fallback
+    # (dtype.rs:73) but never reads them (string coords are an
+    # unchecked roadmap item, reference README.md:317-321); here they
+    # decode to real StringType columns.
+    if len(dtype) > 1 and dtype[0] == "S" and dtype[1:].isdigit():
+        return np.dtype(dtype)
+    if len(dtype) > 1 and dtype[0] == "U" and dtype[1:].isdigit():
+        return np.dtype(byte_order + dtype)
     code = _NUMPY_TYPES.get(dtype)
     if code is None:
         raise NotImplementedError(f"unsupported Zarr dtype: {dtype!r}")
@@ -383,7 +392,18 @@ def discover_arrays(store_path: str) -> ZarrStoreMeta:
             continue
         values = read_array(store_path, c)
         if len(values):
-            meta.coord_min_max[c.name] = (values.min().item(), values.max().item())
+            if values.dtype.kind == "U":
+                # numpy's min/max ufuncs lack a unicode loop on this
+                # numpy version; Python min/max gives the same
+                # lexicographic answer (and Spark's UTF-8 binary string
+                # comparison agrees with code-point order)
+                vals = values.tolist()
+                meta.coord_min_max[c.name] = (min(vals), max(vals))
+            else:
+                meta.coord_min_max[c.name] = (
+                    values.min().item(),
+                    values.max().item(),
+                )
     return meta
 
 

@@ -81,7 +81,12 @@ def write_v2_array(
 ) -> None:
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
-    dtype_str = _V2_DTYPE[str(arr.dtype)]
+    if arr.dtype.kind == "S":
+        dtype_str = f"|S{arr.dtype.itemsize}"
+    elif arr.dtype.kind == "U":
+        dtype_str = f"<U{arr.dtype.itemsize // 4}"
+    else:
+        dtype_str = _V2_DTYPE[str(arr.dtype)]
     if compression == "blosc-lz4":
         compressor = {
             "id": "blosc",
