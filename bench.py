@@ -49,6 +49,15 @@ HEADLINE = [
     "range_join",
     "zarr_scan_1m",
     "zarr_scan_era5_6m",
+    # round-4 additions (headline grew 21 -> 28: totals are not
+    # comparable across rounds; compare per-query lines)
+    "tpch_q6_forecast_revenue",
+    "subquery_correlated",
+    "dedup_bloom_prefilter",
+    "quota_sample_per_lang",
+    "text_oov_rate",
+    "embedding_project",
+    "sim_kmeans_train",
 ]
 
 
@@ -108,6 +117,7 @@ def _force(df) -> None:
 def main() -> None:
     from zarr_datafusion_spark.operators import (
         dedup,
+        extras,
         relational,
         similarity,
         temporal,
@@ -116,7 +126,7 @@ def main() -> None:
     )
 
     registry = {}
-    for mod in (relational, textstats, dedup, similarity, temporal, zarr_queries):
+    for mod in (relational, textstats, dedup, similarity, temporal, zarr_queries, extras):
         registry.update(mod.QUERIES)
     registry["zarr_scan_1m"] = _zarr_scan_1m
     registry["zarr_scan_era5_6m"] = _zarr_scan_era5_6m
