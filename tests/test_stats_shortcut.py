@@ -144,3 +144,35 @@ def test_unknown_table_falls_through(engine, spark):
         assert df.collect()[0].n == 7
     finally:
         spark.catalog.dropTempView("no_stats_table")
+
+
+def test_zarr_string_coord_shortcut(engine, spark, tmp_path):
+    """MIN/MAX over a STRING coordinate answers scan-free from the
+    (lexicographic) coord stats — new with r4 string-coordinate
+    support; differential against the real scan."""
+    import numpy as np
+
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    store = str(tmp_path / "strsc.zarr")
+    write_store(
+        store,
+        {
+            "time": (np.arange(4, dtype=np.int64), (4,)),
+            "station": (
+                np.array([f"st{i:02d}" for i in range(6)], dtype="S6"),
+                (3,),
+            ),
+            "reading": (np.arange(24, dtype=np.float64).reshape(4, 6), (1, 3)),
+        },
+    )
+    engine.register_zarr("strsc", store)
+    fast = engine.sql(
+        "SELECT COUNT(*) AS n, MIN(station) AS lo, MAX(station) AS hi FROM strsc"
+    )
+    assert engine.last_query_used_shortcut
+    row = fast.collect()[0]
+    assert (row.n, row.lo, row.hi) == (24, "st00", "st05")
+    assert row == spark.sql(
+        "SELECT COUNT(*) AS n, MIN(station) AS lo, MAX(station) AS hi FROM strsc"
+    ).collect()[0]
