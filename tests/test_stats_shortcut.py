@@ -150,23 +150,9 @@ def test_zarr_string_coord_shortcut(engine, spark, tmp_path):
     """MIN/MAX over a STRING coordinate answers scan-free from the
     (lexicographic) coord stats — new with r4 string-coordinate
     support; differential against the real scan."""
-    import numpy as np
+    from tests.test_zarr_source import _station_store
 
-    from zarr_datafusion_spark.zarr.writer import write_store
-
-    store = str(tmp_path / "strsc.zarr")
-    write_store(
-        store,
-        {
-            "time": (np.arange(4, dtype=np.int64), (4,)),
-            "station": (
-                np.array([f"st{i:02d}" for i in range(6)], dtype="S6"),
-                (3,),
-            ),
-            "reading": (np.arange(24, dtype=np.float64).reshape(4, 6), (1, 3)),
-        },
-    )
-    engine.register_zarr("strsc", store)
+    engine.register_zarr("strsc", _station_store(tmp_path))
     fast = engine.sql(
         "SELECT COUNT(*) AS n, MIN(station) AS lo, MAX(station) AS hi FROM strsc"
     )

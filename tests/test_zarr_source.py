@@ -838,3 +838,34 @@ def test_reused_dataframe_not_poisoned(spark, tmp_path):
     assert df.count() == 24
     mm = df.agg({"station": "max"}).collect()[0][0]
     assert mm == "st05"
+
+
+def test_string_fill_value_base64_decoded(tmp_path):
+    """zarr v2 base64-encodes fill_value for |S dtypes; a missing chunk
+    must fill with the DECODED bytes, not the base64 text."""
+    import base64
+    import json
+    import os
+
+    from zarr_datafusion_spark.zarr.chunkio import read_window
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+
+    store = str(tmp_path / "fill.zarr")
+    write_store(
+        store,
+        {
+            "x": (np.arange(4, dtype=np.int64), (2,)),
+            "tag": (np.array(["aa", "bb", "cc", "dd"], dtype="S4"), (2,)),
+        },
+    )
+    # make 'tag' a 1-D data var... it's classified as coord (1-D); the
+    # fill path is dtype-level, so exercising it via the coord is fine:
+    # rewrite its fill_value to base64(b'null') and delete chunk 1
+    zpath = f"{store}/tag/.zarray"
+    meta = json.load(open(zpath))
+    meta["fill_value"] = base64.b64encode(b"null").decode("ascii")
+    json.dump(meta, open(zpath, "w"))
+    os.remove(f"{store}/tag/1")
+    tag = discover_arrays(store).array("tag")
+    vals = read_window(store, tag, ((0, 4),)).tolist()
+    assert vals == ["aa", "bb", "null", "null"]

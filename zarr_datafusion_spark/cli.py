@@ -25,11 +25,14 @@ import time
 HISTORY_FILE = os.path.expanduser("~/.zds_cli_history")
 
 
-def _setup_readline(tables: list[str] | None = None) -> None:
+def _setup_readline(tables: list[str] | None = None, tables_fn=None) -> None:
     """History persistence like the reference's ~/.zarr_cli_history
     (``main.rs:83-95``), plus tab-completion over SQL keywords, table
     names, and history continuations (the plain-readline analog of the
-    reference's Hinter, ``highlight.rs:29-59``)."""
+    reference's Hinter, ``highlight.rs:29-59``).  History and table
+    candidates are read LIVE at completion time — statements typed this
+    session and tables created via in-REPL DDL complete immediately,
+    matching the reference Hinter's live-history behavior."""
     try:
         import readline
     except ImportError:  # non-readline platform: plain input()
@@ -43,12 +46,16 @@ def _setup_readline(tables: list[str] | None = None) -> None:
 
     from zarr_datafusion_spark.highlight import SqlCompleter
 
-    history = [
-        readline.get_history_item(i + 1)
-        for i in range(readline.get_current_history_length())
-        if readline.get_history_item(i + 1)
-    ]
-    readline.set_completer(SqlCompleter(tables or [], history))
+    def history_fn() -> list[str]:
+        return [
+            readline.get_history_item(i + 1)
+            for i in range(readline.get_current_history_length())
+            if readline.get_history_item(i + 1)
+        ]
+
+    readline.set_completer(
+        SqlCompleter(tables or [], tables_fn=tables_fn, history_fn=history_fn)
+    )
     readline.set_completer_delims(" \t\n,;()")
     readline.parse_and_bind("tab: complete")
 
@@ -137,7 +144,10 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
     from zarr_datafusion_spark.highlight import highlight_sql
     from zarr_datafusion_spark.stats.io_stats import plan_scan_stats
 
-    _setup_readline(list(zarr_tables) + [t.name for t in engine.spark.catalog.listTables()])
+    _setup_readline(
+        list(zarr_tables),
+        tables_fn=lambda: [t.name for t in engine.spark.catalog.listTables()],
+    )
     tty = getattr(sys.stdout, "isatty", lambda: False)()
     buffer: list[str] = []
     while True:
@@ -191,10 +201,12 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
         if engine.last_query_used_shortcut:
             print(f"{len(rows)} rows · answered from statistics (no scan) · {secs:.3f}s")
         elif scanned:
-            stats = plan_scan_stats(
-                zarr_tables[scanned],
-                coord_filters=_coord_eq_filters(sql, zarr_tables[scanned]),
-            )
+            # Unpruned figures: REPL zarr views use the reuse-safe
+            # (non-narrowing) pushdown default, so the full store is
+            # what the scan actually read — printing filter-narrowed
+            # numbers here would overstate the pruning (they were
+            # accurate only while narrowing was unconditional).
+            stats = plan_scan_stats(zarr_tables[scanned])
             print(
                 f"{len(rows)} rows · {stats.n_arrays} arrays · "
                 f"scan {stats.rows} cells · "
@@ -202,29 +214,6 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
             )
         else:
             print(f"{len(rows)} rows · {secs:.3f}s")
-
-
-def _coord_eq_filters(sql: str, store_path: str) -> dict:
-    """Best-effort extraction of ``coord = literal`` conjuncts so the
-    stats line reflects what the pushdown actually read (same filter
-    shape the source's pushFilters handles; anything unparsed just
-    means the line shows the unpruned figure)."""
-    import re
-
-    from zarr_datafusion_spark.zarr.metadata import discover_arrays
-
-    try:
-        coords = {c.name for c in discover_arrays(store_path).coords}
-    except Exception:
-        return {}
-    out: dict = {}
-    for name, lit in re.findall(
-        r"\b([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(-?\d+(?:\.\d+)?)", sql
-    ):
-        if name in coords:
-            v = float(lit)
-            out[name] = int(v) if v.is_integer() else v
-    return out
 
 
 def _base_zarr_table(sql: str, zarr_tables: dict[str, str]) -> str | None:

@@ -120,10 +120,40 @@ class SqlCompleter:
     and whole-line history continuations (the tab-key stand-in for the
     reference's inline ghost hint)."""
 
-    def __init__(self, tables: list[str] | None = None, history: list[str] | None = None):
+    def __init__(
+        self,
+        tables: list[str] | None = None,
+        history: list[str] | None = None,
+        tables_fn=None,
+        history_fn=None,
+    ):
+        #: static seeds plus optional live providers — the REPL passes
+        #: callables so statements typed THIS session and tables created
+        #: by in-REPL DDL show up in completions (a startup snapshot
+        #: would freeze both).
         self.tables = list(tables or [])
         self.history = history if history is not None else []
+        self.tables_fn = tables_fn
+        self.history_fn = history_fn
         self._matches: list[str] = []
+
+    def _live_tables(self) -> list[str]:
+        extra: list[str] = []
+        if self.tables_fn is not None:
+            try:
+                extra = list(self.tables_fn())
+            except Exception:
+                pass
+        return self.tables + [t for t in extra if t not in self.tables]
+
+    def _live_history(self) -> list[str]:
+        extra: list[str] = []
+        if self.history_fn is not None:
+            try:
+                extra = list(self.history_fn())
+            except Exception:
+                pass
+        return self.history + [h for h in extra if h not in self.history]
 
     def _buffer(self, text: str) -> str:
         try:
@@ -142,11 +172,11 @@ class SqlCompleter:
                 # Whole-line history continuation when completing at the
                 # start of the statement (the reference's inline hint).
                 if self._buffer(text) == text:
-                    hint = history_hint(text, list(self.history))
+                    hint = history_hint(text, self._live_history())
                     if hint is not None:
                         matches.append(text + hint)
                         seen.add(text + hint)
-                for cand in list(self.tables) + sorted(KEYWORDS):
+                for cand in self._live_tables() + sorted(KEYWORDS):
                     if cand.lower().startswith(low) and cand not in seen:
                         seen.add(cand)
                         matches.append(

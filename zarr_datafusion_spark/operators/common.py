@@ -36,3 +36,25 @@ def cpu_rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
     if _planned_scan_partitions(spark, df) < target:
         df = df.repartition(target)
     return df
+
+
+def salted_bucket(key_col: str, salt: str, buckets: int = 100):
+    """Deterministic hash bucket ``md5(key || salt) % buckets`` — the
+    one spelling of the split/mix/quota decision every operator shares
+    (Spark twin of the oracles' ``_BUCKET_SQL``).  Hash-keyed, not
+    rand(): stable across runs, engines, partitionings, and corpus
+    growth."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )

@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from zarr_datafusion_spark.operators.common import cpu_rebalance
+from zarr_datafusion_spark.operators.common import cpu_rebalance, salted_bucket
 from zarr_datafusion_spark.operators.dedup import _GRAMS_EXPR
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -101,18 +101,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cpu_rebalance(
         spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    bucket = salted_bucket("doc_id", ":split")
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
     )
@@ -386,18 +375,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     source only to make the oracle compact).
     """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    bucket = salted_bucket("doc_id", ":mix")
     rate = F.expr(_MIX_CASE)
     return (
         docs.select("source", bucket.alias("bucket"), rate.alias("rate"))
@@ -1001,18 +979,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; the single final division is the only float op.
     """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    bucket = salted_bucket("doc_id", ":split")
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
     )

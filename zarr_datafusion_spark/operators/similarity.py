@@ -421,8 +421,15 @@ def kmeans_fit(
     )
     C = np.array([r.embedding for r in init], dtype=np.float64)
     dim = C.shape[1]
+    # Exact-decimal accumulation (same policy as the relational sums):
+    # double partial sums would make centroids depend on task-completion
+    # order across partitions — last-ulp drift that flips assignments
+    # and breaks run-to-run determinism.  The per-row cast rounds each
+    # float to 12 decimal places (deterministic); the decimal SUM is
+    # then exact and order-independent, so centroids are bit-stable
+    # under any partitioning.
     sum_cols = [
-        F.sum(F.element_at("embedding", i + 1).cast("double")).alias(f"s{i}")
+        F.sum(F.element_at("embedding", i + 1).cast("decimal(38,12)")).alias(f"s{i}")
         for i in range(dim)
     ]
     for _ in range(max_iter):
@@ -435,7 +442,7 @@ def kmeans_fit(
         newC = C.copy()  # an emptied cluster keeps its old centroid
         for r in stats:
             newC[r["cluster"]] = (
-                np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
+                np.array([float(r[f"s{i}"]) for i in range(dim)]) / r["n"]
             )
         shift = float(np.abs(newC - C).max())
         C = newC
@@ -460,7 +467,12 @@ def sim_kmeans_train(spark, sf_dir):
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.sum("dist2").alias("inertia"),
+            # decimal accumulation: order-independent exact sum of the
+            # (deterministic per-row) squared distances, so the entry's
+            # output is bit-stable across runs and partitionings
+            F.sum(F.col("dist2").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("inertia"),
         )
         .orderBy("cluster")
     )

@@ -286,18 +286,9 @@ def split_train_valid_test(spark, sf_dir):
     by Spark and DuckDB, so the assignment — not just the counts — is
     oracle-exact."""
     docs = _docs(spark, sf_dir)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    from zarr_datafusion_spark.operators.common import salted_bucket
+
+    bucket = salted_bucket("doc_id", ":split")
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
     )

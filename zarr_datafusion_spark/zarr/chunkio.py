@@ -271,8 +271,21 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
     path = _chunk_path(store_path, meta, idx)
     if not fs.exists(path):
         fill = meta.fill_value if meta.fill_value is not None else 0
-        if dtype.kind in "SU" and not isinstance(fill, (str, bytes)):
-            fill = b"" if dtype.kind == "S" else ""
+        if dtype.kind == "S":
+            # zarr v2 spec: fill_value for fixed-length byte strings is
+            # base64-encoded; taking it verbatim would corrupt gap-chunk
+            # values (b'bnVsbA==' instead of b'null')
+            if isinstance(fill, str):
+                import base64
+
+                try:
+                    fill = base64.b64decode(fill, validate=True)
+                except Exception:
+                    fill = fill.encode("utf-8")
+            elif not isinstance(fill, bytes):
+                fill = b""
+        elif dtype.kind == "U" and not isinstance(fill, str):
+            fill = ""
         return np.full(meta.chunks, fill, dtype=dtype)
     raw = fs.read_bytes(path)
     _IO.disk_bytes += len(raw)

@@ -99,13 +99,22 @@ def write_v2_array(
         compressor = {"id": compression, "level": 1}
     else:
         compressor = None
+    if arr.dtype.kind == "S":
+        # v2 spec: byte-string fill_value is base64-encoded
+        import base64
+
+        fill_value: object = base64.b64encode(b"").decode("ascii")
+    elif arr.dtype.kind == "U":
+        fill_value = ""
+    else:
+        fill_value = 0
     meta = {
         "zarr_format": 2,
         "shape": list(arr.shape),
         "chunks": list(chunks),
         "dtype": dtype_str,
         "compressor": compressor,
-        "fill_value": 0,
+        "fill_value": fill_value,
         "order": "C",
         "filters": None,
         "dimension_separator": dimension_separator,
