@@ -139,6 +139,8 @@ def _registries() -> tuple[dict, dict]:
         "sim_topk_quantized",
         "mm_extract_features",
         "setops",
+        # Fifth: slot for mm_audio_windows (green r2+r3)
+        "text_length_percentiles",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

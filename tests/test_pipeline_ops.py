@@ -21,6 +21,7 @@ ORACLED = {
     **{n: (dedup.QUERIES[n], dedup.ORACLE[n]) for n in dedup.ORACLE},
     **{n: (similarity.QUERIES[n], similarity.ORACLE[n]) for n in similarity.ORACLE},
     **{n: (temporal.QUERIES[n], temporal.ORACLE[n]) for n in temporal.ORACLE},
+    **{n: (multimodal.QUERIES[n], multimodal.ORACLE[n]) for n in multimodal.ORACLE},
 }
 
 
@@ -218,3 +219,38 @@ def test_kmeans_deterministic(spark):
     a = [tuple(r) for r in S.QUERIES["sim_kmeans_train"](spark, SF_DIR).collect()]
     b = [tuple(r) for r in S.QUERIES["sim_kmeans_train"](spark, SF_DIR).collect()]
     assert a == b
+
+
+def test_audio_windows_ascii_precondition(duck):
+    """mm_audio_windows' oracle equates payload bytes with ord() over
+    text characters — valid only while the driver corpus is pure ASCII.
+    If a regeneration introduces multi-byte text this fails loudly
+    instead of the oracle silently mismatching."""
+    n = duck.sql(
+        "SELECT COUNT(*) FROM documents WHERE octet_length(encode(text)) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_audio_windows_segmentation(spark):
+    """Window invariants: per-doc windows are 0..k-1, all but the last
+    are full, sample counts sum to the body length."""
+    from collections import defaultdict
+
+    rows = multimodal.QUERIES["mm_audio_windows"](spark, SF_DIR).collect()
+    assert rows
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    syn = {
+        r.doc_id: r
+        for r in multimodal.QUERIES["mm_synthesize"](spark, SF_DIR).collect()
+        if r.media_type == "audio"
+    }
+    assert set(per_doc) == set(syn)
+    for did, rs in per_doc.items():
+        rs.sort(key=lambda r: r.win)
+        assert [r.win for r in rs] == list(range(len(rs)))
+        assert all(r.n_samples == 256 for r in rs[:-1])
+        assert sum(r.n_samples for r in rs) == syn[did].payload_bytes - 8
+        assert all(0 <= r.mean_amp <= 255 for r in rs)

@@ -40,6 +40,7 @@ ROTATED_IN = {
     "quota_sample_per_lang",
     "text_oov_rate",
     "embedding_project",
+    "mm_audio_windows",
 }
 
 #: Entries restored by the round-4 events.ts fix — their r4 green row

@@ -255,3 +255,87 @@ def decode_image_real(payload: bytes):
     raise NotImplementedError(
         "real media decode requires PIL/ffmpeg, not present in this container"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio windowing (round 4): the audio-specific stage, completing the
+# per-modality trio (resize=image, frame_sample=video, windows=audio)
+# ---------------------------------------------------------------------------
+
+_AUDIO_WIN = 256
+
+_AUDIO_ORACLE = f"""
+    WITH a AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    w AS (
+      SELECT doc_id, text, n,
+             unnest(range(0, CAST(ceil(n / {_AUDIO_WIN}.0) AS BIGINT))) AS win
+      FROM a
+    ),
+    s AS (
+      SELECT doc_id, win,
+             CAST(LEAST({_AUDIO_WIN}, n - win * {_AUDIO_WIN}) AS BIGINT) AS n_samples,
+             substr(text, CAST(win * {_AUDIO_WIN} + 1 AS BIGINT), {_AUDIO_WIN}) AS seg
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(win AS BIGINT) AS win,
+           n_samples,
+           CAST(list_sum(list_transform(range(1, CAST(len(seg) + 1 AS BIGINT)),
+                                        i -> ord(substr(seg, i, 1)))) AS DOUBLE)
+             / n_samples AS mean_amp
+    FROM s
+"""
+
+
+@_q("mm_audio_windows", _AUDIO_ORACLE)
+def mm_audio_windows(spark, sf_dir):
+    """Fixed-length analysis windows over audio payloads: each audio
+    row's body bytes are treated as 8-bit samples and segmented into
+    {W}-sample windows with a per-window mean amplitude — the
+    feature-extraction shape (RMS/energy per frame window) an audio
+    pipeline runs before VAD or codec work.  Window explosion and the
+    byte-level reduction run in one mapInPandas pass (numpy over the
+    Arrow batch); a real DSP kernel replaces the mean without touching
+    the plumbing.
+
+    Oracle: the fake payload body is the document's utf-8 text (pure
+    ASCII in the driver corpus, asserted in tests), so DuckDB recomputes
+    each window's byte mean with ord() over the same segmentation —
+    integer sums + one division, exact cross-engine.
+
+    100 TB posture: map-only (no shuffle, no wide state); output is one
+    row per window, and the per-row cost is linear in payload bytes —
+    the same bytes-scanned denominator as every other map stage.
+    """
+    import numpy as np
+
+    audio = synthesize_media(spark, sf_dir).filter(
+        F.col("media_type") == "audio"
+    )
+
+    def _win_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, wins, counts, means = [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = np.frombuffer(payload, dtype=np.uint8)[8:]
+                for w in range(-(-len(body) // _AUDIO_WIN)):
+                    seg = body[w * _AUDIO_WIN : (w + 1) * _AUDIO_WIN]
+                    doc_ids.append(did)
+                    wins.append(w)
+                    counts.append(len(seg))
+                    means.append(int(seg.sum(dtype=np.int64)) / len(seg))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "win": pd.Series(wins, dtype="int64"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "mean_amp": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return audio.mapInPandas(
+        _win_batch, schema="doc_id long, win long, n_samples long, mean_amp double"
+    )
