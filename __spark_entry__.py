@@ -141,6 +141,12 @@ def _registries() -> tuple[dict, dict]:
         "setops",
         # Fifth: slot for mm_audio_windows (green r2+r3)
         "text_length_percentiles",
+        # Sixth tranche: slots for the three event/sketch operators
+        # (event_funnel, event_retention_cohorts, text_heavy_hitters_cms).
+        # agg_groupby stays driver-smoked every round via entry().
+        "agg_groupby",
+        "scale_salted_agg",
+        "pipeline_curate",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

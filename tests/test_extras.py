@@ -308,3 +308,43 @@ def test_embedding_project_preserves_scale(spark):
             if c != 0.0:
                 expect += float(x) * c
         assert math.isclose(getattr(row, f"p{d}"), expect, rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_funnel_depth_monotone_counts(spark):
+    """Funnel sanity: depths are 1..3, stage populations shrink
+    monotonically, and every user with a view appears exactly once."""
+    rows = extras.QUERIES["event_funnel"](spark, SF_DIR).collect()
+    assert rows
+    assert len({r.user_id for r in rows}) == len(rows)
+    n1 = sum(r.funnel_depth >= 1 for r in rows)
+    n2 = sum(r.funnel_depth >= 2 for r in rows)
+    n3 = sum(r.funnel_depth >= 3 for r in rows)
+    assert n1 >= n2 >= n3
+    assert n2 > 0, "no user ever clicked within the window — vacuous fixture"
+    assert all(r.funnel_depth in (1, 2, 3) for r in rows)
+
+
+def test_retention_cohort_triangle(spark):
+    """Offset-0 count equals cohort size; no offset exceeds its
+    cohort's day-0 population."""
+    rows = extras.QUERIES["event_retention_cohorts"](spark, SF_DIR).collect()
+    assert rows
+    day0 = {r.cohort_day: r.n_active for r in rows if r.day_offset == 0}
+    for r in rows:
+        assert 0 <= r.day_offset <= 7
+        assert r.n_active <= day0[r.cohort_day], "retention above cohort size"
+
+
+def test_cms_never_underestimates_and_is_tight_here(spark):
+    """The CMS guarantee (estimate >= exact) must hold for every token;
+    with 31 distinct tokens in a 4x1024 sketch there are no collisions,
+    so estimates should be EXACT — any slack means the two engines'
+    bucketing diverged."""
+    rows = extras.QUERIES["text_heavy_hitters_cms"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.never_underestimates
+        assert r.cms_estimate == r.exact_count, (
+            f"{r.token}: est {r.cms_estimate} != exact {r.exact_count} "
+            "(collision impossible at this vocabulary size)"
+        )

@@ -41,6 +41,9 @@ ROTATED_IN = {
     "text_oov_rate",
     "embedding_project",
     "mm_audio_windows",
+    "event_funnel",
+    "event_retention_cohorts",
+    "text_heavy_hitters_cms",
 }
 
 #: Entries restored by the round-4 events.ts fix — their r4 green row

@@ -1078,3 +1078,243 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(_PROJ_OUT)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel analysis (round 4)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.first_view
+        AND e.ts <= v.first_view + INTERVAL 60 MINUTE
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.first_click
+        AND e.ts <= c.first_click + INTERVAL 60 MINUTE
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(1 + (c.user_id IS NOT NULL)::INT
+                  + (p.user_id IS NOT NULL)::INT AS BIGINT) AS funnel_depth,
+           date_trunc('second', v.first_view) AS first_view
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+@_q("event_funnel", _FUNNEL_ORACLE)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, how deep the view -> click -> purchase
+    chain progresses, each step within 60 minutes of the previous
+    step's first qualifying event (the product-analytics conversion
+    query).  Deterministic: every stage anchors on the MIN timestamp of
+    the prior stage, so there is exactly one answer per user.
+
+    100 TB posture: three user-keyed aggregations + two user-keyed
+    joins — everything shuffles on user_id once per stage and the
+    stage outputs are one row per user (tiny).  No window-function
+    sort over the raw event stream, no cross-event self-join
+    explosion; AQE broadcasts the per-user stage tables when they fit.
+    """
+    from zarr_datafusion_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("first_view"))
+            & (F.col("ts") <= F.col("first_view") + F.expr("INTERVAL 60 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("first_click"))
+            & (F.col("ts") <= F.col("first_click") + F.expr("INTERVAL 60 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("_p")), "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.coalesce(F.col("_c"), F.lit(0))
+                + F.coalesce(F.col("_p"), F.lit(0))
+            ).cast("long").alias("funnel_depth"),
+            F.date_trunc("second", "first_view").alias("first_view"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (round 4)
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+    WITH f AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN f USING (user_id)
+    WHERE datediff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 7
+    GROUP BY 1, 2
+"""
+
+
+@_q("event_retention_cohorts", _RETENTION_ORACLE)
+def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    on each of their first 8 activity days (the classic product
+    retention triangle).  All-integer outputs — exact both engines.
+
+    100 TB posture: one user-keyed aggregation for the cohort
+    assignment (one row per user — broadcastable), one join back to
+    the event stream, one (cohort, offset) aggregation whose key space
+    is days x 8 — tiny.  COUNT(DISTINCT user) shuffles (cohort, offset,
+    user) once; at extreme scale swap in approx_count_distinct (HLL
+    partial-merge, no second shuffle) — the exact form here is the
+    oracle-checkable reference semantics.
+    """
+    from zarr_datafusion_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    j = ev.join(f, "user_id").withColumn(
+        "day_offset", F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).cast("long")
+    )
+    return (
+        j.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (round 4)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+_CMS_ORACLE = f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    exact AS (SELECT token, COUNT(*) AS exact_count FROM tok GROUP BY token),
+    rows_j AS (
+      SELECT token, j,
+             CASE j {' '.join(f"WHEN {j} THEN (('0x' || substr(md5(token || ':cms{j}'), 1, 8))::UBIGINT % {_CMS_WIDTH})" for j in range(_CMS_DEPTH))} END AS bucket
+      FROM tok, unnest([{', '.join(str(j) for j in range(_CMS_DEPTH))}]) AS t(j)
+    ),
+    sketch AS (
+      SELECT j, bucket, COUNT(*) AS cnt FROM rows_j GROUP BY j, bucket
+    ),
+    probe AS (
+      SELECT e.token, e.exact_count, MIN(s.cnt) AS cms_estimate
+      FROM exact e
+      JOIN rows_j r ON r.token = e.token
+      JOIN sketch s ON s.j = r.j AND s.bucket = r.bucket
+      GROUP BY e.token, e.exact_count
+    )
+    SELECT token,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           cms_estimate >= exact_count AS never_underestimates
+    FROM probe
+"""
+
+
+@_q("text_heavy_hitters_cms", _CMS_ORACLE)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation: build a depth x width
+    counter sketch over the token stream DISTRIBUTIVELY (explode k
+    hash rows per token -> ONE groupBy over (row, bucket) — the sketch
+    is an aggregation result, never driver state), then estimate each
+    distinct token's count as the min over its k counters.  Hashes are
+    md5-derived (no RNG), so the sketch — and therefore every estimate
+    — is deterministic and recomputed identically by the DuckDB twin;
+    the output carries exact vs estimate side by side plus the CMS
+    no-underestimate guarantee as a checked column.
+
+    100 TB posture: the sketch is {_CMS_DEPTH}x{_CMS_WIDTH} counters
+    REGARDLESS of token cardinality — the whole point: a trillion-token
+    stream with billions of distinct tokens aggregates into a
+    fixed-size table (map-side partial counts make the shuffle
+    O(partitions x depth x width)), where the exact groupBy this entry
+    compares against would shuffle every distinct token.  The probe
+    side here estimates ALL distinct tokens only because the fixture
+    vocabulary is 31 tokens; production probes a candidate set.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
+    rows_j = tok.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        salted_bucket("token", f":cms{j}", _CMS_WIDTH).alias("bucket"),
+                    )
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("jb"),
+    ).select("token", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    sketch = rows_j.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    probe = (
+        exact.select(
+            "token",
+            "exact_count",
+            *[
+                salted_bucket("token", f":cms{j}", _CMS_WIDTH).alias(f"b{j}")
+                for j in range(_CMS_DEPTH)
+            ],
+        )
+    )
+    for j in range(_CMS_DEPTH):
+        s_j = sketch.filter(F.col("j") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("cnt").alias(f"c{j}")
+        )
+        probe = probe.join(F.broadcast(s_j), f"b{j}")
+    return probe.select(
+        "token",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        F.least(*[F.col(f"c{j}") for j in range(_CMS_DEPTH)])
+        .cast("long")
+        .alias("cms_estimate"),
+        (
+            F.least(*[F.col(f"c{j}") for j in range(_CMS_DEPTH)])
+            >= F.col("exact_count")
+        ).alias("never_underestimates"),
+    )
