@@ -147,6 +147,10 @@ def _registries() -> tuple[dict, dict]:
         "agg_groupby",
         "scale_salted_agg",
         "pipeline_curate",
+        # Seventh (green r1): slots for agg_approx_percentile and
+        # text_token_windows_udtf.
+        "distinct_vals",
+        "json_functions",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

@@ -12,8 +12,6 @@ import __spark_entry__ as E
 ROTATED_IN = {
     "agg_time_bucket",
     "array_functions",
-    "json_functions",
-    "distinct_vals",
     "cte_recursive",
     "agg_variance",
     "text_contamination",
@@ -44,6 +42,8 @@ ROTATED_IN = {
     "event_funnel",
     "event_retention_cohorts",
     "text_heavy_hitters_cms",
+    "agg_approx_percentile",
+    "text_token_windows_udtf",
 }
 
 #: Entries restored by the round-4 events.ts fix — their r4 green row

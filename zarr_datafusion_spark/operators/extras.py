@@ -1318,3 +1318,58 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("exact_count")
         ).alias("never_underestimates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: token windows (round 4)
+# ---------------------------------------------------------------------------
+
+_UDTF_WIN = 8
+
+_UDTF_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(g AS BIGINT) AS win_idx,
+           array_to_string(w[g * {_UDTF_WIN} + 1 : g * {_UDTF_WIN} + {_UDTF_WIN}], ' ') AS window_text
+    FROM t, unnest(range(0, CAST(ceil(len(w) / {_UDTF_WIN}.0) AS BIGINT))) AS u(g)
+"""
+
+
+@_q("text_token_windows_udtf", _UDTF_ORACLE)
+def text_token_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) exploding each
+    document into fixed-size token windows via a SQL LATERAL join — the
+    chunking step before embedding long documents, expressed through
+    the one UDF surface the repo had not yet exercised (scalar pandas
+    UDFs, grouped applyInPandas, mapInPandas, and stateful
+    applyInPandasWithState all appear elsewhere; UDTFs complete the
+    set).  Python tokenization (``str.split()``) matches the rest of
+    the text family's ``\\s+`` regex split on whitespace-trimmed text.
+
+    100 TB posture: a UDTF lateral join is row-local — Arrow-batched
+    fan-out with no shuffle; output volume is input tokens / window,
+    and column pruning passes only (doc_id, text) into the Python
+    worker.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx: bigint, window_text: string")
+    class TokenWindows:
+        def eval(self, text: str):
+            toks = (text or "").lower().strip().split()
+            for g in range(-(-len(toks) // _UDTF_WIN)):
+                yield (
+                    g,
+                    " ".join(toks[g * _UDTF_WIN : (g + 1) * _UDTF_WIN]),
+                )
+
+    spark.udtf.register("zds_token_windows", TokenWindows)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.createOrReplaceTempView("zds_udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, t.win_idx, t.window_text
+           FROM zds_udtf_docs d, LATERAL zds_token_windows(d.text) t"""
+    )

@@ -442,6 +442,38 @@ def agg_approx_distinct(spark, sf_dir):
 
 
 @_q(
+    "agg_approx_percentile",
+    """SELECT quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+              quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+              TRUE AS approx_within_band
+       FROM lineitem""",
+)
+def agg_approx_percentile(spark, sf_dir):
+    """approx_percentile (t-digest-style sketch) next to the exact
+    interpolated percentile — same contract as ``agg_approx_distinct``:
+    the sketch estimate is engine-specific so the entry hashes the
+    EXACT percentiles (bit-identical across engines: both define
+    percentile as linear interpolation over the sorted values) plus a
+    boolean asserting the approximate answer landed within 2% relative
+    error.  At 100 TB the exact form needs a full sort per group;
+    approx_percentile is single-pass with mergeable fixed-size state —
+    this entry proves the swap is safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact = F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))")
+    approx = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)"
+    )
+    return li.agg(
+        exact.getItem(0).alias("exact_p50"),
+        exact.getItem(1).alias("exact_p95"),
+        (
+            (F.abs(approx.getItem(0) - exact.getItem(0)) <= 0.02 * exact.getItem(0))
+            & (F.abs(approx.getItem(1) - exact.getItem(1)) <= 0.02 * exact.getItem(1))
+        ).alias("approx_within_band"),
+    )
+
+
+@_q(
     "agg_time_bucket",
     """SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
               COUNT(*) AS n_events,
