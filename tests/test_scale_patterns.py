@@ -114,3 +114,56 @@ def test_write_sorted_files_own_disjoint_key_ranges(spark, tmp_path):
         # equal keys land in one range partition, so file ranges are
         # strictly disjoint — an interleaved layout would defeat skipping
         assert prev_hi < nxt_lo, f"file key ranges interleave: {ranges}"
+
+
+def test_write_zorder_clusters_both_key_columns(spark, tmp_path):
+    """Z-order must shrink per-file footer ranges on BOTH keys, where
+    single-key write_sorted clusters one and stripes the other — the
+    multi-column data-skipping property, measured from real parquet
+    footers."""
+    import pyarrow.parquet as pq
+
+    from zarr_datafusion_spark.scale import write_sorted, write_zorder
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    glob_ranges = li.agg(
+        F.max("l_partkey") - F.min("l_partkey"),
+        F.max("l_suppkey") - F.min("l_suppkey"),
+    ).collect()[0]
+
+    def avg_file_range_frac(path: str, col: str, global_range: int) -> float:
+        import glob as g
+
+        fracs = []
+        for f in sorted(g.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                fracs.append((max(his) - min(los)) / global_range)
+        assert fracs
+        return sum(fracs) / len(fracs)
+
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "sorted")
+    write_zorder(li, zpath, "l_partkey", "l_suppkey", n_files=16)
+    write_sorted(li, spath, "l_partkey", n_files=16)
+
+    z_a = avg_file_range_frac(zpath, "l_partkey", glob_ranges[0])
+    z_b = avg_file_range_frac(zpath, "l_suppkey", glob_ranges[1])
+    s_b = avg_file_range_frac(spath, "l_suppkey", glob_ranges[1])
+
+    # both z-ordered dimensions cluster (well under the full range) ...
+    assert z_a < 0.6, f"l_partkey per-file range frac {z_a}"
+    assert z_b < 0.6, f"l_suppkey per-file range frac {z_b}"
+    # ... while the single-key layout stripes the second key across
+    # nearly its whole range in every file
+    assert s_b > 0.9, f"sorted layout unexpectedly clustered l_suppkey: {s_b}"
+    assert z_b < s_b / 2
