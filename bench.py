@@ -169,14 +169,10 @@ def main() -> None:
     # GC pauses and page-cache cold starts, which on this box swing a
     # single run by +/-50%).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    # The flagship swings more than the rest on this box (largest
-    # shuffle + first measured query); extra reps stabilize the
-    # recorded best without inflating total runtime much.
-    extra_reps = {"agg_groupby": max(reps, 4)}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(max(1, extra_reps.get(name, reps))):
+        for _ in range(max(1, reps)):
             df = registry[name](spark, SF_DIR)
             t0 = time.perf_counter()
             _force(df)

@@ -335,16 +335,19 @@ def test_retention_cohort_triangle(spark):
         assert r.n_active <= day0[r.cohort_day], "retention above cohort size"
 
 
-def test_cms_never_underestimates_and_is_tight_here(spark):
-    """The CMS guarantee (estimate >= exact) must hold for every token;
-    with 31 distinct tokens in a 4x1024 sketch there are no collisions,
-    so estimates should be EXACT — any slack means the two engines'
-    bucketing diverged."""
+def test_cms_never_underestimates_and_is_tight(spark):
+    """The CMS guarantee (estimate >= exact) must hold for every token,
+    and overestimates are bounded by the classical eN/width error bar
+    (collisions are only IMPROBABLE at this vocabulary size, not
+    impossible — an exact-equality assertion would turn a legitimate
+    collision after a corpus regeneration into a spurious failure)."""
     rows = extras.QUERIES["text_heavy_hitters_cms"](spark, SF_DIR).collect()
     assert rows
+    total = sum(r.exact_count for r in rows)
+    slack = max(1, int(2.7183 * total / 1024))
     for r in rows:
         assert r.never_underestimates
-        assert r.cms_estimate == r.exact_count, (
-            f"{r.token}: est {r.cms_estimate} != exact {r.exact_count} "
-            "(collision impossible at this vocabulary size)"
+        assert r.cms_estimate <= r.exact_count + slack, (
+            f"{r.token}: est {r.cms_estimate} vs exact {r.exact_count} "
+            f"exceeds the eN/w bound ({slack})"
         )

@@ -58,18 +58,26 @@ def _entries():
     import __spark_entry__ as E
 
     qs = E.queries()
-    return [(n, fn) for n, fn in qs.items() if n not in SKIP_EAGER]
+    # whitelisted entries are excluded up front: building the plan and
+    # running a formatted explain only to discard the result is the
+    # dominant cost of this suite
+    return [
+        (n, fn)
+        for n, fn in qs.items()
+        if n not in SKIP_EAGER and n not in NESTED_LOOP_OK
+    ]
 
 
-@pytest.mark.parametrize("name,fn", _entries(), ids=[n for n, _ in _entries()])
+_ENTRIES = _entries()
+
+
+@pytest.mark.parametrize("name,fn", _ENTRIES, ids=[n for n, _ in _ENTRIES])
 def test_no_accidental_cartesian(spark, name, fn):
     df = fn(spark, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    if name in NESTED_LOOP_OK:
-        return  # intentional, documented above
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"{name}: nested-loop join in plan — broadcast-theta over an "

@@ -1292,31 +1292,37 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jb"),
     ).select("token", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
     sketch = rows_j.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
-    probe = (
-        exact.select(
-            "token",
-            "exact_count",
-            *[
-                salted_bucket("token", f":cms{j}", _CMS_WIDTH).alias(f"b{j}")
-                for j in range(_CMS_DEPTH)
-            ],
-        )
+    # Probe with ONE sketch join: explode each candidate token to its
+    # (j, bucket) coordinates and take min(cnt) per token.  (A
+    # per-depth filter+join would push the j-filter below the groupBy
+    # and rebuild the whole sketch once per row — 4x the token-stream
+    # aggregation for nothing.)  Inner join is lossless: every probe
+    # token's buckets hold at least its own counts.
+    probe_jb = exact.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        salted_bucket("token", f":cms{j}", _CMS_WIDTH).alias("bucket"),
+                    )
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("jb"),
+    ).select("token", "exact_count", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    est = (
+        probe_jb.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
     )
-    for j in range(_CMS_DEPTH):
-        s_j = sketch.filter(F.col("j") == j).select(
-            F.col("bucket").alias(f"b{j}"), F.col("cnt").alias(f"c{j}")
-        )
-        probe = probe.join(F.broadcast(s_j), f"b{j}")
-    return probe.select(
+    return est.select(
         "token",
         F.col("exact_count").cast("long").alias("exact_count"),
-        F.least(*[F.col(f"c{j}") for j in range(_CMS_DEPTH)])
-        .cast("long")
-        .alias("cms_estimate"),
-        (
-            F.least(*[F.col(f"c{j}") for j in range(_CMS_DEPTH)])
-            >= F.col("exact_count")
-        ).alias("never_underestimates"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("never_underestimates"),
     )
 
 
@@ -1360,6 +1366,13 @@ def text_token_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     class TokenWindows:
         def eval(self, text: str):
             toks = (text or "").lower().strip().split()
+            if not toks:
+                # empty/whitespace-only text: the oracle's regexp split
+                # yields [''] (one empty token -> one empty window);
+                # Python's split() yields [] — emit the same single
+                # empty window so the engines agree on degenerate docs
+                yield (0, "")
+                return
             for g in range(-(-len(toks) // _UDTF_WIN)):
                 yield (
                     g,

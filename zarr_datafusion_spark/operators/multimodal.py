@@ -312,8 +312,12 @@ def mm_audio_windows(spark, sf_dir):
     """
     import numpy as np
 
-    audio = synthesize_media(spark, sf_dir).filter(
-        F.col("media_type") == "audio"
+    # prune before the Arrow boundary: mapInPandas serializes every
+    # input column to the Python worker whether read or not
+    audio = (
+        synthesize_media(spark, sf_dir)
+        .filter(F.col("media_type") == "audio")
+        .select("doc_id", "payload")
     )
 
     def _win_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

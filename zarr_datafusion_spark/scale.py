@@ -154,11 +154,19 @@ def write_zorder(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(key_a), F.max(key_a), F.min(key_b), F.max(key_b)
     ).collect()[0]
+    if lo_a is None or lo_b is None:  # empty input: nothing to cluster
+        df.write.mode("overwrite").parquet(path)
+        return
 
     def _norm(col: str, lo, hi) -> str:
+        # double-space normalization: (x - lo) * mask in BIGINT wraps
+        # silently once the key range passes ~2^47 (hash/snowflake ids);
+        # the double path is exact enough for 16-bit bucketing and
+        # clamped to the grid
         span = max(1, int(hi) - int(lo))
         return (
-            f"CAST(((CAST({col} AS BIGINT) - {int(lo)}) * {mask}) DIV {span} AS BIGINT)"
+            f"LEAST({mask}, GREATEST(0, CAST(((CAST({col} AS DOUBLE) - {int(lo)}) "
+            f"/ {span}) * {mask} AS BIGINT)))"
         )
 
     code = _morton_expr(_norm(key_a, lo_a, hi_a), _norm(key_b, lo_b, hi_b), bits)
