@@ -151,6 +151,9 @@ def _registries() -> tuple[dict, dict]:
         # text_token_windows_udtf.
         "distinct_vals",
         "json_functions",
+        # Eighth (green r1; its exact-variance formulas are re-exercised
+        # by event_anomaly_zscore, which takes the slot).
+        "agg_variance",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

@@ -13,7 +13,6 @@ ROTATED_IN = {
     "agg_time_bucket",
     "array_functions",
     "cte_recursive",
-    "agg_variance",
     "text_contamination",
     "agg_pivot",
     "agg_unpivot",
@@ -44,6 +43,7 @@ ROTATED_IN = {
     "text_heavy_hitters_cms",
     "agg_approx_percentile",
     "text_token_windows_udtf",
+    "event_anomaly_zscore",
 }
 
 #: Entries restored by the round-4 events.ts fix — their r4 green row

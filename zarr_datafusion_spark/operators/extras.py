@@ -1386,3 +1386,72 @@ def text_token_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT d.doc_id, t.win_idx, t.window_text
            FROM zds_udtf_docs d, LATERAL zds_token_windows(d.text) t"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection (round 4)
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_bucket,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_n,
+             sqrt((CAST(SUM(n_events * n_events) AS DOUBLE)
+                    - CAST(SUM(n_events) AS DOUBLE) * SUM(n_events) / COUNT(*))
+                  / (COUNT(*) - 1)) AS sd_n
+      FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_bucket, h.n_events,
+           (h.n_events - st.mean_n) / st.sd_n AS zscore,
+           abs(h.n_events - st.mean_n) > 2 * st.sd_n AS is_anomaly
+    FROM h JOIN st USING (event_type)
+"""
+
+
+@_q("event_anomaly_zscore", _ANOMALY_ORACLE)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: hourly counts per event type
+    scored against that type's own mean/stddev, hours beyond 2 sigma
+    flagged — the monitoring primitive over the same hourly rollup
+    ``agg_time_bucket`` builds.  Variance uses the exact sum-of-squares
+    form over INTEGER counts (same policy as ``agg_variance``), so
+    mean, stddev, and every z-score are bit-identical cross-engine.
+
+    100 TB posture: two aggregations (hour x type rollup, then a
+    per-type reduce over the tiny rollup) + one broadcast join of the
+    per-type stats back onto the rollup — the event stream is touched
+    once.  In production the same topology runs incrementally: the
+    hourly rollup is the streaming windowed aggregate
+    (``streaming_window_counts``) and the stats table refreshes per
+    trigger.
+    """
+    from zarr_datafusion_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_bucket"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    n = F.col("n_events")
+    st = h.groupBy("event_type").agg(
+        (F.sum(n).cast("double") / F.count("*")).alias("mean_n"),
+        F.sqrt(
+            (
+                F.sum(n * n).cast("double")
+                - F.sum(n).cast("double") * F.sum(n) / F.count("*")
+            )
+            / (F.count("*") - 1)
+        ).alias("sd_n"),
+    )
+    return h.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "hour_bucket",
+        "n_events",
+        ((n - F.col("mean_n")) / F.col("sd_n")).alias("zscore"),
+        (F.abs(n - F.col("mean_n")) > 2 * F.col("sd_n")).alias("is_anomaly"),
+    )
