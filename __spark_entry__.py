@@ -154,6 +154,8 @@ def _registries() -> tuple[dict, dict]:
         # Eighth (green r1; its exact-variance formulas are re-exercised
         # by event_anomaly_zscore, which takes the slot).
         "agg_variance",
+        # Ninth (green r1): slot for scale_salted_join.
+        "array_functions",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

@@ -11,7 +11,6 @@ import __spark_entry__ as E
 #: until a green CORRECTNESS row exists for each.
 ROTATED_IN = {
     "agg_time_bucket",
-    "array_functions",
     "cte_recursive",
     "text_contamination",
     "agg_pivot",
@@ -44,6 +43,7 @@ ROTATED_IN = {
     "agg_approx_percentile",
     "text_token_windows_udtf",
     "event_anomaly_zscore",
+    "scale_salted_join",
 }
 
 #: Entries restored by the round-4 events.ts fix — their r4 green row

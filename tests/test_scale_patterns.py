@@ -167,3 +167,23 @@ def test_write_zorder_clusters_both_key_columns(spark, tmp_path):
     # nearly its whole range in every file
     assert s_b > 0.9, f"sorted layout unexpectedly clustered l_suppkey: {s_b}"
     assert z_b < s_b / 2
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be invisible in the result: same rows (with
+    multiplicity) as the unsalted join, salt column dropped."""
+    from zarr_datafusion_spark.scale import salted_join
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    salted = salted_join(li, part, "l_partkey", n_salt=8)
+    plain = li.join(part, "l_partkey")
+    assert salted.columns == plain.columns
+    assert salted.count() == plain.count()
+    # exceptAll is multiset difference: both directions empty => equal
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0

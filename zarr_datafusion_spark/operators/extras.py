@@ -1455,3 +1455,44 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n - F.col("mean_n")) / F.col("sd_n")).alias("zscore"),
         (F.abs(n - F.col("mean_n")) > 2 * F.col("sd_n")).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (round 4) — the join dual of scale_salted_agg
+# ---------------------------------------------------------------------------
+
+_SALTED_JOIN_ORACLE = """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+"""
+
+
+@_q("scale_salted_join", _SALTED_JOIN_ORACLE)
+def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join in action: lineitem joined to part through
+    :func:`zarr_datafusion_spark.scale.salted_join` (big side salted,
+    small side replicated per salt), then rolled up per brand.  The
+    oracle is the PLAIN join + aggregate — proving salting changes row
+    placement only, never the result.
+
+    100 TB posture: the hot key's rows spread across n_salt reducers
+    instead of one; replication cost is n_salt x the small table.  The
+    downstream aggregate is keyed on a post-join column, so its shuffle
+    is independent of the join-key skew.
+    """
+    from zarr_datafusion_spark.scale import salted_join
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, "l_partkey", n_salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )

@@ -178,3 +178,33 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: the join dual of :func:`salted_agg`.
+
+    A hot key on the big side sends every one of its rows to ONE
+    reducer under a plain shuffle join; salting splits each key's rows
+    across ``n_salt`` reducers (random salt on the big side) and
+    replicates the small side once per salt value (``explode(sequence)``
+    — n_salt x the SMALL table, never the big one), joining on
+    (key, salt).  The result set is exactly the unsalted join — salt
+    only changes row placement — so the oracle is the plain join.
+
+    AQE's skew-join split handles moderate skew at runtime; explicit
+    salting is the deterministic-plan form for pathological keys (one
+    key = 30% of a 100 TB table) where runtime splitting of a single
+    oversized partition still leaves the straggler's shuffle-read on
+    one executor."""
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * n_salt).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})"))
+    )
+    return salted_big.join(salted_small, [key, "__salt"]).drop("__salt")
