@@ -156,6 +156,10 @@ def _registries() -> tuple[dict, dict]:
         "agg_variance",
         # Ninth (green r1): slot for scale_salted_join.
         "array_functions",
+        # Tenth (green r2 / r1): slots for tpch_q4_order_priority and
+        # tpch_q12_shipmode_priority.
+        "agg_time_bucket",
+        "cte_recursive",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

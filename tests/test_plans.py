@@ -114,3 +114,13 @@ def test_correlated_subquery_decorrelates(spark):
     assert "NestedLoop" not in plan, "correlated subquery executed as nested loop"
     assert "HashAggregate" in plan
     assert "Join" in plan
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    """Catalyst must rewrite the EXISTS subquery into a left-semi join,
+    never a per-row re-scan."""
+    from zarr_datafusion_spark.operators.relational import QUERIES
+
+    plan = plan_text(QUERIES["tpch_q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan

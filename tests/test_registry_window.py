@@ -10,8 +10,7 @@ import __spark_entry__ as E
 #: rotated into the checked window in round 4.  They must stay there
 #: until a green CORRECTNESS row exists for each.
 ROTATED_IN = {
-    "agg_time_bucket",
-    "cte_recursive",
+
     "text_contamination",
     "agg_pivot",
     "agg_unpivot",
@@ -44,6 +43,8 @@ ROTATED_IN = {
     "text_token_windows_udtf",
     "event_anomaly_zscore",
     "scale_salted_join",
+    "tpch_q4_order_priority",
+    "tpch_q12_shipmode_priority",
 }
 
 #: Entries restored by the round-4 events.ts fix — their r4 green row

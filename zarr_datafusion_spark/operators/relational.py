@@ -946,6 +946,54 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
     return spark.sql(_Q6_SQL)
 
 
+_Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+
+@_q("tpch_q4_order_priority", _Q4_SQL)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery counted per priority.
+    Catalyst rewrites EXISTS into a left-semi join on the correlation
+    key (check the plan: one LeftSemi hash join, no per-row re-scan) —
+    the SQL-surface twin of the DataFrame-API ``join_semi_anti`` entry.
+    One SQL string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+_Q12_SQL = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+"""
+
+
+@_q("tpch_q12_shipmode_priority", _Q12_SQL)
+def tpch_q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode-style conditional counting over a
+    fact-to-fact join; the driver schema has no l_shipmode column, so
+    l_returnflag stands in as the grouping key).  All-integer
+    conditional sums — exact both engines.  The lineitem date filter
+    pushes to the scan; the join shuffles both sides on the order key
+    once."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
 _CORRELATED_SQL = """
     SELECT o_orderkey,
            CAST(o_totalprice AS DOUBLE) AS total_price
