@@ -117,8 +117,9 @@ def _registries() -> tuple[dict, dict]:
         # text_langid_heuristic) and the two new r4 operators
         # (text_repetition_signals, pii_redact), so every oracle-backed
         # entry holds at least one green driver record across r1-r4.
+        # (dedup_ngram_jaccard left this tranche in r5: freshness
+        # rotation after the md5 candidate-generator change.)
         "dedup_exact",
-        "dedup_ngram_jaccard",
         "sim_topk_bruteforce",
         "mm_frame_sample",
         "text_token_count",
@@ -133,8 +134,9 @@ def _registries() -> tuple[dict, dict]:
         # late-r4 operators (tpch_q6_forecast_revenue,
         # subquery_correlated, dedup_bloom_prefilter,
         # quota_sample_per_lang, text_oov_rate, embedding_project).
+        # (dedup_components left this tranche in r5: its candidate
+        # generator changed, so it re-records.)
         "dedup_embedding_cosine",
-        "dedup_components",
         "sim_label_centroids",
         "sim_topk_quantized",
         "mm_extract_features",
@@ -144,9 +146,10 @@ def _registries() -> tuple[dict, dict]:
         # Sixth tranche: slots for the three event/sketch operators
         # (event_funnel, event_retention_cohorts, text_heavy_hitters_cms).
         # agg_groupby stays driver-smoked every round via entry().
+        # (scale_salted_agg and pipeline_curate left this tranche in
+        # r5: freshness rotation — deterministic salt / new candidate
+        # generator.)
         "agg_groupby",
-        "scale_salted_agg",
-        "pipeline_curate",
         # Seventh (green r1): slots for agg_approx_percentile and
         # text_token_windows_udtf.
         "distinct_vals",
@@ -160,6 +163,30 @@ def _registries() -> tuple[dict, dict]:
         # tpch_q12_shipmode_priority.
         "agg_time_bucket",
         "cte_recursive",
+        # Round-5 tranche (all green r4, functions untouched in r5):
+        # frees slots for (a) the three rows-only -> full-oracle
+        # upgrades (dedup_minhash_lsh, dedup_simhash, sim_ann_lsh —
+        # md5-deterministic hash families, VERDICT r4 item 1), (b) the
+        # four new operators (scale_ranked_two_pass, tpch_q17/q20/q21),
+        # and (c) the freshness rotation (VERDICT r4 item 3) of the
+        # four entries whose code paths changed this round
+        # (dedup_ngram_jaccard / dedup_components / pipeline_curate
+        # consume the new LSH candidate generator; scale_salted_agg
+        # switched to the deterministic row-hash salt) — those four are
+        # REMOVED from this list so they re-record.  dedup_exact and
+        # dedup_embedding_cosine stay demoted: their functions are
+        # byte-untouched and their green records remain valid.
+        "text_contamination",
+        "agg_pivot",
+        "agg_unpivot",
+        "streaming_join",
+        "sample_stratified",
+        "topk_per_group",
+        "mm_synthesize",
+        "mm_resize",
+        "mm_audio_windows",
+        "text_langid_heuristic",
+        "split_train_valid_test",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

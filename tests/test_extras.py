@@ -273,8 +273,9 @@ def test_oov_rate_bounds(spark):
     for r in rows:
         assert 0 <= r.n_oov <= r.n_tokens
         assert abs(r.oov_rate - r.n_oov / r.n_tokens) < 1e-12
-    # a top-100 vocab over a natural-ish corpus leaves some OOV and
-    # some in-vocab tokens — both sides non-vacuous
+    # a top-N vocab (N = extras._VOCAB_N, currently 20) over a
+    # natural-ish corpus leaves some OOV and some in-vocab tokens —
+    # both sides non-vacuous
     assert any(r.n_oov > 0 for r in rows)
     assert any(r.n_oov < r.n_tokens for r in rows)
 

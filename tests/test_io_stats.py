@@ -100,3 +100,28 @@ def test_format_line_shape():
     line = s.format_line(0.013)
     assert line.startswith("700 rows · 5 arrays · ")
     assert line.endswith("0.013s")
+
+
+def test_unpruned_eager_plan_is_observable(spark, tmp_path):
+    """ADVICE r4 (datasource.py partitions() consume-and-clear): an
+    eager_pushdown reader that plans WITHOUT pushed coord filters —
+    whether genuinely unfiltered or after a lost pushdown — must leave
+    a countable marker in stats_dir, so a vanished A5 reduction shows
+    up in io_stats instead of only as a slower scan.  A pruned plan
+    must leave none."""
+    from zarr_datafusion_spark.stats.io_stats import count_unpruned_eager_plans
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    store = fixture_store(2)
+
+    d_pruned = str(tmp_path / "pruned")
+    df = read_zarr(spark, store, stats_dir=d_pruned, eager_pushdown=True)
+    from pyspark.sql import functions as F
+
+    assert df.filter(F.col("time") == 3).count() == 100
+    assert count_unpruned_eager_plans(d_pruned) == 0
+
+    d_full = str(tmp_path / "full")
+    df2 = read_zarr(spark, store, stats_dir=d_full, eager_pushdown=True)
+    assert df2.count() == 700
+    assert count_unpruned_eager_plans(d_full) >= 1

@@ -124,3 +124,38 @@ def test_q4_exists_becomes_semi_join(spark):
     plan = plan_text(QUERIES["tpch_q4_order_priority"](spark, SF_DIR))
     assert "LeftSemi" in plan
     assert "NestedLoop" not in plan
+
+
+def test_q17_decorrelates(spark):
+    """Q17's correlated per-part average must decorrelate into a
+    grouped aggregate over lineitem joined back on l_partkey — two
+    HashAggregates (per-part mean + the outer sum) and equi-joins only."""
+    from zarr_datafusion_spark.operators.relational import QUERIES
+
+    plan = plan_text(QUERIES["tpch_q17_small_quantity"](spark, SF_DIR))
+    assert "NestedLoop" not in plan, "correlated aggregate ran as nested loop"
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" in plan
+
+
+def test_q20_nested_in_becomes_semi_joins(spark):
+    """Q20's nested IN subqueries must both plan as left-semi joins
+    (supplier IN shipped-set, partkey IN name-matched parts) with the
+    correlated aggregate decorrelated — no nested loop anywhere."""
+    from zarr_datafusion_spark.operators.relational import QUERIES
+
+    plan = plan_text(QUERIES["tpch_q20_part_promotion"](spark, SF_DIR))
+    assert plan.count("LeftSemi") >= 2, "nested INs did not become semi joins"
+    assert "NestedLoop" not in plan
+
+
+def test_q21_exists_pair_becomes_semi_and_anti(spark):
+    """Q21's EXISTS / NOT EXISTS self-join pair must plan as one
+    left-semi and one left-anti join on l_orderkey — the shape that
+    keeps the double lineitem self-reference linear at scale."""
+    from zarr_datafusion_spark.operators.relational import QUERIES
+
+    plan = plan_text(QUERIES["tpch_q21_waiting_supplier"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan

@@ -6,49 +6,34 @@ from __future__ import annotations
 
 import __spark_entry__ as E
 
-#: Entries that had no green driver record across rounds 1-3 and were
-#: rotated into the checked window in round 4.  They must stay there
-#: until a green CORRECTNESS row exists for each.
+#: Entries that need their FIRST green driver record (or a fresh one
+#: after a code-path change) as of round 5 — they must sit inside the
+#: ~50-slot checked window until CORRECTNESS_r05 records them.
 ROTATED_IN = {
-
-    "text_contamination",
-    "agg_pivot",
-    "agg_unpivot",
-    "streaming_join",
-    "sample_stratified",
-    "topk_per_group",
-    # r4 rows-only -> oracle-backed upgrades (no prior green record)
-    "sim_ann_ivf",
-    "streaming_sliding_windows",
-    "sessionize_stateful_stream",
-    "mm_synthesize",
-    "mm_resize",
-    "text_langid_heuristic",
-    # new r4 operators
-    "text_repetition_signals",
-    "pii_redact",
-    "pack_sequences",
-    "corpus_upsert",
-    "tpch_q6_forecast_revenue",
-    "subquery_correlated",
-    "dedup_bloom_prefilter",
-    "quota_sample_per_lang",
-    "text_oov_rate",
-    "embedding_project",
-    "mm_audio_windows",
-    "event_funnel",
-    "event_retention_cohorts",
-    "text_heavy_hitters_cms",
-    "agg_approx_percentile",
-    "text_token_windows_udtf",
+    # rows-only -> full value oracle upgrades (md5-deterministic hash
+    # families, VERDICT r4 item 1) — first-ever hash records
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    # new r5 operators
+    "scale_ranked_two_pass",
+    "tpch_q17_small_quantity",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    # freshness rotation (VERDICT r4 item 3): code paths changed in r5
+    # (LSH candidate generator / deterministic salt / zscore guard),
+    # so their newest green record predates the change
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "pipeline_curate",
+    "scale_salted_agg",
     "event_anomaly_zscore",
     "scale_salted_join",
-    "tpch_q4_order_priority",
-    "tpch_q12_shipmode_priority",
 }
 
-#: Entries restored by the round-4 events.ts fix — their r4 green row
-#: proves the regression fix, so they also must stay in-window.
+#: r4 first-record entries whose implementing functions are untouched
+#: in r5 — they keep their slots simply because nothing displaced
+#: them; their r4 green rows already satisfy the record contract.
 FIX_PROOF = {
     "asof_join",
     "range_join",
@@ -61,6 +46,26 @@ FIX_PROOF = {
     "tpch_q5_local_supplier",
     "cte_subquery",
     "streaming_window_counts",
+    "sim_ann_ivf",
+    "streaming_sliding_windows",
+    "sessionize_stateful_stream",
+    "text_repetition_signals",
+    "pii_redact",
+    "pack_sequences",
+    "corpus_upsert",
+    "tpch_q6_forecast_revenue",
+    "subquery_correlated",
+    "dedup_bloom_prefilter",
+    "quota_sample_per_lang",
+    "text_oov_rate",
+    "embedding_project",
+    "event_funnel",
+    "event_retention_cohorts",
+    "text_heavy_hitters_cms",
+    "agg_approx_percentile",
+    "text_token_windows_udtf",
+    "tpch_q4_order_priority",
+    "tpch_q12_shipmode_priority",
 }
 
 

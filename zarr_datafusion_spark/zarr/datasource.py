@@ -30,6 +30,7 @@ not O(total rows).
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 import zipfile
@@ -261,6 +262,25 @@ class ZarrDataSourceReader(DataSourceReader):
         """
         import itertools
         import math
+
+        # Lost-pushdown observability (ADVICE r4): an eager reader
+        # planning with EMPTY coord_filters is either a genuinely
+        # unfiltered query or a pushdown lost to a re-plan (e.g. a
+        # second partitions() call after the consume-and-clear below) —
+        # results stay correct under the Inexact contract either way,
+        # but the A5 I/O reduction would vanish silently.  Spill a
+        # marker per such planning pass so io_stats can surface it
+        # (``count_unpruned_eager_plans``) instead of leaving the only
+        # evidence a slow scan.
+        if self.eager_pushdown and not self.coord_filters and self.stats_dir:
+            self._unpruned_plans = getattr(self, "_unpruned_plans", 0) + 1
+            marker = os.path.join(
+                self.stats_dir,
+                f"plan-unpruned-{os.getpid()}-{self._unpruned_plans}.json",
+            )
+            os.makedirs(self.stats_dir, exist_ok=True)
+            with open(marker, "w") as f:
+                json.dump({"unpruned_eager_plans": 1}, f)
 
         windows = self._windows()
         # Consume-and-clear the pushed filters: Spark reuses this ONE
