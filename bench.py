@@ -58,6 +58,13 @@ HEADLINE = [
     "text_oov_rate",
     "embedding_project",
     "sim_kmeans_train",
+    # round-5 additions (28 -> 33): the three decorrelation shapes,
+    # the skew-proof two-pass ranking, and the now-JVM-only simhash
+    "tpch_q17_small_quantity",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "scale_ranked_two_pass",
+    "dedup_simhash",
 ]
 
 

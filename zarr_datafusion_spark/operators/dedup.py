@@ -244,10 +244,18 @@ def _signature_expr(n_perm: int = N_PERM) -> str:
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """doc_id -> minhash signature (array<bigint>) over word-3-gram
     shingles — pure JVM expressions end to end (round 5: the pandas
-    UDF is gone; md5 gram hashes + literal-constant permutations keep
-    everything inside whole-stage codegen AND make the signature
-    SQL-recomputable, which is what upgrades the LSH entries to full
-    value oracles)."""
+    UDF is gone; md5 gram hashes + literal-constant permutations make
+    the signature SQL-recomputable, which is what upgrades the LSH
+    entries to full value oracles).
+
+    One code path for batch AND streaming: the map-only per-row fold
+    (:func:`_signature_expr`).  A/B-measured at sf0.1 against two
+    alternatives (r5): explode + 64 codegen'd MIN aggregates = 1.40 s
+    full-pipeline vs 0.94 s for the fold (the extra groupBy(doc_id)
+    shuffle outweighs codegen'd aggregates at this gram/doc ratio),
+    and a transform-per-permutation array_min spelling = 25 s
+    (element_at over literal arrays re-evaluates per element — never
+    index a literal array inside a higher-order lambda's hot loop)."""
     return docs.select("doc_id", F.expr(_signature_expr(n_perm)).alias("signature"))
 
 

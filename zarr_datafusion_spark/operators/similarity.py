@@ -459,8 +459,94 @@ def _dist2_udf(C: np.ndarray):
     return dist2
 
 
+def _kmeans_parallel_init(
+    emb: DataFrame, k: int, rounds: int = 3, oversample: int | None = None
+) -> np.ndarray:
+    """k-means|| (Bahmani et al., VLDB 2012) distributed initialization,
+    hash-keyed instead of RNG-keyed: each round samples points with
+    probability ``l * d^2 / cost`` — the oversampled k-means++ rule —
+    but the per-point uniform draw is an md5-derived value of vec_id,
+    so the selected candidate set is deterministic across runs,
+    partitionings, and cluster sizes (the repo-wide no-RNG posture;
+    same trick as ``common.salted_bucket``).
+
+    Per round: one map-side d^2 pass (broadcast current centers), one
+    scalar cost aggregate, one small candidate collect (expected ~l
+    rows — model parameters, not data).  The final reduction weights
+    each candidate by the points nearest it (one aggregate) and runs
+    weighted farthest-point + Lloyd on the tiny candidate set
+    driver-side, exactly MLlib's local finishing step."""
+    l = oversample or 2 * k
+    seed_row = emb.orderBy("vec_id").limit(1).collect()[0]
+    cand = [(int(seed_row.vec_id), list(seed_row.embedding))]
+    # md5-derived uniform in [0, 1): granular enough for a selection
+    # threshold, bit-identical everywhere
+    u = (
+        "CAST(conv(substr(md5(concat(CAST(vec_id AS STRING), ':kmpar')), 1, 8), 16, 10) "
+        "AS DOUBLE) / 4294967296.0"
+    )
+    for _ in range(rounds):
+        C = np.array([c for _, c in cand], dtype=np.float64)
+        d2 = emb.withColumn("d2", _dist2_udf(C)("embedding"))
+        cost = d2.agg(F.sum("d2")).collect()[0][0]
+        if not cost or cost <= 0:
+            break
+        picked = (
+            d2.filter(F.expr(u) < l * F.col("d2") / float(cost))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        known = {v for v, _ in cand}
+        cand.extend(
+            (int(r.vec_id), list(r.embedding))
+            for r in sorted(picked, key=lambda r: r.vec_id)
+            if int(r.vec_id) not in known
+        )
+    C = np.array([c for _, c in cand], dtype=np.float64)
+    if len(C) <= k:
+        return C
+    # weight candidates by their nearest-point counts (one aggregate)
+    wrows = (
+        emb.withColumn("cand", _assign_udf(C)("embedding"))
+        .groupBy("cand")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    w = np.zeros(len(C))
+    for r in wrows:
+        w[r["cand"]] = r["w"]
+    # deterministic weighted reduction to k: heaviest candidate first,
+    # then weighted farthest-point (maximin), then local weighted Lloyd
+    chosen = [int(np.argmax(w))]
+    while len(chosen) < k:
+        d2min = np.min(
+            ((C[:, None, :] - C[chosen][None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        chosen.append(int(np.argmax(w * d2min)))
+    centers = C[chosen].copy()
+    for _ in range(20):
+        d = ((C[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        new = np.array(
+            [
+                np.average(C[a == j], axis=0, weights=w[a == j])
+                if (w[a == j].sum() > 0)
+                else centers[j]
+                for j in range(k)
+            ]
+        )
+        if np.abs(new - centers).max() < 1e-12:
+            break
+        centers = new
+    return centers
+
+
 def kmeans_fit(
-    emb: DataFrame, k: int = K_CLUSTERS, max_iter: int = 10, tol: float = 1e-9
+    emb: DataFrame,
+    k: int = K_CLUSTERS,
+    max_iter: int = 10,
+    tol: float = 1e-9,
+    init: str = "first_k",
 ) -> np.ndarray:
     """Lloyd's algorithm as repeated DataFrame jobs — the iterative
     counterpart of ``sim_label_centroids`` and the real trainer for the
@@ -472,13 +558,28 @@ def kmeans_fit(
     UDF); the update collects exactly k x (dim+1) partial aggregates to
     the driver — model parameters, not data (the same contract as
     MLlib's own KMeans; at 100 TB per-executor partial sums are k*dim
-    doubles each, merged by Spark's aggregate exchange).  Init is the
-    first k vectors by ``vec_id`` — deterministic, no RNG.
+    doubles each, merged by Spark's aggregate exchange).
+
+    ``init``: ``"first_k"`` (default) seeds with the first k vectors by
+    ``vec_id`` — deterministic and what the registry entry records;
+    ``"parallel"`` runs hash-keyed k-means|| oversampling
+    (:func:`_kmeans_parallel_init`) — still RNG-free, and robust where
+    first-k is quality-fragile (adversarially ordered data whose
+    leading vectors share a cluster).  Both paths are deterministic;
+    property tests run the suite's invariants under each.
     """
-    init = (
-        emb.filter(F.col("vec_id") < k).orderBy("vec_id").select("embedding").collect()
-    )
-    C = np.array([r.embedding for r in init], dtype=np.float64)
+    if init == "parallel":
+        C = _kmeans_parallel_init(emb, k)
+    elif init == "first_k":
+        first = (
+            emb.filter(F.col("vec_id") < k)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        C = np.array([r.embedding for r in first], dtype=np.float64)
+    else:
+        raise ValueError(f"unknown init {init!r}")
     dim = C.shape[1]
     # Exact-decimal accumulation (same policy as the relational sums):
     # double partial sums would make centroids depend on task-completion
