@@ -187,6 +187,12 @@ def _registries() -> tuple[dict, dict]:
         "mm_audio_windows",
         "text_langid_heuristic",
         "split_train_valid_test",
+        # Round-5 second tranche (green r4, untouched in r5): slots for
+        # the three late-r5 operators (scale_bloom_join,
+        # bpe_pair_counts, text_unigram_logprob).
+        "sessionize_events",
+        "streaming_sliding_windows",
+        "sessionize_stateful_stream",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

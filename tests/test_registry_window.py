@@ -29,6 +29,10 @@ ROTATED_IN = {
     "scale_salted_agg",
     "event_anomaly_zscore",
     "scale_salted_join",
+    # late-r5 operators
+    "scale_bloom_join",
+    "bpe_pair_counts",
+    "text_unigram_logprob",
 }
 
 #: r4 first-record entries whose implementing functions are untouched
@@ -37,7 +41,6 @@ ROTATED_IN = {
 FIX_PROOF = {
     "asof_join",
     "range_join",
-    "sessionize_events",
     "scalar_functions",
     "agg_grouping_ext",
     "win_ranking",
@@ -47,8 +50,6 @@ FIX_PROOF = {
     "cte_subquery",
     "streaming_window_counts",
     "sim_ann_ivf",
-    "streaming_sliding_windows",
-    "sessionize_stateful_stream",
     "text_repetition_signals",
     "pii_redact",
     "pack_sequences",

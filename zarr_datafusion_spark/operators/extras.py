@@ -763,11 +763,22 @@ def corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FP_SPARK = "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))"
 _FP_DUCK = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
 
-#: bloom filter geometry: 2^16 bits in 1024 64-bit words, 4 hashes.
-#: At the production scale this models (corpus fingerprints >> new
-#: batch), m is sized to the corpus (~10 bits/key for ~1% FP).
-_BLOOM_BITS = 1 << 16
+#: bloom filter geometry: >= 2^16 bits, 4 hashes, and m SIZED TO THE
+#: KEY COUNT (next power of two >= 16 bits/key).  Round 5's sf1 bench
+#: point caught the fixed-2^16 version saturating at 40k corpus keys
+#: (fill ~0.91 -> ~70% false positives -> the "prefilter" passed nearly
+#: everything and the entry ran 16x, not 10x, at 10x data).  The count
+#: that sizes m is one COUNT aggregate — the model-parameter class of
+#: driver scalar, same as the k-means stats.
+_BLOOM_MIN_BITS = 1 << 16
 _BLOOM_K = 4
+
+
+def _bloom_bits(n_keys: int) -> int:
+    bits = _BLOOM_MIN_BITS
+    while bits < 16 * max(n_keys, 1):
+        bits <<= 1
+    return bits
 
 _BLOOM_ORACLE = rf"""
     WITH base AS (
@@ -824,12 +835,13 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = base.filter(F.col("doc_id") % 5 != 0).select("fingerprint").distinct()
+    bloom_bits = _bloom_bits(corpus.count())
 
     def _positions(df: DataFrame) -> DataFrame:
         pos = F.explode(
             F.array(
                 *[
-                    F.pmod(F.xxhash64("fingerprint", F.lit(j)), F.lit(_BLOOM_BITS))
+                    F.pmod(F.xxhash64("fingerprint", F.lit(j)), F.lit(bloom_bits))
                     for j in range(_BLOOM_K)
                 ]
             )
@@ -1538,3 +1550,216 @@ def scale_ranked_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_two_pass(
         orders, "o_orderpriority", "o_totalprice", "o_orderkey"
     ).select("o_orderkey", "o_orderpriority", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered shuffle join (round 5) — the join-input dual of
+# dedup_bloom_prefilter: kill probe-side rows BEFORE the join shuffle
+# ---------------------------------------------------------------------------
+
+_BJ_K = 4  # hash functions; bits sized per build-side key count (_bloom_bits)
+
+_BLOOM_JOIN_ORACLE = """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size < 10
+    GROUP BY p.p_brand
+"""
+
+
+@_q("scale_bloom_join", _BLOOM_JOIN_ORACLE)
+def scale_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective join with a MAP-SIDE Bloom prefilter on the probe
+    side: the build side's join keys (parts with p_size < 10) fold into
+    one dense bitmap ROW (distributed BIT_OR build -> map_from_entries
+    -> an 8 KB array<bigint> broadcast with the scan), and every
+    lineitem row tests its k bit positions in a single boolean
+    expression — no explode, no per-row groupBy, whole-stage codegen.
+    Rows failing the bloom never enter the join shuffle; false
+    positives are removed by the real join, so the result is EXACTLY
+    the plain join (the oracle), proving the prefilter lossless.
+
+    This is the semi-join-reduction Spark's own runtime bloom filter
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects for
+    parquet-to-parquet shuffle joins; spelled explicitly it (a) works
+    for any source — including the zarr data source, where Catalyst's
+    injected filter cannot reach — and (b) pins the plan shape in
+    tests rather than trusting a cost threshold.
+
+    100 TB posture: the build side may be far too big to BROADCAST as
+    rows and still have a key set that fits a bitmap (10^9 keys at 10
+    bits/key = 1.25 GB); the probe scan then drops ~(1 - selectivity)
+    of the big table map-side, shrinking the join shuffle by the same
+    factor.  Bitmap build is one aggregation over m/64 words.
+    """
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_partkey", "l_quantity"
+    )
+    parts = (
+        spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        .filter(F.col("p_size") < 10)
+        .select("p_partkey", "p_brand")
+    )
+    # size m to the build-side key count (~16 bits/key; one COUNT
+    # aggregate — the sf1 saturation lesson from dedup_bloom_prefilter)
+    bj_bits = _bloom_bits(parts.count())
+
+    def _pos(key: str, j: int) -> F.Column:
+        return F.pmod(F.xxhash64(key, F.lit(j)), F.lit(bj_bits))
+
+    words = (
+        parts.select(
+            F.explode(
+                F.array(*[_pos("p_partkey", j) for j in range(_BJ_K)])
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    # dense single-row bitmap: sparse (word, bits) entries -> map ->
+    # array indexed by word (missing words = 0)
+    bitmap = words.agg(
+        F.expr(
+            f"transform(sequence(0, {bj_bits // 64 - 1}), "
+            "i -> coalesce(map_from_entries(collect_list(struct(w, bits)))[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))"
+        ).alias("bm")
+    )
+    test = " AND ".join(
+        f"(element_at(bm, CAST(pmod(xxhash64(l_partkey, {j}), {bj_bits}) / 64 AS INT) + 1) "
+        f"& shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(l_partkey, {j}), {bj_bits}) % 64 AS INT))) != 0"
+        for j in range(_BJ_K)
+    )
+    li_pref = li.crossJoin(F.broadcast(bitmap)).filter(F.expr(test)).drop("bm")
+    return (
+        li_pref.join(parts, li_pref.l_partkey == parts.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (round 5) — the counting core of tokenizer training
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+_BPE_ORACLE = f"""
+    WITH w AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+               FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS pair
+      FROM w
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT {_BPE_TOP}
+"""
+
+
+@_q("bpe_pair_counts", _BPE_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency counting — one merge round of BPE
+    tokenizer training (count all adjacent symbol pairs, pick the most
+    frequent to merge), run at word granularity over the corpus.  The
+    iterative trainer is this exact aggregation in a loop with the
+    winning pair folded into the symbol stream; the per-round shape is
+    what must scale, and it is: map-side pair explode (row-local, no
+    join), one hash-aggregate shuffle on the pair key, top-k via
+    TakeOrderedAndProject.  Skewed head pairs partial-aggregate
+    map-side, so the hot pair arrives at its reducer pre-combined.
+
+    Emptiness guard: Spark's sequence(1, n) DESCENDS for n < 1 (never
+    empty), so single-token docs must short-circuit to array()
+    explicitly — DuckDB's range(1, n) is empty there already.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    w = "split(lower(trim(text)), '\\\\s+')"
+    pairs_expr = (
+        f"CASE WHEN size({w}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({w}) - 1), "
+        f"i -> concat_ws(' ', element_at({w}, i), element_at({w}, i + 1))) END"
+    )
+    return (
+        docs.select(F.explode(F.expr(pairs_expr)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring (round 5) — perplexity-proxy quality
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = """
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                 FROM documents),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(SUM(ln(cnt)) / COUNT(*) - (SELECT ln(n) FROM tot), 6)
+             AS avg_logprob
+    FROM tok JOIN freq USING (token)
+    GROUP BY doc_id
+"""
+
+
+@_q("text_unigram_logprob", _UNIGRAM_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic perplexity-proxy quality signal (gibberish
+    and boilerplate score low, typical prose scores near the corpus
+    mode) that pipelines use when a real LM is too expensive for a
+    first pass.  avg_logprob = sum(ln cnt_t)/n - ln N, computed with
+    the subtraction OUTSIDE the per-token sum so the shuffled join
+    carries only ln(cnt).
+
+    Float caveat (same class as sim_label_centroids): ln() may differ
+    in the last ulp between the JVM and DuckDB's libm and the per-doc
+    sum order differs between engines (~1e-15 rel) — round(6) absorbs
+    both.
+
+    100 TB posture: one token explode, one vocab aggregate, one
+    token->freq join (broadcast here; at web scale the vocab join is a
+    shuffle join on the token key with the usual head-word skew
+    partial-aggregated map-side), one per-doc aggregate.  The corpus
+    total is a 1-row broadcast, not a driver scalar.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = tok.agg(F.count("*").alias("n"))
+    per_doc = (
+        tok.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log("cnt")).alias("s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("s") / F.col("n_tokens") - F.log("n"), 6).alias(
+            "avg_logprob"
+        ),
+    )
