@@ -193,6 +193,11 @@ def _registries() -> tuple[dict, dict]:
         "sessionize_events",
         "streaming_sliding_windows",
         "sessionize_stateful_stream",
+        # Round-5 third tranche (green r4, untouched in r5): slots for
+        # text_encode_ids, asof_interpolate, data_mixture_plan.
+        "event_funnel",
+        "event_retention_cohorts",
+        "text_heavy_hitters_cms",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

@@ -33,6 +33,9 @@ ROTATED_IN = {
     "scale_bloom_join",
     "bpe_pair_counts",
     "text_unigram_logprob",
+    "text_encode_ids",
+    "asof_interpolate",
+    "data_mixture_plan",
 }
 
 #: r4 first-record entries whose implementing functions are untouched
@@ -60,9 +63,6 @@ FIX_PROOF = {
     "quota_sample_per_lang",
     "text_oov_rate",
     "embedding_project",
-    "event_funnel",
-    "event_retention_cohorts",
-    "text_heavy_hitters_cms",
     "agg_approx_percentile",
     "text_token_windows_udtf",
     "tpch_q4_order_priority",

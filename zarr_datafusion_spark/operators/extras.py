@@ -25,6 +25,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from zarr_datafusion_spark.operators.common import cpu_rebalance, salted_bucket
@@ -1762,4 +1763,247 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s") / F.col("n_tokens") - F.log("n"), 6).alias(
             "avg_logprob"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer apply (round 5) — encode documents to id sequences
+# ---------------------------------------------------------------------------
+
+_ENCODE_ORACLE = """
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+               FROM documents),
+    tok AS (SELECT doc_id, u.pos AS pos, u.token AS token
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                           w, (x, i) -> {'pos': i, 'token': x})) AS u
+                  FROM w) s),
+    vocab AS (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS token_id
+      FROM tok GROUP BY token
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pos) AS ids
+    FROM tok JOIN vocab USING (token)
+    GROUP BY doc_id
+"""
+
+
+@_q("text_encode_ids", _ENCODE_ORACLE)
+def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: build a frequency-ranked vocabulary over the
+    corpus (id = rank by count desc, token — fully deterministic, no
+    hash) and encode every document as its ordered id sequence — the
+    step that turns curated text into model-ready token ids.  The id
+    sequence is emitted as a comma-joined string so the driver hash
+    covers every id IN ORDER (both engines rebuild the sequence with an
+    explicitly ordered aggregation; a bare array column would hinge on
+    engine list-ordering semantics).
+
+    100 TB posture: tokenize is a row-local explode; the vocab is one
+    aggregate + a broadcast join back (a real vocab is ~100k rows —
+    megabytes); re-assembly groups by doc_id with the position carried,
+    one shuffle.  The ranked-id assignment is a global sort of the
+    VOCAB only, never the token stream.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    wv = W.orderBy(F.col("cnt").desc(), "token")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .select("token", F.row_number().over(wv).alias("token_id"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, token_id))), "
+                "x -> CAST(x.token_id AS STRING)), ',')"
+            ).alias("ids"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of linear interpolation (round 5) — sensor-style gap filling
+# ---------------------------------------------------------------------------
+
+_INTERP_CASE = """
+    CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+         WHEN prev_ts IS NULL THEN next_val
+         WHEN next_ts IS NULL THEN prev_val
+         WHEN next_ts = prev_ts THEN prev_val
+         ELSE prev_val + (next_val - prev_val) * (ts_us - prev_ts)
+              / (next_ts - prev_ts)
+    END
+"""
+
+_ASOF_INTERP_ORACLE = f"""
+    WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                       value
+                FROM events),
+    m AS (
+      SELECT user_id, ts_us, 0 AS side, event_id, value AS vval,
+             CAST(NULL AS BIGINT) AS purchase_id
+      FROM ev WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts_us, 1 AS side, event_id, CAST(NULL AS DOUBLE),
+             event_id
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT *,
+        LAST_VALUE(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+          OVER wp AS prev_ts,
+        LAST_VALUE(CASE WHEN side = 0 THEN vval END IGNORE NULLS)
+          OVER wp AS prev_val,
+        FIRST_VALUE(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+          OVER wn AS next_ts,
+        FIRST_VALUE(CASE WHEN side = 0 THEN vval END IGNORE NULLS)
+          OVER wn AS next_val
+      FROM m
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT purchase_id, user_id, ts_us AS purchase_ts_us,
+           {_INTERP_CASE} AS interp_value
+    FROM w WHERE side = 1
+"""
+
+
+@_q("asof_interpolate", _ASOF_INTERP_ORACLE)
+def asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of LINEAR INTERPOLATION: each purchase gets the same user's
+    'view' value linearly interpolated between the nearest view before
+    and after it (edge rows carry the single available neighbor) — the
+    sensor-reading/feature-backfill sibling of ``asof_join``, built the
+    same scalable way: tag + union + ONE window shuffle per user, no
+    join operator, state per task is two carried rows (prev via
+    last-ignorenulls over the preceding frame, next via
+    first-ignorenulls over the following frame — both windows share one
+    partitioning, so one Exchange).
+
+    Determinism: the interpolation is a single arithmetic expression
+    over exactly-carried doubles and integer microsecond gaps —
+    bit-identical across engines, no rounding needed.  Ordering ties
+    break on (ts_us, side, event_id) as in ``asof_join``.
+    """
+    from zarr_datafusion_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "event_type", "value",
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", F.lit(0).alias("side"), "event_id",
+        F.col("value").alias("vval"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("double").alias("vval"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    order = [F.col("ts_us"), F.col("side"), F.col("event_id")]
+    wp = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wn = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    is_view_ts = F.when(F.col("side") == 0, F.col("ts_us"))
+    is_view_val = F.when(F.col("side") == 0, F.col("vval"))
+    merged = (
+        v.unionByName(p)
+        .withColumn("prev_ts", F.last(is_view_ts, ignorenulls=True).over(wp))
+        .withColumn("prev_val", F.last(is_view_val, ignorenulls=True).over(wp))
+        .withColumn("next_ts", F.first(is_view_ts, ignorenulls=True).over(wn))
+        .withColumn("next_val", F.first(is_view_val, ignorenulls=True).over(wn))
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.expr(_INTERP_CASE).alias("interp_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted mixture sampling (round 5) — hit target source proportions
+# ---------------------------------------------------------------------------
+
+#: relative mixture weight per source: sources src0..srcN get weight
+#: (index % 4) + 1 — a deterministic stand-in for a config file's
+#: {source: weight} map; quota_i = _MIX_PER_WEIGHT * weight_i.
+_MIX_PER_WEIGHT = 4
+
+_MIXTURE_ORACLE = f"""
+    WITH q AS (
+      SELECT source, doc_id,
+             {_MIX_PER_WEIGHT} * ((CAST(substr(source, 4) AS INTEGER) % 4) + 1)
+               AS quota,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(MAX(quota) AS BIGINT) AS quota,
+           CAST(COUNT(CASE WHEN rk <= quota THEN 1 END) AS BIGINT) AS n_kept,
+           MIN(CASE WHEN rk <= quota THEN doc_id END) AS min_doc,
+           MAX(CASE WHEN rk <= quota THEN doc_id END) AS max_doc
+    FROM q GROUP BY source
+"""
+
+
+@_q("data_mixture_plan", _MIXTURE_ORACLE)
+def data_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling — materialize a training mix that hits
+    per-source target PROPORTIONS (web-heavy, code-light, ...): each
+    source's quota is weight * per-weight-budget, members are chosen by
+    md5 rank (deterministic, engine-independent, stable under corpus
+    growth for the kept prefix), and the entry reports the per-source
+    plan + realized counts (a source with fewer docs than quota keeps
+    them all — visible as n_kept < quota).  This is ``quota_sample``'s
+    weighted sibling and the knob data-mixing ablations turn.
+
+    100 TB posture: one window rank per source partition over (hash,
+    id) — sources are the partition key, so parallelism is #sources;
+    heavily skewed sources get the two-pass ranked treatment
+    (``scale.ranked_two_pass``) with no semantic change.  The summary
+    aggregate rides the same partitioning.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    quota = (
+        F.lit(_MIX_PER_WEIGHT)
+        * ((F.substring("source", 4, 10).cast("int") % 4) + 1)
+    ).cast("long")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+            "doc_id",
+        )
+    )
+    q = docs.select("source", "doc_id", quota.alias("quota"), rk.alias("rk"))
+    kept = F.when(F.col("rk") <= F.col("quota"), F.col("doc_id"))
+    return q.groupBy("source").agg(
+        F.max("quota").alias("quota"),
+        F.count(kept).alias("n_kept"),
+        F.min(kept).alias("min_doc"),
+        F.max(kept).alias("max_doc"),
     )
