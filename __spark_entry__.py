@@ -198,6 +198,9 @@ def _registries() -> tuple[dict, dict]:
         "event_funnel",
         "event_retention_cohorts",
         "text_heavy_hitters_cms",
+        # Round-5 fourth (green r4, untouched): slot for the new
+        # zarr_range_pushdown entry (A5 range superset).
+        "agg_approx_percentile",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

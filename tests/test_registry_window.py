@@ -34,6 +34,7 @@ ROTATED_IN = {
     "bpe_pair_counts",
     "text_unigram_logprob",
     "text_encode_ids",
+    "zarr_range_pushdown",
     "asof_interpolate",
     "data_mixture_plan",
 }
@@ -63,7 +64,6 @@ FIX_PROOF = {
     "quota_sample_per_lang",
     "text_oov_rate",
     "embedding_project",
-    "agg_approx_percentile",
     "text_token_windows_udtf",
     "tpch_q4_order_priority",
     "tpch_q12_shipmode_priority",

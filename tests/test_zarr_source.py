@@ -869,3 +869,88 @@ def test_string_fill_value_base64_decoded(tmp_path):
     tag = discover_arrays(store).array("tag")
     vals = read_window(store, tag, ((0, 4),)).tolist()
     assert vals == ["aa", "bb", "null", "null"]
+
+
+def test_range_pushdown_counts_and_values(spark, stores):
+    """A5 superset: range conjuncts on sorted coordinates narrow the
+    windows (searchsorted bounds) and Spark's re-applied filters keep
+    the result exact — counts and values match the source arrays."""
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    df = read_zarr(spark, stores["v2_plain"], eager_pushdown=True)
+    assert df.filter((F.col("time") >= 2) & (F.col("time") < 5)).count() == 300
+    assert (
+        df.filter(
+            (F.col("time") >= 2) & (F.col("time") < 5) & (F.col("lat") > 6)
+        ).count()
+        == 90
+    )
+    # mixed equality + range on the same coord intersects
+    assert (
+        df.filter((F.col("time") == 3) & (F.col("time") >= 2)).count() == 100
+    )
+    # empty range short-circuits
+    assert df.filter((F.col("time") > 3) & (F.col("time") < 3)).count() == 0
+    got = (
+        df.filter((F.col("time") >= 5) & (F.col("lat") <= 1))
+        .orderBy("time", "lat", "lon")
+        .toPandas()
+    )
+    exp = ARRAYS["temperature"][0][5:, :2, :].reshape(-1)
+    np.testing.assert_array_equal(got["temperature"].to_numpy(), exp)
+
+
+def test_range_pushdown_reduces_io(spark, stores, tmp_path):
+    """The range window must actually shrink the chunks read: the
+    per-partition spill counters for a 3-of-7 time-slab range read must
+    land well below the full scan's."""
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.stats.io_stats import collect_stats_dir
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    d_full = str(tmp_path / "full")
+    read_zarr(spark, stores["v2_plain"], stats_dir=d_full).count()
+    full = collect_stats_dir(d_full)
+
+    d_rng = str(tmp_path / "rng")
+    df = read_zarr(
+        spark, stores["v2_plain"], stats_dir=d_rng, eager_pushdown=True
+    )
+    assert (
+        df.filter((F.col("time") >= 2) & (F.col("time") < 5)).count() == 300
+    )
+    rng = collect_stats_dir(d_rng)
+    assert rng.data_bytes == full.data_bytes * 3 // 7
+    assert rng.n_chunks < full.n_chunks
+
+
+def test_range_window_bails_on_unsorted_coord(spark, tmp_path):
+    """An UNSORTED coordinate must not be range-narrowed (searchsorted
+    would return garbage windows): the planner keeps the full dimension
+    and Spark's re-applied filter does the work — result stays exact."""
+    import numpy as _np
+
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    store = str(tmp_path / "unsorted.zarr")
+    t = _np.array([3, 0, 5, 1], dtype=_np.int64)  # deliberately unsorted
+    lat = _np.arange(6, dtype=_np.int64)
+    data = _np.arange(24, dtype=_np.int64).reshape(4, 6)
+    write_store(store, {
+        "time": (t, (4,)),
+        "lat": (lat, (6,)),
+        "temperature": (data, (1, 6)),
+    })
+    df = read_zarr(spark, store, eager_pushdown=True)
+    got = sorted(
+        r.temperature for r in df.filter(F.col("time") >= 3).collect()
+    )
+    mask = t >= 3
+    exp = sorted(data[mask].reshape(-1).tolist())
+    assert got == exp

@@ -122,6 +122,29 @@ def zarr_filter_pushdown(spark, sf_dir):
 
 
 @_q(
+    "zarr_range_pushdown",
+    f"""SELECT time, lat, lon, temperature, humidity
+        FROM read_parquet('{_MIRROR}')
+        WHERE time >= 2 AND time < 5 AND lat > 6""",
+)
+def zarr_range_pushdown(spark, sf_dir):
+    """A5 superset: coordinate RANGE pushdown — ``filter.rs`` parses
+    equality only, but sorted coordinates (the typical time axis)
+    narrow their windows from range conjuncts just as exactly
+    (searchsorted bounds; unsorted coords bail to the full dimension).
+    Here ``time >= 2 AND time < 5 AND lat > 6`` shrinks the scan to a
+    3x3x10 block (90 of 700 rows) before Spark re-applies the filters
+    (Inexact contract); the oracle is the mirror under the same
+    predicate, and test_zarr_source pins the I/O reduction."""
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    df = read_zarr(spark, fixture_store(2), eager_pushdown=True)
+    return df.filter(
+        (F.col("time") >= 2) & (F.col("time") < 5) & (F.col("lat") > 6)
+    ).orderBy("time", "lat", "lon")
+
+
+@_q(
     "zarr_agg",
     f"""SELECT lat, COUNT(*) AS n, AVG(temperature) AS avg_temp,
                MIN(humidity) AS min_hum, MAX(humidity) AS max_hum

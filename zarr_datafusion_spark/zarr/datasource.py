@@ -142,6 +142,11 @@ class ZarrDataSourceReader(DataSourceReader):
         self.stats_dir = options.get("stats_dir")
         #: coord name -> pushed literal (reference CoordFilters, filter.rs:70-129)
         self.coord_filters: dict[str, object] = {}
+        #: coord name -> [lo, lo_strict, hi, hi_strict] accumulated from
+        #: range conjuncts (BEYOND-reference: filter.rs parses equality
+        #: only; ranges are the natural time-series predicate and narrow
+        #: windows the same way when the coordinate is sorted)
+        self.coord_ranges: dict[str, list] = {}
         #: window narrowing from pushed filters is OPT-IN
         #: (``filter_pushdown 'eager'``): Spark 4.1 caches the planned
         #: partitions per relation (``PythonDataSourceV2.readInfo``,
@@ -160,12 +165,25 @@ class ZarrDataSourceReader(DataSourceReader):
     # -- filter pushdown ----------------------------------------------------
 
     def pushFilters(self, filters: list[Filter]):  # noqa: N802 (Spark API name)
-        """Record ``coord = literal`` conjuncts for window pruning;
-        yield every filter back as unsupported so Spark re-applies them
-        (the reference's Inexact pushdown contract)."""
+        """Record ``coord = literal`` and ``coord </<=/>/>= literal``
+        conjuncts for window pruning; yield every filter back as
+        unsupported so Spark re-applies them (the reference's Inexact
+        pushdown contract).  Range conjuncts are a capability superset:
+        ``filter.rs:70-129`` parses equality only, but a sorted
+        coordinate (the typical time axis) narrows its window from a
+        range predicate just as exactly — unsorted coordinates bail to
+        the full dimension at planning time."""
+        from pyspark.sql.datasource import (
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
         # Reset per planning pass (defense-in-depth on top of the
         # eager_pushdown opt-in above).
         self.coord_filters = {}
+        self.coord_ranges = {}
         if not self.eager_pushdown:
             yield from filters
             return
@@ -185,18 +203,68 @@ class ZarrDataSourceReader(DataSourceReader):
                 and f.attribute[0] in coord_names
             ):
                 self.coord_filters[f.attribute[0]] = f.value
+            elif (
+                isinstance(
+                    f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+                )
+                and len(f.attribute) == 1
+                and f.attribute[0] in coord_names
+                and isinstance(f.value, (int, float))
+                and not (isinstance(f.value, float) and np.isnan(f.value))
+            ):
+                # accumulate conjuncts: tightest lower / upper bound wins
+                lo, lo_s, hi, hi_s = self.coord_ranges.setdefault(
+                    f.attribute[0], [None, False, None, False]
+                )
+                spec = self.coord_ranges[f.attribute[0]]
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    strict = isinstance(f, GreaterThan)
+                    if lo is None or f.value > lo or (f.value == lo and strict):
+                        spec[0], spec[1] = f.value, strict
+                else:
+                    strict = isinstance(f, LessThan)
+                    if hi is None or f.value < hi or (f.value == hi and strict):
+                        spec[2], spec[3] = f.value, strict
             yield f
 
     # -- planning -----------------------------------------------------------
 
+    def _range_window(self, c, values) -> tuple[int, int]:
+        """Window for accumulated range bounds on a SORTED coordinate
+        (searchsorted on the ascending value array); unsorted
+        coordinates bail to the full dimension — the narrowed window
+        must stay a superset of the matching rows."""
+        spec = self.coord_ranges.get(c.name)
+        full = (0, c.shape[0])
+        if spec is None:
+            return full
+        lo_b, lo_strict, hi_b, hi_strict = spec
+        if not np.all(np.diff(values) >= 0):
+            return full
+        lo_idx, hi_idx = 0, len(values)
+        if lo_b is not None:
+            lo_idx = int(
+                np.searchsorted(values, lo_b, side="right" if lo_strict else "left")
+            )
+        if hi_b is not None:
+            hi_idx = int(
+                np.searchsorted(values, hi_b, side="left" if hi_strict else "right")
+            )
+        return (lo_idx, hi_idx)
+
     def _windows(self) -> list[tuple[int, int]] | None:
         """Per-dimension read windows from pushed filters; ``None`` means
-        a filter literal matched nothing -> empty scan
-        (``filter.rs:203-238`` + the empty-result short-circuit)."""
+        a filter matched nothing -> empty scan
+        (``filter.rs:203-238`` + the empty-result short-circuit).
+        Equality and range windows on the same coordinate intersect."""
         from zarr_datafusion_spark.zarr.chunkio import read_array
 
         windows: list[tuple[int, int]] = []
         for c in self.meta.coords:
+            lo, hi = 0, c.shape[0]
+            values = None
+            if c.name in self.coord_filters or c.name in self.coord_ranges:
+                values = read_array(self.store_path, c)
             if c.name in self.coord_filters:
                 lit = self.coord_filters[c.name]
                 if isinstance(lit, float) and np.isnan(lit):
@@ -204,24 +272,25 @@ class ZarrDataSourceReader(DataSourceReader):
                     # never matches NaN, so narrowing here would drop
                     # rows Spark's re-applied filter keeps.  Bail to the
                     # full dimension (pushdown stays a superset).
-                    windows.append((0, c.shape[0]))
-                    continue
-                values = read_array(self.store_path, c)
-                # int/float cross-cast comparison (filter.rs:262-302)
-                matches = np.nonzero(values == lit)[0]
-                if len(matches) == 0:
-                    return None
-                lo, hi = int(matches[0]), int(matches[-1]) + 1
-                if len(matches) != hi - lo:
-                    # duplicate values scattered non-contiguously: a
-                    # narrowed window would silently drop rows (pushdown
-                    # must be a superset — Spark's re-applied filter can
-                    # only remove).  Bail to the full dimension.
-                    windows.append((0, c.shape[0]))
+                    pass
                 else:
-                    windows.append((lo, hi))
-            else:
-                windows.append((0, c.shape[0]))
+                    # int/float cross-cast comparison (filter.rs:262-302)
+                    matches = np.nonzero(values == lit)[0]
+                    if len(matches) == 0:
+                        return None
+                    m_lo, m_hi = int(matches[0]), int(matches[-1]) + 1
+                    if len(matches) == m_hi - m_lo:
+                        lo, hi = m_lo, m_hi
+                    # else: duplicate values scattered non-contiguously:
+                    # a narrowed window would silently drop rows
+                    # (pushdown must be a superset — Spark's re-applied
+                    # filter can only remove).  Keep the full dimension.
+            if c.name in self.coord_ranges:
+                r_lo, r_hi = self._range_window(c, values)
+                lo, hi = max(lo, r_lo), min(hi, r_hi)
+            if hi <= lo:
+                return None
+            windows.append((lo, hi))
         return windows
 
     def _dim_chunk(self, d: int) -> int:
@@ -272,7 +341,12 @@ class ZarrDataSourceReader(DataSourceReader):
         # marker per such planning pass so io_stats can surface it
         # (``count_unpruned_eager_plans``) instead of leaving the only
         # evidence a slow scan.
-        if self.eager_pushdown and not self.coord_filters and self.stats_dir:
+        if (
+            self.eager_pushdown
+            and not self.coord_filters
+            and not self.coord_ranges
+            and self.stats_dir
+        ):
             self._unpruned_plans = getattr(self, "_unpruned_plans", 0) + 1
             marker = os.path.join(
                 self.stats_dir,
@@ -291,6 +365,7 @@ class ZarrDataSourceReader(DataSourceReader):
         # min/max, wrong counts).  partitions() runs once per query,
         # after any pushFilters, so this is the per-query reset point.
         self.coord_filters = {}
+        self.coord_ranges = {}
         if windows is None or self.meta.total_rows == 0:
             return [ZarrInputPartition(0, 0, ())]
         if not self.meta.coords:
