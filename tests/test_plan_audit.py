@@ -35,6 +35,9 @@ NESTED_LOOP_OK = {
     "cte_subquery": "scalar-subquery literal comparison (1-row side)",
     "scalar_functions": "1-row literal table",
     "agg_approx_distinct": "1-row exact-vs-approx band comparison",
+    # round-5 additions
+    "scale_bloom_join": "broadcast 1-row dense bloom bitmap (8 KB array)",
+    "text_unigram_logprob": "broadcast 1-row corpus-total scalar",
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the
