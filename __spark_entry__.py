@@ -198,9 +198,11 @@ def _registries() -> tuple[dict, dict]:
         "event_funnel",
         "event_retention_cohorts",
         "text_heavy_hitters_cms",
-        # Round-5 fourth (green r4, untouched): slot for the new
-        # zarr_range_pushdown entry (A5 range superset).
+        # Round-5 fourth (green r4, untouched): slots for the new
+        # zarr_range_pushdown (A5 range superset) and sim_topk_pq_adc
+        # (PQ + ADC retrieval) entries.
         "agg_approx_percentile",
+        "text_token_windows_udtf",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

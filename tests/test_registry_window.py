@@ -35,6 +35,7 @@ ROTATED_IN = {
     "text_unigram_logprob",
     "text_encode_ids",
     "zarr_range_pushdown",
+    "sim_topk_pq_adc",
     "asof_interpolate",
     "data_mixture_plan",
 }
@@ -64,7 +65,6 @@ FIX_PROOF = {
     "quota_sample_per_lang",
     "text_oov_rate",
     "embedding_project",
-    "text_token_windows_udtf",
     "tpch_q4_order_priority",
     "tpch_q12_shipmode_priority",
 }
