@@ -203,6 +203,9 @@ def _registries() -> tuple[dict, dict]:
         # (PQ + ADC retrieval) entries.
         "agg_approx_percentile",
         "text_token_windows_udtf",
+        # Round-5 fifth (green r4, untouched): slot for
+        # profile_numeric_columns.
+        "tpch_q4_order_priority",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

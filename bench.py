@@ -65,6 +65,13 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "scale_ranked_two_pass",
     "dedup_simhash",
+    # late round-5 additions (33 -> 39)
+    "scale_bloom_join",
+    "bpe_pair_counts",
+    "text_unigram_logprob",
+    "text_encode_ids",
+    "asof_interpolate",
+    "profile_numeric_columns",
 ]
 
 

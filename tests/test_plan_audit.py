@@ -38,6 +38,7 @@ NESTED_LOOP_OK = {
     # round-5 additions
     "scale_bloom_join": "broadcast 1-row dense bloom bitmap (8 KB array)",
     "text_unigram_logprob": "broadcast 1-row corpus-total scalar",
+    "sim_topk_pq_adc": "broadcast 1-row query LUT table",
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the

@@ -38,6 +38,7 @@ ROTATED_IN = {
     "sim_topk_pq_adc",
     "asof_interpolate",
     "data_mixture_plan",
+    "profile_numeric_columns",
 }
 
 #: r4 first-record entries whose implementing functions are untouched
@@ -65,7 +66,6 @@ FIX_PROOF = {
     "quota_sample_per_lang",
     "text_oov_rate",
     "embedding_project",
-    "tpch_q4_order_priority",
     "tpch_q12_shipmode_priority",
 }
 

@@ -126,12 +126,20 @@ _NGRAM_JACCARD_ORACLE = rf"""
             / len(list_distinct(a.grams || b.grams)) >= {NGRAM_JACCARD_THRESHOLD}
 """
 
-#: Spark-side word-trigram gram set (shared by the exact-verify stage)
-_W = "split(lower(trim(text)), '\\\\s+')"
+#: Spark-side word-trigram gram set (shared by the exact-verify stage).
+#: BIND-ONCE shape (r5 perf fix): the original spelling indexed
+#: ``element_at(split(...), i)`` inside the transform lambda, so the
+#: split re-ran PER ELEMENT (O(tokens^2) string splits per doc — the
+#: same interpreted-lambda trap measured at 25x on literal arrays).
+#: ``transform(array(split(..)), w -> ..)`` binds the split result to a
+#: lambda variable evaluated ONCE, and the trigram build is zip_with
+#: over three slices — no per-element indexing anywhere.
 _GRAMS_EXPR = (
-    f"array_distinct(CASE WHEN size({_W}) < 3 THEN array(lower(trim(text))) "
-    f"ELSE transform(sequence(1, size({_W}) - 2), "
-    f"i -> concat_ws(' ', element_at({_W}, i), element_at({_W}, i+1), element_at({_W}, i+2))) END)"
+    "element_at(transform(array(split(lower(trim(text)), '\\\\s+')), w -> "
+    "array_distinct(CASE WHEN size(w) < 3 THEN array(lower(trim(text))) "
+    "ELSE zip_with(zip_with(slice(w, 1, size(w) - 2), slice(w, 2, size(w) - 2), "
+    "(a, b) -> concat(a, ' ', b)), slice(w, 3, size(w) - 2), "
+    "(ab, c) -> concat(ab, ' ', c)) END)), 1)"
 )
 
 
