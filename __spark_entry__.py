@@ -203,9 +203,10 @@ def _registries() -> tuple[dict, dict]:
         # (PQ + ADC retrieval) entries.
         "agg_approx_percentile",
         "text_token_windows_udtf",
-        # Round-5 fifth (green r4, untouched): slot for
-        # profile_numeric_columns.
+        # Round-5 fifth (green r4, untouched): slots for
+        # profile_numeric_columns and event_markov_transitions.
         "tpch_q4_order_priority",
+        "tpch_q12_shipmode_priority",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

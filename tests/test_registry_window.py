@@ -39,6 +39,7 @@ ROTATED_IN = {
     "asof_interpolate",
     "data_mixture_plan",
     "profile_numeric_columns",
+    "event_markov_transitions",
 }
 
 #: r4 first-record entries whose implementing functions are untouched
@@ -66,7 +67,6 @@ FIX_PROOF = {
     "quota_sample_per_lang",
     "text_oov_rate",
     "embedding_project",
-    "tpch_q12_shipmode_priority",
 }
 
 

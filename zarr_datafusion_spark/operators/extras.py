@@ -2087,3 +2087,67 @@ def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
     )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (round 5) — behavioral path mining
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS prev_type
+      FROM ev
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+"""
+
+
+@_q("event_markov_transitions", _TRANSITIONS_ORACLE)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every consecutive (prev event -> next event) pair,
+    the total transition count and how many distinct users make it —
+    the path-mining primitive behind "where do users go after X"
+    analyses and behavioral-cloning data prep, completing the
+    event-analytics family (funnel depth, retention cohorts, rate
+    anomalies, transition structure).
+
+    Ordering ties break on (ts_us, event_id) as everywhere in the
+    temporal family, so the sequence — and therefore every count — is
+    deterministic on both engines.
+
+    100 TB posture: ONE window shuffle partitioned by user_id (state
+    per task = one carried row) feeding a k^2-key aggregate (event
+    types are low-cardinality, so the transition matrix is tiny and
+    the aggregate partial-combines map-side; the distinct-user count
+    shuffles (from, to, user) triples — bounded by users x k^2, and
+    approx_count_distinct swaps in when even that is too wide).
+    """
+    from zarr_datafusion_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
