@@ -207,6 +207,9 @@ def _registries() -> tuple[dict, dict]:
         # profile_numeric_columns and event_markov_transitions.
         "tpch_q4_order_priority",
         "tpch_q12_shipmode_priority",
+        # Round-5 sixth (green r4, untouched): slot for
+        # sample_weighted_priority.
+        "streaming_window_counts",
     ]
     assert all(n in oracles for n in demote)
     ordered = [n for n in queries if n not in demote]

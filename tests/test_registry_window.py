@@ -40,6 +40,7 @@ ROTATED_IN = {
     "data_mixture_plan",
     "profile_numeric_columns",
     "event_markov_transitions",
+    "sample_weighted_priority",
 }
 
 #: r4 first-record entries whose implementing functions are untouched
@@ -55,7 +56,6 @@ FIX_PROOF = {
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "cte_subquery",
-    "streaming_window_counts",
     "sim_ann_ivf",
     "text_repetition_signals",
     "pii_redact",

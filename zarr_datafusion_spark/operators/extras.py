@@ -2151,3 +2151,77 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (round 5) — Efraimidis-Spirakis
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+
+#: priority = ln(u) / w with u an md5-derived uniform in (0, 1]: the
+#: Efraimidis-Spirakis A-ES key (usually written u^(1/w); ln is the
+#: same ordering computed with one transcendental instead of pow).
+#: Selection = top-k priorities — weighted sampling WITHOUT replacement
+#: where inclusion probability tracks the weight.
+_WS_PRIORITY = (
+    "ln((CAST({h} AS DOUBLE) + 1) / 4294967297.0) / {w}"
+)
+
+_WS_DUCK_H = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 8))::UBIGINT"
+)
+_WS_DUCK_W = r"len(regexp_split_to_array(trim(text), '\s+'))"
+_WS_DUCK_PRI = _WS_PRIORITY.format(h=_WS_DUCK_H, w=_WS_DUCK_W)
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {_WS_DUCK_W} AS weight,
+             {_WS_DUCK_PRI} AS priority
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(weight AS BIGINT) AS weight
+    FROM t ORDER BY priority DESC, doc_id LIMIT {_WS_K}
+"""
+
+
+@_q("sample_weighted_priority", _WEIGHTED_SAMPLE_ORACLE)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    priority sampling): each document draws an md5-derived uniform,
+    keys it as ln(u)/weight, and the global top-{_WS_K} priorities are
+    the sample — longer documents (weight = token count) are
+    proportionally likelier, no document repeats, and the whole draw
+    is deterministic (no RNG; the repo's hash-keyed posture).  This is
+    the data-mixing primitive for quality- or length-weighted corpus
+    subsampling, complementing the exact-quota and proportion-targeted
+    mixers (``quota_sample_per_lang``, ``data_mixture_plan``).
+
+    Cross-engine note: ln() may differ in the last ulp between
+    engines, which could only flip the selection at a priority tie
+    within ~1e-16 — priorities here are spread ~1e-4 apart, and the
+    (priority, doc_id) order is otherwise total.
+
+    100 TB posture: map-only key computation + TakeOrderedAndProject
+    top-k (per-partition heaps, no global sort) — one pass, no
+    shuffle of the corpus; this is exactly how distributed reservoir
+    sampling is implemented when the sample must be weighted.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    h = (
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':wsample')), 1, 8), 16, 10) AS BIGINT)"
+    )
+    w = "size(split(trim(text), '\\\\s+'))"
+    pri = _WS_PRIORITY.format(h=h, w=w)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(w).cast("long").alias("weight"),
+            F.expr(pri).alias("__pri"),
+        )
+        .orderBy(F.col("__pri").desc(), "doc_id")
+        .limit(_WS_K)
+        .drop("__pri")
+    )
