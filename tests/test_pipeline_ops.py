@@ -291,3 +291,63 @@ def test_audio_windows_segmentation(spark):
         assert all(r.n_samples == 256 for r in rs[:-1])
         assert sum(r.n_samples for r in rs) == syn[did].payload_bytes - 8
         assert all(0 <= r.mean_amp <= 255 for r in rs)
+
+
+def test_gram_oracle_short_doc_fallback(spark, tmp_path):
+    """ADVICE r5: docs with <3 tokens — including empty and
+    whitespace-only text — must produce IDENTICAL MinHash-LSH candidate
+    pairs and SimHash pairs in Spark and the DuckDB oracles.  The
+    oracles now mirror Spark's single-whole-text-gram fallback
+    (_GRAMS_EXPR's size(w)<3 branch) and the simhash-0 empty-doc branch
+    (`if not toks: return 0`); before the fix such docs silently
+    vanished from the DuckDB side."""
+    import duckdb as _d
+    import pandas as pd
+
+    rows = [
+        (1, "alpha beta", "en", "web", 10),  # 2 tokens, exact dup of 2
+        (2, "alpha beta", "en", "web", 10),
+        (3, "solo", "en", "web", 4),  # 1 token, exact dup of 4
+        (4, "solo", "en", "book", 4),
+        (5, "", "en", "web", 0),  # empty — simhash 0
+        (6, "   ", "en", "web", 3),  # whitespace-only — simhash 0
+        (7, "one two three four five", "en", "web", 23),
+        (8, "one two three four five", "en", "web", 23),
+        (9, "unrelated totally different words here", "en", "web", 38),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    con = _d.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    try:
+        mh_spark = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.QUERIES["dedup_minhash_lsh"](spark, str(tmp_path)).collect()
+        }
+        mh_duck = {
+            (r.doc_a, r.doc_b)
+            for r in con.sql(dedup.ORACLE["dedup_minhash_lsh"]).df().itertuples()
+        }
+        assert mh_spark == mh_duck
+        # exact-dup short docs MUST be found (whole-text fallback gram)
+        assert {(1, 2), (3, 4), (7, 8)} <= mh_spark
+
+        sh_spark = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in dedup.QUERIES["dedup_simhash"](spark, str(tmp_path)).collect()
+        }
+        sh_duck = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in con.sql(dedup.ORACLE["dedup_simhash"]).df().itertuples()
+        }
+        assert sh_spark == sh_duck
+        # the two token-less docs collide at simhash 0 on both sides
+        assert (5, 6, 0) in sh_spark
+    finally:
+        con.close()

@@ -195,30 +195,63 @@ def test_ranked_two_pass_equals_plain_window(spark):
 
 
 def test_ranked_two_pass_plan_avoids_skewed_window_exchange(spark):
-    """Plan shape: the ranked rows flow range-exchange -> local rank ->
-    broadcast offset join.  hashpartitioning(o_orderpriority) may
-    appear ONLY under the tiny offset branch (windowing n_parts x
-    n_keys count rows); the branch that carries order rows must see a
-    rangepartitioning exchange and a broadcast join, and the range
-    exchange must be planned once and reused, not re-scanned."""
+    """Plan shape: the ranked rows flow range-exchange -> checkpoint ->
+    local rank -> broadcast offset join.  The range stage (inspected
+    pre-checkpoint, since the checkpoint truncates the visible plan)
+    must show a rangepartitioning exchange on the full key tuple and NO
+    hashpartitioning on the 5-value window key; the post-checkpoint
+    plan must broadcast the offsets and keep the sole Window above the
+    tiny count aggregate."""
     from tests.conftest import plan_text
-    from zarr_datafusion_spark.scale import ranked_two_pass
+    from zarr_datafusion_spark.scale import _ranked_range_stage, ranked_two_pass
 
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+    stage = _ranked_range_stage(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    stage_plan = plan_text(stage)
+    assert "rangepartitioning(o_orderpriority" in stage_plan
+    assert "hashpartitioning(o_orderpriority" not in stage_plan
+
     df = ranked_two_pass(orders, "o_orderpriority", "o_totalprice", "o_orderkey")
-    df.collect()  # finalize AQE so reuse is visible
+    df.collect()  # finalize AQE
     plan = plan_text(df)
-    assert "rangepartitioning(o_orderpriority" in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
-    assert "ReusedExchange" in plan, "range shuffle consumed twice without reuse"
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     # the sole window in the plan is the offset cumsum over the count
     # table — it must sit above the tiny aggregate, not above the scan
     # (AQE plan text repeats nodes in its "Initial Plan" section; count
     # only the final plan)
     final_plan = plan.split("== Initial Plan ==")[0]
     assert final_plan.count("Window") <= 1
+
+
+def test_ranked_two_pass_with_payload_columns(spark):
+    """The ADVICE r5 fragile case: payload columns beyond the three
+    keys used to break exchange reuse (column pruning made the two
+    range subplans non-identical, letting two independently sampled
+    RangePartitioners disagree on boundary rows).  The checkpoint pins
+    one partition assignment, so payload inputs must now rank exactly
+    like the plain window."""
+    from pyspark.sql.window import Window as W
+
+    from zarr_datafusion_spark.scale import ranked_two_pass
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_custkey", "o_orderstatus"
+    )
+    two_pass = ranked_two_pass(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).select("o_orderkey", "o_custkey", "rn")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    plain = orders.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).cast("long").alias("rn")
+    )
+    got = {(r.o_orderkey, r.o_custkey, r.rn) for r in two_pass.collect()}
+    want = {(r.o_orderkey, r.o_custkey, r.rn) for r in plain.collect()}
+    assert got == want
 
 
 def test_salted_join_equals_plain_join(spark):

@@ -111,10 +111,12 @@ NGRAM_JACCARD_THRESHOLD = 0.2
 _NGRAM_JACCARD_ORACLE = rf"""
     WITH g AS (
       SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(w) - 1, 1)),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-      FROM (SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [lower(trim(text))]
+                    ELSE list_transform(
+                      range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+      FROM (SELECT doc_id, text,
                    regexp_split_to_array(lower(trim(text)), '\s+') AS w
             FROM documents)
     )
@@ -189,12 +191,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-# Oracle caveat: DuckDB's range(1, n) upper bound is exclusive and
+# Oracle note: DuckDB's range(1, n) upper bound is exclusive and
 # Spark's sequence() is inclusive; both gram builders above produce
 # len(w)-2 trigrams for len(w)>=3.  Short texts (<3 tokens) fall back
-# to the whole text as a single gram on the Spark side and produce one
-# w[i]||...||NULL gram in DuckDB — the driver data has no such rows
-# (min tokens >> 3), and the unit tests pin the behavior.
+# to the whole lowercased/trimmed text as a single gram on BOTH sides
+# (the oracle CASE mirrors Spark's _GRAMS_EXPR fallback — ADVICE r5
+# closed the latent divergence where such docs produced zero DuckDB
+# grams; pinned by test_gram_oracle_short_doc_fallback).
 
 
 # ---------------------------------------------------------------------------
@@ -326,12 +329,15 @@ _MH_VALUES = ", ".join(
 #: is recomputed independently and value-hashed by the driver.  The
 #: j // 4 integer division mirrors Spark's slice(b*4+1, 4) banding.
 _MINHASH_ORACLE = rf"""
-    WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    WITH w AS (SELECT doc_id, text,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS w
                FROM documents),
     g AS (SELECT doc_id,
-                 unnest(list_distinct(list_transform(
-                   range(1, greatest(len(w) - 1, 1)),
-                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+                 unnest(list_distinct(
+                   CASE WHEN len(w) < 3 THEN [lower(trim(text))]
+                        ELSE list_transform(
+                          range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS gram
           FROM w),
     h AS (SELECT doc_id,
                  CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT AS BIGINT) AS h
@@ -385,14 +391,23 @@ _SIMHASH_ORACLE = rf"""
                         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
                  FROM documents),
     th AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h
-           FROM tok),
+           FROM tok
+           WHERE token <> ''),
     bits AS (SELECT doc_id, s.range AS s,
                     SUM(CASE WHEN (h >> CAST(s.range AS INTEGER)) & 1::UBIGINT
                                = 1::UBIGINT THEN 1 ELSE -1 END) AS acc
              FROM th, range(0, 64) s GROUP BY doc_id, s.range),
     pw(s, p) AS (VALUES {_POW2_VALUES}),
-    sh AS (SELECT b.doc_id, SUM(CASE WHEN b.acc > 0 THEN pw.p ELSE 0::HUGEINT END) AS u
-           FROM bits b JOIN pw ON pw.s = b.s GROUP BY b.doc_id),
+    agg AS (SELECT b.doc_id,
+                   SUM(CASE WHEN b.acc > 0 THEN pw.p ELSE 0::HUGEINT END) AS u
+            FROM bits b JOIN pw ON pw.s = b.s GROUP BY b.doc_id),
+    -- empty / whitespace-only docs have no tokens (the WHERE above
+    -- drops the '' artifact regexp_split emits for empty input, which
+    -- Python's str.split() never produces) and get simhash 0, exactly
+    -- like the Spark UDF's `if not toks: return 0` branch (ADVICE r5)
+    sh AS (SELECT d.doc_id, COALESCE(a.u, 0::HUGEINT) AS u
+           FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+           WHERE d.text IS NOT NULL),
     sh2 AS (SELECT doc_id, u,
                    CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
                                  THEN 18446744073709551616::HUGEINT

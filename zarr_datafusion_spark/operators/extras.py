@@ -1626,11 +1626,18 @@ def scale_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bit_or("mask").alias("bits"))
     )
     # dense single-row bitmap: sparse (word, bits) entries -> map ->
-    # array indexed by word (missing words = 0)
+    # array indexed by word (missing words = 0).  The map is aggregated
+    # in its own step and the transform references it as a BOUND column
+    # — inlining map_from_entries(collect_list(...)) inside the lambda
+    # re-evaluates the map build once per array element (the measured
+    # 25x interpreted-lambda trap; ADVICE r5), quadratic as bj_bits
+    # grows with the build-side key count.
     bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m")
+    ).select(
         F.expr(
             f"transform(sequence(0, {bj_bits // 64 - 1}), "
-            "i -> coalesce(map_from_entries(collect_list(struct(w, bits)))[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))"
+            "i -> coalesce(m[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))"
         ).alias("bm")
     )
     test = " AND ".join(

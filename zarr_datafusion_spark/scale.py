@@ -192,6 +192,28 @@ def write_zorder(
     )
 
 
+def _ranked_range_stage(
+    df: DataFrame,
+    part_key: str,
+    order_key: str,
+    tie_key: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """The pre-checkpoint range stage of :func:`ranked_two_pass`:
+    an even range exchange over the full (part, order, tie) key —
+    never a hash exchange on the low-cardinality part key — with a
+    per-partition sort and a materialized partition id.  Split out so
+    plan tests can assert the exchange shape directly (the checkpoint
+    in :func:`ranked_two_pass` truncates the visible plan)."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    return (
+        df.repartitionByRange(n_parts, part_key, order_key, tie_key)
+        .sortWithinPartitions(part_key, order_key, tie_key)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+
 def ranked_two_pass(
     df: DataFrame,
     part_key: str,
@@ -214,9 +236,9 @@ def ranked_two_pass(
        ranks with NO further shuffle — the sort is per-partition, never
        single-reducer.
     2. a tiny (pid, part_key, count) table — aggregated from the SAME
-       range exchange, which Spark reuses — yields each partition's
-       global rank offset via a window over n_parts*n_keys rows;
-       broadcast back and added map-side.
+       materialized exchange (pinned by a localCheckpoint, see below) —
+       yields each partition's global rank offset via a window over
+       n_parts*n_keys rows; broadcast back and added map-side.
 
     The result is EXACTLY the single-pass window's output (the oracle
     for ``scale_ranked_two_pass`` is the plain window SQL), with the
@@ -229,13 +251,20 @@ def ranked_two_pass(
     from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window as W
 
-    spark = df.sparkSession
-    n_parts = n_parts or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n_parts, part_key, order_key, tie_key)
-        .sortWithinPartitions(part_key, order_key, tie_key)
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    ranged = _ranked_range_stage(df, part_key, order_key, tie_key, n_parts)
+    # Both the local-rank branch and the offset branch below consume
+    # ``ranged``.  RangePartitioner boundaries come from a SAMPLE, so
+    # two independent evaluations of the exchange could assign boundary
+    # rows different __pid values and silently corrupt the offsets —
+    # previously this only held together while ReuseExchange deduped
+    # the two identical subplans, which column pruning can break the
+    # moment the input carries payload columns beyond the three keys.
+    # localCheckpoint pins ONE materialized partition assignment that
+    # both branches read (the offset branch touches only the skinny
+    # (pid, key) projection of it).  At cluster scale this is the
+    # standard price of a two-pass ranking: one materialization of the
+    # ranged data, traded for killing the single-reducer window sort.
+    ranged = ranged.localCheckpoint(eager=False)
 
     out_schema = StructType(
         ranged.schema.fields + [StructField("__lrn", LongType(), False)]
