@@ -74,6 +74,12 @@ HEADLINE = [
     "profile_numeric_columns",
 ]
 
+# Controlled-experiment knob (r5 drift bisect): run only a named subset,
+# in the given order — e.g. SPARK_GRAFT_BENCH_QUERIES="agg_groupby,q3".
+_SUBSET = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+if _SUBSET:
+    HEADLINE = [q.strip() for q in _SUBSET.split(",") if q.strip()]
+
 
 def _zarr_scan_1m(spark, sf_dir):
     """Bench-only: parallel flattened scan of a ~1M-row Zarr store
