@@ -34,6 +34,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return df.orderBy("l_returnflag", "l_linestatus")
 
 
+#: Driver correctness window: the driver records exactly the first 50
+#: registry slots each round (every CORRECTNESS_r*.json holds 50 rows).
+WINDOW = 50
+
+#: Entries whose implementation or oracle text changed THIS round: the
+#: standing green record predates the code, so each takes a window slot
+#: for a fresh record.  Replace the contents every round — this is the
+#: ONLY hand-maintained rotation state (VERDICT r5 item 4); first
+#: records for new entries, demotion of recorded entries, and refresh
+#: of the stalest records are all computed from the checked-in
+#: CORRECTNESS_r*.json files in :func:`_latest_green_round`.
+RE_RECORD = {
+    "dedup_minhash_lsh": "r6: oracle gained the short-doc gram fallback",
+    "dedup_ngram_jaccard": "r6: oracle gained the short-doc gram fallback",
+    "dedup_simhash": "r6: oracle empty-token filter + simhash-0 docs",
+    "scale_ranked_two_pass": "r6: localCheckpoint pins partition assignment",
+    "text_encode_ids": "r6: vocab ranked via two-pass, no global window",
+    "profile_numeric_columns": "r6: refactored to shared exact/approx builder",
+    "scale_bloom_join": "r6: bitmap map bound once before the transform",
+    "sim_topk_pq_adc": "r6: ADC pool sized from parquet footer stats",
+}
+
+
+def _latest_green_round() -> dict[str, int]:
+    """entry name -> latest round with a fully green driver record
+    (rows + schema + hash), parsed from the CORRECTNESS_r*.json files
+    the driver writes next to this module.  Entries absent from every
+    file have no record and MUST be placed inside the checked window."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                recs = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, rec in recs.items():
+            if (
+                isinstance(rec, dict)
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def _registries() -> tuple[dict, dict]:
     """Aggregate per-module registries, ORACLE-BACKED ENTRIES FIRST.
 
@@ -41,10 +96,25 @@ def _registries() -> tuple[dict, dict]:
     every textstats/dedup/similarity/temporal/streaming entry fell
     outside the correctness record (VERDICT r1 item 1).  Ordering is
     therefore part of the driver contract: all hash-checkable entries
-    (51 after the relational consolidation) come first — zarr and the
-    pipeline-operator families before the relational long tail — and
-    the rows-only entries (engine-specific hashes, streaming state,
-    multimodal fakes without SQL twins) close the list.
+    come first and the rows-only entries (engine-specific state without
+    SQL twins) close the list.
+
+    Within the oracle-backed block the checked window is COMPUTED, not
+    curated (VERDICT r5 item 4 replaced the 113-line demote list):
+
+    1. entries with no green driver record in any CORRECTNESS_r*.json
+       (new operators, new oracles) come first — they need their first
+       record;
+    2. entries in :data:`RE_RECORD` (code/oracle changed this round)
+       follow — their record is stale;
+    3. the remaining recorded entries fill the window stalest-record
+       first, so old records refresh opportunistically;
+    4. rows-only entries close the list.
+
+    Forgetting an entry is now impossible: a new oracle-backed entry
+    lands in the window automatically, and the only manual act is
+    declaring a code change in RE_RECORD (pinned by
+    ``tests/test_registry_window.py``).
     """
     from zarr_datafusion_spark.operators import (
         dedup,
@@ -90,133 +160,32 @@ def _registries() -> tuple[dict, dict]:
             for mod in mods:
                 oracles.update(mod.ORACLE)
 
-    # Round-4 rotation (VERDICT r3 item 5): the driver records the first
-    # ~50 slots only.  Entries with NO green CORRECTNESS row across
-    # r1-r3 (they sat at slots 51-62) rotate INTO the window; an equal
-    # number of entries that are already green in r1+r2+r3 rotate out to
-    # the end of the oracle-backed block (their record stands; local
-    # differential tests still cover them every run).  Goal: every
-    # oracle-backed entry holds at least one green driver record.
-    demote = [
-        "proj_expressions",
-        "filter_predicates",
-        "agg_global",
-        "agg_having",
-        "agg_approx_distinct",
-        "sort_topk",
-        "join_inner",
-        "join_inner_multikey",
-        "join_chain_agg",
-        "join_outer",
-        "join_semi_anti",
-        "join_theta_cross",
-        # Second demotion tranche (all green r1+r2+r3): frees window
-        # slots for the r4 rows-only -> oracle-backed upgrades
-        # (sim_ann_ivf, streaming_sliding_windows,
-        # sessionize_stateful_stream, mm_synthesize, mm_resize,
-        # text_langid_heuristic) and the two new r4 operators
-        # (text_repetition_signals, pii_redact), so every oracle-backed
-        # entry holds at least one green driver record across r1-r4.
-        # (dedup_ngram_jaccard left this tranche in r5: freshness
-        # rotation after the md5 candidate-generator change.)
-        "dedup_exact",
-        "sim_topk_bruteforce",
-        "mm_frame_sample",
-        "text_token_count",
-        "text_quality_score",
-        "text_fingerprint",
-        "streaming_dedup",
-        # Third tranche (green r1+r2+r3): window slots for the two
-        # late-r4 operators (pack_sequences, corpus_upsert).
-        "text_lang_distribution",
-        "text_top_tokens",
-        # Fourth tranche (green through r3): window slots for the six
-        # late-r4 operators (tpch_q6_forecast_revenue,
-        # subquery_correlated, dedup_bloom_prefilter,
-        # quota_sample_per_lang, text_oov_rate, embedding_project).
-        # (dedup_components left this tranche in r5: its candidate
-        # generator changed, so it re-records.)
-        "dedup_embedding_cosine",
-        "sim_label_centroids",
-        "sim_topk_quantized",
-        "mm_extract_features",
-        "setops",
-        # Fifth: slot for mm_audio_windows (green r2+r3)
-        "text_length_percentiles",
-        # Sixth tranche: slots for the three event/sketch operators
-        # (event_funnel, event_retention_cohorts, text_heavy_hitters_cms).
-        # agg_groupby stays driver-smoked every round via entry().
-        # (scale_salted_agg and pipeline_curate left this tranche in
-        # r5: freshness rotation — deterministic salt / new candidate
-        # generator.)
-        "agg_groupby",
-        # Seventh (green r1): slots for agg_approx_percentile and
-        # text_token_windows_udtf.
-        "distinct_vals",
-        "json_functions",
-        # Eighth (green r1; its exact-variance formulas are re-exercised
-        # by event_anomaly_zscore, which takes the slot).
-        "agg_variance",
-        # Ninth (green r1): slot for scale_salted_join.
-        "array_functions",
-        # Tenth (green r2 / r1): slots for tpch_q4_order_priority and
-        # tpch_q12_shipmode_priority.
-        "agg_time_bucket",
-        "cte_recursive",
-        # Round-5 tranche (all green r4, functions untouched in r5):
-        # frees slots for (a) the three rows-only -> full-oracle
-        # upgrades (dedup_minhash_lsh, dedup_simhash, sim_ann_lsh —
-        # md5-deterministic hash families, VERDICT r4 item 1), (b) the
-        # four new operators (scale_ranked_two_pass, tpch_q17/q20/q21),
-        # and (c) the freshness rotation (VERDICT r4 item 3) of the
-        # four entries whose code paths changed this round
-        # (dedup_ngram_jaccard / dedup_components / pipeline_curate
-        # consume the new LSH candidate generator; scale_salted_agg
-        # switched to the deterministic row-hash salt) — those four are
-        # REMOVED from this list so they re-record.  dedup_exact and
-        # dedup_embedding_cosine stay demoted: their functions are
-        # byte-untouched and their green records remain valid.
-        "text_contamination",
-        "agg_pivot",
-        "agg_unpivot",
-        "streaming_join",
-        "sample_stratified",
-        "topk_per_group",
-        "mm_synthesize",
-        "mm_resize",
-        "mm_audio_windows",
-        "text_langid_heuristic",
-        "split_train_valid_test",
-        # Round-5 second tranche (green r4, untouched in r5): slots for
-        # the three late-r5 operators (scale_bloom_join,
-        # bpe_pair_counts, text_unigram_logprob).
-        "sessionize_events",
-        "streaming_sliding_windows",
-        "sessionize_stateful_stream",
-        # Round-5 third tranche (green r4, untouched in r5): slots for
-        # text_encode_ids, asof_interpolate, data_mixture_plan.
-        "event_funnel",
-        "event_retention_cohorts",
-        "text_heavy_hitters_cms",
-        # Round-5 fourth (green r4, untouched): slots for the new
-        # zarr_range_pushdown (A5 range superset) and sim_topk_pq_adc
-        # (PQ + ADC retrieval) entries.
-        "agg_approx_percentile",
-        "text_token_windows_udtf",
-        # Round-5 fifth (green r4, untouched): slots for
-        # profile_numeric_columns and event_markov_transitions.
-        "tpch_q4_order_priority",
-        "tpch_q12_shipmode_priority",
-        # Round-5 sixth (green r4, untouched): slot for
-        # sample_weighted_priority.
-        "streaming_window_counts",
-    ]
-    assert all(n in oracles for n in demote)
-    ordered = [n for n in queries if n not in demote]
-    n_oracle_kept = sum(1 for n in ordered if n in oracles)
-    ordered[n_oracle_kept:n_oracle_kept] = demote  # end of oracle block
+    green = _latest_green_round()
+    oracle_names = [n for n in queries if n in oracles]
+    rows_only = [n for n in queries if n not in oracles]
+
+    unknown = set(RE_RECORD) - set(oracle_names)
+    if unknown:
+        raise ValueError(f"RE_RECORD names not in the registry: {unknown}")
+
+    firsts = [n for n in oracle_names if n not in green]
+    stale = [n for n in oracle_names if n in green and n in RE_RECORD]
+    need = firsts + stale
+    if len(need) > WINDOW:
+        raise ValueError(
+            f"{len(need)} entries need a driver record but the checked "
+            f"window holds {WINDOW}; stage RE_RECORD across rounds"
+        )
+    idx = {n: i for i, n in enumerate(oracle_names)}
+    standing = sorted(
+        (n for n in oracle_names if n not in set(need)),
+        key=lambda n: (green[n], idx[n]),  # stalest record first
+    )
+    ordered = need + standing + rows_only
     queries = {n: queries[n] for n in ordered}
     return queries, oracles
+
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

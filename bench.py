@@ -71,7 +71,9 @@ HEADLINE = [
     "text_unigram_logprob",
     "text_encode_ids",
     "asof_interpolate",
-    "profile_numeric_columns",
+    # the approx profile is the benched headline (VERDICT r5 item 2);
+    # the exact-DISTINCT variant stays the oracle-checked registry entry
+    "profile_numeric_approx",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,
@@ -150,6 +152,7 @@ def main() -> None:
         registry.update(mod.QUERIES)
     registry["zarr_scan_1m"] = _zarr_scan_1m
     registry["zarr_scan_era5_6m"] = _zarr_scan_era5_6m
+    registry["profile_numeric_approx"] = extras.profile_numeric_approx
 
     spark = get_spark("zds-bench")
 

@@ -1,87 +1,73 @@
 """Guards for the driver-contract registry ordering in
-``__spark_entry__`` (the driver records correctness for roughly the
-first 50 slots only, so ordering IS contract — VERDICT r3 item 5)."""
+``__spark_entry__`` (the driver records correctness for exactly the
+first 50 slots each round, so ordering IS contract — VERDICT r3 item
+5).  Since round 6 the window is COMPUTED from the checked-in
+CORRECTNESS_r*.json files plus the per-round RE_RECORD declaration
+(VERDICT r5 item 4) — these tests pin the computation's invariants
+instead of a curated name list."""
 
 from __future__ import annotations
 
 import __spark_entry__ as E
 
-#: Entries that need their FIRST green driver record (or a fresh one
-#: after a code-path change) as of round 5 — they must sit inside the
-#: ~50-slot checked window until CORRECTNESS_r05 records them.
-ROTATED_IN = {
-    # rows-only -> full value oracle upgrades (md5-deterministic hash
-    # families, VERDICT r4 item 1) — first-ever hash records
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    # new r5 operators
-    "scale_ranked_two_pass",
-    "tpch_q17_small_quantity",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    # freshness rotation (VERDICT r4 item 3): code paths changed in r5
-    # (LSH candidate generator / deterministic salt / zscore guard),
-    # so their newest green record predates the change
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "pipeline_curate",
-    "scale_salted_agg",
-    "event_anomaly_zscore",
-    "scale_salted_join",
-    # late-r5 operators
-    "scale_bloom_join",
-    "bpe_pair_counts",
-    "text_unigram_logprob",
-    "text_encode_ids",
-    "zarr_range_pushdown",
-    "sim_topk_pq_adc",
-    "asof_interpolate",
-    "data_mixture_plan",
-    "profile_numeric_columns",
-    "event_markov_transitions",
-    "sample_weighted_priority",
-}
-
-#: r4 first-record entries whose implementing functions are untouched
-#: in r5 — they keep their slots simply because nothing displaced
-#: them; their r4 green rows already satisfy the record contract.
-FIX_PROOF = {
-    "asof_join",
-    "range_join",
-    "scalar_functions",
-    "agg_grouping_ext",
-    "win_ranking",
-    "win_offset_frames",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "cte_subquery",
-    "sim_ann_ivf",
-    "text_repetition_signals",
-    "pii_redact",
-    "pack_sequences",
-    "corpus_upsert",
-    "tpch_q6_forecast_revenue",
-    "subquery_correlated",
-    "dedup_bloom_prefilter",
-    "quota_sample_per_lang",
-    "text_oov_rate",
-    "embedding_project",
-}
-
 
 def test_window_is_all_oracle_backed():
     qs, oracles = E._registries()
-    window = list(qs)[:50]
+    window = list(qs)[: E.WINDOW]
     assert all(n in oracles for n in window), [
         n for n in window if n not in oracles
     ]
 
 
-def test_rotated_entries_inside_window():
-    window = set(list(E._registries()[0])[:50])
-    assert ROTATED_IN <= window, ROTATED_IN - window
-    assert FIX_PROOF <= window, FIX_PROOF - window
+def test_every_oracle_entry_recorded_or_in_window():
+    """The record contract: an oracle-backed entry either already holds
+    a green driver record (any round) or sits inside the checked window
+    so it earns one this round.  With the computed rotation this cannot
+    fail by omission — the test guards against WINDOW shrinking or the
+    ordering code regressing."""
+    qs, oracles = E._registries()
+    green = E._latest_green_round()
+    window = set(list(qs)[: E.WINDOW])
+    missing = [
+        n for n in qs if n in oracles and n not in green and n not in window
+    ]
+    assert not missing, missing
+
+
+def test_re_record_entries_inside_window():
+    """Entries declared code-changed this round must re-record."""
+    qs, _ = E._registries()
+    window = set(list(qs)[: E.WINDOW])
+    assert set(E.RE_RECORD) <= window, set(E.RE_RECORD) - window
+
+
+def test_need_entries_lead_the_window():
+    """First-record entries and stale (RE_RECORD) entries occupy the
+    FRONT of the registry — a driver that checks fewer than WINDOW
+    slots still records the entries that need it most."""
+    qs, oracles = E._registries()
+    green = E._latest_green_round()
+    names = list(qs)
+    n_need = sum(
+        1
+        for n in names
+        if n in oracles and (n not in green or n in E.RE_RECORD)
+    )
+    head = names[:n_need]
+    assert all(n not in green or n in E.RE_RECORD for n in head), head
+
+
+def test_standing_entries_fill_window_stalest_first():
+    qs, oracles = E._registries()
+    green = E._latest_green_round()
+    names = list(qs)
+    standing = [
+        n
+        for n in names
+        if n in oracles and n in green and n not in E.RE_RECORD
+    ]
+    rounds = [green[n] for n in standing]
+    assert rounds == sorted(rounds), "standing entries not stalest-first"
 
 
 def test_oracles_subset_of_queries_and_nonempty_sql():
@@ -96,3 +82,13 @@ def test_rows_only_entries_are_last():
     names = list(qs)
     first_rows_only = next(i for i, n in enumerate(names) if n not in oracles)
     assert all(n not in oracles for n in names[first_rows_only:])
+
+
+def test_green_parser_reads_driver_records():
+    """The rotation's input parser must see the real driver files: r5
+    recorded 50 green rows, so the union across rounds is well past the
+    window size and includes multi-round entries."""
+    green = E._latest_green_round()
+    assert len(green) > E.WINDOW
+    # a known r5-green entry parsed with the right round
+    assert green.get("zarr_scan_flatten", 0) >= 5

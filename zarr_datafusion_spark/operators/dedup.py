@@ -328,7 +328,14 @@ _MH_VALUES = ", ".join(
 #: comma-joined band keys, same bucket cap — so the candidate-pair SET
 #: is recomputed independently and value-hashed by the driver.  The
 #: j // 4 integer division mirrors Spark's slice(b*4+1, 4) banding.
-_MINHASH_ORACLE = rf"""
+#: Shared WITH-prefix recomputing the full signature/band pipeline in
+#: DuckDB (same md5 gram hash, same 64 affine permutations as shared
+#: literal constants, same comma-joined band keys; j // 4 integer
+#: division mirrors Spark's slice(b*4+1, 4) banding).  Consumed by the
+#: batch oracle below (which adds the bucket-size cap) and by the
+#: streaming probe's oracle in extras.py (no cap — the stream-static
+#: join has no bucket aggregation).
+MINHASH_BANDS_CTE = rf"""
     WITH w AS (SELECT doc_id, text,
                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
                FROM documents),
@@ -347,9 +354,12 @@ _MINHASH_ORACLE = rf"""
             FROM h, p GROUP BY doc_id, j),
     band AS (SELECT doc_id, j // {N_PERM // N_BANDS} AS band_idx,
                     string_agg(CAST(mv AS VARCHAR), ',' ORDER BY j) AS band_key
-             FROM sig GROUP BY doc_id, j // {N_PERM // N_BANDS}),
-    sz AS (SELECT band_idx, band_key FROM band
-           GROUP BY band_idx, band_key HAVING COUNT(*) BETWEEN 2 AND 10000)
+             FROM sig GROUP BY doc_id, j // {N_PERM // N_BANDS})
+"""
+
+_MINHASH_ORACLE = MINHASH_BANDS_CTE + """
+    , sz AS (SELECT band_idx, band_key FROM band
+             GROUP BY band_idx, band_key HAVING COUNT(*) BETWEEN 2 AND 10000)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM band a
     JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
