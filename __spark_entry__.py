@@ -54,6 +54,9 @@ RE_RECORD = {
     "profile_numeric_columns": "r6: refactored to shared exact/approx builder",
     "scale_bloom_join": "r6: bitmap map bound once before the transform",
     "sim_topk_pq_adc": "r6: ADC pool sized from parquet footer stats",
+    "dedup_components": "r6: oracle gained the short-doc gram fallback",
+    "pipeline_curate": "r6: oracle gained the short-doc gram fallback",
+    "text_contamination": "r6: oracle gained the short-doc gram fallback",
 }
 
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_DIR, assert_frames_match
 from zarr_datafusion_spark.operators import extras
 
@@ -414,3 +416,87 @@ def test_profile_approx_matches_exact_except_distinct(spark):
         assert abs(a.n_distinct - e.n_distinct) <= max(2, 0.15 * e.n_distinct), (
             f"{c}: approx {a.n_distinct} vs exact {e.n_distinct}"
         )
+
+
+def test_tfidf_rank_bounds_and_distinct_terms(spark):
+    rows = extras.QUERIES["text_tfidf_top_terms"](spark, SF_DIR).collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        assert 1 <= r.rank <= extras._TFIDF_K
+        assert r.tfidf > 0
+        per_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+    for doc, terms in per_doc.items():
+        ranks = sorted(t[0] for t in terms)
+        assert ranks == list(range(1, len(terms) + 1)), doc
+        assert len({t[1] for t in terms}) == len(terms), doc
+
+
+def test_neardup_contamination_subset_of_test_split(spark):
+    """Every flagged doc must be a test-split doc, and its collision
+    count bounded by the train-split size."""
+    from zarr_datafusion_spark.operators.common import salted_bucket
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bucket = salted_bucket("doc_id", ":split")
+    splits = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "valid")
+            .otherwise("test")
+            .alias("s"),
+        ).collect()
+    }
+    n_train = sum(1 for s in splits.values() if s == "train")
+    rows = extras.QUERIES["dedup_contamination_minhash"](spark, SF_DIR).collect()
+    for r in rows:
+        assert splits[r.doc_id] == "test", r
+        assert 1 <= r.n_near_dup_train <= n_train
+
+
+def test_bigram_logprob_invariants(spark):
+    """avg log-probability is strictly negative (probabilities < 1) and
+    each doc contributes exactly len-1 bigrams."""
+    import duckdb as _d
+
+    rows = extras.QUERIES["text_bigram_logprob"](spark, SF_DIR).collect()
+    assert rows
+    con = _d.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    ntok = {
+        r[0]: r[1]
+        for r in con.sql(
+            r"SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) FROM documents"
+        ).fetchall()
+    }
+    for r in rows:
+        assert r.avg_logprob < 0
+        assert r.n_bigrams == ntok[r.doc_id] - 1
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Concatenating each doc's chunks (taking the first STRIDE chars
+    of every chunk but the last, then the whole last chunk) must
+    reproduce the original text exactly — the lossless-coverage
+    property a retrieval index needs."""
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    chunks = {}
+    for r in extras.QUERIES["chunk_documents"](spark, SF_DIR).collect():
+        chunks.setdefault(r.doc_id, []).append(r)
+    assert set(chunks) == set(docs)
+    for doc_id, cs in chunks.items():
+        cs.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in cs] == list(range(len(cs)))
+        rebuilt = "".join(
+            c.chunk[: extras._CHUNK_STRIDE] for c in cs[:-1]
+        ) + cs[-1].chunk
+        assert rebuilt == docs[doc_id], doc_id
+        for c in cs:
+            assert c.chunk_start == c.chunk_idx * extras._CHUNK_STRIDE + 1

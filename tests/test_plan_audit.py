@@ -39,6 +39,9 @@ NESTED_LOOP_OK = {
     "scale_bloom_join": "broadcast 1-row dense bloom bitmap (8 KB array)",
     "text_unigram_logprob": "broadcast 1-row corpus-total scalar",
     "sim_topk_pq_adc": "broadcast 1-row query LUT table",
+    # round-6 additions
+    "text_tfidf_top_terms": "broadcast 1-row corpus doc-count scalar",
+    "text_bigram_logprob": "broadcast 1-row corpus token-total scalar",
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the

@@ -582,10 +582,12 @@ def dedup_embedding_cosine(spark, sf_dir):
 _COMPONENTS_ORACLE = rf"""
     WITH RECURSIVE g AS (
       SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(w) - 1, 1)),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-      FROM (SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [lower(trim(text))]
+                    ELSE list_transform(
+                      range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+      FROM (SELECT doc_id, text,
                    regexp_split_to_array(lower(trim(text)), '\s+') AS w
             FROM documents)
     ),
@@ -658,10 +660,12 @@ def dedup_components(spark, sf_dir, max_iter: int = 20):
 _CURATE_ORACLE = rf"""
     WITH RECURSIVE g AS (
       SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(w) - 1, 1)),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-      FROM (SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [lower(trim(text))]
+                    ELSE list_transform(
+                      range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+      FROM (SELECT doc_id, text,
                    regexp_split_to_array(lower(trim(text)), '\s+') AS w
             FROM documents)
     ),

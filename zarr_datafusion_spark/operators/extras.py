@@ -61,10 +61,12 @@ _CONTAMINATION_ORACLE = rf"""
              CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
                   WHEN {_BUCKET_SQL} < 90 THEN 'valid'
                   ELSE 'test' END AS split,
-             list_distinct(list_transform(
-               range(1, greatest(len(w) - 1, 1)),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-      FROM (SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [lower(trim(text))]
+                    ELSE list_transform(
+                      range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+      FROM (SELECT doc_id, text,
                    regexp_split_to_array(lower(trim(text)), '\s+') AS w
             FROM documents)
     ),
@@ -2283,4 +2285,327 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("__pri").desc(), "doc_id")
         .limit(_WS_K)
         .drop("__pri")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (round 6) — per-document keyword extraction
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+#: rational TF-IDF (no logarithm): score = (tf/doc_len) * (n_docs/df).
+#: Monotone in the classic log-idf ranking for fixed tf, and — unlike
+#: ln() — bit-identical across engines because it is two IEEE
+#: divisions and a multiply in a fixed order (the repo's determinism
+#: posture; text_unigram_logprob documents the ln ulp caveat this
+#: sidesteps).
+_TFIDF_SCORE = (
+    "round((CAST(tf AS DOUBLE) / n_tokens) * (CAST(n_docs AS DOUBLE) / df), 6)"
+)
+
+_TFIDF_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             {_TFIDF_SCORE} AS tfidf
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (term), nd),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= {_TFIDF_K}
+"""
+
+
+@_q("text_tfidf_top_terms", _TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{_TFIDF_K} TF-IDF terms — the keyword-extraction
+    signal pipelines use for topic tagging, clustering features, and
+    boilerplate detection (a doc whose top terms are navigation chrome
+    is template noise).
+
+    Shape: one token explode feeds three aggregates (per-doc-term tf,
+    per-doc length, per-term document frequency), joined back and
+    ranked per doc.  The rank window is PARTITIONED BY doc_id — high
+    cardinality, skew-free (a doc has at most its own vocabulary of
+    terms) — never a global sort.  The corpus doc count rides along as
+    a broadcast 1-row aggregate, not a driver scalar.
+
+    100 TB posture: tf and dl shuffle on doc_id (co-partitioned — one
+    exchange feeds both via ReuseExchange), df shuffles on the term key
+    with map-side partial counts absorbing head-word skew; the df table
+    is vocab-sized and broadcasts back.  Scoring is map-side; the
+    windowed top-k never leaves its doc partition.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "term", F.expr(_TFIDF_SCORE).alias("tfidf"))
+    )
+    wr = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select(
+            "doc_id", F.row_number().over(wr).alias("rank"), "term", "tfidf"
+        )
+        .filter(F.col("rank") <= _TFIDF_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup train/test contamination (round 6) — MinHash-band variant
+# ---------------------------------------------------------------------------
+
+
+def _neardup_contamination_oracle() -> str:
+    from zarr_datafusion_spark.operators.dedup import MINHASH_BANDS_CTE
+
+    return MINHASH_BANDS_CTE + f"""
+    , split AS (SELECT doc_id,
+                       CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                            WHEN {_BUCKET_SQL} < 90 THEN 'valid'
+                            ELSE 'test' END AS split
+                FROM documents)
+    SELECT te.doc_id,
+           CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_near_dup_train
+    FROM band te
+    JOIN split se ON se.doc_id = te.doc_id AND se.split = 'test'
+    JOIN band tr ON tr.band_idx = te.band_idx AND tr.band_key = te.band_key
+    JOIN split sr ON sr.doc_id = tr.doc_id AND sr.split = 'train'
+    GROUP BY te.doc_id
+"""
+
+
+@_q("dedup_contamination_minhash", _neardup_contamination_oracle())
+def dedup_contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate benchmark contamination: test-split documents that
+    MinHash-band-collide with any train-split document — the
+    paraphrase-level leak the exact-trigram ``text_contamination``
+    check cannot see (an eval answer lightly reworded shares few exact
+    trigrams but most minhash bands).  Returns each leaked test doc
+    with its count of distinct colliding train docs.
+
+    Reuses the md5-deterministic signature/band machinery
+    (``dedup.signature_bands``) and the salted-md5 split shared with
+    ``split_train_valid_test``, so all contamination operators agree on
+    tokenization and split assignment; full value oracle via the shared
+    band CTE.
+
+    100 TB posture: ONE band-key shuffle joins the (small) test side
+    against the train index — at real scale the test bands broadcast
+    and the train corpus streams past map-side; no all-pairs stage
+    exists anywhere.
+    """
+    from zarr_datafusion_spark.operators.dedup import (
+        minhash_signatures,
+        signature_bands,
+    )
+
+    docs = cpu_rebalance(
+        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    bucket = salted_bucket("doc_id", ":split")
+    bands = signature_bands(minhash_signatures(docs)).withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
+    )
+    test_b = bands.filter(F.col("split") == "test").select(
+        F.col("doc_id"), "band_idx", "band_hash"
+    )
+    train_b = bands.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "band_idx", "band_hash"
+    )
+    return (
+        test_b.join(train_b, ["band_idx", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("train_doc").alias("n_near_dup_train"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring (round 6)
+# ---------------------------------------------------------------------------
+
+_LM_LAMBDA = 0.7
+
+#: p(w2 | w1) = λ·c2(w1,w2)/c1(w1) + (1-λ)·c1(w2)/N — Jelinek-Mercer
+#: interpolation with the corpus's own counts; spelled ONCE and
+#: formatted into both engines so the double arithmetic is
+#: order-identical (the ln ulp is absorbed by round(6), the
+#: text_unigram_logprob convention).
+_BIGRAM_P = (
+    "{lam} * (CAST(c2 AS DOUBLE) / c1a) "
+    "+ {one_minus} * (CAST(c1b AS DOUBLE) / n_total)"
+)
+
+def _bigram_oracle() -> str:
+    p = _BIGRAM_P.format(lam=_LM_LAMBDA, one_minus=round(1 - _LM_LAMBDA, 10))
+    return f"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(w)),
+                         i -> {{'w1': w[i], 'w2': w[i+1]}})) AS b
+           FROM w WHERE len(w) >= 2),
+    bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgf GROUP BY w1, w2),
+    uni AS (SELECT unnest(w) AS t FROM w),
+    c1 AS (SELECT t, COUNT(*) AS c1 FROM uni GROUP BY t),
+    nt AS (SELECT COUNT(*) AS n_total FROM uni)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(SUM(ln({p})) / COUNT(*), 6) AS avg_logprob
+    FROM bgf
+    JOIN c2 USING (w1, w2)
+    JOIN (SELECT t AS w1, c1 AS c1a FROM c1) USING (w1)
+    JOIN (SELECT t AS w2, c1 AS c1b FROM c1) USING (w2)
+    CROSS JOIN nt
+    GROUP BY doc_id
+"""
+
+
+@_q("text_bigram_logprob", _bigram_oracle())
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under a Jelinek-Mercer
+    interpolated BIGRAM language model built from the corpus itself —
+    the next step up from ``text_unigram_logprob`` as a perplexity-proxy
+    quality filter (word-salad scores low even when its unigrams are
+    common; natural word order scores high).
+
+    Shape: the ordered bigram stream is built with the bind-once
+    zip_with-over-slices pattern (never indexed element_at — the
+    measured 25x hot-lambda trap), then joined to the bigram count
+    table on (w1, w2) and the unigram table twice; the corpus token
+    total rides as a broadcast 1-row aggregate.  Docs under 2 tokens
+    have no bigrams and drop out identically in both engines.
+
+    100 TB posture: the bigram-count shuffle is the dominant exchange
+    (key = the bigram, map-side partial counts absorb Zipf head skew);
+    count tables broadcast at fixture scale and shuffle-join on the
+    same keys at web scale; the final per-doc aggregate shuffles on
+    doc_id once.  ln() ulp + per-doc sum order absorbed by round(6).
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # bind-once bigram structs: transform(array(split(..)), w -> ..)[1]
+    bg_expr = (
+        "element_at(transform(array(split(lower(trim(text)), '\\\\s+')), w -> "
+        "CASE WHEN size(w) < 2 THEN array() "
+        "ELSE zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), "
+        "(a, b) -> struct(a AS w1, b AS w2)) END), 1)"
+    )
+    bgf = docs.select(
+        "doc_id", F.explode(F.expr(bg_expr)).alias("b")
+    ).select("doc_id", "b.w1", "b.w2")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    )
+    c2 = bgf.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = tok.groupBy("t").agg(F.count("*").alias("c1"))
+    nt = tok.agg(F.count("*").alias("n_total"))
+    p = _BIGRAM_P.format(lam=_LM_LAMBDA, one_minus=round(1 - _LM_LAMBDA, 10))
+    return (
+        bgf.join(F.broadcast(c2), ["w1", "w2"])
+        .join(
+            F.broadcast(c1.select(F.col("t").alias("w1"), F.col("c1").alias("c1a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("t").alias("w2"), F.col("c1").alias("c1b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(nt))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(F.expr(f"ln({p})")) / F.count("*"), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (round 6) — RAG-style overlapping windows
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150
+
+_CHUNK_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil((length(text) - {_CHUNK_SIZE})
+                                / {_CHUNK_STRIDE}.0) AS INTEGER), 0) AS last_idx
+      FROM documents),
+    -- scalar range() builds a per-row list (DuckDB's table-function
+    -- range cannot take a lateral column parameter — verify-notes r5)
+    e AS (SELECT doc_id, text, unnest(range(0, last_idx + 1)) AS i FROM d)
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_start,
+           substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INTEGER),
+                  {_CHUNK_SIZE}) AS chunk
+    FROM e
+"""
+
+
+@_q("chunk_documents", _CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: every document split into overlapping
+    character windows (size {_CHUNK_SIZE}, stride {_CHUNK_STRIDE}) with
+    their source offsets — the retrieval-index preparation step that
+    feeds the embedding + ANN operators (``sim_*``) downstream.
+
+    Pure map-side: chunk indices come from an explode(sequence(...))
+    over arithmetic on length(text) — no shuffle anywhere, whole-stage
+    codegen end to end (plan-tested: no Exchange).  The final window is
+    anchored so every character belongs to at least one chunk and the
+    last chunk may be short; a doc shorter than one window yields
+    exactly one chunk.  Guard note: Spark's sequence(0, n) would
+    DESCEND for n < 0 (the r4 lesson), so the upper bound is clamped
+    with greatest(..., 0) in both engines.
+
+    100 TB posture: embarrassingly parallel over the scan; output is
+    ~len/stride x input rows, which is why the operator must never
+    shuffle — writers re-partition downstream if the index build needs
+    locality by doc or by shard.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    last_idx = (
+        f"greatest(CAST(ceil((length(text) - {_CHUNK_SIZE}) "
+        f"/ {_CHUNK_STRIDE}.0) AS INT), 0)"
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {last_idx})")).alias("chunk_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("long").alias("chunk_start"),
+        F.expr(
+            f"substr(text, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INT), "
+            f"{_CHUNK_SIZE})"
+        ).alias("chunk"),
     )

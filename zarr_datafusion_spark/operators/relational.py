@@ -1092,6 +1092,88 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     return spark.sql(_Q21_SQL)
 
 
+_Q2_SQL = """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+           l.l_extendedprice / l.l_quantity AS unit_cost
+    FROM part
+    JOIN lineitem l ON p_partkey = l.l_partkey
+    JOIN supplier ON s_suppkey = l.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND p_size < 15
+      AND l.l_extendedprice / l.l_quantity = (
+        SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100
+"""
+
+
+@_q("tpch_q2_min_cost_supplier", _Q2_SQL)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier per part — a correlated
+    scalar MIN whose inner query spans the same 4-table dimension chain
+    as the outer (the driver schema has no partsupp, so lineitem's
+    extendedprice/quantity unit cost stands in for ps_supplycost).
+    Catalyst must decorrelate the per-part regional minimum into ONE
+    grouped aggregate over the lineitem->supplier->nation->region chain
+    joined back on p_partkey — never a per-row re-execution — pinned by
+    test_q2_correlated_min_decorrelates.  The unit-cost division is
+    IEEE-identical in both engines and MIN is order-independent, so the
+    equality filter is bit-deterministic.  The tiny dimension chain
+    (nation x region) broadcasts on both sides of the decorrelation.
+    DISTINCT + total-order LIMIT keep the result set deterministic.
+    One SQL string for both engines (reference SQL surface:
+    docs/CLI_REFERENCE.md:336-374)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+_Q22_CODES = "'10','11','12','13','14','15','16','17','18','19'"
+
+_Q22_SQL = f"""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT right(c_name, 2) AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE right(c_name, 2) IN ({_Q22_CODES})
+        AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM customer c2
+          WHERE c2.c_acctbal > 0.0
+            AND right(c2.c_name, 2) IN ({_Q22_CODES}))
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT')
+    ) t GROUP BY cntrycode
+"""
+
+
+@_q("tpch_q22_global_sales_opportunity", _Q22_SQL)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: positive-balance customers in a set of country
+    buckets with no (urgent) orders — the suite's remaining
+    decorrelation class, combining an UNCORRELATED scalar aggregate
+    subquery (the average balance threshold, evaluated once and
+    broadcast as a literal-like filter) with a NOT EXISTS anti-join
+    against orders.  The driver schema has no c_phone, so the country
+    code is the last two digits of c_name (`right()`, identical
+    semantics both engines), and 'customers without orders' becomes
+    'without URGENT orders' so the answer is non-empty at every test
+    scale.  Exact-decimal mean -> bit-identical threshold; all-integer
+    counting + exact-decimal totals.  Plan pinned by
+    test_q22_not_exists_becomes_anti_join (left-anti, no nested loop,
+    one subquery aggregate).  One SQL string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
 _CORRELATED_SQL = """
     SELECT o_orderkey,
            CAST(o_totalprice AS DOUBLE) AS total_price

@@ -104,12 +104,58 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """Parse ``spark.sql.autoBroadcastJoinThreshold`` into bytes
+    (accepts the bare-number default and k/m/g suffixes); -1 disables."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    raw = raw.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.endswith(suffix):
+            raw, mult = raw[:-1], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return -1
+
+
+#: On-disk parquet is snappy-compressed + encoded; decoded in-memory
+#: rows run a conservative ~5x larger.  A table only gets the STATIC
+#: broadcast hint when even that pessimistic estimate fits the
+#: threshold, so the hint can never force a spill-sized broadcast.
+_BROADCAST_FILE_FACTOR = 5
+
+
+def _static_broadcast_hint(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """A6 statistics -> Catalyst (VERDICT r5 item 8): dimension tables
+    whose FILE size proves them broadcast-small get the broadcast hint
+    at registration, so dimension-chain joins (Q5's nation/region/
+    supplier ladder, Q21's nation filter) plan broadcast joins from
+    static metadata instead of relying on AQE's runtime re-plan.  The
+    reference feeds exact row counts to DataFusion's planner the same
+    way (``src/datasource/zarr.rs:191-254``); for parquet the size is a
+    pure footer/stat fact — no data scan."""
+    thresh = _broadcast_threshold_bytes(spark)
+    if thresh <= 0:
+        return df
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    if size * _BROADCAST_FILE_FACTOR <= thresh:
+        return df.hint("broadcast")
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table (columnar scan, pushdown-capable).
 
     ``events.ts`` is normalized to a microsecond session-TZ TIMESTAMP
     regardless of the file's physical encoding — see
-    :func:`normalize_event_ts`.
+    :func:`normalize_event_ts`.  Statically-small tables carry a
+    broadcast hint derived from file metadata — see
+    :func:`_static_broadcast_hint`.
     """
     # Deterministic timestamp semantics regardless of who built the
     # session (the driver hands queries its own SparkSession):
@@ -121,8 +167,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Harmless for timestamp[us] files; lets TIMESTAMP(NANOS) files
         # load as LongType instead of crashing the vectorized reader.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(spark.read.parquet(path))
-    return spark.read.parquet(path)
+        df = normalize_event_ts(spark.read.parquet(path))
+    else:
+        df = spark.read.parquet(path)
+    return _static_broadcast_hint(spark, df, path)
 
 
 def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
