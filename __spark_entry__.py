@@ -57,6 +57,7 @@ RE_RECORD = {
     "dedup_components": "r6: oracle gained the short-doc gram fallback",
     "pipeline_curate": "r6: oracle gained the short-doc gram fallback",
     "text_contamination": "r6: oracle gained the short-doc gram fallback",
+    "text_unigram_logprob": "r6: vocab join broadcast left to AQE",
 }
 
 

@@ -1779,8 +1779,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     tot = tok.agg(F.count("*").alias("n"))
+    # freq is vocab-sized (unbounded at corpus scale): broadcast is
+    # Catalyst/AQE's size-based call, not forced (r6 sweep of the
+    # forced-broadcast-of-unbounded-tables class)
     per_doc = (
-        tok.join(F.broadcast(freq), "token")
+        tok.join(freq, "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -1866,8 +1869,9 @@ def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = ranked_two_pass(
         counts, "__all", "__neg_cnt", "token", rn_col="token_id"
     ).select("token", "token_id")
+    # vocab is corpus-vocabulary-sized: broadcast left to Catalyst/AQE
     return (
-        tok.join(F.broadcast(vocab), "token")
+        tok.join(vocab, "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -2344,7 +2348,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: tf and dl shuffle on doc_id (co-partitioned — one
     exchange feeds both via ReuseExchange), df shuffles on the term key
     with map-side partial counts absorbing head-word skew; the df table
-    is vocab-sized and broadcasts back.  Scoring is map-side; the
+    is vocab-sized, so whether it broadcasts back or shuffle-joins is
+    left to Catalyst/AQE (never forced).  Scoring is map-side; the
     windowed top-k never leaves its doc partition.
     """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -2356,9 +2361,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     nd = docs.agg(F.count("*").alias("n_docs"))
+    # df is vocab-sized (unbounded at corpus scale) — broadcast is left
+    # to Catalyst/AQE's size estimate, never forced; only the true
+    # 1-row doc-count aggregate is broadcast-pinned
     scored = (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(df), "term")
+        .join(df, "term")
         .crossJoin(F.broadcast(nd))
         .select("doc_id", "term", F.expr(_TFIDF_SCORE).alias("tfidf"))
     )
@@ -2524,16 +2532,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = tok.groupBy("t").agg(F.count("*").alias("c1"))
     nt = tok.agg(F.count("*").alias("n_total"))
     p = _BIGRAM_P.format(lam=_LM_LAMBDA, one_minus=round(1 - _LM_LAMBDA, 10))
+    # c2 is bigram-vocab-sized and c1 unigram-vocab-sized — both
+    # unbounded at corpus scale, so the broadcast decision is left to
+    # Catalyst/AQE rather than forced (a forced broadcast of a web-scale
+    # bigram table is the OOM class this repo's plan audit exists to
+    # catch); only the 1-row total is broadcast-pinned
     return (
-        bgf.join(F.broadcast(c2), ["w1", "w2"])
-        .join(
-            F.broadcast(c1.select(F.col("t").alias("w1"), F.col("c1").alias("c1a"))),
-            "w1",
-        )
-        .join(
-            F.broadcast(c1.select(F.col("t").alias("w2"), F.col("c1").alias("c1b"))),
-            "w2",
-        )
+        bgf.join(c2, ["w1", "w2"])
+        .join(c1.select(F.col("t").alias("w1"), F.col("c1").alias("c1a")), "w1")
+        .join(c1.select(F.col("t").alias("w2"), F.col("c1").alias("c1b")), "w2")
         .crossJoin(F.broadcast(nt))
         .groupBy("doc_id")
         .agg(
