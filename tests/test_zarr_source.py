@@ -1032,3 +1032,53 @@ def test_http_store_schema_and_scan(spark, http_store):
     assert got_t == list(exp["temperature"])
     got_time = [r.time for r in rows]
     assert got_time == list(exp["time"])
+
+
+def test_v2_fortran_order_chunks(spark, tmp_path):
+    """Zarr v2 arrays may declare ``order: "F"`` (column-major chunk
+    memory layout); the decode path reshapes with the declared order
+    (chunkio.py), so an F-order store must flatten to the same rows as
+    its C-order twin.  Hand-crafted store: the writer emits C only, so
+    the chunk bytes are laid out in Fortran order here directly."""
+    import json
+    import os
+
+    store = str(tmp_path / "f_order")
+    time = np.arange(3, dtype=np.int64)
+    lat = np.arange(4, dtype=np.int64)
+    temp = np.arange(12, dtype=np.int64).reshape(3, 4) * 7
+
+    os.makedirs(os.path.join(store, "time"))
+    os.makedirs(os.path.join(store, "lat"))
+    os.makedirs(os.path.join(store, "temperature"))
+
+    def zarray(shape, chunks, order="C"):
+        return {
+            "zarr_format": 2,
+            "shape": list(shape),
+            "chunks": list(chunks),
+            "dtype": "<i8",
+            "compressor": None,
+            "fill_value": 0,
+            "filters": None,
+            "order": order,
+        }
+
+    for name, arr in (("time", time), ("lat", lat)):
+        with open(os.path.join(store, name, ".zarray"), "w") as f:
+            json.dump(zarray(arr.shape, arr.shape), f)
+        with open(os.path.join(store, name, "0"), "wb") as f:
+            f.write(arr.tobytes())
+    with open(os.path.join(store, "temperature", ".zarray"), "w") as f:
+        json.dump(zarray(temp.shape, temp.shape, order="F"), f)
+    with open(os.path.join(store, "temperature", "0.0"), "wb") as f:
+        f.write(temp.tobytes(order="F"))  # column-major chunk bytes
+    with open(os.path.join(store, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    rows = read_zarr(spark, store).orderBy("time", "lat").collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r.temperature == temp[r.time, r.lat], (r.time, r.lat)
