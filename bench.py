@@ -74,7 +74,7 @@ HEADLINE = [
     # the approx profile is the benched headline (VERDICT r5 item 2);
     # the exact-DISTINCT variant stays the oracle-checked registry entry
     "profile_numeric_approx",
-    # round-6 additions (40 -> 46)
+    # round-6 additions (39 -> 45)
     "tpch_q2_min_cost_supplier",
     "tpch_q22_global_sales_opportunity",
     "text_tfidf_top_terms",
