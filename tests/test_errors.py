@@ -122,3 +122,18 @@ def test_remote_store_gated():
 
     with pytest.raises(NotImplementedError, match="fsspec"):
         discover_arrays("s3://bucket/store.zarr")
+
+
+def test_storage_parse_http():
+    from zarr_datafusion_spark.zarr.storage import StorageLocation
+
+    loc = StorageLocation.parse("http://127.0.0.1:8123/stores/w.zarr/")
+    assert (loc.scheme, loc.bucket, loc.path) == (
+        "http", "127.0.0.1:8123", "stores/w.zarr"
+    )
+    assert loc.is_remote
+    assert loc.url() == "http://127.0.0.1:8123/stores/w.zarr"
+    hs = StorageLocation.parse("https://example.com/data.zarr")
+    assert hs.scheme == "https" and hs.bucket == "example.com"
+    with pytest.raises(ValueError):
+        StorageLocation.parse("http://")

@@ -130,3 +130,71 @@ def test_even_pieces_tile_window(lo, span, want):
         assert b == c
     sizes = [b - a for a, b in pieces]
     assert max(sizes) - min(sizes) <= 1, "pieces should be near-equal"
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine gram-builder equivalence (round 6)
+# ---------------------------------------------------------------------------
+
+#: visible-ASCII + space alphabet: the engines' lower()/\s+ semantics
+#: are contractually identical only on ASCII (unicode case folding and
+#: whitespace classes differ between the JVM and RE2 — out of scope for
+#: the oracle contract, which the driver data never exercises)
+_ASCII_TEXT = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?-")
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_ASCII_TEXT, min_size=1, max_size=8))
+def test_gram_builder_cross_engine_equivalence(spark, texts, tmp_path_factory):
+    """The Spark _GRAMS_EXPR and the DuckDB oracle gram CTE must agree
+    on ARBITRARY ascii texts — including <3-token docs (the ADVICE r5
+    fallback), empty strings, whitespace runs, and punctuation-glued
+    tokens.  This is the shared tokenization contract under the whole
+    minhash/jaccard/contamination family, checked beyond the fixture."""
+    import duckdb as _d
+    import pandas as pd
+
+    from zarr_datafusion_spark.operators.dedup import _GRAMS_EXPR
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    path = str(tmp_path_factory.mktemp("gramprop") / "documents.parquet")
+    pdf.to_parquet(path)
+
+    spark_grams = {
+        r.doc_id: sorted(r.g)
+        for r in spark.read.parquet(path)
+        .selectExpr("doc_id", f"{_GRAMS_EXPR} AS g")
+        .collect()
+    }
+    con = _d.connect()
+    duck_grams = {
+        int(row[0]): sorted(row[1])
+        for row in con.execute(
+            rf"""
+            SELECT doc_id,
+                   list_distinct(
+                     CASE WHEN len(w) < 3 THEN [lower(trim(text))]
+                          ELSE list_transform(
+                            range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                  FROM read_parquet('{path}'))
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert spark_grams == duck_grams
