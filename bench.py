@@ -74,13 +74,14 @@ HEADLINE = [
     # the approx profile is the benched headline (VERDICT r5 item 2);
     # the exact-DISTINCT variant stays the oracle-checked registry entry
     "profile_numeric_approx",
-    # round-6 additions (39 -> 45)
+    # round-6 additions (39 -> 46)
     "tpch_q2_min_cost_supplier",
     "tpch_q22_global_sales_opportunity",
     "text_tfidf_top_terms",
     "text_bigram_logprob",
     "chunk_documents",
     "dedup_contamination_minhash",
+    "text_inverted_index",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

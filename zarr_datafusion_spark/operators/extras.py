@@ -2616,3 +2616,74 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_CHUNK_SIZE})"
         ).alias("chunk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (round 6) — exact-match search over the corpus
+# ---------------------------------------------------------------------------
+
+_INV_HEAD_K = 20
+
+_INV_ORACLE = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tok GROUP BY token),
+    head AS (
+      SELECT token, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM tok),
+    post AS (
+      SELECT token,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_head
+      FROM head WHERE rn <= {_INV_HEAD_K}
+      GROUP BY token)
+    SELECT df.token, df.df, post.postings_head
+    FROM df JOIN post USING (token)
+"""
+
+
+@_q("text_inverted_index", _INV_ORACLE)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> exact document frequency + the
+    first {_INV_HEAD_K} doc ids of its posting list — the structure
+    behind exact-match / boolean search over a curated corpus, and the
+    lookup side of the contamination and OOV operators.
+
+    Only a bounded posting HEAD is materialized per token: an
+    unbounded ``collect_list`` per token is the row-width hazard at
+    corpus scale (a stop word's postings are millions of ids in ONE
+    row — real systems segment those lists; the head + the exact df is
+    what query planning and sampling need).  The head is selected with
+    a per-token window row_number — the window partitions on the
+    high-cardinality token key and each group is truncated BEFORE any
+    list is built, so no aggregation buffer ever holds an unbounded
+    group.
+
+    100 TB posture: one shuffle on the token key feeds both the count
+    and the windowed head (same key -> exchange reuse); the head
+    collect groups are <= {_INV_HEAD_K} rows by construction.
+    Postings are emitted as an ORDER-pinned string so the driver hash
+    covers list order.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).distinct()
+    df_counts = tok.groupBy("token").agg(F.count("*").alias("df"))
+    wk = W.partitionBy("token").orderBy("doc_id")
+    head = (
+        tok.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _INV_HEAD_K)
+        .groupBy("token")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(doc_id)), "
+                "x -> CAST(x AS STRING)), ',')"
+            ).alias("postings_head")
+        )
+    )
+    return df_counts.join(head, "token").select("token", "df", "postings_head")
