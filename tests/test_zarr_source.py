@@ -1082,3 +1082,45 @@ def test_v2_fortran_order_chunks(spark, tmp_path):
     assert len(rows) == 12
     for r in rows:
         assert r.temperature == temp[r.time, r.lat], (r.time, r.lat)
+
+
+def test_v3_consolidated_metadata_discovery(spark, tmp_path):
+    """v3 consolidated metadata: the root group zarr.json embeds every
+    child array's metadata under consolidated_metadata.metadata
+    (zarr-python v3 convention), so discovery needs ZERO per-array
+    reads.  Per-array zarr.json files are deleted to prove the
+    consolidated document is used, and the store must still scan
+    end-to-end through Spark."""
+    import json
+    import os
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+
+    store = write_store(str(tmp_path / "cons3"), ARRAYS, zarr_format=3)
+    entries = {}
+    for name in ARRAYS:
+        p = os.path.join(store, name, "zarr.json")
+        entries[name] = json.load(open(p))
+        os.remove(p)
+    json.dump(
+        {
+            "zarr_format": 3,
+            "node_type": "group",
+            "consolidated_metadata": {
+                "kind": "inline",
+                "must_understand": False,
+                "metadata": entries,
+            },
+        },
+        open(os.path.join(store, "zarr.json"), "w"),
+    )
+    m = discover_arrays(store)
+    assert [c.name for c in m.coords] == ["time", "lat", "lon"]
+    assert [v.name for v in m.data_vars] == ["humidity", "temperature"]
+    assert m.total_rows == 700
+    assert m.coord_min_max["time"] == (0, 6)
+
+    rows = read_zarr(spark, store).orderBy("time", "lat", "lon").collect()
+    exp = expected_flat()
+    assert [r.temperature for r in rows] == list(exp["temperature"])

@@ -334,6 +334,38 @@ def _arrays_from_consolidated(fs, store_path: str) -> list[ZarrArrayMeta] | None
     return arrays or None
 
 
+def _arrays_from_v3_consolidated(fs, store_path: str) -> list[ZarrArrayMeta] | None:
+    """Zarr v3 consolidated metadata: the root group's ``zarr.json``
+    may embed every child node's metadata under
+    ``consolidated_metadata.metadata`` (the zarr-python v3 convention
+    that replaces v2's ``.zmetadata``), so discovery is the SAME single
+    read that already fetched the root document — zero per-array
+    round-trips, the layout remote stores should use with the http(s)
+    adapter.  Returns None when absent/unusable (fall back to
+    directory walking).  Beyond the reference, which consolidates v2
+    only (``schema_inference.rs`` reads per-array metadata for v3)."""
+    path = os.path.join(store_path, "zarr.json")
+    if not fs.exists(path):
+        return None
+    try:
+        doc = json.loads(fs.read_text(path))
+        if doc.get("node_type") != "group":
+            return None
+        entries = doc["consolidated_metadata"]["metadata"]
+    except Exception:
+        return None
+    arrays: list[ZarrArrayMeta] = []
+    for key in sorted(entries):
+        node = entries[key]
+        # root-level arrays only (the flattening model is one group of
+        # coordinate + data arrays; nested groups are out of model)
+        if "/" in key or not isinstance(node, dict):
+            continue
+        if node.get("node_type") == "array":
+            arrays.append(_parse_v3_array(key, node))
+    return arrays or None
+
+
 def discover_arrays(store_path: str) -> ZarrStoreMeta:
     """Discover all arrays; classify, order, compute coord min/max."""
     from zarr_datafusion_spark.zarr.chunkio import read_array
@@ -343,6 +375,8 @@ def discover_arrays(store_path: str) -> ZarrStoreMeta:
     arrays: list[ZarrArrayMeta] | None = None
     if version == 2:
         arrays = _arrays_from_consolidated(fs, store_path)
+    elif version == 3:
+        arrays = _arrays_from_v3_consolidated(fs, store_path)
     if arrays is None:
         arrays = []
         for entry in sorted(fs.listdir(store_path)):
