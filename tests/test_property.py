@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -198,3 +199,55 @@ def test_gram_builder_cross_engine_equivalence(spark, texts, tmp_path_factory):
     }
     con.close()
     assert spark_grams == duck_grams
+
+
+# ---------------------------------------------------------------------------
+# Two-pass ranking equivalence under arbitrary skew (round 6)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),        # part key: few values, arbitrary skew
+            st.integers(-50, 50),     # order key: heavy tie potential
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    n_parts=st.integers(2, 9),
+)
+def test_ranked_two_pass_property(spark, rows, n_parts):
+    """ranked_two_pass == the plain window for ARBITRARY inputs: any
+    key skew (one part key owning everything), any tie density, empty
+    partitions after the range exchange, partition counts that don't
+    divide the data.  The checkpoint-pinned partition assignment
+    (ADVICE r5) must hold whatever the distribution looks like."""
+    from pyspark.sql.window import Window as W
+
+    from zarr_datafusion_spark.scale import ranked_two_pass
+
+    df = spark.createDataFrame(
+        [(i, p, o) for i, (p, o) in enumerate(rows)],
+        "tie long, part long, ord long",
+    )
+    got = {
+        (r.tie, r.rn)
+        for r in ranked_two_pass(df, "part", "ord", "tie", n_parts=n_parts)
+        .select("tie", "rn")
+        .collect()
+    }
+    w = W.partitionBy("part").orderBy("ord", "tie")
+    want = {
+        (r.tie, r.rn)
+        for r in df.select(
+            "tie", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want

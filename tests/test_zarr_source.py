@@ -1124,3 +1124,29 @@ def test_v3_consolidated_metadata_discovery(spark, tmp_path):
     rows = read_zarr(spark, store).orderBy("time", "lat", "lon").collect()
     exp = expected_flat()
     assert [r.temperature for r in rows] == list(exp["temperature"])
+
+
+def test_sink_writes_consolidated_metadata(spark, tmp_path):
+    """The sink must leave a .zmetadata behind so its own output is
+    one-read discoverable; deleting the per-array .zarray files proves
+    readers use it."""
+    import json
+    import os
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+    from zarr_datafusion_spark.zarr.sink import write_zarr
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    src = write_store(str(tmp_path / "src"), ARRAYS, zarr_format=2)
+    out = str(tmp_path / "sunk")
+    write_zarr(read_zarr(spark, src), out, coords=["time", "lat", "lon"])
+    zm = json.load(open(os.path.join(out, ".zmetadata")))
+    assert zm["zarr_consolidated_format"] == 1
+    for name in ARRAYS:
+        assert f"{name}/.zarray" in zm["metadata"]
+        os.remove(os.path.join(out, name, ".zarray"))
+    m = discover_arrays(out)
+    assert m.total_rows == 700
+    rows = read_zarr(spark, out).orderBy("time", "lat", "lon").collect()
+    assert [r.temperature for r in rows] == list(expected_flat()["temperature"])

@@ -155,6 +155,17 @@ def _write_zarr_persisted(df, spark, store_path, coords, data_vars, spark_to_np)
         .applyInPandas(_write_slab, schema=out_schema)
         .collect()
     )
+
+    # consolidated metadata (.zmetadata): readers discover the whole
+    # store in ONE read — the layout remote/object-store consumers
+    # need (metadata.py reads it back; a driver-side metadata pass)
+    entries = {}
+    for name in list(coords) + list(data_vars):
+        with open(os.path.join(store_path, name, ".zarray")) as f:
+            entries[f"{name}/.zarray"] = json.load(f)
+    with open(os.path.join(store_path, ".zmetadata"), "w") as f:
+        json.dump({"zarr_consolidated_format": 1, "metadata": entries}, f)
+
     return {
         "arrays": len(coords) + len(data_vars),
         "chunk_files": sum(r.files for r in results),
