@@ -112,3 +112,16 @@ def test_live_status_paints_and_clears_tty(spark):
     with _live_status(spark, out=silent, interval=0.05):
         _t.sleep(0.15)
     assert silent.getvalue() == ""
+
+
+def test_explain_analyze_prints_metrics(engine):
+    """EXPLAIN ANALYZE (reference docs/CLI_REFERENCE.md:463-467): the
+    executed plan comes back annotated with real runtime metrics, and
+    the stats shortcut still answers metadata-only queries scan-free."""
+    out = engine.explain_analyze(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    assert "number of output rows" in out
+    assert "HashAggregate" in out
+    # rows actually flowed (the fixture has 3 return flags)
+    assert "number of output rows: 3" in out

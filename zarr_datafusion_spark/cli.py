@@ -184,6 +184,12 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
 
         t0 = time.perf_counter()
         try:
+            if sql.lower().startswith("explain analyze "):
+                # metrics-annotated executed plan (reference EXPLAIN
+                # ANALYZE, docs/CLI_REFERENCE.md:463-467)
+                print(engine.explain_analyze(sql[len("explain analyze ") :]))
+                print(f"({time.perf_counter() - t0:.3f}s)")
+                continue
             if _is_ddl(sql):
                 engine.spark.sql(sql)
                 print(f"OK ({time.perf_counter() - t0:.3f}s)")

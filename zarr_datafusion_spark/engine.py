@@ -123,6 +123,58 @@ class Engine:
             )
         return plan
 
+    def explain_analyze(self, query: str) -> str:
+        """Execute the query and return the FINAL physical plan with
+        per-node runtime metrics (rows output, scan/shuffle sizes, sort
+        spills) — the reference's ``EXPLAIN ANALYZE``
+        (``docs/CLI_REFERENCE.md:463-467``; DataFusion prints
+        metrics-annotated plans the same way).  Execution goes through
+        a noop sink, so nothing is collected to the driver; under AQE
+        the reported tree is the re-planned one actually run."""
+        df = self.sql(query)
+        if self.last_query_used_shortcut:
+            return (
+                "== Answered from table statistics (no scan, no execution; "
+                "reference count/minmax optimization) =="
+            )
+        plan = df._jdf.queryExecution().executedPlan()
+        # Execute THIS plan instance (a .count()/noop-write would build
+        # a separate QueryExecution whose metrics stay on that copy);
+        # the RDD count fully materializes every node executor-side and
+        # collects only a long to the driver.
+        plan.execute().count()
+        # AQE wraps the final plan; descend to what actually executed
+        if plan.nodeName() == "AdaptiveSparkPlan":
+            plan = plan.executedPlan()
+
+        lines: list[str] = []
+
+        def walk(node, depth: int) -> None:
+            parts = []
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                m = kv._2()
+                parts.append(f"{m.name().get()}: {m.value()}")
+            suffix = f"  [{', '.join(parts)}]" if parts else ""
+            lines.append("  " * depth + node.nodeName() + suffix)
+            # AQE QueryStage wrappers (ShuffleQueryStage /
+            # ResultQueryStage / BroadcastQueryStage) hide the executed
+            # subtree behind .plan(), not children()
+            try:
+                sub = node.plan()
+            except Exception:
+                sub = None
+            if sub is not None:
+                walk(sub, depth + 1)
+                return
+            children = node.children()
+            for i in range(children.size()):
+                walk(children.apply(i), depth + 1)
+
+        walk(plan, 0)
+        return "\n".join(lines)
+
     def timed_sql(self, query: str) -> tuple[DataFrame, float]:
         """Convenience: (result, seconds) like the REPL timing line
         (``src/bin/zarr_cli/main.rs:253``)."""
