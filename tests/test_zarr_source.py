@@ -1150,3 +1150,24 @@ def test_sink_writes_consolidated_metadata(spark, tmp_path):
     assert m.total_rows == 700
     rows = read_zarr(spark, out).orderBy("time", "lat", "lon").collect()
     assert [r.temperature for r in rows] == list(expected_flat()["temperature"])
+
+
+def test_create_external_table_stored_as_zarr(spark, stores):
+    """The reference's literal DDL (factory.rs:19-65,
+    CLI_REFERENCE.md:39-53) must work verbatim through Engine.sql — a
+    migrating user pastes their CREATE EXTERNAL TABLE unchanged."""
+    from zarr_datafusion_spark.engine import Engine
+
+    eng = Engine(spark)
+    empty = eng.sql(
+        f"CREATE EXTERNAL TABLE ext_weather STORED AS ZARR "
+        f"LOCATION '{stores['v2_plain']}';"
+    )
+    assert empty.count() == 0  # DDL returns no rows, carries the schema
+    assert set(empty.columns) >= {"time", "lat", "lon", "temperature"}
+    n = spark.sql("SELECT COUNT(*) AS n FROM ext_weather").collect()[0].n
+    assert n == 700
+    # statistics were cached at registration: the shortcut answers
+    # COUNT(*) with no scan, like engine.register_zarr
+    eng.sql("SELECT COUNT(*) FROM ext_weather")
+    assert eng.last_query_used_shortcut

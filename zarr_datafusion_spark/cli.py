@@ -191,7 +191,7 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
                 print(f"({time.perf_counter() - t0:.3f}s)")
                 continue
             if _is_ddl(sql):
-                engine.spark.sql(sql)
+                engine.sql(sql)  # handles STORED AS ZARR DDL rewrite too
                 print(f"OK ({time.perf_counter() - t0:.3f}s)")
                 continue
             df = engine.sql(sql)

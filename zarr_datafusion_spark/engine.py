@@ -12,6 +12,7 @@ before delegating to Catalyst.
 from __future__ import annotations
 
 import os
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -86,14 +87,32 @@ class Engine:
     # Query
     # ------------------------------------------------------------------
 
+    #: the reference's literal DDL form (``factory.rs:19-65``;
+    #: ``docs/CLI_REFERENCE.md:39-53``) — accepted verbatim so a user
+    #: migrating from the reference can paste their statements
+    #: unchanged; rewritten onto :meth:`register_zarr`.
+    _ZARR_DDL = re.compile(
+        r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s+STORED\s+AS\s+ZARR\s+"
+        r"LOCATION\s+'([^']+)'\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL; answer COUNT/MIN/MAX-only queries from cached exact
         statistics without scanning (reference optimizer rules
         ``count_optimization.rs:37-241`` / ``minmax_optimization.rs:43-239``),
-        else delegate to Catalyst untouched."""
+        accept the reference's ``CREATE EXTERNAL TABLE ... STORED AS
+        ZARR`` spelling, else delegate to Catalyst untouched."""
         from zarr_datafusion_spark.stats.shortcuts import try_stats_shortcut
 
         self._last_shortcut = None
+        m = self._ZARR_DDL.match(query)
+        if m:
+            name, location = m.group(1), m.group(2)
+            self.register_zarr(name, location)
+            # empty result carrying the new table's schema (DataFusion's
+            # CREATE EXTERNAL TABLE likewise returns no rows)
+            return self.spark.sql(f"SELECT * FROM {name} WHERE 1=0")
         shortcut = try_stats_shortcut(self.spark, query, self._stats)
         if shortcut is not None:
             self._last_shortcut = query
@@ -128,9 +147,9 @@ class Engine:
         per-node runtime metrics (rows output, scan/shuffle sizes, sort
         spills) — the reference's ``EXPLAIN ANALYZE``
         (``docs/CLI_REFERENCE.md:463-467``; DataFusion prints
-        metrics-annotated plans the same way).  Execution goes through
-        a noop sink, so nothing is collected to the driver; under AQE
-        the reported tree is the re-planned one actually run."""
+        metrics-annotated plans the same way).  Execution drives the
+        plan's own RDD, so only a row count reaches the driver; under
+        AQE the reported tree is the re-planned one actually run."""
         df = self.sql(query)
         if self.last_query_used_shortcut:
             return (
