@@ -74,7 +74,7 @@ HEADLINE = [
     # the approx profile is the benched headline (VERDICT r5 item 2);
     # the exact-DISTINCT variant stays the oracle-checked registry entry
     "profile_numeric_approx",
-    # round-6 additions (39 -> 46)
+    # round-6 additions (39 -> 47)
     "tpch_q2_min_cost_supplier",
     "tpch_q22_global_sales_opportunity",
     "text_tfidf_top_terms",
@@ -82,6 +82,7 @@ HEADLINE = [
     "chunk_documents",
     "dedup_contamination_minhash",
     "text_inverted_index",
+    "dedup_semantic",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

@@ -42,6 +42,7 @@ NESTED_LOOP_OK = {
     # round-6 additions
     "text_tfidf_top_terms": "broadcast 1-row corpus doc-count scalar",
     "text_bigram_logprob": "broadcast 1-row corpus token-total scalar",
+    "dedup_semantic": "broadcast 1-row centroid array (SemDeDup coarse cells)",
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the

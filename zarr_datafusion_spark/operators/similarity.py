@@ -759,3 +759,86 @@ def sim_kmeans_train(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (round 6) — SemDeDup-style cluster-blocked near-dup
+# ---------------------------------------------------------------------------
+
+SEM_NC = 10  # coarse cells; at corpus scale nlist grows to keep cells bounded
+SEM_TAU = 0.30
+
+_SEMDEDUP_ORACLE = f"""
+    WITH c AS (SELECT vec_id AS cell, embedding AS centroid
+               FROM embeddings WHERE vec_id < {SEM_NC}),
+    s AS (SELECT e.vec_id, e.embedding, c.cell,
+                 list_sum(list_transform(range(1, 65),
+                       i -> e.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)) AS score
+          FROM embeddings e, c),
+    a AS (SELECT vec_id, embedding, cell FROM s
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, cell DESC) = 1)
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           x.cell AS cell,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)), 6) AS cosine
+    FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    WHERE round(list_sum(list_transform(range(1, 65),
+              i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)), 6) >= {SEM_TAU}
+"""
+
+
+@_q("dedup_semantic", _SEMDEDUP_ORACLE)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: coarse-quantize the
+    corpus into {SEM_NC} cells (deterministic centroids = the first
+    {SEM_NC} vectors, the PQ-codebook convention that keeps the whole
+    pipeline SQL-recomputable), then find cosine-similar pairs ONLY
+    within a cell — embedding-level near-dup detection with NO label
+    or metadata blocking, the shape used to prune semantically
+    redundant web data before training.
+
+    Differs from ``dedup_embedding_cosine`` (which blocks on a trusted
+    label column) in that the blocking key is LEARNED from the vectors
+    themselves: assignment is the same map-side broadcast-centroid
+    argmax as ``sim_ann_ivf`` — one higher-order expression per row,
+    no shuffle of the corpus, ties broken toward the larger cell id
+    identically in both engines.
+
+    100 TB posture: the only shuffle is the cell-key self-join, and a
+    cell's pair count is bounded by choosing nlist ~ corpus/1e4 (the
+    SemDeDup recipe); the all-pairs step never sees the full corpus.
+    At this fixture's scale {SEM_NC} cells of ~50 vectors keep the
+    worst cell at ~1.2k candidate pairs.
+    """
+    e = _emb(spark, sf_dir)
+    cents = (
+        e.filter(F.col("vec_id") < SEM_NC)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid"))
+        .agg(F.collect_list(F.struct("cell", "centroid")).alias("cents"))
+    )
+    argmax_cell = (
+        "array_max(transform(cents, c -> struct("
+        + _dot("embedding", "c.centroid")
+        + " AS score, c.cell AS cell))).cell"
+    )
+    assigned = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", F.expr(argmax_cell).alias("cell")
+    )
+    x = assigned.alias("x")
+    y = assigned.alias("y")
+    dot = _dot("x.embedding", "y.embedding")
+    return (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.cell").alias("cell"),
+            F.round(F.expr(dot), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEM_TAU)
+    )
