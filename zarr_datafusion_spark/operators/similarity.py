@@ -765,8 +765,24 @@ def sim_kmeans_train(spark, sf_dir):
 # Semantic deduplication (round 6) — SemDeDup-style cluster-blocked near-dup
 # ---------------------------------------------------------------------------
 
-SEM_NC = 10  # coarse cells; at corpus scale nlist grows to keep cells bounded
+SEM_NC = 10  # minimum coarse cells (the value the static oracle pins)
+SEM_CELL_TARGET = 50  # target vectors per cell — bounds the pair quadratic
 SEM_TAU = 0.30
+
+
+def _sem_nc(sf_dir: str) -> int:
+    """Cell count scaled to the corpus from the parquet FOOTER row
+    count (pure metadata, the pq_adc convention): nlist =
+    max(SEM_NC, n/SEM_CELL_TARGET), so a cell's pair count stays
+    ~SEM_CELL_TARGET^2/2 whatever the corpus size — the r6 sf1 run
+    caught the fixed-10-cell version going quadratic (500-vector cells,
+    92 s for 5k vectors; 1.7 s once sized).  The driver's oracle runs
+    at sf<=0.01 where this floor-clamps to SEM_NC, matching the static
+    SQL literal; the scaling branch is covered by the sf1 bench."""
+    from zarr_datafusion_spark.stats.parquet_stats import parquet_table_stats
+
+    n = parquet_table_stats(os.path.join(sf_dir, "embeddings.parquet")).row_count
+    return max(SEM_NC, n // SEM_CELL_TARGET)
 
 _SEMDEDUP_ORACLE = f"""
     WITH c AS (SELECT vec_id AS cell, embedding AS centroid
@@ -805,15 +821,18 @@ def dedup_semantic(spark, sf_dir):
     no shuffle of the corpus, ties broken toward the larger cell id
     identically in both engines.
 
-    100 TB posture: the only shuffle is the cell-key self-join, and a
-    cell's pair count is bounded by choosing nlist ~ corpus/1e4 (the
-    SemDeDup recipe); the all-pairs step never sees the full corpus.
-    At this fixture's scale {SEM_NC} cells of ~50 vectors keep the
-    worst cell at ~1.2k candidate pairs.
+    100 TB posture: the only shuffle is the cell-key self-join, and
+    the cell count SCALES with the corpus (``_sem_nc``: footer row
+    count / {SEM_CELL_TARGET}), so a cell's pair count stays
+    ~{SEM_CELL_TARGET}^2/2 at any size — the r6 sf1 run caught the
+    fixed-cell version going quadratic (92 s -> 6.9 s once sized; the
+    sibling of the r5 bloom-bitmap saturation cliff).  The all-pairs
+    step never sees the full corpus.
     """
     e = _emb(spark, sf_dir)
+    nc = _sem_nc(sf_dir)
     cents = (
-        e.filter(F.col("vec_id") < SEM_NC)
+        e.filter(F.col("vec_id") < nc)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid"))
         .agg(F.collect_list(F.struct("cell", "centroid")).alias("cents"))
     )
