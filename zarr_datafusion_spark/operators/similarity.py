@@ -807,8 +807,8 @@ _SEMDEDUP_ORACLE = f"""
 @_q("dedup_semantic", _SEMDEDUP_ORACLE)
 def dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic deduplication: coarse-quantize the
-    corpus into {SEM_NC} cells (deterministic centroids = the first
-    {SEM_NC} vectors, the PQ-codebook convention that keeps the whole
+    corpus into size-scaled cells (deterministic centroids = the first
+    nc vectors, the PQ-codebook convention that keeps the whole
     pipeline SQL-recomputable), then find cosine-similar pairs ONLY
     within a cell — embedding-level near-dup detection with NO label
     or metadata blocking, the shape used to prune semantically
