@@ -490,16 +490,32 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters from published LLM-corpus curation pipelines; docs above a
     repetition threshold get dropped before training).
 
-    100 TB posture: ENTIRELY map-side — the token/bigram frequency
-    argmax is a nested higher-order-function expression over the
-    per-row token array (array_distinct -> filter-count -> array_max),
-    so there is NO shuffle, no UDF, and the whole stage is one
-    WholeStageCodegen span over the scan.  Per-row cost is
-    O(distinct_tokens x n_tokens), bounded by document length -- the
-    operative denominator at scale is bytes scanned, and every byte is
-    touched exactly once.
+    100 TB posture: ENTIRELY map-side — no shuffle, no UDF.  The
+    most-frequent-count is computed as the longest RUN in the SORTED
+    token array via one left fold (O(n log n) sort + O(n) fold per
+    row), replacing the r1-r5 distinct x filter-count argmax whose
+    O(distinct x n) per-row cost the r6 all-registry sf1 sweep flagged
+    (19.2 s -> measured several-fold faster; interpreted higher-order
+    lambdas make the quadratic bite early).  The value is identical —
+    max run of a sorted multiset == max frequency — so the oracle is
+    unchanged.
     """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def max_run(arr: str) -> str:
+        # longest run in sorted(arr): fold carrying (prev, run, best)
+        step = (
+            "CASE WHEN a.prev IS NOT NULL AND x = a.prev "
+            "THEN a.run + 1 ELSE 1 END"
+        )
+        return (
+            f"aggregate(array_sort({arr}), "
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+            f"(a, x) -> named_struct('prev', x, 'run', {step}, "
+            f"'best', greatest(a.best, {step})), "
+            "a -> a.best)"
+        )
+
     return (
         docs.select(
             "doc_id",
@@ -509,8 +525,8 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bg",
             F.expr(
                 "CASE WHEN size(w) < 2 THEN array() "
-                "ELSE transform(sequence(1, size(w) - 1), "
-                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END"
+                "ELSE zip_with(slice(w, 1, size(w) - 1), "
+                "slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b)) END"
             ),
         )
         .select(
@@ -520,13 +536,11 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(size(array_distinct(w)) AS DOUBLE) / size(w)"
             ).alias("unique_token_frac"),
             F.expr(
-                "CAST(array_max(transform(array_distinct(w), "
-                "tok -> size(filter(w, x -> x = tok)))) AS DOUBLE) / size(w)"
+                f"CAST({max_run('w')} AS DOUBLE) / size(w)"
             ).alias("top_token_frac"),
             F.expr(
                 "CASE WHEN size(bg) = 0 THEN CAST(0 AS DOUBLE) "
-                "ELSE CAST(array_max(transform(array_distinct(bg), "
-                "g -> size(filter(bg, x -> x = g)))) AS DOUBLE) / size(bg) END"
+                f"ELSE CAST({max_run('bg')} AS DOUBLE) / size(bg) END"
             ).alias("top_bigram_frac"),
         )
     )
