@@ -59,6 +59,7 @@ RE_RECORD = {
     "text_contamination": "r6: oracle gained the short-doc gram fallback",
     "text_unigram_logprob": "r6: vocab join broadcast left to AQE",
     "text_repetition_signals": "r6: sorted-run max frequency (was O(d*n))",
+    "streaming_lsh_dedup": "r6: static index capped; oracle = batch oracle",
 }
 
 
