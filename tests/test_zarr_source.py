@@ -698,9 +698,10 @@ def test_v2_consolidated_metadata_discovery(tmp_path):
 def test_datetime64_time_coordinate(spark, tmp_path):
     """datetime64[ns] time axis (the standard xarray/climate layout):
     surfaces as a Spark TimestampType column with correct UTC instants;
-    equality filters on it return exact rows (re-applied by Spark —
-    datetime coords are excluded from window pushdown by design, and
-    from stats min/max, so neither can fire wrong)."""
+    equality filters on it return exact rows (re-applied by Spark;
+    since r6 datetime coords also window-narrow in the µs output
+    domain — test_datetime_range_pushdown — while staying excluded
+    from stats min/max)."""
     import datetime
 
     from zarr_datafusion_spark.zarr import read_zarr
@@ -1171,3 +1172,77 @@ def test_create_external_table_stored_as_zarr(spark, stores):
     # COUNT(*) with no scan, like engine.register_zarr
     eng.sql("SELECT COUNT(*) FROM ext_weather")
     assert eng.last_query_used_shortcut
+
+
+def test_datetime_range_pushdown(spark, tmp_path):
+    """r6: range/equality pushdown on a datetime64 time coordinate —
+    THE canonical weather-store predicate.  The window comparison runs
+    in the scan's µs output domain (matching the re-applied filter),
+    so results must equal the full scan + filter AND the planned I/O
+    must shrink to the matching time slabs.  Boundary check: ns ticks
+    that truncate INTO the window must not be dropped."""
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.stats.io_stats import collect_stats_dir
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    times = np.array(
+        [
+            "2024-01-01T00:00:00.000000500",  # 500 ns past midnight
+            "2024-01-01T06:00:00",
+            "2024-01-01T12:00:00",
+            "2024-01-01T18:00:00",
+            "2024-01-02T00:00:00",
+            "2024-01-02T06:00:00",
+            "2024-01-02T12:00:00",
+        ],
+        dtype="M8[ns]",
+    )
+    lat = np.arange(10, dtype=np.int64)
+    lon = np.arange(10, dtype=np.int64)
+    rng = np.random.RandomState(7)
+    temp = rng.randint(0, 1000, size=(7, 10, 10)).astype(np.int64)
+    store = write_store(
+        str(tmp_path / "dt_rng"),
+        {
+            "time": (times, (7,)),
+            "lat": (lat, (10,)),
+            "lon": (lon, (10,)),
+            "temperature": (temp, (1, 10, 10)),
+        },
+    )
+
+    pred = (
+        (F.col("time") >= F.lit("2024-01-01 06:00:00").cast("timestamp"))
+        & (F.col("time") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    )
+
+    d_full = str(tmp_path / "dt_full")
+    full_df = read_zarr(spark, store, stats_dir=d_full)
+    expected = sorted(
+        (r.time, r.lat, r.lon, r.temperature)
+        for r in full_df.filter(pred).collect()
+    )
+    full_stats = collect_stats_dir(d_full)
+
+    d_nar = str(tmp_path / "dt_nar")
+    nar_df = read_zarr(spark, store, stats_dir=d_nar, eager_pushdown=True)
+    got = sorted(
+        (r.time, r.lat, r.lon, r.temperature)
+        for r in nar_df.filter(pred).collect()
+    )
+    assert got == expected and len(got) == 300  # slabs 1,2,3 x 100 cells
+    nar_stats = collect_stats_dir(d_nar)
+    assert nar_stats.data_bytes == full_stats.data_bytes * 3 // 7, (
+        "datetime range window did not narrow the scan"
+    )
+
+    # boundary: the ns-offset first timestamp truncates to exactly
+    # 00:00:00.000000 in the µs output; an equality on that µs value
+    # must keep the row (window compares in the output domain)
+    d_eq = str(tmp_path / "dt_eq")
+    eq_df = read_zarr(spark, store, stats_dir=d_eq, eager_pushdown=True)
+    eq = eq_df.filter(
+        F.col("time") == F.lit("2024-01-01 00:00:00").cast("timestamp")
+    ).collect()
+    assert len(eq) == 100, "ns-boundary row dropped by the pushdown window"

@@ -187,20 +187,37 @@ class ZarrDataSourceReader(DataSourceReader):
         if not self.eager_pushdown:
             yield from filters
             return
-        # datetime coords excluded: the pushed literal's timezone/unit
-        # semantics vs the stored datetime64 ticks are engine-dependent,
-        # and a wrong window silently drops rows — Spark re-applies the
-        # filter over the full window instead (Inexact contract).
-        coord_names = {
-            c.name
-            for c in self.meta.coords
-            if not c.dtype.startswith("datetime64")
+        # datetime coords participate since r6: the pushed literal is a
+        # datetime.datetime and BOTH sides of the window comparison are
+        # normalized to the scan's OUTPUT granularity (datetime64[us],
+        # the arrow timestamp("us") the reader emits), so the narrowed
+        # window agrees with the re-applied filter by construction —
+        # the condition that makes narrowing safe under the Inexact
+        # contract (a µs-truncating comparison at ns precision could
+        # silently drop boundary rows; see _range_window).
+        import datetime as _dt
+
+        dt_coords = {
+            c.name for c in self.meta.coords if c.dtype.startswith("datetime64")
         }
+        coord_names = {c.name for c in self.meta.coords}
+
+        def _ok_value(attr: str, v) -> bool:
+            if attr in dt_coords:
+                return isinstance(v, _dt.datetime)
+            return isinstance(v, (int, float)) and not (
+                isinstance(v, float) and np.isnan(v)
+            )
+
         for f in filters:
             if (
                 isinstance(f, EqualTo)
                 and len(f.attribute) == 1
                 and f.attribute[0] in coord_names
+                and (
+                    f.attribute[0] not in dt_coords
+                    or _ok_value(f.attribute[0], f.value)
+                )
             ):
                 self.coord_filters[f.attribute[0]] = f.value
             elif (
@@ -209,8 +226,7 @@ class ZarrDataSourceReader(DataSourceReader):
                 )
                 and len(f.attribute) == 1
                 and f.attribute[0] in coord_names
-                and isinstance(f.value, (int, float))
-                and not (isinstance(f.value, float) and np.isnan(f.value))
+                and _ok_value(f.attribute[0], f.value)
             ):
                 # accumulate conjuncts: tightest lower / upper bound wins
                 lo, lo_s, hi, hi_s = self.coord_ranges.setdefault(
@@ -229,6 +245,38 @@ class ZarrDataSourceReader(DataSourceReader):
 
     # -- planning -----------------------------------------------------------
 
+    @staticmethod
+    def _cmp_domain(c, values, lit):
+        """(comparable_values, comparable_literal) in the scan's OUTPUT
+        value domain, or ``None`` to decline narrowing.
+
+        datetime64 coords: the reader emits arrow ``timestamp("us")``,
+        so coord ticks truncate to [us] and the pushed
+        ``datetime.datetime`` converts at [us] — comparing in the
+        output domain is what guarantees the window is a superset of
+        the rows the re-applied filter keeps (comparing raw ns ticks
+        against a µs literal could exclude a boundary row whose
+        truncated output still matches).  Spark hands the literal as a
+        NAIVE datetime in the Python worker's OS timezone; narrowing is
+        therefore gated on the worker clock being UTC (this project
+        forces session TZ to UTC; a non-UTC worker would shift the
+        literal and a shifted window can silently drop rows — decline
+        and let Spark filter the full window instead)."""
+        if not c.dtype.startswith("datetime64"):
+            return values, lit
+        import datetime as _dt
+        import time as _time
+
+        if _time.timezone != 0 or _time.daylight:
+            return None
+        if isinstance(lit, _dt.datetime):
+            if lit.tzinfo is not None:
+                lit = lit.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            lit = np.datetime64(lit, "us")
+        else:
+            return None
+        return values.astype("datetime64[us]"), lit
+
     def _range_window(self, c, values) -> tuple[int, int]:
         """Window for accumulated range bounds on a SORTED coordinate
         (searchsorted on the ascending value array); unsorted
@@ -239,16 +287,26 @@ class ZarrDataSourceReader(DataSourceReader):
         if spec is None:
             return full
         lo_b, lo_strict, hi_b, hi_strict = spec
-        if not np.all(np.diff(values) >= 0):
+        # dtype-agnostic ascending check (np.diff on datetime64 yields
+        # timedelta64, which does not compare against the int 0)
+        if len(values) > 1 and not np.all(values[1:] >= values[:-1]):
             return full
         lo_idx, hi_idx = 0, len(values)
         if lo_b is not None:
+            dom = self._cmp_domain(c, values, lo_b)
+            if dom is None:
+                return full
+            vals_c, lo_c = dom
             lo_idx = int(
-                np.searchsorted(values, lo_b, side="right" if lo_strict else "left")
+                np.searchsorted(vals_c, lo_c, side="right" if lo_strict else "left")
             )
         if hi_b is not None:
+            dom = self._cmp_domain(c, values, hi_b)
+            if dom is None:
+                return full
+            vals_c, hi_c = dom
             hi_idx = int(
-                np.searchsorted(values, hi_b, side="left" if hi_strict else "right")
+                np.searchsorted(vals_c, hi_c, side="left" if hi_strict else "right")
             )
         return (lo_idx, hi_idx)
 
@@ -274,17 +332,23 @@ class ZarrDataSourceReader(DataSourceReader):
                     # full dimension (pushdown stays a superset).
                     pass
                 else:
-                    # int/float cross-cast comparison (filter.rs:262-302)
-                    matches = np.nonzero(values == lit)[0]
-                    if len(matches) == 0:
-                        return None
-                    m_lo, m_hi = int(matches[0]), int(matches[-1]) + 1
-                    if len(matches) == m_hi - m_lo:
-                        lo, hi = m_lo, m_hi
-                    # else: duplicate values scattered non-contiguously:
-                    # a narrowed window would silently drop rows
-                    # (pushdown must be a superset — Spark's re-applied
-                    # filter can only remove).  Keep the full dimension.
+                    # int/float cross-cast comparison (filter.rs:262-302);
+                    # datetime coords compare in the µs output domain
+                    # (or decline — see _cmp_domain)
+                    dom = self._cmp_domain(c, values, lit)
+                    if dom is not None:
+                        vals_c, lit_c = dom
+                        matches = np.nonzero(vals_c == lit_c)[0]
+                        if len(matches) == 0:
+                            return None
+                        m_lo, m_hi = int(matches[0]), int(matches[-1]) + 1
+                        if len(matches) == m_hi - m_lo:
+                            lo, hi = m_lo, m_hi
+                        # else: duplicate values scattered
+                        # non-contiguously: a narrowed window would
+                        # silently drop rows (pushdown must be a
+                        # superset — Spark's re-applied filter can only
+                        # remove).  Keep the full dimension.
             if c.name in self.coord_ranges:
                 r_lo, r_hi = self._range_window(c, values)
                 lo, hi = max(lo, r_lo), min(hi, r_hi)
@@ -511,7 +575,11 @@ class ZarrDataSourceReader(DataSourceReader):
                 target = _ARROW_TYPES.get(meta.array(name).dtype, pa.string())
                 arr = pa.array(col)
                 if arr.type != target:
-                    arr = arr.cast(target)
+                    # safe=False: datetime64[ns] ticks TRUNCATE into the
+                    # us output domain (Spark timestamps are us; arrow's
+                    # safe cast would refuse sub-us precision loss and
+                    # fail the scan on perfectly valid ns stores)
+                    arr = arr.cast(target, safe=False)
                 arrays.append(arr)
 
             yield pa.RecordBatch.from_arrays(arrays, names=names)
