@@ -1,0 +1,55 @@
+"""Execute EVERY registry entry end-to-end at sf1 and report timings.
+
+The per-round bench covers only the headline set; this sweep is how
+round 6 found the SemDeDup cell-sizing cliff (92 s) and the
+repetition-signal per-doc quadratic (19 s) in non-headline-stressed
+paths.  Run it after adding an operator, before calling it done:
+
+    python scripts/make_sf1.py          # once, generates data/sf1
+    python scripts/sf1_sweep.py         # ~4 min at r6 state
+
+Failures print as ERROR rows; the slowest entries print last — anything
+disproportionate to its data volume deserves a plan look (EXPLAIN
+ANALYZE via the engine shows per-node metrics).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from zarr_datafusion_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf = os.environ.get(
+        "SPARK_GRAFT_SWEEP_SF_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "sf1"),
+    )
+    spark = get_spark("sf1-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, object] = {}
+    for name, fn in E.queries().items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # keep sweeping; report at the end
+            times[name] = f"ERROR: {type(e).__name__}: {str(e)[:120]}"
+        print(f"{name}: {times[name]}", flush=True)
+
+    slow = sorted((v, k) for k, v in times.items() if isinstance(v, float))
+    print("\nTOP 15 SLOWEST:")
+    for v, k in slow[-15:][::-1]:
+        print(f"  {k:40s} {v:8.2f}s")
+    errs = {k: v for k, v in times.items() if not isinstance(v, float)}
+    print("ERRORS:", errs or "none")
+
+
+if __name__ == "__main__":
+    main()
