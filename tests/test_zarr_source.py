@@ -1246,3 +1246,42 @@ def test_datetime_range_pushdown(spark, tmp_path):
         F.col("time") == F.lit("2024-01-01 00:00:00").cast("timestamp")
     ).collect()
     assert len(eq) == 100, "ns-boundary row dropped by the pushdown window"
+
+
+def test_v2_big_endian_dtype(spark, tmp_path):
+    """Zarr v2 big-endian dtypes ('>i8' — the reference parses the byte
+    order char, dtype.rs:9-56): chunk bytes decode with the declared
+    endianness and flatten to correct values through the full scan."""
+    import json
+    import os
+
+    from zarr_datafusion_spark.zarr import discover_arrays, read_zarr
+
+    store = str(tmp_path / "be")
+    arrays = {
+        "time": np.arange(3, dtype=">i8"),
+        "lat": np.arange(4, dtype=">i8"),
+        "temperature": (np.arange(12).reshape(3, 4) * 3).astype(">i8"),
+    }
+    for name, arr in arrays.items():
+        os.makedirs(os.path.join(store, name))
+        json.dump(
+            {
+                "zarr_format": 2,
+                "shape": list(arr.shape),
+                "chunks": list(arr.shape),
+                "dtype": ">i8",
+                "compressor": None,
+                "fill_value": 0,
+                "order": "C",
+                "filters": None,
+            },
+            open(os.path.join(store, name, ".zarray"), "w"),
+        )
+        key = ".".join(["0"] * len(arr.shape))
+        open(os.path.join(store, name, key), "wb").write(arr.tobytes())
+    json.dump({"zarr_format": 2}, open(os.path.join(store, ".zgroup"), "w"))
+
+    assert discover_arrays(store).total_rows == 12
+    rows = read_zarr(spark, store).orderBy("time", "lat").collect()
+    assert [r.temperature for r in rows] == [i * 3 for i in range(12)]
