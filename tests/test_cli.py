@@ -125,3 +125,24 @@ def test_explain_analyze_prints_metrics(engine):
     assert "HashAggregate" in out
     # rows actually flowed (the fixture has 3 return flags)
     assert "number of output rows: 3" in out
+
+
+def test_information_schema_queries(engine):
+    """The reference enables DataFusion's information_schema
+    (main.rs:54-65; CLI_REFERENCE.md:445-451): the documented
+    column-listing query must run verbatim through Engine.sql."""
+    rows = engine.sql(
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = 'lineitem' ORDER BY column_name"
+    ).collect()
+    names = [r.column_name for r in rows]
+    assert "l_orderkey" in names and "l_quantity" in names
+    types = {r.column_name: r.data_type for r in rows}
+    assert types["l_orderkey"] == "bigint"
+    tabs = {
+        r.table_name
+        for r in engine.sql(
+            "SELECT table_name FROM information_schema.tables"
+        ).collect()
+    }
+    assert {"lineitem", "orders", "customer"} <= tabs

@@ -113,11 +113,61 @@ class Engine:
             # empty result carrying the new table's schema (DataFusion's
             # CREATE EXTERNAL TABLE likewise returns no rows)
             return self.spark.sql(f"SELECT * FROM {name} WHERE 1=0")
+        rewritten = self._information_schema(query)
+        if rewritten is not None:
+            return rewritten
         shortcut = try_stats_shortcut(self.spark, query, self._stats)
         if shortcut is not None:
             self._last_shortcut = query
             return shortcut
         return self.spark.sql(query)
+
+    def _information_schema(self, query: str) -> DataFrame | None:
+        """Serve ``information_schema.columns`` / ``.tables`` queries
+        (the reference enables DataFusion's information_schema,
+        ``main.rs:54-65``; usage ``docs/CLI_REFERENCE.md:445-451``) —
+        Spark has no information_schema, so the two relations are
+        materialized as fresh catalog snapshots and the query text is
+        rewritten onto them.  SQL-standard column names, with
+        ``is_nullable`` as 'YES'/'NO' per the standard."""
+        if not re.search(r"information_schema\.(columns|tables)", query, re.I):
+            return None
+        tabs, cols = [], []
+        for t in self.spark.catalog.listTables():
+            schema = ".".join(t.namespace) if t.namespace else "session"
+            tabs.append((schema, t.name, t.tableType))
+            for i, c in enumerate(self.spark.catalog.listColumns(t.name), 1):
+                cols.append(
+                    (
+                        schema,
+                        t.name,
+                        c.name,
+                        i,
+                        c.dataType,
+                        "YES" if c.nullable else "NO",
+                    )
+                )
+        self.spark.createDataFrame(
+            tabs, "table_schema string, table_name string, table_type string"
+        ).createOrReplaceTempView("__information_schema_tables")
+        self.spark.createDataFrame(
+            cols,
+            "table_schema string, table_name string, column_name string, "
+            "ordinal_position int, data_type string, is_nullable string",
+        ).createOrReplaceTempView("__information_schema_columns")
+        q = re.sub(
+            r"information_schema\.columns",
+            "__information_schema_columns",
+            query,
+            flags=re.I,
+        )
+        q = re.sub(
+            r"information_schema\.tables",
+            "__information_schema_tables",
+            q,
+            flags=re.I,
+        )
+        return self.spark.sql(q)
 
     @property
     def last_query_used_shortcut(self) -> bool:
