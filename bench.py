@@ -83,6 +83,14 @@ HEADLINE = [
     "dedup_contamination_minhash",
     "text_inverted_index",
     "dedup_semantic",
+    # late round-6: the TPC-H broadening (46 -> 53)
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

@@ -211,3 +211,28 @@ def test_static_broadcast_hints_from_file_stats(spark):
     # only on execution)
     plan = plan_text(QUERIES["tpch_q5_local_supplier"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q18_having_in_becomes_semi_join(spark):
+    """Q18's IN over a grouped-HAVING subquery on the same fact table
+    must plan as aggregate -> left-semi join on l_orderkey — one extra
+    aggregation pass, never a per-row re-scan."""
+    from zarr_datafusion_spark.operators.relational import QUERIES
+
+    plan = plan_text(QUERIES["tpch_q18_large_orders"](spark, SF_DIR))
+    assert "LeftSemi" in plan, "HAVING-IN did not become a semi join"
+    assert "NestedLoop" not in plan
+
+
+def test_q19_disjunction_single_join(spark):
+    """Q19's OR-of-ANDs spanning both join sides must stay ONE
+    part-lineitem join with a residual disjunctive filter — a plan
+    that unions three re-scans of lineitem (or degrades to a cross
+    product) fails here."""
+    from zarr_datafusion_spark.operators.relational import QUERIES
+
+    plan = plan_text(QUERIES["tpch_q19_discounted_revenue"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 2, "disjunction re-scanned a table"
+    assert "Union" not in final
+    assert "NestedLoop" not in final and "CartesianProduct" not in final

@@ -1174,6 +1174,216 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
     return spark.sql(_Q22_SQL)
 
 
+
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@_q("tpch_q7_volume_shipping", _Q7_SQL)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation shipping volume by (supplier
+    nation, customer nation, year) over the full 6-table chain — the
+    double-nation-dimension join (nation joined TWICE under different
+    keys).  The classic query pins one nation pair; the driver's
+    testdata regenerates nation assignments each round, so the robust
+    variant keeps every cross-nation pair (same join shape, regen-proof
+    non-emptiness).  Exact-decimal volume; year() truncated to INT so
+    both engines group on int32.  One SQL string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+_Q8_SQL = """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS volume, n1.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@_q("tpch_q8_market_share", _Q8_SQL)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's market share per year inside a
+    region's market for one part type — an 8-table chain with nation
+    joined twice (supplier side labels the share, customer side scopes
+    the market via region) and a conditional-over-total ratio.  Both
+    sums are exact decimals; the final division is one double op on
+    identical operands, so no rounding is needed.  One SQL string for
+    both engines (reference SQL surface docs/CLI_REFERENCE.md:336-374)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+_Q9_SQL = """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(18,5))) AS DOUBLE) AS sum_profit,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(4,2))
+             - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(2,1))
+               * CAST(l_quantity AS DECIMAL(8,2)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+"""
+
+
+@_q("tpch_q9_product_profit", _Q9_SQL)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year over
+    name-matched parts (the driver schema has no partsupp, so supply
+    cost is proxied as 10% of p_retailprice — deterministic, preserving
+    the 5-table join + substring-filter + two-level grouping shape).
+    The amount expression stays exact at 5 decimals end to end (no
+    rounding anywhere before the final double cast).  One SQL string
+    for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+_Q10_SQL = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT c_custkey, c_name, n_name, CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS volume
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-07-01'
+    ) t
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+@_q("tpch_q10_returned_items", _Q10_SQL)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in a half-year window — fact-to-fact join narrowed by a
+    pushed date filter, grouped per customer, TakeOrderedAndProject
+    top-k under a (revenue DESC, c_custkey) total order.  One SQL
+    string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
+_Q14_SQL = """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+                                 ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS promo_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+@_q("tpch_q14_promo_effect", _Q14_SQL)
+def tpch_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: promotion revenue percentage for one month —
+    conditional-over-total ratio over a date-pruned fact/dimension
+    join.  Exact-decimal sums, one double division on identical
+    operands.  One SQL string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)
+
+
+_Q18_SQL = """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(8,2))) > 300)
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    ORDER BY total_price DESC, o_orderkey LIMIT 100
+"""
+
+
+@_q("tpch_q18_large_orders", _Q18_SQL)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers holding very large orders — an IN
+    over a grouped-HAVING subquery on the same fact table, which
+    Catalyst plans as an aggregate feeding a left-semi join (pinned by
+    test_q18_having_in_becomes_semi_join), never a per-row re-scan.
+    One SQL string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+_Q19_SQL = """
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+           AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@_q("tpch_q19_discounted_revenue", _Q19_SQL)
+def tpch_q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of conjunct groups
+    spanning both join sides (brand x size x quantity bands) — the
+    OR-of-ANDs predicate class that must stay ONE join with a residual
+    disjunctive filter (never a 3-way union re-scanning lineitem, and
+    no cross product; pinned by test_q19_disjunction_single_join).
+    One SQL string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
+
+
 _CORRELATED_SQL = """
     SELECT o_orderkey,
            CAST(o_totalprice AS DOUBLE) AS total_price
