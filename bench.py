@@ -83,7 +83,7 @@ HEADLINE = [
     "dedup_contamination_minhash",
     "text_inverted_index",
     "dedup_semantic",
-    # late round-6: the TPC-H broadening (46 -> 53)
+    # late round-6: the TPC-H broadening (46 -> 55)
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
@@ -91,6 +91,8 @@ HEADLINE = [
     "tpch_q14_promo_effect",
     "tpch_q18_large_orders",
     "tpch_q19_discounted_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

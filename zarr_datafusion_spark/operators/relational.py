@@ -1384,6 +1384,61 @@ def tpch_q19_discounted_revenue(spark, sf_dir):
     return spark.sql(_Q19_SQL)
 
 
+
+
+_Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@_q("tpch_q13_customer_distribution", _Q13_SQL)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the customer-order-count distribution — a LEFT
+    OUTER join with an EXTRA predicate inside the join condition (the
+    classic not-like comment exclusion; the driver schema has no
+    o_comment, so non-urgent priority stands in), aggregated twice
+    (per-customer count, then the histogram).  The outer join keeps
+    zero-order customers in the c_count = 0 bucket — the row an inner
+    join would silently lose.  One SQL string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2)))
+                  AS DECIMAL(18,4)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@_q("tpch_q15_top_supplier", _Q15_SQL)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the quarter's top-revenue supplier — a CTE
+    standing in for the reference's revenue VIEW, consumed TWICE (the
+    join probe and the scalar MAX threshold); the revenue stays an
+    exact decimal so the equality against its own MAX is
+    bit-deterministic in both engines.  One SQL string for both
+    engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
 _CORRELATED_SQL = """
     SELECT o_orderkey,
            CAST(o_totalprice AS DOUBLE) AS total_price
