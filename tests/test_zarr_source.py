@@ -1285,3 +1285,28 @@ def test_v2_big_endian_dtype(spark, tmp_path):
     assert discover_arrays(store).total_rows == 12
     rows = read_zarr(spark, store).orderBy("time", "lat").collect()
     assert [r.temperature for r in rows] == [i * 3 for i in range(12)]
+
+
+def test_missing_chunk_reads_fill_value(spark, tmp_path):
+    """Zarr spec: a chunk with no file on disk reads as the array's
+    fill_value (sparse stores are legal).  Deleting one time-slab chunk
+    of temperature must yield fill (0) for exactly those 100 cells and
+    leave every other cell — including the same slab of humidity —
+    intact."""
+    import os
+
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    store = write_store(str(tmp_path / "sparse"), ARRAYS, zarr_format=2)
+    removed = os.path.join(store, "temperature", "3.0.0")
+    assert os.path.exists(removed)
+    os.remove(removed)
+
+    rows = read_zarr(spark, store).orderBy("time", "lat", "lon").collect()
+    assert len(rows) == 700
+    exp_t = ARRAYS["temperature"][0]
+    exp_h = ARRAYS["humidity"][0]
+    for r in rows:
+        want_t = 0 if r.time == 3 else int(exp_t[r.time, r.lat, r.lon])
+        assert r.temperature == want_t, (r.time, r.lat, r.lon)
+        assert r.humidity == int(exp_h[r.time, r.lat, r.lon])
