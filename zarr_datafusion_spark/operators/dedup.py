@@ -547,7 +547,11 @@ def dedup_embedding_cosine(spark, sf_dir):
 
     Blocking on ``label`` stands in for the coarse quantizer an IVF
     index provides at scale — the shuffle key is the block, and the
-    pair join never goes all-pairs global.
+    pair join never goes all-pairs global.  Scale caveat (measured in
+    the r6 sf1 sweep): a FIXED label set means per-block pair counts
+    grow quadratically with the corpus; the label-free scale path is
+    :func:`zarr_datafusion_spark.operators.similarity.dedup_semantic`,
+    whose cell count scales with the corpus to keep blocks bounded.
 
     Threshold note: the synthetic driver embeddings are near-random
     (best cosine ≈ 0.33 at sf0.01), so a production-style 0.5 cut
