@@ -39,12 +39,20 @@ _WINDOW_COUNTS_ORACLE = """
 
 
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windowed counts/sums over the event stream
+    (watermarked complete-mode aggregate; see
+    :func:`zarr_datafusion_spark.streaming.streaming_event_counts` for
+    the full design notes).  Oracle: the equivalent batch GROUP BY."""
     from zarr_datafusion_spark.streaming import streaming_event_counts
 
     return streaming_event_counts(spark, sf_dir)
 
 
 def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5 over the event stream — each
+    event lands in exactly two epoch-aligned windows (see
+    :func:`zarr_datafusion_spark.streaming.sliding_window_rates`).
+    Oracle: 2-way offset expansion + GROUP BY."""
     from zarr_datafusion_spark.streaming import sliding_window_rates
 
     return sliding_window_rates(spark, sf_dir)
