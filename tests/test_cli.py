@@ -146,3 +146,18 @@ def test_information_schema_queries(engine):
         ).collect()
     }
     assert {"lineitem", "orders", "customer"} <= tabs
+
+
+def test_information_schema_rewrite_skips_string_literals(engine):
+    """ADVICE r6: the information_schema rewrite is word-bounded and
+    must never rewrite INSIDE a string literal — a query that merely
+    mentions 'information_schema.columns' as data keeps its literal
+    value (and one that references the relation AND carries the literal
+    rewrites only the identifier position)."""
+    row = engine.sql("SELECT 'information_schema.columns' AS s").collect()[0]
+    assert row.s == "information_schema.columns"
+    rows = engine.sql(
+        "SELECT table_name, 'information_schema.tables' AS lit "
+        "FROM information_schema.tables WHERE table_name = 'lineitem'"
+    ).collect()
+    assert rows and rows[0].lit == "information_schema.tables"

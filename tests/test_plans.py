@@ -186,31 +186,31 @@ def test_q22_not_exists_becomes_anti_join(spark):
     assert "Subquery" in plan or "HashAggregate" in plan
 
 
-def test_static_broadcast_hints_from_file_stats(spark):
-    """A6 stats -> Catalyst (VERDICT r5 item 8): registered dimension
-    tables whose file size proves them broadcast-small must carry the
-    static broadcast hint, big fact tables must not, and Q5's dimension
-    ladder must plan BroadcastHashJoins BEFORE any AQE runtime
-    re-plan."""
+def test_static_broadcast_plans_from_file_stats(spark):
+    """A6 stats -> Catalyst: Q5's dimension ladder (and Q21's nation
+    filter) must plan BroadcastHashJoins BEFORE any AQE runtime
+    re-plan, purely from Spark's native parquet file-size statistics —
+    and NO table may carry a forced broadcast hint.  The r6 blanket
+    ``df.hint("broadcast")`` flipped exactly at threshold-boundary
+    file sizes (events.parquet at sf0.1) and landed on
+    build-ineligible outer-join sides (Q13 -> HintErrorLogger); the r7
+    A/B showed the hints were redundant for these plans (BASELINE.md),
+    so hint-free is now the pinned contract."""
     from zarr_datafusion_spark.operators.relational import QUERIES
     from zarr_datafusion_spark.session import load_table
 
-    def hinted(name: str, sf_dir: str = SF_DIR) -> bool:
-        df = load_table(spark, sf_dir, name)
-        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
-
-    assert hinted("nation") and hinted("region") and hinted("supplier")
-    # the gate is SIZE-based, so at the 120 KB sf0.001 fixture even
-    # lineitem is (correctly) broadcast-small; the fact-table exclusion
-    # shows at a real scale factor
-    assert not hinted("lineitem", "/root/testdata/sf0.1"), (
-        "10 MB fact table must never be hint-forced"
-    )
+    for name in ("nation", "region", "supplier", "events", "lineitem"):
+        df = load_table(spark, SF_DIR, name)
+        assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString(), (
+            f"{name} must not carry a forced broadcast hint"
+        )
 
     # executedPlan BEFORE collect = the static decision (AQE finalizes
-    # only on execution)
-    plan = plan_text(QUERIES["tpch_q5_local_supplier"](spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 3
+    # only on execution): file-size stats alone must yield broadcast
+    # joins for the dimension chain.
+    for q in ("tpch_q5_local_supplier", "tpch_q21_waiting_supplier"):
+        plan = plan_text(QUERIES[q](spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 3, f"{q} lost its static broadcasts"
 
 
 def test_q18_having_in_becomes_semi_join(spark):

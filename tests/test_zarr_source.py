@@ -1248,6 +1248,123 @@ def test_datetime_range_pushdown(spark, tmp_path):
     assert len(eq) == 100, "ns-boundary row dropped by the pushdown window"
 
 
+def test_pre_epoch_subus_ticks_floor_consistently(spark, tmp_path):
+    """ADVICE r6 (medium): pre-1970 sub-µs ticks must FLOOR toward -inf
+    into the µs output domain — the same numpy-astype semantics
+    _cmp_domain uses for window narrowing.  The old arrow safe=False
+    cast truncated toward zero (-500ns -> 1970-01-01T00:00:00.000000),
+    disagreeing with the narrowing comparison (23:59:59.999999) by 1µs,
+    so an equality/upper-bound window could silently drop the boundary
+    row.  Pins: (a) the emitted value IS the numpy floor; (b) eager
+    equality and range pushdown on that value keep the row."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    times = np.array(
+        [
+            "1969-12-31T23:59:59.999999500",  # -500 ns: floor != truncate
+            "1970-01-01T06:00:00",
+            "1970-01-01T12:00:00",
+        ],
+        dtype="M8[ns]",
+    )
+    temp = np.arange(12, dtype=np.int64).reshape(3, 4)
+    store = write_store(
+        str(tmp_path / "pre_epoch"),
+        {
+            "time": (times, (1,)),
+            "cell": (np.arange(4, dtype=np.int64), (4,)),
+            "temp": (temp, (1, 4)),
+        },
+    )
+
+    floor_us = datetime.datetime(1969, 12, 31, 23, 59, 59, 999999)
+    rows = read_zarr(spark, store).orderBy("time", "cell").collect()
+    assert rows[0].time == floor_us, (
+        f"emitted {rows[0].time!r}: arrow truncate-toward-zero leaked in"
+    )
+
+    # equality on the floored µs value, eager window narrowing on
+    eq = (
+        read_zarr(spark, store, eager_pushdown=True)
+        .filter(F.col("time") == F.lit("1969-12-31 23:59:59.999999").cast("timestamp"))
+        .collect()
+    )
+    assert [r.temp for r in sorted(eq, key=lambda r: r.cell)] == [0, 1, 2, 3]
+
+    # upper-bound range whose window ends exactly at the floored value
+    rng = (
+        read_zarr(spark, store, eager_pushdown=True)
+        .filter(F.col("time") <= F.lit("1969-12-31 23:59:59.999999").cast("timestamp"))
+        .collect()
+    )
+    assert len(rng) == 4, "pre-epoch boundary row dropped by range window"
+
+
+def test_tz_aware_range_literal_normalized_at_accept(tmp_path):
+    """ADVICE r6: a tz-aware datetime literal mixed with a naive one on
+    the same coordinate must not raise TypeError during pushFilters'
+    tightest-bound accumulation — aware literals normalize to naive UTC
+    at accept time (the same conversion _cmp_domain applies later)."""
+    import datetime
+
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    from zarr_datafusion_spark.zarr.datasource import ZarrDataSourceReader
+    from zarr_datafusion_spark.zarr.metadata import (
+        discover_arrays,
+        infer_spark_schema,
+    )
+
+    times = np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T06:00:00", "2024-01-01T12:00:00"],
+        dtype="M8[ns]",
+    )
+    store = write_store(
+        str(tmp_path / "tz_mix"),
+        {
+            "time": (times, (3,)),
+            "cell": (np.arange(2, dtype=np.int64), (2,)),
+            "temp": (np.arange(6, dtype=np.int64).reshape(3, 2), (1, 2)),
+        },
+    )
+    meta = discover_arrays(store)
+    reader = ZarrDataSourceReader(
+        infer_spark_schema(meta),
+        {"path": store, "filter_pushdown": "eager"},
+        meta,
+    )
+    aware = datetime.datetime(2024, 1, 1, 3, 0, tzinfo=datetime.timezone.utc)
+    naive = datetime.datetime(2024, 1, 1, 5, 0)
+    # two lower bounds (aware then naive: the second accumulation
+    # compares naive > stored) + one aware upper bound
+    handed_back = list(
+        reader.pushFilters(
+            [
+                GreaterThan(attribute=("time",), value=aware),
+                GreaterThan(attribute=("time",), value=naive),
+                LessThanOrEqual(
+                    attribute=("time",),
+                    value=datetime.datetime(
+                        2024, 1, 1, 7, 0, tzinfo=datetime.timezone.utc
+                    ),
+                ),
+            ]
+        )
+    )
+    assert len(handed_back) == 3  # Inexact contract: all re-applied
+    lo, lo_strict, hi, hi_strict = reader.coord_ranges["time"]
+    assert lo == naive and lo.tzinfo is None  # tightest bound, naive UTC
+    assert hi == datetime.datetime(2024, 1, 1, 7, 0) and hi.tzinfo is None
+    # and the window math itself stays consistent: rows 2 (06:00) only
+    parts = reader.partitions()
+    total = sum(p.outer_hi - p.outer_lo for p in parts)
+    assert total == 1, "mixed-tz range bounds produced the wrong window"
+
+
 def test_v2_big_endian_dtype(spark, tmp_path):
     """Zarr v2 big-endian dtypes ('>i8' — the reference parses the byte
     order char, dtype.rs:9-56): chunk bytes decode with the declared

@@ -122,6 +122,23 @@ class Engine:
             return shortcut
         return self.spark.sql(query)
 
+    #: a SQL single-quoted string literal ('' = escaped quote) — the
+    #: rewrite below must never touch text inside one (ADVICE r6)
+    _SQL_STRING_LIT = re.compile(r"'(?:[^']|'')*'")
+
+    @classmethod
+    def _sub_outside_literals(cls, pattern: re.Pattern, repl: str, q: str) -> str:
+        """Apply ``pattern.sub(repl, ...)`` only OUTSIDE single-quoted
+        string literals, so ``SELECT 'information_schema.columns'``
+        keeps its literal value."""
+        parts, last = [], 0
+        for m in cls._SQL_STRING_LIT.finditer(q):
+            parts.append(pattern.sub(repl, q[last : m.start()]))
+            parts.append(m.group(0))
+            last = m.end()
+        parts.append(pattern.sub(repl, q[last:]))
+        return "".join(parts)
+
     def _information_schema(self, query: str) -> DataFrame | None:
         """Serve ``information_schema.columns`` / ``.tables`` queries
         (the reference enables DataFusion's information_schema,
@@ -129,14 +146,23 @@ class Engine:
         Spark has no information_schema, so the two relations are
         materialized as fresh catalog snapshots and the query text is
         rewritten onto them.  SQL-standard column names, with
-        ``is_nullable`` as 'YES'/'NO' per the standard."""
-        if not re.search(r"information_schema\.(columns|tables)", query, re.I):
+        ``is_nullable`` as 'YES'/'NO' per the standard.  The rewrite is
+        word-bounded and skips string literals (ADVICE r6), and column
+        listings resolve through the table's FULL namespace so
+        same-named tables across schemas don't misresolve."""
+        stripped = self._SQL_STRING_LIT.sub("''", query)
+        if not re.search(
+            r"\binformation_schema\.(columns|tables)\b", stripped, re.I
+        ):
             return None
         tabs, cols = [], []
         for t in self.spark.catalog.listTables():
             schema = ".".join(t.namespace) if t.namespace else "session"
             tabs.append((schema, t.name, t.tableType))
-            for i, c in enumerate(self.spark.catalog.listColumns(t.name), 1):
+            qualified = (
+                ".".join([*t.namespace, t.name]) if t.namespace else t.name
+            )
+            for i, c in enumerate(self.spark.catalog.listColumns(qualified), 1):
                 cols.append(
                     (
                         schema,
@@ -155,17 +181,15 @@ class Engine:
             "table_schema string, table_name string, column_name string, "
             "ordinal_position int, data_type string, is_nullable string",
         ).createOrReplaceTempView("__information_schema_columns")
-        q = re.sub(
-            r"information_schema\.columns",
+        q = self._sub_outside_literals(
+            re.compile(r"\binformation_schema\.columns\b", re.I),
             "__information_schema_columns",
             query,
-            flags=re.I,
         )
-        q = re.sub(
-            r"information_schema\.tables",
+        q = self._sub_outside_literals(
+            re.compile(r"\binformation_schema\.tables\b", re.I),
             "__information_schema_tables",
             q,
-            flags=re.I,
         )
         return self.spark.sql(q)
 

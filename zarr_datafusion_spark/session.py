@@ -104,48 +104,23 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _broadcast_threshold_bytes(spark: SparkSession) -> int:
-    """Parse ``spark.sql.autoBroadcastJoinThreshold`` into bytes
-    (accepts the bare-number default and k/m/g suffixes); -1 disables."""
-    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
-    raw = raw.strip().lower().removesuffix("b")
-    mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
-        if raw.endswith(suffix):
-            raw, mult = raw[:-1], m
-            break
-    try:
-        return int(raw) * mult
-    except ValueError:
-        return -1
-
-
-#: On-disk parquet is snappy-compressed + encoded; decoded in-memory
-#: rows run a conservative ~5x larger.  A table only gets the STATIC
-#: broadcast hint when even that pessimistic estimate fits the
-#: threshold, so the hint can never force a spill-sized broadcast.
-_BROADCAST_FILE_FACTOR = 5
-
-
-def _static_broadcast_hint(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
-    """A6 statistics -> Catalyst (VERDICT r5 item 8): dimension tables
-    whose FILE size proves them broadcast-small get the broadcast hint
-    at registration, so dimension-chain joins (Q5's nation/region/
-    supplier ladder, Q21's nation filter) plan broadcast joins from
-    static metadata instead of relying on AQE's runtime re-plan.  The
-    reference feeds exact row counts to DataFusion's planner the same
-    way (``src/datasource/zarr.rs:191-254``); for parquet the size is a
-    pure footer/stat fact — no data scan."""
-    thresh = _broadcast_threshold_bytes(spark)
-    if thresh <= 0:
-        return df
-    try:
-        size = os.path.getsize(path)
-    except OSError:
-        return df
-    if size * _BROADCAST_FILE_FACTOR <= thresh:
-        return df.hint("broadcast")
-    return df
+# A6 statistics -> Catalyst: dimension-chain joins (Q5's nation/region/
+# supplier ladder, Q21's nation filter) plan BroadcastHashJoins from
+# STATIC metadata because Spark's file-source relations report
+# sizeInBytes straight from the parquet file footprint — the same
+# stats-to-planner feed the reference wires through DataFusion
+# (``src/datasource/zarr.rs:191-254``), only built in.  Round 6 layered
+# an explicit ``df.hint("broadcast")`` on every file-small table on top
+# of that; the r7 A/B (BASELINE.md) showed the hint is redundant for
+# the plans it was meant to secure (Q5/Q21 keep 5 static
+# BroadcastHashJoins with hints off) while actively hurting elsewhere:
+# it flips exactly at threshold-boundary file sizes (events.parquet at
+# sf0.1 = 10.23 MB estimated vs the 10.49 MB threshold), lands on
+# build-ineligible outer-join sides (Q13's ``customer LEFT JOIN
+# orders`` -> HintErrorLogger warnings), and slowed the events/
+# embeddings consumers (asof_join/range_join/sim_topk).  The blanket
+# hint is therefore gone; queries that genuinely need a forced build
+# side state it at the join site with ``F.broadcast(...)``.
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -153,9 +128,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is normalized to a microsecond session-TZ TIMESTAMP
     regardless of the file's physical encoding — see
-    :func:`normalize_event_ts`.  Statically-small tables carry a
-    broadcast hint derived from file metadata — see
-    :func:`_static_broadcast_hint`.
+    :func:`normalize_event_ts`.  Broadcast-join planning for small
+    tables is left to Spark's native file-size statistics + AQE (see
+    the A6 note above) — no per-table hints.
     """
     # Deterministic timestamp semantics regardless of who built the
     # session (the driver hands queries its own SparkSession):
@@ -170,7 +145,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = normalize_event_ts(spark.read.parquet(path))
     else:
         df = spark.read.parquet(path)
-    return _static_broadcast_hint(spark, df, path)
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -209,6 +209,17 @@ class ZarrDataSourceReader(DataSourceReader):
                 isinstance(v, float) and np.isnan(v)
             )
 
+        def _norm_value(v):
+            # Normalize tz-aware datetime literals to naive UTC at
+            # ACCEPT time: the tightest-bound accumulation below
+            # compares literals against each other (``v > lo``), and a
+            # mixed aware/naive pair raises TypeError during planning
+            # (ADVICE r6).  Same conversion _cmp_domain applies to any
+            # literal it sees later, so the two stay consistent.
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+
         for f in filters:
             if (
                 isinstance(f, EqualTo)
@@ -219,7 +230,7 @@ class ZarrDataSourceReader(DataSourceReader):
                     or _ok_value(f.attribute[0], f.value)
                 )
             ):
-                self.coord_filters[f.attribute[0]] = f.value
+                self.coord_filters[f.attribute[0]] = _norm_value(f.value)
             elif (
                 isinstance(
                     f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
@@ -229,18 +240,19 @@ class ZarrDataSourceReader(DataSourceReader):
                 and _ok_value(f.attribute[0], f.value)
             ):
                 # accumulate conjuncts: tightest lower / upper bound wins
+                val = _norm_value(f.value)
                 lo, lo_s, hi, hi_s = self.coord_ranges.setdefault(
                     f.attribute[0], [None, False, None, False]
                 )
                 spec = self.coord_ranges[f.attribute[0]]
                 if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     strict = isinstance(f, GreaterThan)
-                    if lo is None or f.value > lo or (f.value == lo and strict):
-                        spec[0], spec[1] = f.value, strict
+                    if lo is None or val > lo or (val == lo and strict):
+                        spec[0], spec[1] = val, strict
                 else:
                     strict = isinstance(f, LessThan)
-                    if hi is None or f.value < hi or (f.value == hi and strict):
-                        spec[2], spec[3] = f.value, strict
+                    if hi is None or val < hi or (val == hi and strict):
+                        spec[2], spec[3] = val, strict
             yield f
 
     # -- planning -----------------------------------------------------------
@@ -573,13 +585,23 @@ class ZarrDataSourceReader(DataSourceReader):
                     col = read_window(self.store_path, var, window).reshape(-1)
                 col = col[:batch_rows]
                 target = _ARROW_TYPES.get(meta.array(name).dtype, pa.string())
+                if col.dtype.kind == "M":
+                    # ns->us with NUMPY's astype (floors toward -inf) —
+                    # the SAME conversion _cmp_domain uses for window
+                    # narrowing.  Arrow's safe=False cast truncates
+                    # toward zero instead, which disagrees by 1µs on
+                    # pre-1970 sub-µs ticks, so a narrowed window could
+                    # drop a boundary row the re-applied filter keeps
+                    # (ADVICE r6 — the superset contract requires one
+                    # conversion on both sides).
+                    col = col.astype("datetime64[us]")
                 arr = pa.array(col)
                 if arr.type != target:
-                    # safe=False: datetime64[ns] ticks TRUNCATE into the
-                    # us output domain (Spark timestamps are us; arrow's
-                    # safe cast would refuse sub-us precision loss and
-                    # fail the scan on perfectly valid ns stores)
-                    arr = arr.cast(target, safe=False)
+                    # safe=False ONLY for timestamp targets (unit
+                    # changes are legitimate precision loss); any other
+                    # dtype mismatch keeps arrow's overflow/precision
+                    # checks (ADVICE r6).
+                    arr = arr.cast(target, safe=not pa.types.is_timestamp(target))
                 arrays.append(arr)
 
             yield pa.RecordBatch.from_arrays(arrays, names=names)
