@@ -40,26 +40,27 @@ WINDOW = 50
 
 #: Entries whose implementation or oracle text changed THIS round: the
 #: standing green record predates the code, so each takes a window slot
-#: for a fresh record.  Replace the contents every round — this is the
-#: ONLY hand-maintained rotation state (VERDICT r5 item 4); first
-#: records for new entries, demotion of recorded entries, and refresh
-#: of the stalest records are all computed from the checked-in
-#: CORRECTNESS_r*.json files in :func:`_latest_green_round`.
+#: for a fresh record.  Since r7 detection is MECHANICAL (VERDICT r6
+#: item 4): ``_registries`` unions this dict with
+#: :func:`zarr_datafusion_spark.fingerprints.changed_since_record`,
+#: which compares each green entry's current call-graph+oracle
+#: fingerprint against the REGISTRY_FINGERPRINTS.json snapshot at its
+#: green round's driver commit — a forgotten declaration can no longer
+#: leave a stale record counting as correct.  This dict now only
+#: carries human-readable reasons (and covers rounds predating the
+#: snapshot).  Reset the contents every round.
 RE_RECORD = {
-    "dedup_minhash_lsh": "r6: oracle gained the short-doc gram fallback",
-    "dedup_ngram_jaccard": "r6: oracle gained the short-doc gram fallback",
-    "dedup_simhash": "r6: oracle empty-token filter + simhash-0 docs",
-    "scale_ranked_two_pass": "r6: localCheckpoint pins partition assignment",
-    "text_encode_ids": "r6: vocab ranked via two-pass, no global window",
-    "profile_numeric_columns": "r6: refactored to shared exact/approx builder",
-    "scale_bloom_join": "r6: bitmap map bound once before the transform",
-    "sim_topk_pq_adc": "r6: ADC pool sized from parquet footer stats",
-    "dedup_components": "r6: oracle gained the short-doc gram fallback",
-    "pipeline_curate": "r6: oracle gained the short-doc gram fallback",
-    "text_contamination": "r6: oracle gained the short-doc gram fallback",
-    "text_unigram_logprob": "r6: vocab join broadcast left to AQE",
-    "text_repetition_signals": "r6: sorted-run max frequency (was O(d*n))",
-    "streaming_lsh_dedup": "r6: static index capped; oracle = batch oracle",
+    # r7: zarr scan timestamp emission now floors ns->us with numpy
+    # semantics (matching _cmp_domain) and non-timestamp casts are
+    # safe again — datasource.py read-path change, so every zarr
+    # entry's record predates the shipped scan code.
+    "zarr_scan_flatten": "r7: scan emission floor/cast change",
+    "zarr_filter_pushdown": "r7: pushFilters tz-normalization + cast change",
+    "zarr_range_pushdown": "r7: range accept-time tz-normalization",
+    "zarr_agg": "r7: scan emission floor/cast change",
+    "zarr_limit_pushdown": "r7: scan emission floor/cast change",
+    "zarr_stats_shortcut": "r7: scan emission floor/cast change",
+    "zarr_sink_roundtrip": "r7: scan emission floor/cast change",
 }
 
 
@@ -174,18 +175,40 @@ def _registries() -> tuple[dict, dict]:
     if unknown:
         raise ValueError(f"RE_RECORD names not in the registry: {unknown}")
 
+    # Mechanical staleness (VERDICT r6 item 4): fingerprint drift since
+    # the entry's green-record commit.  Degrades to the hand dict alone
+    # when git/snapshot history is unavailable (never blocks the driver).
+    from zarr_datafusion_spark import fingerprints as FP
+
+    try:
+        changed = FP.changed_since_record(
+            green, FP.compute_fingerprints(queries, oracles)
+        )
+    except Exception:
+        changed = set()
+
     firsts = [n for n in oracle_names if n not in green]
-    stale = [n for n in oracle_names if n in green and n in RE_RECORD]
-    need = firsts + stale
-    if len(need) > WINDOW:
+    if len(firsts) > WINDOW:
         raise ValueError(
-            f"{len(need)} entries need a driver record but the checked "
-            f"window holds {WINDOW}; stage RE_RECORD across rounds"
+            f"{len(firsts)} first-record entries exceed the {WINDOW}-slot "
+            "window; stage new entries across rounds"
         )
     idx = {n: i for i, n in enumerate(oracle_names)}
+    stale = sorted(
+        (
+            n
+            for n in oracle_names
+            if n in green and (n in RE_RECORD or n in changed)
+        ),
+        key=lambda n: (green[n], idx[n]),  # stalest record first
+    )
+    # Window overflow auto-stages: firsts always fit (checked above);
+    # stale entries beyond the window keep their fingerprint mismatch,
+    # so they are re-derived and lead the rotation next round.
+    need = (firsts + stale)[:WINDOW]
     standing = sorted(
         (n for n in oracle_names if n not in set(need)),
-        key=lambda n: (green[n], idx[n]),  # stalest record first
+        key=lambda n: (green.get(n, 0), idx[n]),  # stalest record first
     )
     ordered = need + standing + rows_only
     queries = {n: queries[n] for n in ordered}

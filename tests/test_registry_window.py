@@ -84,6 +84,116 @@ def test_rows_only_entries_are_last():
     assert all(n not in oracles for n in names[first_rows_only:])
 
 
+def _fp_module(helper_body: str, doc: str = "d", const: str = "X"):
+    """Build a throwaway in-package module with an entry that calls a
+    helper and references a module constant — the shapes fingerprinting
+    must be sensitive to."""
+    import sys
+    import types
+
+    src = f'''
+CONST = {const!r}
+
+def helper(x):
+    {helper_body}
+
+def entry(spark, sf_dir):
+    """{doc}"""
+    return helper(CONST)
+'''
+    mod = types.ModuleType("zarr_datafusion_spark._fp_probe")
+    sys.modules[mod.__name__] = mod
+    exec(src, mod.__dict__)
+    mod.helper.__module__ = mod.__name__
+    mod.entry.__module__ = mod.__name__
+    return mod
+
+
+def test_fingerprint_sensitivity():
+    """The mechanized RE_RECORD detection (VERDICT r6 item 4) must see
+    through to SHARED HELPERS and MODULE CONSTANTS — the two r6 cases
+    (gram-fallback oracle text, localCheckpoint helper) — while staying
+    blind to docstring/comment edits (else every doc pass reflags 124
+    entries)."""
+    from zarr_datafusion_spark.fingerprints import entry_fingerprint
+
+    base = entry_fingerprint(_fp_module("return x + 1").entry, "SELECT 1")
+    # helper body change -> different digest (the entry's own source
+    # is unchanged)
+    assert entry_fingerprint(_fp_module("return x + 2").entry, "SELECT 1") != base
+    # module-constant change -> different digest
+    assert (
+        entry_fingerprint(_fp_module("return x + 1", const="Y").entry, "SELECT 1")
+        != base
+    )
+    # oracle text change -> different digest
+    assert entry_fingerprint(_fp_module("return x + 1").entry, "SELECT 2") != base
+    # docstring-only change -> SAME digest
+    assert (
+        entry_fingerprint(_fp_module("return x + 1", doc="other").entry, "SELECT 1")
+        == base
+    )
+
+
+def test_fingerprint_snapshot_current():
+    """REGISTRY_FINGERPRINTS.json must equal the computed fingerprints
+    — the snapshot is the git-historical baseline the staleness check
+    reads at each round commit, so it may never lag the code.  On
+    failure: run ``python scripts/update_fingerprints.py`` AND add the
+    changed entries to RE_RECORD (the mechanical check only covers
+    rounds whose commits carry a snapshot)."""
+    import json
+    import os
+
+    from zarr_datafusion_spark import fingerprints as FP
+
+    qs, oracles = E._registries()
+    computed = FP.compute_fingerprints(qs, oracles)
+    path = os.path.join(FP._REPO_ROOT, FP.FINGERPRINTS_FILE)
+    with open(path) as f:
+        snapshot = json.load(f)
+    drifted = sorted(
+        n
+        for n in set(snapshot) | set(computed)
+        if snapshot.get(n) != computed.get(n)
+    )
+    assert not drifted, (
+        f"stale fingerprint snapshot for {drifted}: run "
+        "scripts/update_fingerprints.py and declare these in RE_RECORD"
+    )
+
+
+def test_staged_mutation_is_caught(monkeypatch):
+    """End-to-end mechanism check (VERDICT item 4's done-bar): simulate
+    a green-recorded entry whose code changed after its record — the
+    historical snapshot carries a different digest — and assert the
+    registry puts it at the head of the checked window WITHOUT any
+    RE_RECORD declaration."""
+    from zarr_datafusion_spark import fingerprints as FP
+
+    green = E._latest_green_round()
+    qs, oracles = E._registries()
+    # pick a green oracle-backed entry with no hand declaration
+    victim = next(
+        n for n in qs if n in oracles and n in green and n not in E.RE_RECORD
+    )
+
+    real = FP.compute_fingerprints(qs, oracles)
+
+    def fake_recorded(round_no):
+        snap = dict(real)
+        snap[victim] = "0" * 32  # the digest the record was taken against
+        return snap
+
+    monkeypatch.setattr(FP, "recorded_fingerprints", fake_recorded)
+    FP._recorded_cache.clear()
+    changed = FP.changed_since_record(green, real)
+    assert victim in changed
+    # and the registry ordering reacts: victim joins the need head
+    window = list(E._registries()[0])[: E.WINDOW]
+    assert victim in window, "mechanically-flagged entry missed the window"
+
+
 def test_green_parser_reads_driver_records():
     """The rotation's input parser must see the real driver files: r5
     recorded 50 green rows, so the union across rounds is well past the
