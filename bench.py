@@ -93,6 +93,9 @@ HEADLINE = [
     "tpch_q19_discounted_revenue",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
+    # round-7: TPC-H closed at 22/22 (partsupp synthesized in-query)
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_count",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

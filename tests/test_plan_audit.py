@@ -43,6 +43,11 @@ NESTED_LOOP_OK = {
     "text_tfidf_top_terms": "broadcast 1-row corpus doc-count scalar",
     "text_bigram_logprob": "broadcast 1-row corpus token-total scalar",
     "dedup_semantic": "broadcast 1-row centroid array (SemDeDup coarse cells)",
+    # round-7 additions: the synthesized partsupp is part x a broadcast
+    # 4-row VALUES table (the TPC-H 4-suppliers-per-part rule) — a
+    # bounded 4x expansion, not an unbounded loop
+    "tpch_q11_important_stock": "broadcast 4-row VALUES expansion (partsupp)",
+    "tpch_q16_supplier_part_count": "broadcast 4-row VALUES expansion (partsupp)",
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the

@@ -213,6 +213,38 @@ def test_static_broadcast_plans_from_file_stats(spark):
         assert plan.count("BroadcastHashJoin") >= 3, f"{q} lost its static broadcasts"
 
 
+def test_q11_scalar_threshold_single_aggregate(spark):
+    """Q11's HAVING threshold (a scalar over the same derived relation)
+    must plan as ONE extra aggregate branch — never a per-group rescan
+    or a cartesian against the groups.  The only nested-loop shapes
+    allowed are the intentional broadcast 4-row VALUES expansions that
+    synthesize partsupp (one per reference to the CTE)."""
+    from zarr_datafusion_spark.operators.relational import QUERIES
+
+    plan = plan_text(QUERIES["tpch_q11_important_stock"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Subquery" in plan, "threshold did not plan as a scalar subquery"
+    assert "CartesianProduct" not in final
+    assert final.count("BroadcastNestedLoopJoin") <= 2, (
+        "nested loops beyond the two 4-row VALUES expansions"
+    )
+
+
+def test_q16_not_in_becomes_anti_join(spark):
+    """Q16's NOT IN supplier blacklist must plan as an anti join on
+    s_suppkey (count-distinct over the surviving suppliers), never a
+    per-row re-scan of supplier."""
+    from zarr_datafusion_spark.operators.relational import QUERIES
+
+    plan = plan_text(QUERIES["tpch_q16_supplier_part_count"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "LeftAnti" in final, "NOT IN did not become an anti join"
+    assert "CartesianProduct" not in final
+    assert final.count("BroadcastNestedLoopJoin") <= 1, (
+        "nested loops beyond the 4-row VALUES expansion"
+    )
+
+
 def test_q18_having_in_becomes_semi_join(spark):
     """Q18's IN over a grouped-HAVING subquery on the same fact table
     must plan as aggregate -> left-semi join on l_orderkey — one extra

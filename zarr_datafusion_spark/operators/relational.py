@@ -1580,6 +1580,92 @@ def scale_salted_agg(spark, sf_dir):
 
 
 
+# --- TPC-H Q11 / Q16: the two classes blocked on partsupp ---------------
+#
+# The driver schema has no partsupp table (TESTDATA.md), so both
+# queries derive one INSIDE the query with pure key arithmetic over
+# part x {0..3} (the TPC-H 4-suppliers-per-part rule): ps_suppkey =
+# (p_partkey*7 + i*13) mod |supplier| (supplier keys are dense
+# 0..n-1 at every driver SF), availqty/supplycost from coprime-
+# multiplier modular mixes.  Deterministic, no RNG, and expressible in
+# ONE SQL string both engines run — which upgrades Q11/Q16 from the
+# "local-only parity" VERDICT r6 expected into full oracle-backed
+# registry entries.  Integer cents keep every sum exact (module
+# docstring); the only float is each query's threshold scalar, the
+# same double in both engines because the integer sums stay < 2^53.
+
+_PARTSUPP_CTE = """
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + t.i * 13)
+               % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+             1 + (p_partkey * 31 + t.i * 17) % 9999 AS ps_availqty,
+             100 + (p_partkey * 13 + t.i * 7) % 99900 AS ps_supplycost_cents
+      FROM part, (VALUES (0), (1), (2), (3)) AS t(i)
+    )
+"""
+
+_Q11_SQL = f"""
+    WITH {_PARTSUPP_CTE},
+    national AS (
+      SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_12', 'NATION_21')
+    )
+    SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+    FROM national
+    GROUP BY ps_partkey
+    HAVING SUM(v) > (SELECT 1.6 * SUM(v) / COUNT(DISTINCT ps_partkey)
+                     FROM national)
+    ORDER BY value_cents DESC, ps_partkey
+"""
+
+
+@_q("tpch_q11_important_stock", _Q11_SQL)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part stock value within a nation group,
+    kept only when above a value threshold computed by a SECOND scan
+    of the same derived relation (the HAVING-over-global-scalar
+    pattern).  The TPC-H fixed fraction (0.0001/SF) goes empty or
+    all-pass as SF shifts, so the threshold is scale-free — 1.6x the
+    mean per-part value — selective at every driver SF.  Catalyst must
+    plan the scalar as one extra aggregate, never a per-group rescan
+    (pinned by test_q11_scalar_threshold_single_aggregate).  One SQL
+    string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+_Q16_SQL = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@_q("tpch_q16_supplier_part_count", _Q16_SQL)
+def tpch_q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) bucket with a NOT IN exclusion subquery (the
+    customer-complaints supplier blacklist; the driver schema has no
+    s_comment, so negative account balance marks the blacklist).
+    Catalyst must plan the NOT IN as an anti join on s_suppkey, never
+    a per-row rescan (pinned by test_q16_not_in_becomes_anti_join).
+    One SQL string for both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
 # The driver checks only the first ~50 global registry slots
 # (__spark_entry__ orders oracle-backed entries first, relational last).
 # Keep round-1-green names in this module's tail so any overflow falls
