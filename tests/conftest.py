@@ -15,6 +15,20 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Live-s3 test endpoint: the port must be bound and the endpoint env
+# var exported BEFORE the first SparkSession launches its JVM (Python
+# workers inherit env from the JVM, which snapshots this process's env
+# at launch), so the socket is created at conftest import time and the
+# fake-S3 fixture in test_zarr_source.py serves on it.
+import socket as _socket
+
+S3_TEST_SOCK = _socket.socket()
+S3_TEST_SOCK.bind(("127.0.0.1", 0))
+S3_TEST_SOCK.listen(64)
+os.environ["AWS_ENDPOINT_URL_S3"] = (
+    f"http://127.0.0.1:{S3_TEST_SOCK.getsockname()[1]}"
+)
 TABLES = (
     "region",
     "nation",

@@ -10,13 +10,13 @@ analog is per-task filesystem adapters — each executor opens its own
 client, so a 1000-task scan fans out across the object store with no
 driver bottleneck.
 
-This container ships no ``fsspec``/``s3fs``/``gcsfs``, so the s3/gs
-path is imported lazily and raises a clear error when absent; the
-``http(s)`` adapter is pure stdlib (urllib) and fully live — it is
-both a real capability (any store published over HTTP: a static file
-host, an object-store public endpoint) and the environment-independent
-proof of the remote read path (socket-crossing tests in
-``tests/test_zarr_source.py``).
+This container ships no ``fsspec``/``s3fs``/``gcsfs``, so the
+credentialed s3/gs path is imported lazily and raises a clear error
+when absent.  Two adapters are pure stdlib (urllib) and fully live:
+the ``http(s)`` adapter (any store published over HTTP), and the
+``s3://`` path-style adapter (unsigned GET + ListObjectsV2 against
+any S3-compatible endpoint — the reference's public-bucket mode) —
+both proven by socket-crossing tests in ``tests/test_zarr_source.py``.
 """
 
 from __future__ import annotations
@@ -198,12 +198,154 @@ class HttpStoreFS:
         return self.read_bytes(p).decode()
 
 
+class S3HttpStoreFS:
+    """Unsigned path-style S3 adapter over stdlib urllib — the
+    reference's anonymous/public-bucket S3 store semantics
+    (``storage.rs:134-151``) with zero package dependencies.
+
+    Requests go path-style to an S3-compatible endpoint:
+    ``{endpoint}/{bucket}/{key}`` for objects, ListObjectsV2
+    (``?list-type=2&prefix=...&delimiter=/``) for listings — the
+    protocol every S3-compatible server (AWS, MinIO, Ceph RGW,
+    localstack) speaks.  The endpoint comes from the AWS SDK's
+    standard ``$AWS_ENDPOINT_URL_S3`` / ``$AWS_ENDPOINT_URL``
+    environment variables (default ``https://s3.amazonaws.com``); on a
+    cluster, ship it to executors via ``spark.executorEnv.*``.  No
+    request signing: this path serves PUBLIC buckets (the reference's
+    no-credential mode); credentialed access goes through the fsspec
+    adapter when s3fs is installed.
+
+    Like :class:`HttpStoreFS`, each Spark task constructs its own
+    instance from the store URL — a 1000-task scan fans GETs across
+    the object store with no shared client or driver bottleneck.
+    Listings paginate with continuation tokens, so stores with >1000
+    keys per level list completely.
+    """
+
+    _TIMEOUT = 10.0
+
+    def __init__(self, endpoint: str | None = None):
+        import os
+
+        self.endpoint = (
+            endpoint
+            or os.environ.get("AWS_ENDPOINT_URL_S3")
+            or os.environ.get("AWS_ENDPOINT_URL")
+            or "https://s3.amazonaws.com"
+        ).rstrip("/")
+
+    @staticmethod
+    def _split(p: str) -> tuple[str, str]:
+        """``s3://bucket/key`` -> (bucket, key)."""
+        loc = StorageLocation.parse(p)
+        return loc.bucket, loc.path.strip("/")
+
+    def _obj_url(self, p: str) -> str:
+        from urllib.parse import quote
+
+        bucket, key = self._split(p)
+        return f"{self.endpoint}/{bucket}/{quote(key)}"
+
+    def _open(self, url: str, method: str = "GET"):
+        import urllib.request
+
+        req = urllib.request.Request(url, method=method)
+        return urllib.request.urlopen(req, timeout=self._TIMEOUT)
+
+    def _ok(self, url: str, method: str = "GET") -> bool:
+        import urllib.error
+
+        try:
+            with self._open(url, method=method):
+                return True
+        except (urllib.error.URLError, OSError, ValueError):
+            return False
+
+    def _list(self, p: str) -> tuple[list[str], list[str]]:
+        """ListObjectsV2 under ``key/`` with ``delimiter=/`` →
+        (direct child object keys, child "directory" prefixes),
+        following continuation tokens."""
+        import urllib.parse
+        import xml.etree.ElementTree as ET
+
+        bucket, key = self._split(p)
+        prefix = f"{key}/" if key else ""
+        contents: list[str] = []
+        prefixes: list[str] = []
+        token: str | None = None
+        while True:
+            q = {"list-type": "2", "prefix": prefix, "delimiter": "/"}
+            if token:
+                q["continuation-token"] = token
+            url = f"{self.endpoint}/{bucket}?{urllib.parse.urlencode(q)}"
+            with self._open(url) as resp:
+                doc = ET.fromstring(resp.read())
+
+            def _tag(el) -> str:  # strip the S3 XML namespace
+                return el.tag.rsplit("}", 1)[-1]
+
+            token = None
+            truncated = False
+            for el in doc:
+                t = _tag(el)
+                if t == "Contents":
+                    for sub in el:
+                        if _tag(sub) == "Key":
+                            contents.append(sub.text or "")
+                elif t == "CommonPrefixes":
+                    for sub in el:
+                        if _tag(sub) == "Prefix":
+                            prefixes.append(sub.text or "")
+                elif t == "IsTruncated":
+                    truncated = (el.text or "").strip() == "true"
+                elif t == "NextContinuationToken":
+                    token = (el.text or "").strip() or None
+            if not (truncated and token):
+                break
+        return contents, prefixes
+
+    def exists(self, p: str) -> bool:
+        if self._ok(self._obj_url(p), method="HEAD"):
+            return True
+        return self.isdir(p)
+
+    def isdir(self, p: str) -> bool:
+        # S3 has no directories: a "directory" exists iff the prefix
+        # has at least one key under it
+        contents, prefixes = self._list(p)
+        return bool(contents or prefixes)
+
+    def listdir(self, p: str) -> list[str]:
+        _, key = self._split(p)
+        plen = len(f"{key}/" if key else "")
+        contents, prefixes = self._list(p)
+        names = {c[plen:] for c in contents}
+        names |= {x[plen:].rstrip("/") for x in prefixes}
+        return sorted(n for n in names if n)
+
+    def read_bytes(self, p: str) -> bytes:
+        with self._open(self._obj_url(p)) as resp:
+            return resp.read()
+
+    def read_text(self, p: str) -> str:
+        return self.read_bytes(p).decode()
+
+
 def store_fs(store_path: str):
     """(adapter, normalized path) for a store location — the dispatch
-    point between local, HTTP, and object-store reads."""
+    point between local, HTTP, and object-store reads.  ``s3://``
+    prefers a credential-capable fsspec/s3fs client and falls back to
+    the unsigned stdlib path-style adapter (public-bucket semantics,
+    the reference's no-credential S3 mode) when the packages are
+    absent."""
     loc = StorageLocation.parse(store_path)
     if loc.scheme in ("http", "https"):
         return HttpStoreFS(), loc.url()
+    if loc.scheme == "s3":
+        try:
+            return FsspecStoreFS(open_filesystem(loc)), loc.url()
+        except (NotImplementedError, ImportError):
+            return S3HttpStoreFS(), loc.url()
     if loc.is_remote:
         return FsspecStoreFS(open_filesystem(loc)), loc.url()
     return LocalStoreFS(), loc.path
