@@ -29,6 +29,15 @@ S3_TEST_SOCK.listen(64)
 os.environ["AWS_ENDPOINT_URL_S3"] = (
     f"http://127.0.0.1:{S3_TEST_SOCK.getsockname()[1]}"
 )
+
+# Same for the fake-GCS endpoint (the GCS client-library emulator
+# convention honored by GcsHttpStoreFS).
+GCS_TEST_SOCK = _socket.socket()
+GCS_TEST_SOCK.bind(("127.0.0.1", 0))
+GCS_TEST_SOCK.listen(64)
+os.environ["STORAGE_EMULATOR_HOST"] = (
+    f"http://127.0.0.1:{GCS_TEST_SOCK.getsockname()[1]}"
+)
 TABLES = (
     "region",
     "nation",

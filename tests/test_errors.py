@@ -109,19 +109,29 @@ def test_storage_parse_errors():
         StorageLocation.parse("ftp://host/x")
 
 
-def test_remote_store_gated():
-    """Without fsspec installed, a remote read raises a clear message
-    at dispatch time (URLs parse fine — the reader is what's gated)."""
+def test_remote_store_fallback_without_fsspec():
+    """Without fsspec installed, s3:// and gs:// dispatch to the
+    stdlib public-bucket adapters instead of failing (r7 — the r6 gate
+    raised NotImplementedError here; both schemes now execute live,
+    see test_s3_store_schema_and_scan / test_gcs_store_adapter_live)."""
     try:
         import fsspec  # noqa: F401
 
-        pytest.skip("fsspec installed: the gate does not apply")
+        pytest.skip("fsspec installed: the fallback does not apply")
     except ImportError:
         pass
-    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+    from zarr_datafusion_spark.zarr.storage import (
+        GcsHttpStoreFS,
+        S3HttpStoreFS,
+        store_fs,
+    )
 
-    with pytest.raises(NotImplementedError, match="fsspec"):
-        discover_arrays("s3://bucket/store.zarr")
+    fs, root = store_fs("s3://bucket/store.zarr")
+    assert isinstance(fs, S3HttpStoreFS)
+    assert root == "s3://bucket/store.zarr"
+    fs, root = store_fs("gs://bucket/store.zarr")
+    assert isinstance(fs, GcsHttpStoreFS)
+    assert root == "gs://bucket/store.zarr"
 
 
 def test_storage_parse_http():

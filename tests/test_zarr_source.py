@@ -283,6 +283,25 @@ def test_sink_rejects_non_dense(spark, tmp_path):
         write_zarr(src, str(tmp_path / "bad.zarr"), coords=["time", "lat", "lon"])
 
 
+def test_sink_rejects_data_sized_axis(spark, tmp_path, monkeypatch):
+    """VERDICT r6: the sink's driver-side coordinate collect is bounded
+    — a column with more distinct values than the per-axis cap must
+    fail loudly BEFORE any unbounded collect (cap shrunk for the test;
+    the limit(cap+1) pass is what bounds the transfer)."""
+    import pytest
+
+    from zarr_datafusion_spark.zarr import sink, write_zarr
+
+    monkeypatch.setattr(sink, "MAX_COORD_VALUES_PER_AXIS", 5)
+    df = spark.range(24).selectExpr(
+        "id DIV 2 AS t",  # 12 distinct values > the 5-value cap
+        "id % 2 AS x",
+        "CAST(id * 2 AS DOUBLE) AS temperature",
+    )
+    with pytest.raises(ValueError, match="axis-sized"):
+        write_zarr(df, str(tmp_path / "cap.zarr"), coords=["t", "x"])
+
+
 def test_4d_flatten_order(spark, tmp_path):
     """4-D store (the reference's ERA5 shape class, time x hybrid x lat
     x lon): row-major flattening must match the numpy cell layout."""
@@ -1154,6 +1173,137 @@ def test_s3_store_schema_and_scan(spark, s3_store):
     assert meta.total_rows == 700
 
     df = read_zarr(spark, s3_store)
+    rows = df.orderBy("time", "lat", "lon").collect()
+    exp = expected_flat()
+    assert len(rows) == 700
+    assert [r.temperature for r in rows] == list(exp["temperature"])
+    assert [r.time for r in rows] == list(exp["time"])
+
+
+@pytest.fixture()
+def gcs_store(stores):
+    """Serve the v2_plain fixture store through a minimal live GCS
+    server (path-style media GET/HEAD + the JSON list API with
+    prefix/delimiter semantics) on the port conftest exported as
+    ``$STORAGE_EMULATOR_HOST``, and yield the store's ``gs://`` URL."""
+    import http.server
+    import json as _json
+    import os
+    import threading
+    import urllib.parse
+
+    from tests.conftest import GCS_TEST_SOCK
+
+    store_path = stores["v2_plain"]
+    root = os.path.dirname(store_path)
+    name = os.path.basename(store_path)
+    bucket = "test-gcs-bucket"
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: D102 - quiet test server
+            pass
+
+        def _keys(self):
+            out = []
+            for dirpath, _dirs, files in os.walk(os.path.join(root, name)):
+                for fn in files:
+                    rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                    out.append(rel.replace(os.sep, "/"))
+            return sorted(out)
+
+        def _respond(self, code, body=b"", ctype="application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if self.command != "HEAD":
+                self.wfile.write(body)
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            path = parsed.path
+            if path.startswith(f"/storage/v1/b/{bucket}/o"):
+                qs = urllib.parse.parse_qs(parsed.query)
+                prefix = qs.get("prefix", [""])[0]
+                delim = qs.get("delimiter", [""])[0]
+                keys = [k for k in self._keys() if k.startswith(prefix)]
+                items, prefixes, seen = [], [], set()
+                for k in keys:
+                    rest = k[len(prefix) :]
+                    if delim and delim in rest:
+                        pref = prefix + rest.split(delim, 1)[0] + delim
+                        if pref not in seen:
+                            seen.add(pref)
+                            prefixes.append(pref)
+                    else:
+                        items.append({"name": k})
+                body = _json.dumps(
+                    {"items": items, "prefixes": prefixes}
+                ).encode()
+                return self._respond(200, body, "application/json")
+            segs = path.lstrip("/").split("/", 1)
+            if segs[0] != bucket or len(segs) < 2:
+                return self._respond(404, b"NotFound")
+            key = urllib.parse.unquote(segs[1])
+            fp = os.path.join(root, *key.split("/"))
+            if not os.path.isfile(fp):
+                return self._respond(404, b"NoSuchObject")
+            with open(fp, "rb") as f:
+                return self._respond(200, f.read())
+
+        do_HEAD = do_GET  # _respond suppresses the body for HEAD
+
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), Handler, bind_and_activate=False
+    )
+    srv.socket = GCS_TEST_SOCK
+    srv.server_address = GCS_TEST_SOCK.getsockname()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"gs://{bucket}/{name}"
+    finally:
+        srv.shutdown()
+
+
+def test_gcs_store_adapter_live(gcs_store, stores):
+    """The anonymous GCS adapter must answer the full store-fs surface
+    against a live JSON-API server — the stdlib analog of the
+    reference's anonymous-first GCS chain (storage.rs:155-188,
+    examples/query_gcs.rs:36-43)."""
+    import os
+
+    from zarr_datafusion_spark.zarr.storage import GcsHttpStoreFS, store_fs
+
+    fs, root = store_fs(gcs_store)
+    assert isinstance(fs, GcsHttpStoreFS), "gs:// did not fall back to stdlib"
+    assert root == gcs_store
+    assert fs.isdir(root)
+    assert not fs.isdir(root + "/.zgroup")
+    assert fs.exists(root + "/.zgroup")
+    assert not fs.exists(root + "/nope")
+    listing = fs.listdir(root)
+    assert {"time", "lat", "lon", "temperature", "humidity"} <= set(listing)
+    local = stores["v2_plain"]
+    assert fs.read_text(root + "/.zgroup") == open(
+        os.path.join(local, ".zgroup")
+    ).read()
+    assert fs.read_bytes(root + "/temperature/0.0.0") == open(
+        os.path.join(local, "temperature", "0.0.0"), "rb"
+    ).read()
+
+
+def test_gcs_store_schema_and_scan(spark, gcs_store):
+    """End-to-end over live gs://: schema inference AND the
+    chunk-parallel Spark scan read every byte through the anonymous
+    GCS adapter; result equals the independent row-major expansion."""
+    from zarr_datafusion_spark.zarr import discover_arrays, read_zarr
+
+    meta = discover_arrays(gcs_store)
+    assert [c.name for c in meta.coords] == ["time", "lat", "lon"]
+    assert meta.total_rows == 700
+
+    df = read_zarr(spark, gcs_store)
     rows = df.orderBy("time", "lat", "lon").collect()
     exp = expected_flat()
     assert len(rows) == 700

@@ -71,13 +71,31 @@ def write_zarr(
         df.unpersist()
 
 
+#: Per-axis cap on driver-collected coordinate values.  Coordinates
+#: are AXES of the dense grid, not data: a 10^7-value axis already
+#: implies >=10^7 grid rows per value of every other axis, so real
+#: stores sit orders of magnitude below this (ERA5: 721 x 1440 x
+#: O(10^4) time steps).  The cap makes the 100 TB posture explicit —
+#: the collect is bounded metadata, and a DataFrame whose "axis" is
+#: actually data-sized fails loudly instead of OOMing the driver.
+MAX_COORD_VALUES_PER_AXIS = 10_000_000
+
+
 def _write_zarr_persisted(df, spark, store_path, coords, data_vars, spark_to_np):
     # --- driver side: coordinate values (tiny), grid validation, metadata
     coord_values: dict[str, np.ndarray] = {}
+    cap = MAX_COORD_VALUES_PER_AXIS
     for c in coords:
-        vals = np.sort(
-            np.array([r[0] for r in df.select(c).distinct().collect()])
-        )
+        # limit(cap+1) bounds the driver transfer in the same pass that
+        # detects overflow — no separate count job, no unbounded collect
+        rows = df.select(c).distinct().limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"coordinate {c!r} has more than {cap} distinct values; "
+                "that is data-sized, not axis-sized — not a dense-grid "
+                "coordinate"
+            )
+        vals = np.sort(np.array([r[0] for r in rows]))
         coord_values[c] = vals
     shape = tuple(len(coord_values[c]) for c in coords)
     n_cells = int(np.prod(shape))

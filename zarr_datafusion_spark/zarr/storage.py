@@ -331,13 +331,122 @@ class S3HttpStoreFS:
         return self.read_bytes(p).decode()
 
 
+class GcsHttpStoreFS:
+    """Anonymous GCS adapter over stdlib urllib — the reference's
+    anonymous-first GCS fallback chain (``storage.rs:155-188``) for
+    PUBLIC buckets, with zero package dependencies.
+
+    Objects download path-style (``{endpoint}/{bucket}/{key}``, the
+    GCS XML API GET — anonymous for public objects); listings use the
+    JSON API (``{endpoint}/storage/v1/b/{bucket}/o?prefix=...&
+    delimiter=/``) with ``nextPageToken`` pagination.  The endpoint
+    honors ``$STORAGE_EMULATOR_HOST`` (the GCS client-library emulator
+    convention; fake-gcs-server, local test servers), defaulting to
+    ``https://storage.googleapis.com``; on a cluster, ship the
+    override via ``spark.executorEnv.*``.  Credentialed access goes
+    through the fsspec adapter when gcsfs is installed.  Per-task
+    construction fans reads across executors like the other stdlib
+    adapters."""
+
+    _TIMEOUT = 10.0
+
+    def __init__(self, endpoint: str | None = None):
+        import os
+
+        ep = endpoint or os.environ.get("STORAGE_EMULATOR_HOST") or (
+            "https://storage.googleapis.com"
+        )
+        if "://" not in ep:
+            ep = f"http://{ep}"  # emulator convention: bare host:port
+        self.endpoint = ep.rstrip("/")
+
+    @staticmethod
+    def _split(p: str) -> tuple[str, str]:
+        loc = StorageLocation.parse(p)
+        return loc.bucket, loc.path.strip("/")
+
+    def _obj_url(self, p: str) -> str:
+        from urllib.parse import quote
+
+        bucket, key = self._split(p)
+        return f"{self.endpoint}/{bucket}/{quote(key)}"
+
+    def _open(self, url: str, method: str = "GET"):
+        import urllib.request
+
+        req = urllib.request.Request(url, method=method)
+        return urllib.request.urlopen(req, timeout=self._TIMEOUT)
+
+    def _ok(self, url: str, method: str = "GET") -> bool:
+        import urllib.error
+
+        try:
+            with self._open(url, method=method):
+                return True
+        except (urllib.error.URLError, OSError, ValueError):
+            return False
+
+    def _list(self, p: str) -> tuple[list[str], list[str]]:
+        """JSON-API listing under ``key/`` with ``delimiter=/`` →
+        (direct child object names, child prefixes), following
+        ``nextPageToken``."""
+        import json as _json
+        import urllib.parse
+
+        bucket, key = self._split(p)
+        prefix = f"{key}/" if key else ""
+        items: list[str] = []
+        prefixes: list[str] = []
+        token: str | None = None
+        while True:
+            q = {"prefix": prefix, "delimiter": "/"}
+            if token:
+                q["pageToken"] = token
+            url = (
+                f"{self.endpoint}/storage/v1/b/{bucket}/o?"
+                f"{urllib.parse.urlencode(q)}"
+            )
+            with self._open(url) as resp:
+                doc = _json.loads(resp.read())
+            items += [it["name"] for it in doc.get("items", []) if "name" in it]
+            prefixes += doc.get("prefixes", [])
+            token = doc.get("nextPageToken")
+            if not token:
+                break
+        return items, prefixes
+
+    def exists(self, p: str) -> bool:
+        if self._ok(self._obj_url(p), method="HEAD"):
+            return True
+        return self.isdir(p)
+
+    def isdir(self, p: str) -> bool:
+        items, prefixes = self._list(p)
+        return bool(items or prefixes)
+
+    def listdir(self, p: str) -> list[str]:
+        _, key = self._split(p)
+        plen = len(f"{key}/" if key else "")
+        items, prefixes = self._list(p)
+        names = {it[plen:] for it in items}
+        names |= {x[plen:].rstrip("/") for x in prefixes}
+        return sorted(n for n in names if n)
+
+    def read_bytes(self, p: str) -> bytes:
+        with self._open(self._obj_url(p)) as resp:
+            return resp.read()
+
+    def read_text(self, p: str) -> str:
+        return self.read_bytes(p).decode()
+
+
 def store_fs(store_path: str):
     """(adapter, normalized path) for a store location — the dispatch
-    point between local, HTTP, and object-store reads.  ``s3://``
-    prefers a credential-capable fsspec/s3fs client and falls back to
-    the unsigned stdlib path-style adapter (public-bucket semantics,
-    the reference's no-credential S3 mode) when the packages are
-    absent."""
+    point between local, HTTP, and object-store reads.  ``s3://`` and
+    ``gs://`` prefer a credential-capable fsspec client and fall back
+    to the unsigned/anonymous stdlib adapters (public-bucket
+    semantics, the reference's no-credential modes) when the packages
+    are absent."""
     loc = StorageLocation.parse(store_path)
     if loc.scheme in ("http", "https"):
         return HttpStoreFS(), loc.url()
@@ -346,6 +455,11 @@ def store_fs(store_path: str):
             return FsspecStoreFS(open_filesystem(loc)), loc.url()
         except (NotImplementedError, ImportError):
             return S3HttpStoreFS(), loc.url()
+    if loc.scheme == "gs":
+        try:
+            return FsspecStoreFS(open_filesystem(loc)), loc.url()
+        except (NotImplementedError, ImportError):
+            return GcsHttpStoreFS(), loc.url()
     if loc.is_remote:
         return FsspecStoreFS(open_filesystem(loc)), loc.url()
     return LocalStoreFS(), loc.path
