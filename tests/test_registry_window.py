@@ -135,6 +135,39 @@ def test_fingerprint_sensitivity():
     )
 
 
+def test_fingerprint_sees_function_local_imports():
+    """The codebase's dominant helper style is a FUNCTION-LOCAL import
+    (``from pkg.mod import helper`` inside the body) — the traversal
+    must follow the dotted module path from co_names into the helper
+    module, or it is blind to most real helpers (the r7 sink-bound
+    change was invisible to the shallow version)."""
+    import sys
+    import types
+
+    from zarr_datafusion_spark.fingerprints import entry_fingerprint
+
+    def build(helper_body: str):
+        helper_mod = types.ModuleType("zarr_datafusion_spark._fp_probe_helper")
+        sys.modules[helper_mod.__name__] = helper_mod
+        exec(f"def shared(x):\n    {helper_body}\n", helper_mod.__dict__)
+        helper_mod.shared.__module__ = helper_mod.__name__
+
+        entry_mod = types.ModuleType("zarr_datafusion_spark._fp_probe_entry")
+        sys.modules[entry_mod.__name__] = entry_mod
+        exec(
+            "def entry(spark, sf_dir):\n"
+            "    from zarr_datafusion_spark._fp_probe_helper import shared\n"
+            "    return shared(1)\n",
+            entry_mod.__dict__,
+        )
+        entry_mod.entry.__module__ = entry_mod.__name__
+        return entry_mod.entry
+
+    a = entry_fingerprint(build("return x * 2"), "SELECT 1")
+    b = entry_fingerprint(build("return x * 3"), "SELECT 1")
+    assert a != b, "locally-imported helper change not seen"
+
+
 def test_fingerprint_snapshot_current():
     """REGISTRY_FINGERPRINTS.json must equal the computed fingerprints
     — the snapshot is the git-historical baseline the staleness check

@@ -98,8 +98,29 @@ def _collect(obj, seen: set[int], parts: list[bytes]) -> None:
     mod = sys.modules.get(getattr(obj, "__module__", None) or "")
     if mod is None:
         return
+    # Resolution scope: the defining module PLUS any package module the
+    # code imports FUNCTION-LOCALLY (`from pkg.mod import helper` inside
+    # the body — the dominant style in this codebase).  A local import
+    # compiles to IMPORT_NAME with the dotted module path in co_names
+    # (not a module global), so without this the traversal is blind to
+    # most helpers.
+    import importlib
+
+    scopes = [mod]
+    for dotted in sorted(n for n in _code_names(code) if n.startswith(_PKG)):
+        try:
+            scopes.append(importlib.import_module(dotted))
+        except ImportError:
+            pass
     for name in sorted(_code_names(code)):
-        g = getattr(mod, name, None)
+        g = next(
+            (
+                v
+                for v in (getattr(m, name, None) for m in scopes)
+                if v is not None
+            ),
+            None,
+        )
         if g is None or isinstance(g, types.ModuleType):
             continue
         gmod = getattr(g, "__module__", None)
