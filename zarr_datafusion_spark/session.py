@@ -67,6 +67,18 @@ def get_spark(app_name: str = "zarr_datafusion_spark") -> SparkSession:
         # classes; recompiles cost seconds).  Classes are small; keep
         # them all.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # ContextCleaner runs broadcast/shuffle/RDD cleanup only when
+        # driver GC collects the weak references — and the default
+        # periodic System.gc() fires every 30 MINUTES.  A many-query
+        # session (56-query bench, 127-entry sweep) accumulates
+        # executor-side broadcast blocks and shuffle files the whole
+        # time, taxing whatever runs late (the r6 "late-session
+        # contamination" class).  One driver GC per minute is
+        # negligible cost and keeps cleanup continuous.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
