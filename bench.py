@@ -96,6 +96,9 @@ HEADLINE = [
     # round-7: TPC-H closed at 22/22 (partsupp synthesized in-query)
     "tpch_q11_important_stock",
     "tpch_q16_supplier_part_count",
+    # round-7: exact substring-span dedup (single shuffle on the
+    # shingle hash; ~one row per corpus character)
+    "dedup_exact_substring",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

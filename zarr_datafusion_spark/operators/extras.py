@@ -2708,3 +2708,117 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return df_counts.join(head, "token").select("token", "df", "postings_head")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (round 7)
+# ---------------------------------------------------------------------------
+
+#: shingle length in characters: spans shorter than this are not
+#: reported (60 chars ~ the 50-token granularity of the
+#: exact-substring training-data dedup literature, scaled to the
+#: driver corpus's short documents)
+_SUBSTR_L = 60
+
+_EXACT_SUBSTRING_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lower(trim(text)) AS t,
+             length(lower(trim(text))) - {_SUBSTR_L} + 1 AS n
+      FROM documents
+      WHERE length(lower(trim(text))) >= {_SUBSTR_L}
+    ),
+    pos AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS p, t FROM d),
+    sh AS (
+      SELECT doc_id, n, p,
+             md5(substr(t, CAST(p AS INT), {_SUBSTR_L})) AS h
+      FROM pos
+    ),
+    flag AS (
+      SELECT doc_id, n, p,
+             min(doc_id) OVER (PARTITION BY h)
+               <> max(doc_id) OVER (PARTITION BY h) AS dup
+      FROM sh
+    ),
+    runs AS (
+      SELECT doc_id, n, p,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS run
+      FROM flag WHERE dup
+    ),
+    per_run AS (
+      SELECT doc_id, n, run, COUNT(*) AS len
+      FROM runs GROUP BY doc_id, n, run
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_shingles,
+           CAST(SUM(len) AS BIGINT) AS n_dup_positions,
+           CAST(MAX(len) + {_SUBSTR_L} - 1 AS BIGINT) AS longest_dup_span
+    FROM per_run GROUP BY doc_id, n
+"""
+
+
+@_q("dedup_exact_substring", _EXACT_SUBSTRING_ORACLE)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup — the "duplicated training data"
+    class the doc-level families can't see: two documents that are NOT
+    near-duplicates overall may still share a long verbatim span (a
+    quoted paragraph, boilerplate, a license header), and removing
+    those spans is its own dedup step in large-corpus curation
+    pipelines, distinct from MinHash/SimHash whole-document dedup.
+
+    Method: every character position emits a rolling {_SUBSTR_L}-char
+    shingle (md5-keyed — the engine-independent CMS hash pattern); a
+    shingle is a cross-document duplicate iff ``min(doc_id) OVER
+    (PARTITION BY hash) <> max(doc_id) OVER (...)`` — one window over
+    the hash key instead of a groupBy + join-back, so the whole
+    detection is a SINGLE shuffle on the shingle hash.  Duplicated
+    positions then collapse per document with the gaps-and-islands
+    pattern (position − row_number), giving each affected document its
+    duplicated-position count and its LONGEST verbatim duplicated span
+    — the per-doc coverage report the span-cutting step consumes.
+
+    Stride 1 guarantees every duplicated span of ≥ {_SUBSTR_L} chars
+    is found exactly (a strided/winnowed variant trades that guarantee
+    for proportionally fewer shingles — the knob to turn first at
+    100 TB; the shingle volume, ~one row per corpus character, is the
+    honest cost of EXACT substring dedup and is why the literature's
+    suffix-array builds are offline batch jobs).  All hashes are md5,
+    so the DuckDB oracle recomputes every value bit-for-bit.
+    """
+    docs = cpu_rebalance(
+        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    d = (
+        docs.select("doc_id", F.lower(F.trim("text")).alias("t"))
+        .withColumn("n", F.length("t") - _SUBSTR_L + 1)
+        .filter(F.col("n") >= 1)  # sequence() never sees n < 1
+    )
+    sh = d.select(
+        "doc_id",
+        "n",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("p"),
+    ).select(
+        "doc_id",
+        "n",
+        "p",
+        # substring(col, col, lit): plain column refs inside the call —
+        # no lambda, no rebuild-per-element hazard
+        F.md5(F.expr(f"substring(t, p, {_SUBSTR_L})")).alias("h"),
+    )
+    wh = W.partitionBy("h")
+    dup_pos = sh.withColumn(
+        "dup", F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
+    ).filter("dup")
+    wd = W.partitionBy("doc_id").orderBy("p")
+    runs = dup_pos.withColumn("run", F.col("p") - F.row_number().over(wd))
+    per_run = runs.groupBy("doc_id", "n", "run").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return per_run.groupBy("doc_id", "n").agg(
+        F.sum("len").cast("bigint").alias("n_dup_positions"),
+        (F.max("len") + _SUBSTR_L - 1).cast("bigint").alias("longest_dup_span"),
+    ).select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_shingles"),
+        "n_dup_positions",
+        "longest_dup_span",
+    )
