@@ -251,3 +251,155 @@ def test_ranked_two_pass_property(spark, rows, n_parts):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Partition-planner invariants (round 7)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def planner_cases(draw):
+    ndim = draw(st.integers(2, 3))
+    sizes = draw(
+        st.lists(st.integers(1, 8), min_size=ndim, max_size=ndim, unique=True)
+    )
+    chunks = tuple(draw(st.integers(1, s)) for s in sizes)
+    target = draw(st.integers(1, 12))
+    total = int(np.prod(sizes))
+    limit = draw(st.one_of(st.none(), st.integers(1, total + 3)))
+    return tuple(sizes), chunks, target, limit
+
+
+def _boxes(parts):
+    return [
+        ((p.outer_lo, p.outer_hi), *p.inner_windows)
+        for p in parts
+        if p.outer_hi > p.outer_lo
+    ]
+
+
+def _vol(box):
+    return int(np.prod([hi - lo for lo, hi in box]))
+
+
+def _overlap(a, b):
+    return all(al < bh and bl < ah for (al, ah), (bl, bh) in zip(a, b))
+
+
+@settings(max_examples=25, deadline=None)
+@given(case=planner_cases())
+def test_partition_plan_covers_grid_exactly_once(tmp_path_factory, case):
+    """Planner correctness is scan correctness: for ANY grid shape,
+    chunking, parallelism target, and limit, the planned partitions
+    must tile the grid — pairwise-disjoint boxes whose volumes sum to
+    the full row count (every cell read exactly once); under a limit,
+    per-slab budgets must sum to min(limit, rows) so the trimmed scan
+    emits exactly the limited prefix.  This pins the 3-stage splitter
+    (outer slabs -> chunk-aligned inner splits -> sub-chunk splits),
+    whose bugs would silently drop or duplicate rows."""
+    sizes, chunks, target, limit = case
+
+    arrays = {
+        f"c{i}": (np.arange(s, dtype=np.int64), (s,))
+        for i, s in enumerate(sizes)
+    }
+    arrays["v"] = (
+        np.arange(int(np.prod(sizes)), dtype=np.int64).reshape(sizes),
+        chunks,
+    )
+    store = str(tmp_path_factory.mktemp("plan") / "g.zarr")
+    write_store(store, arrays)
+
+    from zarr_datafusion_spark.zarr.datasource import ZarrDataSourceReader
+    from zarr_datafusion_spark.zarr.metadata import (
+        discover_arrays,
+        infer_spark_schema,
+    )
+
+    meta = discover_arrays(store)
+    opts = {"path": store, "target_partitions": str(target)}
+    if limit is not None:
+        opts["limit"] = str(limit)
+    reader = ZarrDataSourceReader(infer_spark_schema(meta), opts, meta)
+    parts = reader.partitions()
+
+    total = int(np.prod(sizes))
+    boxes = _boxes(parts)
+    # within bounds, well-formed
+    for b in boxes:
+        assert len(b) == len(sizes)
+        for (lo, hi), s in zip(b, sizes):
+            assert 0 <= lo < hi <= s
+    # pairwise disjoint
+    for i in range(len(boxes)):
+        for j in range(i + 1, len(boxes)):
+            assert not _overlap(boxes[i], boxes[j]), (boxes[i], boxes[j])
+
+    if limit is None:
+        assert sum(_vol(b) for b in boxes) == total, "grid not fully tiled"
+        assert all(p.row_budget is None for p in parts)
+    else:
+        budgets = [p.row_budget for p in parts if p.outer_hi > p.outer_lo]
+        assert all(b is not None and b > 0 for b in budgets)
+        assert sum(budgets) == min(limit, total), "limit budget mismatch"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=20),
+    lo=st.one_of(st.none(), st.integers(-60, 60)),
+    hi=st.one_of(st.none(), st.integers(-60, 60)),
+    lo_strict=st.booleans(),
+    hi_strict=st.booleans(),
+)
+def test_range_window_matches_predicate(
+    tmp_path_factory, vals, lo, hi, lo_strict, hi_strict
+):
+    """The range-pushdown window must agree with the predicate for ANY
+    coordinate array and bound combination: on a SORTED coordinate the
+    window is exactly the matching index range; on an unsorted one it
+    must bail to the full dimension (superset contract — narrowing may
+    never drop a matching row)."""
+    arr = np.array(vals, dtype=np.int64)
+    store = str(tmp_path_factory.mktemp("rw") / "g.zarr")
+    write_store(
+        store,
+        {
+            "c0": (arr, (len(arr),)),
+            "c1": (np.arange(2, dtype=np.int64), (2,)),
+            "v": (
+                np.zeros((len(arr), 2), dtype=np.int64),
+                (max(1, len(arr) // 2), 2),
+            ),
+        },
+    )
+    from zarr_datafusion_spark.zarr.datasource import ZarrDataSourceReader
+    from zarr_datafusion_spark.zarr.metadata import (
+        discover_arrays,
+        infer_spark_schema,
+    )
+
+    meta = discover_arrays(store)
+    reader = ZarrDataSourceReader(
+        infer_spark_schema(meta), {"path": store}, meta
+    )
+    c0 = next(c for c in meta.coords if c.name == "c0")
+    reader.coord_ranges = {"c0": [lo, lo_strict, hi, hi_strict]}
+    w_lo, w_hi = reader._range_window(c0, arr)
+
+    def matches(v) -> bool:
+        if lo is not None and (v < lo or (lo_strict and v == lo)):
+            return False
+        if hi is not None and (v > hi or (hi_strict and v == hi)):
+            return False
+        return True
+
+    match_idx = [i for i, v in enumerate(vals) if matches(v)]
+    window_idx = set(range(w_lo, w_hi))
+    assert set(match_idx) <= window_idx, "window dropped a matching row"
+    sorted_coord = all(a <= b for a, b in zip(vals, vals[1:]))
+    if sorted_coord:
+        assert set(match_idx) == window_idx, "sorted window not exact"
+    else:
+        assert (w_lo, w_hi) == (0, len(vals)), "unsorted coord must not narrow"
