@@ -97,8 +97,10 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q16_supplier_part_count",
     # round-7: exact substring-span dedup (single shuffle on the
-    # shingle hash; ~one row per corpus character)
+    # shingle hash; ~one row per corpus character) + its winnowed
+    # scale path (same guarantee floor, ~3x smaller shuffle)
     "dedup_exact_substring",
+    "dedup_substring_winnowed",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

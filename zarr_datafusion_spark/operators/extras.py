@@ -2822,3 +2822,107 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_positions",
         "longest_dup_span",
     )
+
+
+#: winnowing window: every run of _SUBSTR_WIN consecutive positions
+#: contributes at least one selected fingerprint, so any duplicated
+#: span of >= _SUBSTR_L + _SUBSTR_WIN - 1 chars is guaranteed detected
+_SUBSTR_WIN = 5
+
+_WINNOWED_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lower(trim(text)) AS t,
+             length(lower(trim(text))) - {_SUBSTR_L} + 1 AS n
+      FROM documents
+      WHERE length(lower(trim(text))) >= {_SUBSTR_L}
+    ),
+    pos AS (SELECT doc_id, unnest(generate_series(1, n)) AS p, t FROM d),
+    sh AS (
+      SELECT doc_id, p, md5(substr(t, CAST(p AS INT), {_SUBSTR_L})) AS h
+      FROM pos
+    ),
+    wm AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN {_SUBSTR_WIN - 1} PRECEDING
+                          AND CURRENT ROW) AS fp
+      FROM sh
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wm),
+    flag AS (
+      SELECT doc_id, fp,
+             min(doc_id) OVER (PARTITION BY fp)
+               <> max(doc_id) OVER (PARTITION BY fp) AS dup
+      FROM fps
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_fingerprints
+    FROM flag GROUP BY doc_id
+    HAVING SUM(CASE WHEN dup THEN 1 ELSE 0 END) > 0
+"""
+
+
+@_q("dedup_substring_winnowed", _WINNOWED_ORACLE)
+def dedup_substring_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed substring fingerprinting — the 100 TB SCALE PATH of
+    :func:`dedup_exact_substring` (the same exact↔approximate pairing
+    as ``sim_topk_bruteforce`` ↔ the ANN entries).  Min-sampling
+    winnowing (the MOSS fingerprinting scheme): each document keeps,
+    for every window of {_SUBSTR_WIN} consecutive shingle positions,
+    the MINIMUM shingle hash.  Every duplicated span of
+    ≥ {_SUBSTR_L} + {_SUBSTR_WIN} − 1 chars is still guaranteed to
+    share a selected fingerprint (identical content selects identical
+    minima), but the distinct-fingerprint volume that reaches the
+    cross-document shuffle drops to roughly 2/({_SUBSTR_WIN}+1) of the
+    positions — the map-side hashing cost is unchanged, the SHUFFLE
+    (the cluster-scale bottleneck) shrinks ~3×, and larger windows
+    trade detection floor for further reduction.
+
+    Plan: per-doc rolling min is ONE window on the doc key; the
+    distinct fingerprints then take the same min≠max-over-hash window
+    as the exact variant.  All hashes md5 → full DuckDB value oracle.
+    Output: per affected doc, its fingerprint count and how many of
+    its fingerprints also occur in another document.
+    """
+    docs = cpu_rebalance(
+        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    d = (
+        docs.select("doc_id", F.lower(F.trim("text")).alias("t"))
+        .withColumn("n", F.length("t") - _SUBSTR_L + 1)
+        .filter(F.col("n") >= 1)
+    )
+    sh = d.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("p"),
+    ).select(
+        "doc_id",
+        "p",
+        F.md5(F.expr(f"substring(t, p, {_SUBSTR_L})")).alias("h"),
+    )
+    wdw = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_SUBSTR_WIN - 1), 0)
+    )
+    fps = (
+        sh.withColumn("fp", F.min("h").over(wdw))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    wf = W.partitionBy("fp")
+    flag = fps.withColumn(
+        "dup", F.min("doc_id").over(wf) != F.max("doc_id").over(wf)
+    )
+    return (
+        flag.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_fingerprints"),
+        )
+        .filter(F.col("n_dup_fingerprints") > 0)
+    )
