@@ -101,6 +101,8 @@ HEADLINE = [
     # scale path (same guarantee floor, ~3x smaller shuffle)
     "dedup_exact_substring",
     "dedup_substring_winnowed",
+    # round-7: lexical retrieval (bit-exact log-free BM25)
+    "search_bm25_topk",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

@@ -48,6 +48,7 @@ NESTED_LOOP_OK = {
     # bounded 4x expansion, not an unbounded loop
     "tpch_q11_important_stock": "broadcast 4-row VALUES expansion (partsupp)",
     "tpch_q16_supplier_part_count": "broadcast 4-row VALUES expansion (partsupp)",
+    "search_bm25_topk": "broadcast 1-row corpus stats scalar (N, avgdl)",
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the

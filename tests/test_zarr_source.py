@@ -1544,6 +1544,43 @@ def test_datetime_range_pushdown(spark, tmp_path):
     assert len(eq) == 100, "ns-boundary row dropped by the pushdown window"
 
 
+@pytest.mark.parametrize("unit", ["s", "ms", "us", "ns"])
+def test_datetime_units_end_to_end(spark, tmp_path, unit):
+    """Real stores encode time at any of the four numpy datetime64
+    granularities — every unit must surface as a correct TimestampType
+    column AND window-narrow under eager range pushdown (coarse units
+    upcast to the µs output domain exactly)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    times = np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T06:00:00", "2024-01-01T12:00:00"],
+        dtype=f"M8[{unit}]",
+    )
+    store = write_store(
+        str(tmp_path / f"u_{unit}"),
+        {
+            "time": (times, (1,)),
+            "cell": (np.arange(2, dtype=np.int64), (2,)),
+            "temp": (np.arange(6, dtype=np.int64).reshape(3, 2), (1, 2)),
+        },
+    )
+    rows = read_zarr(spark, store).orderBy("time", "cell").collect()
+    assert [r.time for r in rows[:2]] == [
+        datetime.datetime(2024, 1, 1, 0, 0),
+        datetime.datetime(2024, 1, 1, 0, 0),
+    ]
+    got = (
+        read_zarr(spark, store, eager_pushdown=True)
+        .filter(F.col("time") >= F.lit("2024-01-01 06:00:00").cast("timestamp"))
+        .collect()
+    )
+    assert sorted(r.temp for r in got) == [2, 3, 4, 5]
+
+
 def test_pre_epoch_subus_ticks_floor_consistently(spark, tmp_path):
     """ADVICE r6 (medium): pre-1970 sub-µs ticks must FLOOR toward -inf
     into the µs output domain — the same numpy-astype semantics

@@ -2926,3 +2926,123 @@ def dedup_substring_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dup_fingerprints") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (round 7)
+# ---------------------------------------------------------------------------
+
+#: fixed query terms — medium-to-high-df tokens present at every
+#: driver SF, so the ranking is non-vacuous everywhere
+_BM25_TERMS = ("scan", "merge", "stream", "customer")
+
+_BM25_ORACLE = (lambda terms: f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id,
+                  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS DOUBLE) AS dl
+           FROM documents),
+    corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in terms)})
+           GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ((n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS score
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id), corpus
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN token = '{t}' THEN score END) AS s_{t}" for t in terms)}
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" + ".join(f"coalesce(s_{t}, 0.0)" for t in terms)} AS bm25
+    FROM pivoted
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+""")(_BM25_TERMS)
+
+
+@_q("search_bm25_topk", _BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus — the lexical-search
+    counterpart of the embedding ANN entries, and the ranking function
+    behind contamination lookup / hard-negative mining in training
+    pipelines.  k1 = 1.2, b = 0.75.
+
+    Bit-determinism engineering (the float-exactness house rule): the
+    IDF keeps BM25's odds ratio but drops the log —
+    ``(N − df + 0.5)/(df + 0.5)`` — because ``ln`` is a libm call with
+    no cross-engine rounding contract, while +,×,÷ are IEEE-exact;
+    and the per-document sum over query terms is NOT a float SUM (whose
+    partial-aggregation order is nondeterministic) but a conditional
+    pivot to one column per term added in FIXED textual order.  Result:
+    the DuckDB oracle reproduces every score bit-for-bit.
+
+    100 TB posture: term filtering prunes the explode to query-term
+    rows before any shuffle; df/dl/corpus stats are tiny aggregates
+    (corpus is a broadcast 1-row scalar); the final top-10 is
+    TakeOrderedAndProject with a (score, doc_id) total order.
+    """
+    docs = cpu_rebalance(
+        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    )
+    # doc length is size(split(...)) — MAP-ONLY, not an explode+groupBy
+    # (that shuffle was 60% of the query's cost; the split-count and
+    # the exploded-count are identical by construction)
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+        .cast("double")
+        .alias("dl"),
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        tf.join(dft, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "score",
+            ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    piv = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("token") == t, F.col("score"))).alias(f"s_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    total = None
+    for t in _BM25_TERMS:
+        c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        total = c if total is None else total + c
+    return (
+        piv.select("doc_id", total.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

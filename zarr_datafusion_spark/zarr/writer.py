@@ -33,6 +33,7 @@ _V2_DTYPE = {
     "bool": "|b1",
     "datetime64[ns]": "<M8[ns]",
     "datetime64[us]": "<M8[us]",
+    "datetime64[ms]": "<M8[ms]",
     "datetime64[s]": "<M8[s]",
 }
 
