@@ -16,28 +16,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
-# Live-s3 test endpoint: the port must be bound and the endpoint env
-# var exported BEFORE the first SparkSession launches its JVM (Python
-# workers inherit env from the JVM, which snapshots this process's env
-# at launch), so the socket is created at conftest import time and the
-# fake-S3 fixture in test_zarr_source.py serves on it.
+# Live-s3/gcs test endpoints: the ports must be bound and the endpoint
+# env vars exported BEFORE the first SparkSession launches its JVM
+# (Python workers inherit env from the JVM, which snapshots this
+# process's env at launch), so the sockets are created at conftest
+# import time and the fake-server fixtures in test_zarr_source.py
+# serve on them.
+#
+# PROCESS-WIDE SINGLETON, not module-level state: pytest imports this
+# file under TWO module names — ``conftest`` (pytest's own conftest
+# loading) and ``tests.conftest`` (the explicit imports in test
+# modules) — and a plain module-level bind would run twice, exporting
+# one port to the JVM and serving the fixture on the other (the r7
+# order-dependent s3/gcs timeout).  The sockets therefore live in a
+# sys.modules-keyed registry both module copies share.
 import socket as _socket
+import sys as _sys
+import types as _types
 
-S3_TEST_SOCK = _socket.socket()
-S3_TEST_SOCK.bind(("127.0.0.1", 0))
-S3_TEST_SOCK.listen(64)
-os.environ["AWS_ENDPOINT_URL_S3"] = (
-    f"http://127.0.0.1:{S3_TEST_SOCK.getsockname()[1]}"
+_REG = _sys.modules.setdefault(
+    "_zds_test_endpoint_registry", _types.ModuleType("_zds_test_endpoint_registry")
 )
+if not hasattr(_REG, "s3_sock"):
+    for _name, _env in (
+        ("s3_sock", "AWS_ENDPOINT_URL_S3"),
+        ("gcs_sock", "STORAGE_EMULATOR_HOST"),
+    ):
+        _s = _socket.socket()
+        _s.bind(("127.0.0.1", 0))
+        _s.listen(64)
+        setattr(_REG, _name, _s)
+        os.environ[_env] = f"http://127.0.0.1:{_s.getsockname()[1]}"
 
-# Same for the fake-GCS endpoint (the GCS client-library emulator
-# convention honored by GcsHttpStoreFS).
-GCS_TEST_SOCK = _socket.socket()
-GCS_TEST_SOCK.bind(("127.0.0.1", 0))
-GCS_TEST_SOCK.listen(64)
-os.environ["STORAGE_EMULATOR_HOST"] = (
-    f"http://127.0.0.1:{GCS_TEST_SOCK.getsockname()[1]}"
-)
+S3_TEST_SOCK = _REG.s3_sock
+GCS_TEST_SOCK = _REG.gcs_sock
 TABLES = (
     "region",
     "nation",

@@ -162,3 +162,38 @@ def test_zarr_string_coord_shortcut(engine, spark, tmp_path):
     assert row == spark.sql(
         "SELECT COUNT(*) AS n, MIN(station) AS lo, MAX(station) AS hi FROM strsc"
     ).collect()[0]
+
+
+def test_zarr_datetime_coord_shortcut(engine, spark, tmp_path):
+    """r7: MIN/MAX over a datetime64 coordinate answers scan-free —
+    the A8 rewrite extended to the most common axis type.  Bounds are
+    recorded in the scan's µs OUTPUT domain (the same numpy-astype
+    floor the reader emits), so the shortcut literal equals the
+    full-scan answer even for ns stores with sub-µs ticks, and the
+    TZ-safe timestamp_micros literal path applies (pre-1970 included)."""
+    import numpy as np
+
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    times = np.array(
+        [
+            "1969-12-31T23:59:59.999999500",  # floor -> ...59.999999
+            "2024-01-01T06:00:00",
+            "2024-06-30T12:00:00.000000300",  # floor -> ...00.000000
+        ],
+        dtype="M8[ns]",
+    )
+    store = write_store(
+        str(tmp_path / "dtsc"),
+        {
+            "time": (times, (3,)),
+            "cell": (np.arange(2, dtype=np.int64), (2,)),
+            "temp": (np.arange(6, dtype=np.int64).reshape(3, 2), (1, 2)),
+        },
+    )
+    engine.register_zarr("dt_sc", store)
+    sql = "SELECT MIN(time) AS lo, MAX(time) AS hi FROM dt_sc"
+    fast = engine.sql(sql)
+    assert engine.last_query_used_shortcut
+    assert "Zarr" not in plan_text(fast), "shortcut plan must not scan"
+    assert fast.collect() == spark.sql(sql).collect()

@@ -719,8 +719,9 @@ def test_datetime64_time_coordinate(spark, tmp_path):
     surfaces as a Spark TimestampType column with correct UTC instants;
     equality filters on it return exact rows (re-applied by Spark;
     since r6 datetime coords also window-narrow in the µs output
-    domain — test_datetime_range_pushdown — while staying excluded
-    from stats min/max)."""
+    domain — test_datetime_range_pushdown — and since r7 they carry
+    exact min/max statistics in that same output domain, so MIN/MAX
+    answer scan-free)."""
     import datetime
 
     from zarr_datafusion_spark.zarr import read_zarr
@@ -741,7 +742,10 @@ def test_datetime64_time_coordinate(spark, tmp_path):
     )
     meta = discover_arrays(store)
     assert meta.array("time").dtype == "datetime64[ns]"
-    assert "time" not in meta.coord_min_max  # shortcut guard
+    assert meta.coord_min_max["time"] == (
+        datetime.datetime(2024, 1, 1, 0, 0),
+        datetime.datetime(2024, 1, 1, 12, 0),
+    )
 
     df = read_zarr(spark, store)
     assert dict(df.dtypes)["time"] == "timestamp"

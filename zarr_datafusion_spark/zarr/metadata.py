@@ -417,12 +417,24 @@ def discover_arrays(store_path: str) -> ZarrStoreMeta:
         total_rows=int(np.prod([c.shape[0] for c in coords])) if coords else 0,
     )
     # Eager exact coord min/max (schema_inference.rs:214-302).
-    # datetime64 coords are excluded: .item() yields raw integer ticks,
-    # and a stats-shortcut literal built from them would not be the
-    # timestamp the scan returns — the shortcut must not fire rather
-    # than fire wrong (same guard discipline as float NaN bounds).
+    # datetime64 coords participate since r7: bounds are computed in
+    # the scan's OUTPUT domain — the same ``astype('datetime64[us]')``
+    # floor the reader applies before emitting — so the shortcut
+    # literal IS the value a full scan's MIN/MAX would return (floor is
+    # monotonic: min∘floor = floor∘min).  ``.item()`` on [us] values
+    # yields ``datetime.datetime``, which the shortcut turns into a
+    # TZ-safe ``timestamp_micros`` literal.  NaT bounds decline (the
+    # shortcut must not fire rather than fire wrong — the float-NaN
+    # guard discipline).
     for c in coords:
         if c.dtype.startswith("datetime64"):
+            values = read_array(store_path, c)
+            if len(values) and not np.isnat(values).any():
+                vals_us = values.astype("datetime64[us]")
+                meta.coord_min_max[c.name] = (
+                    vals_us.min().item(),
+                    vals_us.max().item(),
+                )
             continue
         values = read_array(store_path, c)
         if len(values):
