@@ -2884,6 +2884,16 @@ def dedup_substring_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the exact variant.  All hashes md5 → full DuckDB value oracle.
     Output: per affected doc, its fingerprint count and how many of
     its fingerprints also occur in another document.
+
+    Measured alternative (r7 A/B): the whole winnowing step can run
+    MAP-SIDE — shingle hashes as a per-row ``transform`` array,
+    rolling min via ``slice``+``array_min``, ``array_distinct`` before
+    any explode — eliminating the doc-key shuffle entirely so only
+    distinct fingerprints ever leave the row.  Identical output, but
+    3.70 s vs 2.99 s at sf0.1: higher-order-function md5/slice is
+    INTERPRETED (the codegen gotcha) while the explode+window path is
+    whole-stage-codegen'd.  On a cluster where the doc-key exchange —
+    not CPU — is the bottleneck, flip to the map-side shape.
     """
     docs = cpu_rebalance(
         spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
