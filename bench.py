@@ -101,8 +101,10 @@ HEADLINE = [
     # scale path (same guarantee floor, ~3x smaller shuffle)
     "dedup_exact_substring",
     "dedup_substring_winnowed",
-    # round-7: lexical retrieval (bit-exact log-free BM25)
+    # round-7: lexical retrieval (bit-exact log-free BM25) + batch
+    # k-NN join (salted two-stage per-query top-k)
     "search_bm25_topk",
+    "sim_knn_join",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

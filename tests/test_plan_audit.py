@@ -49,6 +49,7 @@ NESTED_LOOP_OK = {
     "tpch_q11_important_stock": "broadcast 4-row VALUES expansion (partsupp)",
     "tpch_q16_supplier_part_count": "broadcast 4-row VALUES expansion (partsupp)",
     "search_bm25_topk": "broadcast 1-row corpus stats scalar (N, avgdl)",
+    "sim_knn_join": "broadcast 16-row query-vector side (batch retrieval)",
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the

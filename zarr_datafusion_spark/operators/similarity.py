@@ -21,6 +21,7 @@ from collections.abc import Callable
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -860,4 +861,79 @@ def dedup_semantic(spark, sf_dir):
             F.round(F.expr(dot), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= SEM_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch k-NN join (round 7)
+# ---------------------------------------------------------------------------
+
+#: batch retrieval parameters: 16 query vectors, top-10 each, 16-way
+#: salting for the two-stage top-k
+KNN_NQ, KNN_K, KNN_SALTS = 16, 10, 16
+
+_KNN_JOIN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {KNN_NQ}),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {KNN_K}
+"""
+
+
+@_q("sim_knn_join", _KNN_JOIN_ORACLE)
+def sim_knn_join(spark, sf_dir):
+    """Batch k-NN JOIN: top-{KNN_K} neighbors for EACH of {KNN_NQ}
+    query vectors at once — the batch-retrieval shape (hard-negative
+    mining, embedding-index evaluation, dedup-candidate batching) that
+    the single-query ``sim_topk_bruteforce`` doesn't cover.
+
+    100 TB posture: the query side broadcasts ({KNN_NQ} rows), scoring
+    is a map-side expansion (one scored row per query x corpus pair,
+    never a corpus shuffle), and the per-query top-k runs as a
+    SALTED TWO-STAGE window: stage 1 keeps top-{KNN_K} within
+    (q_id, vec_id % {KNN_SALTS}) — {KNN_NQ}x{KNN_SALTS} parallel
+    groups with bounded output — stage 2 merges the
+    {KNN_NQ}x{KNN_SALTS}x{KNN_K} survivors per query.  A direct
+    per-query window would shuffle the full scored set to {KNN_NQ}
+    reducers (the classic low-cardinality window bottleneck); both
+    stages order by (cosine DESC, vec_id), a total order, so the
+    two-stage result is provably identical to the single-stage one
+    (any global top-k row is top-k within its salt group).  Dot
+    products use the module's single sequential-fold spelling
+    (:func:`_dot`); round(6) absorbs fold-order ulp, same as every
+    similarity oracle.
+    """
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(F.expr(_dot("embedding", "qe")), 6).alias("cosine"),
+            (F.col("vec_id") % KNN_SALTS).alias("salt"),
+        )
+    )
+    w1 = W.partitionBy("q_id", "salt").orderBy(F.col("cosine").desc(), "vec_id")
+    pre = scored.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= KNN_K
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        pre.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_id", "vec_id", "cosine", "rank")
     )
