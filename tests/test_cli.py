@@ -161,3 +161,17 @@ def test_information_schema_rewrite_skips_string_literals(engine):
         "FROM information_schema.tables WHERE table_name = 'lineitem'"
     ).collect()
     assert rows and rows[0].lit == "information_schema.tables"
+
+
+def test_explain_verbose_accepted_verbatim(engine):
+    """The reference's EXPLAIN VERBOSE spelling
+    (docs/CLI_REFERENCE.md:469-475) must run unchanged — rewritten to
+    Spark's EXPLAIN EXTENDED, whose output carries the full
+    parsed/analyzed/optimized/physical plan sections."""
+    rows = engine.sql(
+        "EXPLAIN VERBOSE SELECT l_returnflag, COUNT(*) FROM lineitem "
+        "GROUP BY l_returnflag"
+    ).collect()
+    text = rows[0][0]
+    assert "== Parsed Logical Plan ==" in text
+    assert "== Physical Plan ==" in text

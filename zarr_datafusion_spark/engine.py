@@ -106,6 +106,12 @@ class Engine:
         from zarr_datafusion_spark.stats.shortcuts import try_stats_shortcut
 
         self._last_shortcut = None
+        # The reference's EXPLAIN VERBOSE (docs/CLI_REFERENCE.md:469-475)
+        # is Spark's EXPLAIN EXTENDED — accept the DataFusion spelling
+        # verbatim so reference sessions replay unchanged.
+        query = re.sub(
+            r"^(\s*EXPLAIN\s+)VERBOSE(\s)", r"\1EXTENDED\2", query, flags=re.I
+        )
         m = self._ZARR_DDL.match(query)
         if m:
             name, location = m.group(1), m.group(2)
