@@ -175,3 +175,13 @@ def test_explain_verbose_accepted_verbatim(engine):
     text = rows[0][0]
     assert "== Parsed Logical Plan ==" in text
     assert "== Physical Plan ==" in text
+
+
+def test_repl_help_and_backslash_d(monkeypatch, capsys, engine):
+    """The reference CLI's `help` and `\\d` commands
+    (docs/CLI_REFERENCE.md:29-34) must work in the REPL: help prints
+    the command table, `\\d` lists registered tables like SHOW
+    TABLES."""
+    out = _run_repl(monkeypatch, capsys, engine, ["help", "\\d", "\\q"])
+    assert "show tables / \\d" in out
+    assert "lineitem" in out  # \d listed the registered tables

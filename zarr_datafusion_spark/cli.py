@@ -164,6 +164,23 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
             return
         if not buffer and line.strip().lower() in ("\\q", "quit", "exit"):
             return
+        if not buffer and line.strip().lower() == "help":
+            # reference CLI `help` (docs/CLI_REFERENCE.md:29-34)
+            print(
+                "Commands:\n"
+                "  help                 show this message\n"
+                "  quit / exit / \\q     exit the CLI\n"
+                "  show tables / \\d     list all registered tables\n"
+                "  DESCRIBE <table>     show a table's schema\n"
+                "  EXPLAIN [ANALYZE|VERBOSE] <query>\n"
+                "  CREATE EXTERNAL TABLE t STORED AS ZARR LOCATION '<path>'\n"
+                "  any Spark SQL statement (terminate with ; or newline;"
+                " trailing \\ continues)"
+            )
+            continue
+        if not buffer and line.strip() == "\\d":
+            # reference CLI `\d` = SHOW TABLES (docs/CLI_REFERENCE.md:33)
+            line = "SHOW TABLES"
         if not line.strip():
             continue
         buffer.append(line)
