@@ -1270,6 +1270,24 @@ def gcs_store(stores):
         srv.shutdown()
 
 
+def test_create_external_table_over_live_s3(engine, s3_store):
+    """The reference's object-store example end-to-end
+    (examples/query_gcs.rs:36-43, here over the live S3 endpoint):
+    CREATE EXTERNAL TABLE ... STORED AS ZARR with an s3:// LOCATION,
+    then COUNT answered scan-free from remotely-discovered statistics,
+    then a real scanning query through the engine."""
+    engine.sql(
+        f"CREATE EXTERNAL TABLE s3_weather STORED AS ZARR LOCATION '{s3_store}'"
+    )
+    n = engine.sql("SELECT COUNT(*) AS n FROM s3_weather").collect()[0].n
+    assert n == 700
+    assert engine.last_query_used_shortcut, "remote stats did not shortcut"
+    rows = engine.sql(
+        "SELECT lat, COUNT(*) AS n FROM s3_weather WHERE time = 0 GROUP BY lat"
+    ).collect()
+    assert len(rows) == 10 and all(r.n == 10 for r in rows)
+
+
 def test_gcs_store_adapter_live(gcs_store, stores):
     """The anonymous GCS adapter must answer the full store-fs surface
     against a live JSON-API server — the stdlib analog of the
