@@ -245,6 +245,22 @@ def test_q16_not_in_becomes_anti_join(spark):
     )
 
 
+def test_knn_join_partial_window_group_limit(spark):
+    """The batch k-NN join's scale property: the per-query rank filter
+    must plan as WindowGroupLimit in PARTIAL mode before the exchange —
+    each map partition keeps only its local top-k per query, so the
+    (low-cardinality) q_id shuffle carries bounded rows, never the
+    full scored expansion."""
+    from zarr_datafusion_spark.operators.similarity import QUERIES
+
+    plan = plan_text(QUERIES["sim_knn_join"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final, "rank-limit pushdown missing"
+    assert "Partial" in final.split("WindowGroupLimit", 1)[1] or (
+        final.count("WindowGroupLimit") >= 2
+    ), "no map-side partial top-k before the exchange"
+
+
 def test_q18_having_in_becomes_semi_join(spark):
     """Q18's IN over a grouped-HAVING subquery on the same fact table
     must plan as aggregate -> left-semi join on l_orderkey — one extra

@@ -899,19 +899,18 @@ def sim_knn_join(spark, sf_dir):
 
     100 TB posture: the query side broadcasts ({KNN_NQ} rows), scoring
     is a map-side expansion (one scored row per query x corpus pair,
-    never a corpus shuffle), and the per-query top-k runs as a
-    SALTED TWO-STAGE window: stage 1 keeps top-{KNN_K} within
-    (q_id, vec_id % {KNN_SALTS}) — {KNN_NQ}x{KNN_SALTS} parallel
-    groups with bounded output — stage 2 merges the
-    {KNN_NQ}x{KNN_SALTS}x{KNN_K} survivors per query.  A direct
-    per-query window would shuffle the full scored set to {KNN_NQ}
-    reducers (the classic low-cardinality window bottleneck); both
-    stages order by (cosine DESC, vec_id), a total order, so the
-    two-stage result is provably identical to the single-stage one
-    (any global top-k row is top-k within its salt group).  Dot
-    products use the module's single sequential-fold spelling
-    (:func:`_dot`); round(6) absorbs fold-order ulp, same as every
-    similarity oracle.
+    never a corpus shuffle), and the per-query top-k is ONE window
+    whose rank filter Catalyst rewrites into **WindowGroupLimit
+    Partial/Final** — each map partition keeps only its local
+    top-{KNN_K} per query BEFORE the exchange, so the shuffle carries
+    ≤ partitions x {KNN_NQ} x {KNN_K} rows, not the full scored set
+    (the classic low-cardinality window bottleneck, solved by the
+    engine itself; pinned by
+    ``test_knn_join_partial_window_group_limit``).  An explicit salted
+    two-stage top-k was measured first and is redundant under this
+    rewrite — one fewer exchange, identical result.  Dot products use
+    the module's single sequential-fold spelling (:func:`_dot`);
+    round(6) absorbs fold-order ulp, same as every similarity oracle.
     """
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < KNN_NQ).select(
@@ -924,16 +923,11 @@ def sim_knn_join(spark, sf_dir):
             "q_id",
             "vec_id",
             F.round(F.expr(_dot("embedding", "qe")), 6).alias("cosine"),
-            (F.col("vec_id") % KNN_SALTS).alias("salt"),
         )
     )
-    w1 = W.partitionBy("q_id", "salt").orderBy(F.col("cosine").desc(), "vec_id")
-    pre = scored.withColumn("r1", F.row_number().over(w1)).filter(
-        F.col("r1") <= KNN_K
-    )
-    w2 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
-        pre.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= KNN_K)
         .select("q_id", "vec_id", "cosine", "rank")
     )
