@@ -868,9 +868,8 @@ def dedup_semantic(spark, sf_dir):
 # Batch k-NN join (round 7)
 # ---------------------------------------------------------------------------
 
-#: batch retrieval parameters: 16 query vectors, top-10 each, 16-way
-#: salting for the two-stage top-k
-KNN_NQ, KNN_K, KNN_SALTS = 16, 10, 16
+#: batch retrieval parameters: 16 query vectors, top-10 each
+KNN_NQ, KNN_K = 16, 10
 
 _KNN_JOIN_ORACLE = f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS qe
