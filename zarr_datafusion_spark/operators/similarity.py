@@ -1,15 +1,24 @@
 """Similarity search over the ``embeddings`` table (beyond-reference).
 
-* brute-force cosine top-k — the exact baseline, oracle-checked;
-* random-hyperplane LSH-bucketed ANN — the scale path, rows-only
-  (recall vs brute force asserted in tests).
+* brute-force cosine top-k — the exact baseline;
+* batch k-NN join — top-k for many broadcast query vectors at once
+  (map-side WindowGroupLimit bounds the per-query shuffle);
+* random-hyperplane LSH ANN (multi-probe) and IVF ANN (centroid
+  cells, nprobe) — the scale paths, bucket/cell-pruned;
+* int8-quantized and PQ-ADC retrieve-and-rerank top-k;
+* k-means training (Lloyd + k-means‖ init) and centroid profiling.
 
-Scale design: the query vector is a broadcast literal (one row — never
-a crossJoin of the corpus against itself); dot products are JVM-side
-higher-order-function folds (no Python in the scoring loop); top-k is
-``ORDER BY ... LIMIT k`` which Spark plans as TakeOrderedAndProject
-(per-partition heaps + driver merge, no global sort).  The LSH variant
-prunes the scored set to matching buckets — at 100 TB the bucket id
+All entries except the iterative k-means carry FULL DuckDB value
+oracles: every hash family is md5-derived and every dot product is
+the module's single sequential-fold spelling (:func:`_dot`), so
+sketches, bucket ids, and cosines are engine-independent.
+
+Scale design: query vectors are broadcast literals (never a corpus
+self-join); dot products are JVM-side higher-order-function folds (no
+Python in any scoring loop); single-query top-k plans as
+TakeOrderedAndProject (per-partition heaps, no global sort) and the
+batch top-k as WindowGroupLimit Partial/Final; the ANN variants prune
+the scored set to matching buckets/cells — at 100 TB the bucket id
 becomes a partition key so a query touches a handful of partitions.
 """
 
