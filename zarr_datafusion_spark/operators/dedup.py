@@ -1,13 +1,19 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Beyond-reference scope (BASELINE.json north star).  Five dedup families
-over ``documents`` / ``embeddings``:
+Beyond-reference scope (BASELINE.json north star).  This module holds
+the core dedup families over ``documents`` / ``embeddings``:
 
 * exact (hash-groupBy) — oracle-checked;
 * n-gram Jaccard (blocked exact verification) — oracle-checked;
 * MinHash + LSH banding (candidate generation at scale) — oracle-checked;
 * SimHash + Hamming bands — oracle-checked;
-* embedding-cosine near-dup — oracle-checked.
+* embedding-cosine near-dup — oracle-checked;
+* connected-component near-dup clustering + end-to-end curation.
+
+Later-round family members live in :mod:`.extras` (bloom-prefiltered
+dedup, SemDeDup semantic dedup, MinHash train/test contamination,
+exact substring-span dedup + its winnowed scale path) and in
+:mod:`.streaming_queries` (online LSH dedup) — all oracle-checked.
 
 Scale design (100 TB posture): every operator is blocked/bucketed so
 the only shuffles are on bounded keys (fingerprint, band hash, label),
