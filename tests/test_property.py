@@ -403,3 +403,74 @@ def test_range_window_matches_predicate(
         assert set(match_idx) == window_idx, "sorted window not exact"
     else:
         assert (w_lo, w_hi) == (0, len(vals)), "unsorted coord must not narrow"
+
+
+@st.composite
+def corpora(draw):
+    """Small corpora with PLANTED shared spans: each doc is a random
+    letter string, and some docs splice in a shared 'boilerplate'
+    fragment so cross-doc duplication actually occurs."""
+    alphabet = "abcd"
+    boiler = "".join(
+        draw(st.lists(st.sampled_from(alphabet), min_size=12, max_size=20))
+    )
+    n_docs = draw(st.integers(2, 6))
+    docs = []
+    for i in range(n_docs):
+        base = "".join(
+            draw(st.lists(st.sampled_from(alphabet), min_size=0, max_size=25))
+        )
+        if draw(st.booleans()):
+            cut = draw(st.integers(0, len(base)))
+            base = base[:cut] + boiler + base[cut:]
+        docs.append((i, base))
+    return docs
+
+
+def _brute_substring_report(docs, L):
+    """Pure-python twin of exact_substring_report."""
+    shingles = {}
+    for doc_id, t in docs:
+        t = t.lower().strip()
+        for p in range(len(t) - L + 1):
+            shingles.setdefault(t[p : p + L], set()).add(doc_id)
+    out = {}
+    for doc_id, t in docs:
+        t = t.lower().strip()
+        n = len(t) - L + 1
+        if n < 1:
+            continue
+        dup = [p for p in range(n) if len(shingles[t[p : p + L]]) > 1]
+        if not dup:
+            continue
+        runs, best, cur = [], 0, 1
+        for a, b in zip(dup, dup[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        best = max(best, 1)
+        out[doc_id] = (n, len(dup), best + L - 1)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpora())
+def test_exact_substring_matches_bruteforce(spark, docs):
+    """exact_substring_report == a pure-python brute force for ANY
+    corpus shape: planted shared fragments at arbitrary offsets, docs
+    shorter than the shingle, self-repetition inside one doc (must NOT
+    count), empty docs.  The DuckDB differential checks the driver
+    corpus; this checks the algebra itself."""
+    from zarr_datafusion_spark.operators.extras import exact_substring_report
+
+    L = 8
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_dup_positions, r.longest_dup_span)
+        for r in exact_substring_report(df, length=L).collect()
+    }
+    want = _brute_substring_report(docs, L)
+    assert got == want

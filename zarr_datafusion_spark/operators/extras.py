@@ -2786,9 +2786,18 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cpu_rebalance(
         spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     )
+    return exact_substring_report(docs)
+
+
+def exact_substring_report(docs: DataFrame, length: int = _SUBSTR_L) -> DataFrame:
+    """DataFrame-in/DataFrame-out core of :func:`dedup_exact_substring`
+    (library API: any (doc_id, text) DataFrame, any shingle length).
+    Property-tested against a pure-Python brute force on arbitrary
+    corpora (``test_property.py``) in addition to the registry's
+    DuckDB differential."""
     d = (
         docs.select("doc_id", F.lower(F.trim("text")).alias("t"))
-        .withColumn("n", F.length("t") - _SUBSTR_L + 1)
+        .withColumn("n", F.length("t") - length + 1)
         .filter(F.col("n") >= 1)  # sequence() never sees n < 1
     )
     sh = d.select(
@@ -2802,7 +2811,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         # substring(col, col, lit): plain column refs inside the call —
         # no lambda, no rebuild-per-element hazard
-        F.md5(F.expr(f"substring(t, p, {_SUBSTR_L})")).alias("h"),
+        F.md5(F.expr(f"substring(t, p, {length})")).alias("h"),
     )
     wh = W.partitionBy("h")
     dup_pos = sh.withColumn(
@@ -2815,7 +2824,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_run.groupBy("doc_id", "n").agg(
         F.sum("len").cast("bigint").alias("n_dup_positions"),
-        (F.max("len") + _SUBSTR_L - 1).cast("bigint").alias("longest_dup_span"),
+        (F.max("len") + length - 1).cast("bigint").alias("longest_dup_span"),
     ).select(
         "doc_id",
         F.col("n").cast("bigint").alias("n_shingles"),
