@@ -49,18 +49,18 @@ WINDOW = 50
 #: leave a stale record counting as correct.  This dict now only
 #: carries human-readable reasons (and covers rounds predating the
 #: snapshot).  Reset the contents every round.
-RE_RECORD = {
-    # r7: zarr scan timestamp emission now floors ns->us with numpy
-    # semantics (matching _cmp_domain) and non-timestamp casts are
-    # safe again — datasource.py read-path change, so every zarr
-    # entry's record predates the shipped scan code.
-    "zarr_scan_flatten": "r7: scan emission floor/cast change",
-    "zarr_filter_pushdown": "r7: pushFilters tz-normalization + cast change",
-    "zarr_range_pushdown": "r7: range accept-time tz-normalization",
-    "zarr_agg": "r7: scan emission floor/cast change",
-    "zarr_limit_pushdown": "r7: scan emission floor/cast change",
-    "zarr_stats_shortcut": "r7: scan emission floor/cast change",
-    "zarr_sink_roundtrip": "r7: scan emission floor/cast change",
+RE_RECORD: dict[str, str] = {
+    # r8: remote-store existence probes now re-raise non-404 failures
+    # instead of reading transient errors as "missing chunk" (ADVICE r7
+    # medium) — storage.py is in every zarr entry's call graph, so the
+    # mechanical fingerprint check flags the zarr entries; reasons here.
+    "zarr_scan_flatten": "r8: storage probe 404-only contract",
+    "zarr_filter_pushdown": "r8: storage probe 404-only contract",
+    "zarr_range_pushdown": "r8: storage probe 404-only contract",
+    "zarr_agg": "r8: storage probe 404-only contract",
+    "zarr_limit_pushdown": "r8: storage probe 404-only contract",
+    "zarr_stats_shortcut": "r8: storage probe 404-only contract",
+    "zarr_sink_roundtrip": "r8: storage probe 404-only contract",
 }
 
 
@@ -184,7 +184,12 @@ def _registries() -> tuple[dict, dict]:
         changed = FP.changed_since_record(
             green, FP.compute_fingerprints(queries, oracles)
         )
-    except Exception:
+    except Exception as e:  # degrade, never block the driver — but say so
+        print(
+            "WARNING: mechanical staleness check disabled "
+            f"({type(e).__name__}: {e}); falling back to RE_RECORD only",
+            file=sys.stderr,
+        )
         changed = set()
 
     firsts = [n for n in oracle_names if n not in green]

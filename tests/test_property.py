@@ -430,13 +430,16 @@ def corpora(draw):
 def _brute_substring_report(docs, L):
     """Pure-python twin of exact_substring_report."""
     shingles = {}
+    # strip(' ') not strip(): Spark trim() removes only SPACES, while
+    # Python str.strip() also removes \t/\n — the twins must agree on
+    # non-space whitespace if the corpus alphabet ever widens (ADVICE r7)
     for doc_id, t in docs:
-        t = t.lower().strip()
+        t = t.lower().strip(" ")
         for p in range(len(t) - L + 1):
             shingles.setdefault(t[p : p + L], set()).add(doc_id)
     out = {}
     for doc_id, t in docs:
-        t = t.lower().strip()
+        t = t.lower().strip(" ")
         n = len(t) - L + 1
         if n < 1:
             continue

@@ -227,6 +227,59 @@ def test_staged_mutation_is_caught(monkeypatch):
     assert victim in window, "mechanically-flagged entry missed the window"
 
 
+def test_no_function_local_relative_imports():
+    """``fingerprints._collect`` follows function-local imports through
+    the DOTTED module path in co_names; a function-local RELATIVE
+    import (``from .x import h``) compiles to a bare module name and
+    would be invisible to the staleness net (ADVICE r7).  Forbid the
+    pattern package-wide — module-level relative imports are fine
+    (resolved via module globals)."""
+    import ast
+    import os
+
+    import zarr_datafusion_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = []
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                tree = ast.parse(f.read(), filename=path)
+            for node in ast.walk(tree):
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    for sub in ast.walk(node):
+                        if isinstance(sub, ast.ImportFrom) and sub.level > 0:
+                            offenders.append(f"{path}:{sub.lineno}")
+    assert not offenders, (
+        "function-local relative imports escape fingerprinting; use the "
+        f"absolute dotted form: {offenders}"
+    )
+
+
+def test_refresh_floor_no_ancient_green_records():
+    """Standing rotation invariant (VERDICT r7 item 6): with the window
+    filled stalest-first, every green oracle-backed entry refreshes at
+    least every ceil(n_green / WINDOW) rounds — so no entry's latest
+    green record may lag the newest record by more than that cycle
+    length.  Pins that the histogram floor keeps moving (r8 expected
+    floor: the r5 cohort + oldest r6 entries rotate in)."""
+    import math
+
+    green = E._latest_green_round()
+    qs, oracles = E._registries()
+    rounds = {n: r for n, r in green.items() if n in oracles and n in qs}
+    latest = max(rounds.values())
+    cycle = math.ceil(len(rounds) / E.WINDOW)
+    ancient = sorted(n for n, r in rounds.items() if r < latest - cycle)
+    assert not ancient, (
+        f"green records older than {cycle} rounds behind r{latest} — "
+        f"the stalest-first rotation stalled: {ancient}"
+    )
+
+
 def test_green_parser_reads_driver_records():
     """The rotation's input parser must see the real driver files: r5
     recorded 50 green rows, so the union across rounds is well past the

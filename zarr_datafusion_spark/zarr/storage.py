@@ -24,6 +24,31 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 
+def _probe_404(open_fn, url: str, method: str = "GET") -> bool:
+    """Existence probe with a strict absence contract: ``True`` when the
+    URL serves, ``False`` ONLY on a definitive HTTP 404 (the object-store
+    "no such key" answer).  Every other failure — timeout, connection
+    error, 5xx, 403 throttling/auth — RE-RAISES.
+
+    Why strict: the Zarr chunk contract maps "chunk absent" to the
+    array's fill value (``chunkio.read_chunk``), so an existence probe
+    that swallowed a transient network error as ``False`` would silently
+    substitute fill values for a chunk that exists — wrong query results
+    with no error (ADVICE r7).  At fan-out scale object-store throttling
+    (503/SlowDown) is routine; a scan must fail loudly and retry at the
+    task level, never degrade to fabricated data.
+    """
+    import urllib.error
+
+    try:
+        with open_fn(url, method=method):
+            return True
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            return False
+        raise
+
+
 @dataclass(frozen=True)
 class StorageLocation:
     """Parsed store location (reference ``StorageLocation::parse``,
@@ -143,13 +168,7 @@ class HttpStoreFS:
         return urllib.request.urlopen(req, timeout=self._TIMEOUT)
 
     def _ok(self, url: str, method: str = "GET") -> bool:
-        import urllib.error
-
-        try:
-            with self._get(url, method=method):
-                return True
-        except (urllib.error.URLError, OSError, ValueError):
-            return False
+        return _probe_404(self._get, url, method)
 
     def exists(self, p: str) -> bool:
         # files answer HEAD directly; dir URLs redirect to p/ and then
@@ -253,13 +272,7 @@ class S3HttpStoreFS:
         return urllib.request.urlopen(req, timeout=self._TIMEOUT)
 
     def _ok(self, url: str, method: str = "GET") -> bool:
-        import urllib.error
-
-        try:
-            with self._open(url, method=method):
-                return True
-        except (urllib.error.URLError, OSError, ValueError):
-            return False
+        return _probe_404(self._open, url, method)
 
     def _list(self, p: str) -> tuple[list[str], list[str]]:
         """ListObjectsV2 under ``key/`` with ``delimiter=/`` →
@@ -378,13 +391,7 @@ class GcsHttpStoreFS:
         return urllib.request.urlopen(req, timeout=self._TIMEOUT)
 
     def _ok(self, url: str, method: str = "GET") -> bool:
-        import urllib.error
-
-        try:
-            with self._open(url, method=method):
-                return True
-        except (urllib.error.URLError, OSError, ValueError):
-            return False
+        return _probe_404(self._open, url, method)
 
     def _list(self, p: str) -> tuple[list[str], list[str]]:
         """JSON-API listing under ``key/`` with ``delimiter=/`` →
