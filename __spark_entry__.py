@@ -61,6 +61,12 @@ RE_RECORD: dict[str, str] = {
     "zarr_limit_pushdown": "r8: storage probe 404-only contract",
     "zarr_stats_shortcut": "r8: storage probe 404-only contract",
     "zarr_sink_roundtrip": "r8: storage probe 404-only contract",
+    # r8: winnowed entry refactored onto the shared two-shape core
+    # (VERDICT r7 item 7) — same plan, but the record predates the code.
+    "dedup_substring_winnowed": "r8: shared two-shape core refactor",
+    # r8: raw-text BM25 refactored onto the shared scoring tail the
+    # index-backed entry also uses — same values, record predates code.
+    "search_bm25_topk": "r8: shared scoring-tail refactor",
 }
 
 

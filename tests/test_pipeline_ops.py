@@ -213,6 +213,29 @@ def test_kmeans_partitions_corpus_and_converges(spark):
         assert assigned[r.vec_id] == want
 
 
+def test_kmeans_step_matches_trainer_first_iteration(spark):
+    """The oracle-backed one-step entry must agree with the iterative
+    trainer's first Lloyd update (same first-k seeds, same argmin
+    assignment): each cluster's reported centroid norm equals the
+    numpy norm of kmeans_fit(max_iter=1)'s centroid.  Ties the SQL
+    algebra to the UDF trainer so the two can't drift apart."""
+    import numpy as np
+
+    from zarr_datafusion_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    C1 = S.kmeans_fit(emb, max_iter=1)
+    got = {
+        r.cluster: (r.n_vectors, r.centroid_sq_norm)
+        for r in S.QUERIES["sim_kmeans_step"](spark, SF_DIR).collect()
+    }
+    assert sum(n for n, _ in got.values()) == emb.count()
+    for j, (_, norm) in got.items():
+        # trainer sums in decimal(38,12), the step in double + round(6):
+        # equal to well past the rounding precision
+        assert abs(norm - float((C1[j] ** 2).sum())) < 2e-6, (j, norm)
+
+
 def test_kmeans_parallel_init(spark):
     """k-means|| init (VERDICT r4 item 6): hash-keyed oversampling must
     be (a) deterministic run-to-run (no RNG anywhere), (b) produce k

@@ -477,3 +477,54 @@ def test_exact_substring_matches_bruteforce(spark, docs):
     }
     want = _brute_substring_report(docs, L)
     assert got == want
+
+
+def _brute_cut_spans(docs, L):
+    """Pure-python twin of cut_duplicate_spans: a position is removed
+    iff it is covered by ANY cross-doc duplicated L-shingle; cleaned
+    text is the uncovered subsequence verbatim."""
+    shingles: dict[str, set] = {}
+    norm = {doc_id: t.lower().strip(" ") for doc_id, t in docs}
+    for doc_id, t in norm.items():
+        for p in range(len(t) - L + 1):
+            shingles.setdefault(t[p : p + L], set()).add(doc_id)
+    out = {}
+    for doc_id, t in norm.items():
+        covered = [False] * len(t)
+        for p in range(len(t) - L + 1):
+            if len(shingles[t[p : p + L]]) > 1:
+                for i in range(p, p + L):
+                    covered[i] = True
+        if any(covered):
+            cleaned = "".join(c for c, cov in zip(t, covered) if not cov)
+            spans = sum(
+                1
+                for i, cov in enumerate(covered)
+                if cov and (i == 0 or not covered[i - 1])
+            )
+            out[doc_id] = (cleaned, sum(covered), spans)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpora())
+def test_cut_spans_matches_bruteforce(spark, docs):
+    """cut_duplicate_spans == the uncovered-position subsequence for
+    ANY corpus shape: the cleaned text must keep every non-duplicated
+    character verbatim, in order, and remove exactly the union of
+    duplicated L-char windows (the interval-merge algebra can't drop,
+    double-count, or reorder a segment).  The DuckDB differential
+    checks the driver corpus; this checks the algebra itself."""
+    from zarr_datafusion_spark.operators.extras import cut_duplicate_spans
+
+    L = 8
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_removed_chars, r.n_spans)
+        for r in cut_duplicate_spans(df, length=L).collect()
+    }
+    assert got == _brute_cut_spans(docs, L)
