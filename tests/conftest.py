@@ -47,6 +47,21 @@ if not hasattr(_REG, "s3_sock"):
         _s.listen(64)
         setattr(_REG, _name, _s)
         os.environ[_env] = f"http://127.0.0.1:{_s.getsockname()[1]}"
+    # Test AWS credentials, exported BEFORE the JVM launches for the
+    # same env-inheritance reason: executor-side S3HttpStoreFS
+    # instances read the credential chain from the env they inherit,
+    # so the live signed-s3 scan (test_zarr_source.py) needs these in
+    # the JVM snapshot.  The unsigned-mode live servers ignore the
+    # extra Authorization header these cause on their requests.
+    os.environ.setdefault("AWS_ACCESS_KEY_ID", "ZDSTESTACCESSKEY0000")
+    os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "zds-test-secret-key/with+chars")
+    os.environ.setdefault("AWS_DEFAULT_REGION", "us-east-1")
+
+S3_TEST_CREDS = (
+    os.environ["AWS_ACCESS_KEY_ID"],
+    os.environ["AWS_SECRET_ACCESS_KEY"],
+    "us-east-1",
+)
 
 S3_TEST_SOCK = _REG.s3_sock
 GCS_TEST_SOCK = _REG.gcs_sock

@@ -1184,6 +1184,226 @@ def test_s3_store_schema_and_scan(spark, s3_store):
     assert [r.time for r in rows] == list(exp["time"])
 
 
+def _verify_sigv4(handler, secret_key: str) -> bool:
+    """Independent SigV4 verification of a received request (the
+    server-side half of the public algorithm, reimplemented here from
+    the spec rather than imported from the adapter, so a signing bug
+    cannot self-validate): rebuild the canonical request from the RAW
+    request line + received headers, re-derive the signing key from
+    the shared secret, and constant-time-compare signatures."""
+    import hashlib
+    import hmac
+    from urllib.parse import parse_qsl, quote, urlsplit
+
+    auth = handler.headers.get("Authorization", "")
+    if not auth.startswith("AWS4-HMAC-SHA256 "):
+        return False
+    try:
+        fields = dict(
+            p.strip().split("=", 1)
+            for p in auth[len("AWS4-HMAC-SHA256 ") :].split(",")
+        )
+        ak, datestamp, region, svc, term = fields["Credential"].split("/")
+    except (ValueError, KeyError):
+        return False
+    signed = fields.get("SignedHeaders", "")
+    parts = urlsplit(handler.path)
+
+    def enc(s: str) -> str:
+        return quote(s, safe="-_.~")
+
+    cq = "&".join(
+        f"{k}={v}"
+        for k, v in sorted(
+            (enc(k), enc(v))
+            for k, v in parse_qsl(parts.query, keep_blank_values=True)
+        )
+    )
+    ch = "".join(
+        f"{h}:{(handler.headers.get(h) or '').strip()}\n"
+        for h in signed.split(";")
+    )
+    payload_hash = handler.headers.get("x-amz-content-sha256", "")
+    creq = "\n".join(
+        [handler.command, parts.path or "/", cq, ch, signed, payload_hash]
+    )
+    amzdate = handler.headers.get("x-amz-date", "")
+    scope = f"{datestamp}/{region}/{svc}/{term}"
+    sts = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amzdate,
+            scope,
+            hashlib.sha256(creq.encode()).hexdigest(),
+        ]
+    )
+
+    def hm(key, msg):
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k = hm(("AWS4" + secret_key).encode(), datestamp)
+    k = hm(k, region)
+    k = hm(k, svc)
+    k = hm(k, term)
+    want = hmac.new(k, sts.encode(), hashlib.sha256).hexdigest()
+    return hmac.compare_digest(want, fields.get("Signature", ""))
+
+
+@pytest.fixture()
+def s3_sigv4_store(stores):
+    """Serve the v2_plain store through a live S3-compatible server
+    that VERIFIES the SigV4 signature of EVERY request before serving
+    (403 on missing/invalid signatures) — the done-bar for VERDICT r7
+    item 2: a request only succeeds if the stdlib signer produced a
+    spec-correct signature over the exact bytes sent."""
+    import http.server
+    import os
+    import threading
+    import urllib.parse
+
+    from tests.conftest import S3_TEST_CREDS, S3_TEST_SOCK
+
+    secret = S3_TEST_CREDS[1]
+    store_path = stores["v2_plain"]
+    root = os.path.dirname(store_path)
+    name = os.path.basename(store_path)
+    bucket = "signedbucket"
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: D102 - quiet test server
+            pass
+
+        def _keys(self):
+            out = []
+            for dirpath, _dirs, files in os.walk(os.path.join(root, name)):
+                for fn in files:
+                    rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                    out.append(rel.replace(os.sep, "/"))
+            return sorted(out)
+
+        def _respond(self, code, body=b"", ctype="application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if self.command != "HEAD":
+                self.wfile.write(body)
+
+        def do_GET(self):
+            if not _verify_sigv4(self, secret):
+                return self._respond(403, b"SignatureDoesNotMatch")
+            parsed = urllib.parse.urlparse(self.path)
+            segs = parsed.path.lstrip("/").split("/", 1)
+            if segs[0] != bucket:
+                return self._respond(404, b"NoSuchBucket")
+            if len(segs) == 1 or parsed.query:
+                qs = urllib.parse.parse_qs(parsed.query)
+                prefix = qs.get("prefix", [""])[0]
+                delim = qs.get("delimiter", [""])[0]
+                keys = [k for k in self._keys() if k.startswith(prefix)]
+                contents, prefixes, seen = [], [], set()
+                for k in keys:
+                    rest = k[len(prefix) :]
+                    if delim and delim in rest:
+                        pref = prefix + rest.split(delim, 1)[0] + delim
+                        if pref not in seen:
+                            seen.add(pref)
+                            prefixes.append(pref)
+                    else:
+                        contents.append(k)
+                xml = [
+                    '<?xml version="1.0" encoding="UTF-8"?>',
+                    '<ListBucketResult xmlns='
+                    '"http://s3.amazonaws.com/doc/2006-03-01/">',
+                    "<IsTruncated>false</IsTruncated>",
+                ]
+                xml += [f"<Contents><Key>{k}</Key></Contents>" for k in contents]
+                xml += [
+                    f"<CommonPrefixes><Prefix>{p}</Prefix></CommonPrefixes>"
+                    for p in prefixes
+                ]
+                xml.append("</ListBucketResult>")
+                return self._respond(
+                    200, "".join(xml).encode(), "application/xml"
+                )
+            key = urllib.parse.unquote(segs[1])
+            fp = os.path.join(root, *key.split("/"))
+            if not os.path.isfile(fp):
+                return self._respond(404, b"NoSuchKey")
+            with open(fp, "rb") as f:
+                return self._respond(200, f.read())
+
+        do_HEAD = do_GET  # _respond suppresses the body for HEAD
+
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), Handler, bind_and_activate=False
+    )
+    srv.socket = S3_TEST_SOCK
+    srv.server_address = S3_TEST_SOCK.getsockname()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"s3://{bucket}/{name}"
+    finally:
+        srv.shutdown()
+
+
+def test_s3_sigv4_adapter_live(s3_sigv4_store, stores):
+    """Credentialed S3 (VERDICT r7 item 2): the full store-fs surface
+    against a server that rejects anything without a valid SigV4
+    signature — every passing call proves the stdlib signer end-to-end
+    (canonical request, key derivation, header set).  An explicitly
+    UNSIGNED adapter must be refused with 403, and under the strict
+    probe contract that 403 RAISES rather than reading as absent."""
+    import os
+    import urllib.error
+
+    from zarr_datafusion_spark.zarr.storage import S3HttpStoreFS, store_fs
+
+    fs, root = store_fs(s3_sigv4_store)
+    assert isinstance(fs, S3HttpStoreFS)
+    assert fs.credentials is not None, "env credential chain not picked up"
+    assert fs.exists(root + "/.zgroup")
+    assert not fs.exists(root + "/nope")
+    assert fs.isdir(root)
+    listing = fs.listdir(root)
+    assert {"time", "lat", "lon", "temperature", "humidity"} <= set(listing)
+    local = stores["v2_plain"]
+    assert fs.read_text(root + "/.zgroup") == open(
+        os.path.join(local, ".zgroup")
+    ).read()
+    assert fs.read_bytes(root + "/temperature/0.0.0") == open(
+        os.path.join(local, "temperature", "0.0.0"), "rb"
+    ).read()
+
+    unsigned = S3HttpStoreFS(credentials=None)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        unsigned.read_bytes(root + "/.zgroup")
+    assert exc.value.code == 403
+    with pytest.raises(urllib.error.HTTPError):
+        unsigned.exists(root + "/.zgroup")  # 403 must NOT read as absent
+
+
+def test_s3_sigv4_schema_and_scan(spark, s3_sigv4_store):
+    """End-to-end signed-s3 Spark scan: schema inference AND every
+    executor chunk read go through SigV4-signed requests (executors
+    build their adapters from the env the JVM inherited), against the
+    signature-VERIFYING server; result equals the independent
+    row-major expansion."""
+    from zarr_datafusion_spark.zarr import discover_arrays, read_zarr
+
+    meta = discover_arrays(s3_sigv4_store)
+    assert [c.name for c in meta.coords] == ["time", "lat", "lon"]
+    assert meta.total_rows == 700
+
+    df = read_zarr(spark, s3_sigv4_store)
+    rows = df.orderBy("time", "lat", "lon").collect()
+    exp = expected_flat()
+    assert len(rows) == 700
+    assert [r.temperature for r in rows] == list(exp["temperature"])
+    assert [r.time for r in rows] == list(exp["time"])
+
+
 @pytest.fixture()
 def gcs_store(stores):
     """Serve the v2_plain fixture store through a minimal live GCS

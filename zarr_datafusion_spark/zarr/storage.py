@@ -217,10 +217,123 @@ class HttpStoreFS:
         return self.read_bytes(p).decode()
 
 
+def _sigv4_headers(
+    method: str,
+    url: str,
+    access_key: str,
+    secret_key: str,
+    session_token: str | None,
+    region: str,
+    amzdate: str | None = None,
+) -> dict[str, str]:
+    """AWS Signature Version 4 request headers for a bodyless S3
+    request — pure stdlib (``hmac``/``hashlib``), implementing the
+    public SigV4 algorithm (canonical request → string-to-sign → HMAC
+    key derivation chain), the credentialed request path the reference
+    builds through the AWS SDK credential chain (``storage.rs:134-151``).
+
+    Returns ``x-amz-date``, ``x-amz-content-sha256`` (empty-payload
+    SHA256 — GET/HEAD only), optional ``x-amz-security-token``, and
+    the ``Authorization`` header.  The canonical URI is the request
+    path exactly as sent (S3 signs the single-encoded path, no
+    normalization); the canonical query re-encodes each decoded
+    name/value RFC-3986-style and sorts — :meth:`S3HttpStoreFS._list`
+    emits its query in exactly that canonical form, so what is signed
+    is byte-for-byte what is sent."""
+    import hashlib
+    import hmac
+    import time as _time
+    from urllib.parse import parse_qsl, quote, urlsplit
+
+    parts = urlsplit(url)
+    if amzdate is None:
+        amzdate = _time.strftime("%Y%m%dT%H%M%SZ", _time.gmtime())
+    datestamp = amzdate[:8]
+
+    def enc(s: str) -> str:
+        return quote(s, safe="-_.~")
+
+    canonical_query = "&".join(
+        f"{k}={v}"
+        for k, v in sorted(
+            (enc(k), enc(v))
+            for k, v in parse_qsl(parts.query, keep_blank_values=True)
+        )
+    )
+    payload_hash = hashlib.sha256(b"").hexdigest()
+    headers = {
+        "host": parts.netloc,
+        "x-amz-content-sha256": payload_hash,
+        "x-amz-date": amzdate,
+    }
+    if session_token:
+        headers["x-amz-security-token"] = session_token
+    signed = ";".join(sorted(headers))
+    canonical_headers = "".join(f"{k}:{headers[k]}\n" for k in sorted(headers))
+    creq = "\n".join(
+        [
+            method,
+            parts.path or "/",
+            canonical_query,
+            canonical_headers,
+            signed,
+            payload_hash,
+        ]
+    )
+    scope = f"{datestamp}/{region}/s3/aws4_request"
+    sts = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amzdate,
+            scope,
+            hashlib.sha256(creq.encode()).hexdigest(),
+        ]
+    )
+
+    def _hm(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k = _hm(("AWS4" + secret_key).encode(), datestamp)
+    k = _hm(k, region)
+    k = _hm(k, "s3")
+    k = _hm(k, "aws4_request")
+    signature = hmac.new(k, sts.encode(), hashlib.sha256).hexdigest()
+    out = {h: v for h, v in headers.items() if h != "host"}
+    out["Authorization"] = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed}, Signature={signature}"
+    )
+    return out
+
+
+def _s3_env_credentials() -> tuple[str, str, str | None, str] | None:
+    """(access_key, secret_key, session_token, region) from the
+    standard AWS environment variables, or None when no key pair is
+    present (anonymous/public-bucket mode)."""
+    import os
+
+    ak = os.environ.get("AWS_ACCESS_KEY_ID")
+    sk = os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if not (ak and sk):
+        return None
+    region = (
+        os.environ.get("AWS_REGION")
+        or os.environ.get("AWS_DEFAULT_REGION")
+        or "us-east-1"
+    )
+    return (ak, sk, os.environ.get("AWS_SESSION_TOKEN"), region)
+
+
 class S3HttpStoreFS:
-    """Unsigned path-style S3 adapter over stdlib urllib — the
-    reference's anonymous/public-bucket S3 store semantics
-    (``storage.rs:134-151``) with zero package dependencies.
+    """Path-style S3 adapter over stdlib urllib — the reference's S3
+    store semantics (``storage.rs:134-151``) with zero package
+    dependencies, in both of the reference's modes: ANONYMOUS
+    (public buckets, unsigned requests) and CREDENTIALED (SigV4-signed
+    requests from the standard ``$AWS_ACCESS_KEY_ID`` /
+    ``$AWS_SECRET_ACCESS_KEY`` / ``$AWS_SESSION_TOKEN`` environment
+    chain — ship to executors via ``spark.executorEnv.*``).  Signing
+    is per-request (:func:`_sigv4_headers`), proven live against a
+    local server that VERIFIES each signature before serving.
 
     Requests go path-style to an S3-compatible endpoint:
     ``{endpoint}/{bucket}/{key}`` for objects, ListObjectsV2
@@ -243,7 +356,11 @@ class S3HttpStoreFS:
 
     _TIMEOUT = 10.0
 
-    def __init__(self, endpoint: str | None = None):
+    def __init__(
+        self,
+        endpoint: str | None = None,
+        credentials: tuple | str | None = "auto",
+    ):
         import os
 
         self.endpoint = (
@@ -252,6 +369,12 @@ class S3HttpStoreFS:
             or os.environ.get("AWS_ENDPOINT_URL")
             or "https://s3.amazonaws.com"
         ).rstrip("/")
+        # credentials: "auto" -> read the AWS env chain; None -> force
+        # unsigned (public-bucket mode); or an explicit
+        # (access_key, secret_key, session_token, region) tuple
+        self.credentials = (
+            _s3_env_credentials() if credentials == "auto" else credentials
+        )
 
     @staticmethod
     def _split(p: str) -> tuple[str, str]:
@@ -269,6 +392,10 @@ class S3HttpStoreFS:
         import urllib.request
 
         req = urllib.request.Request(url, method=method)
+        if self.credentials:
+            ak, sk, token, region = self.credentials
+            for h, v in _sigv4_headers(method, url, ak, sk, token, region).items():
+                req.add_header(h, v)
         return urllib.request.urlopen(req, timeout=self._TIMEOUT)
 
     def _ok(self, url: str, method: str = "GET") -> bool:
@@ -277,7 +404,9 @@ class S3HttpStoreFS:
     def _list(self, p: str) -> tuple[list[str], list[str]]:
         """ListObjectsV2 under ``key/`` with ``delimiter=/`` →
         (direct child object keys, child "directory" prefixes),
-        following continuation tokens."""
+        following continuation tokens.  The query string is emitted in
+        SigV4 CANONICAL form (RFC-3986 encoding, sorted) so the signed
+        canonical query is byte-identical to the wire bytes."""
         import urllib.parse
         import xml.etree.ElementTree as ET
 
@@ -290,7 +419,14 @@ class S3HttpStoreFS:
             q = {"list-type": "2", "prefix": prefix, "delimiter": "/"}
             if token:
                 q["continuation-token"] = token
-            url = f"{self.endpoint}/{bucket}?{urllib.parse.urlencode(q)}"
+
+            def _enc(s: str) -> str:
+                return urllib.parse.quote(s, safe="-_.~")
+
+            qs = "&".join(
+                f"{k}={v}" for k, v in sorted((_enc(k), _enc(v)) for k, v in q.items())
+            )
+            url = f"{self.endpoint}/{bucket}?{qs}"
             with self._open(url) as resp:
                 doc = ET.fromstring(resp.read())
 
