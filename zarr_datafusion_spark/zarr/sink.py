@@ -42,6 +42,15 @@ def write_zarr(
     contain every combination of their distinct values exactly once
     (dense grid — validated).  ``data_vars`` defaults to all remaining
     numeric columns.  Returns {array_name: chunk_files_written}.
+
+    Driver-memory contract: the ONLY driver-side collect is the
+    per-axis distinct coordinate values, and it is hard-bounded at
+    :data:`MAX_COORD_VALUES_PER_AXIS` values per axis (checked with a
+    ``limit(cap+1)`` in the same job, so the transfer itself is
+    bounded too).  An axis exceeding the cap raises ``ValueError``
+    before any metadata or chunk is written — a column that large is
+    data-sized, not a dense-grid axis.  Data cells never pass through
+    the driver at any size.
     """
     if len(coords) < 2:
         raise ValueError("need >= 2 coordinate columns (data vars must be nD)")
