@@ -3271,6 +3271,17 @@ def _bm25_score_topk(tf: DataFrame, dl: DataFrame, k: int = 10) -> DataFrame:
     feed this, so the raw-text and index-backed paths cannot drift —
     identical expressions, identical fixed-order per-term summation,
     identical bit-exact scores."""
+    return (
+        _bm25_scores(tf, dl)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def _bm25_scores(tf: DataFrame, dl: DataFrame) -> DataFrame:
+    """Unlimited (doc_id, bm25) scores for every document matching a
+    query term — the rank source for fusion; see
+    :func:`_bm25_score_topk` for the expression provenance."""
     corpus = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -3299,11 +3310,7 @@ def _bm25_score_topk(tf: DataFrame, dl: DataFrame, k: int = 10) -> DataFrame:
     for t in _BM25_TERMS:
         c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
         total = c if total is None else total + c
-    return (
-        piv.select("doc_id", total.alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(k)
-    )
+    return piv.select("doc_id", total.alias("bm25"))
 
 
 def bm25_index_paths(sf_dir: str) -> tuple[str, str]:
@@ -3391,6 +3398,13 @@ def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortized across every later query (the build here is keyed by
     source (size, mtime) and cached on disk).
     """
+    tf, dl = _indexed_tf_dl(spark, sf_dir)
+    return _bm25_score_topk(tf, dl)
+
+
+def _indexed_tf_dl(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Query-term tf + doc lengths read from the persisted index (the
+    shared scan front of every index-backed retrieval entry)."""
     postings_path, doclen_path = build_bm25_index(spark, sf_dir)
     tf = (
         spark.read.parquet(postings_path)
@@ -3400,4 +3414,168 @@ def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = spark.read.parquet(doclen_path).select(
         "doc_id", F.col("dl").cast("double").alias("dl")
     )
-    return _bm25_score_topk(tf, dl)
+    return tf, dl
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion dampening constant
+
+_RRF_ORACLE = (lambda terms: f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id,
+                  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS DOUBLE) AS dl
+           FROM documents),
+    corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in terms)})
+           GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ((n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS score
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id), corpus
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN token = '{t}' THEN score END) AS s_{t}" for t in terms)}
+      FROM scored GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             {" + ".join(f"coalesce(s_{t}, 0.0)" for t in terms)} AS bm25
+      FROM pivoted
+    ),
+    lexrank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+      FROM lex
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, 65),
+                   i -> embedding[i]::DOUBLE * qe[i]::DOUBLE)) AS cosine
+      FROM embeddings, q WHERE vec_id <> 0
+    ),
+    semrank AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS sr
+      FROM sem
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+             coalesce(1.0 / ({_RRF_K} + l.lr), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + s.sr), 0.0) AS rrf
+      FROM lexrank l FULL OUTER JOIN semrank s ON l.doc_id = s.vec_id
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""")(_BM25_TERMS)
+
+
+@_q("search_rrf_hybrid", _RRF_ORACLE)
+def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard way
+    training-data pipelines combine LEXICAL (BM25) and SEMANTIC
+    (embedding cosine) relevance without calibrating their
+    incommensurable score scales: each candidate contributes
+    ``1/({_RRF_K}+rank)`` per list and the sums are fused.  Ranks are
+    positions in (a) the index-backed BM25 scoring of the query terms
+    and (b) the exact cosine ranking against the query vector
+    (``vec_id`` 0, the module-wide query constant); a document missing from either
+    list simply contributes nothing from it (full outer join).
+
+    Bit-determinism: both underlying scores are already bit-exact
+    cross-engine (the BM25 rational-IDF and the sequential-fold dot
+    product), so the rank sequences are identical, and the fused value
+    is a sum of two exactly-representable reciprocals — the oracle
+    reproduces every rrf value bit-for-bit.
+
+    100 TB posture: the lexical side reads only query-term postings;
+    the semantic side is the brute-force map-side scan here (swap in
+    the IVF/LSH entries' pruning at scale — fusion only needs ranks).
+    The two global rank row_numbers are single-partition windows over
+    ALREADY-REDUCED lists (matched docs, not the corpus); if a query
+    matches a corpus-sized doc set, the two-pass range-partitioned
+    ranking (``scale_ranked_two_pass``) replaces them one-for-one.
+    """
+    tf, dl = _indexed_tf_dl(spark, sf_dir)
+    lex = _bm25_scores(tf, dl)
+    w_lex = W.orderBy(F.col("bm25").desc(), "doc_id")
+    lexrank = lex.select("doc_id", F.row_number().over(w_lex).alias("lr"))
+
+    from zarr_datafusion_spark.operators.similarity import QUERY_VEC_ID, _dot
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    sem = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.expr(_dot("embedding", "qe")).alias("cosine"))
+    )
+    w_sem = W.orderBy(F.col("cosine").desc(), "vec_id")
+    semrank = sem.select("vec_id", F.row_number().over(w_sem).alias("sr"))
+
+    fused = lexrank.join(
+        semrank, lexrank["doc_id"] == semrank["vec_id"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("lr")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sr")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+_BOOL_AND_ORACLE = (lambda terms: f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    qtf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in terms)})
+      GROUP BY doc_id, token
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM qtf GROUP BY doc_id
+    HAVING COUNT(*) = {len(terms)}
+""")(_BM25_TERMS)
+
+
+@_q("search_boolean_and", _BOOL_AND_ORACLE)
+def search_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean conjunctive retrieval over the persisted inverted index:
+    documents containing ALL query terms, with their total query-term
+    frequency — the exact-match filter stage that precedes ranked
+    retrieval in contamination lookup and targeted corpus audits.
+
+    Plan: read ONLY the query terms' postings (pushed ``In(token)``
+    over the token-sorted parquet), one groupBy on doc_id counting
+    matched terms — the classic posting-list intersection expressed as
+    an aggregate, no document text touched.  At 100 TB the per-doc
+    group is ≤ |terms| rows by construction, so the shuffle carries
+    |terms| × |matching docs| tiny rows.  The oracle recomputes from
+    raw text; the postings tf values are exact, so counts match
+    bit-for-bit.
+    """
+    postings_path, _ = build_bm25_index(spark, sf_dir)
+    hits = (
+        spark.read.parquet(postings_path)
+        .filter(F.col("token").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+        .filter(F.col("n_terms") == len(_BM25_TERMS))
+    )
+    return hits
