@@ -272,6 +272,31 @@ def test_sink_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
 
 
+def test_sink_roundtrip_v3(spark, tmp_path):
+    """v3 sink mode: flattened df -> per-node zarr.json + c/<i>/...
+    chunk keys + consolidated root group -> the v3 read path scans it
+    back to the exact cell mapping.  The root group (with embedded
+    consolidated metadata) is written LAST as the completion marker."""
+    import json
+    import os
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    dst = str(tmp_path / "rt3.zarr")
+    info = write_zarr(src, dst, coords=["time", "lat", "lon"], zarr_format=3)
+    assert info["slabs"] == 7 and info["chunk_files"] == 14
+    # v3 layout on disk: no v2 markers, consolidated root, v3 chunk keys
+    assert not os.path.exists(os.path.join(dst, ".zgroup"))
+    root = json.load(open(os.path.join(dst, "zarr.json")))
+    assert root["node_type"] == "group"
+    assert "temperature" in root["consolidated_metadata"]["metadata"]
+    assert os.path.exists(os.path.join(dst, "temperature", "c", "0", "0", "0"))
+    back = read_zarr(spark, dst)
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+
+
 def test_sink_rejects_non_dense(spark, tmp_path):
     from zarr_datafusion_spark.zarr import read_zarr, write_zarr
     from zarr_datafusion_spark.operators.zarr_queries import fixture_store

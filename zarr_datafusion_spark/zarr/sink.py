@@ -27,7 +27,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from zarr_datafusion_spark.zarr.writer import _V2_DTYPE, write_v2_array
+from zarr_datafusion_spark.zarr.writer import (
+    _V2_DTYPE,
+    write_v2_array,
+    write_v3_array,
+)
 
 
 def write_zarr(
@@ -35,6 +39,7 @@ def write_zarr(
     store_path: str,
     coords: list[str],
     data_vars: list[str] | None = None,
+    zarr_format: int = 2,
 ) -> dict[str, int]:
     """Write ``df`` as a Zarr v2 store.
 
@@ -42,6 +47,12 @@ def write_zarr(
     contain every combination of their distinct values exactly once
     (dense grid — validated).  ``data_vars`` defaults to all remaining
     numeric columns.  Returns {array_name: chunk_files_written}.
+
+    ``zarr_format``: 2 (``.zgroup``/``.zarray``/``.zmetadata``,
+    dot-separated chunk keys) or 3 (per-node ``zarr.json``,
+    ``c/<i>/...`` chunk keys, little-endian ``bytes`` codec, root
+    group with embedded ``consolidated_metadata`` written LAST as the
+    completion marker) — the source reads both, so either roundtrips.
 
     Driver-memory contract: the ONLY driver-side collect is the
     per-axis distinct coordinate values, and it is hard-bounded at
@@ -68,13 +79,15 @@ def write_zarr(
         ]
     if not data_vars:
         raise ValueError("no numeric data variable columns to write")
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
 
     # One materialization for the coord/count/write passes (the input
     # may be an expensive upstream plan).
     df = df.select(*coords, *data_vars).persist()
     try:
         return _write_zarr_persisted(
-            df, spark, store_path, coords, data_vars, spark_to_np
+            df, spark, store_path, coords, data_vars, spark_to_np, zarr_format
         )
     finally:
         df.unpersist()
@@ -90,7 +103,9 @@ def write_zarr(
 MAX_COORD_VALUES_PER_AXIS = 10_000_000
 
 
-def _write_zarr_persisted(df, spark, store_path, coords, data_vars, spark_to_np):
+def _write_zarr_persisted(
+    df, spark, store_path, coords, data_vars, spark_to_np, zarr_format=2
+):
     # --- driver side: coordinate values (tiny), grid validation, metadata
     coord_values: dict[str, np.ndarray] = {}
     cap = MAX_COORD_VALUES_PER_AXIS
@@ -118,12 +133,14 @@ def _write_zarr_persisted(df, spark, store_path, coords, data_vars, spark_to_np)
     os.makedirs(store_path, exist_ok=True)
     import json
 
-    with open(os.path.join(store_path, ".zgroup"), "w") as f:
-        json.dump({"zarr_format": 2}, f)
+    if zarr_format == 2:
+        with open(os.path.join(store_path, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
 
     # 1-D coordinate arrays, one chunk each (the reference's layout)
+    write_coord = write_v2_array if zarr_format == 2 else write_v3_array
     for c in coords:
-        write_v2_array(store_path, c, coord_values[c], (len(coord_values[c]),))
+        write_coord(store_path, c, coord_values[c], (len(coord_values[c]),))
 
     var_dtypes = {}
     for v in data_vars:
@@ -136,7 +153,10 @@ def _write_zarr_persisted(df, spark, store_path, coords, data_vars, spark_to_np)
     # the full inner dims; write array metadata on the driver
     chunks = (1,) + shape[1:]
     for v in data_vars:
-        _write_v2_metadata_only(store_path, v, var_dtypes[v], shape, chunks)
+        if zarr_format == 2:
+            _write_v2_metadata_only(store_path, v, var_dtypes[v], shape, chunks)
+        else:
+            _write_v3_metadata_only(store_path, v, var_dtypes[v], shape, chunks)
 
     # --- executor side: one task per outer index writes its chunk files
     outer = coords[0]
@@ -170,8 +190,10 @@ def _write_zarr_persisted(df, spark, store_path, coords, data_vars, spark_to_np)
         for v, dstr in b_dtypes.value.items():
             cell = np.empty(n, dtype=np.dtype(dstr))
             cell[pos] = pdf[v].to_numpy()
+            if zarr_format == 3:  # v3 'bytes' codec: little-endian
+                cell = cell.astype(cell.dtype.newbyteorder("<"), copy=False)
             _write_chunk_file(
-                store_path, v, oi, 1 + len(inner), cell.tobytes()
+                store_path, v, oi, 1 + len(inner), cell.tobytes(), zarr_format
             )
             files += 1
         return pd.DataFrame({"outer_idx": [oi], "files": [files]})
@@ -183,15 +205,33 @@ def _write_zarr_persisted(df, spark, store_path, coords, data_vars, spark_to_np)
         .collect()
     )
 
-    # consolidated metadata (.zmetadata): readers discover the whole
-    # store in ONE read — the layout remote/object-store consumers
-    # need (metadata.py reads it back; a driver-side metadata pass)
-    entries = {}
-    for name in list(coords) + list(data_vars):
-        with open(os.path.join(store_path, name, ".zarray")) as f:
-            entries[f"{name}/.zarray"] = json.load(f)
-    with open(os.path.join(store_path, ".zmetadata"), "w") as f:
-        json.dump({"zarr_consolidated_format": 1, "metadata": entries}, f)
+    # consolidated metadata: readers discover the whole store in ONE
+    # read — the layout remote/object-store consumers need
+    # (metadata.py reads both back; a driver-side metadata pass).
+    # v2: .zmetadata next to .zgroup.  v3: the consolidated root
+    # group's zarr.json, written LAST so it doubles as the store's
+    # completion marker (writer.write_store's convention).
+    if zarr_format == 2:
+        entries = {}
+        for name in list(coords) + list(data_vars):
+            with open(os.path.join(store_path, name, ".zarray")) as f:
+                entries[f"{name}/.zarray"] = json.load(f)
+        with open(os.path.join(store_path, ".zmetadata"), "w") as f:
+            json.dump({"zarr_consolidated_format": 1, "metadata": entries}, f)
+    else:
+        nodes = {}
+        for name in list(coords) + list(data_vars):
+            with open(os.path.join(store_path, name, "zarr.json")) as f:
+                nodes[name] = json.load(f)
+        with open(os.path.join(store_path, "zarr.json"), "w") as f:
+            json.dump(
+                {
+                    "zarr_format": 3,
+                    "node_type": "group",
+                    "consolidated_metadata": {"metadata": nodes},
+                },
+                f,
+            )
 
     return {
         "arrays": len(coords) + len(data_vars),
@@ -221,14 +261,55 @@ def _write_v2_metadata_only(
         json.dump(meta, f)
 
 
-def _write_chunk_file(
-    store: str, name: str, outer_idx: int, rank: int, payload: bytes
+def _write_v3_metadata_only(
+    store: str, name: str, dtype: np.dtype, shape: tuple, chunks: tuple
 ) -> None:
-    """Chunk key ``<outer>.0.0...`` for the (1, d2, ...) grid.  ``rank``
-    is passed by the caller (1 + inner dims) so executor tasks never
-    need to read back driver-written metadata."""
+    """v3 array node: regular chunk grid, default ``/``-separated key
+    encoding, little-endian ``bytes`` codec — the exact layout
+    ``writer.write_v3_array`` emits, minus the chunk payloads (those
+    come from the executors)."""
+    import json
+
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
-    key = ".".join([str(outer_idx)] + ["0"] * (rank - 1))
-    with open(os.path.join(adir, key), "wb") as f:
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": str(dtype),
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(chunks)},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": "/"},
+        },
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        "fill_value": 0,
+        "attributes": {},
+    }
+    with open(os.path.join(adir, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _write_chunk_file(
+    store: str,
+    name: str,
+    outer_idx: int,
+    rank: int,
+    payload: bytes,
+    zarr_format: int = 2,
+) -> None:
+    """Chunk key for the (1, d2, ...) grid — v2 ``<outer>.0.0...``,
+    v3 ``c/<outer>/0/...``.  ``rank`` is passed by the caller (1 +
+    inner dims) so executor tasks never need to read back
+    driver-written metadata."""
+    adir = os.path.join(store, name)
+    if zarr_format == 3:
+        path = os.path.join(adir, "c", str(outer_idx), *["0"] * (rank - 1))
+    else:
+        path = os.path.join(adir, ".".join([str(outer_idx)] + ["0"] * (rank - 1)))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
         f.write(payload)
