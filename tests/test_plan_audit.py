@@ -50,6 +50,13 @@ NESTED_LOOP_OK = {
     "tpch_q16_supplier_part_count": "broadcast 4-row VALUES expansion (partsupp)",
     "search_bm25_topk": "broadcast 1-row corpus stats scalar (N, avgdl)",
     "sim_knn_join": "broadcast 16-row query-vector side (batch retrieval)",
+    # round-8 additions — same 1-row broadcast patterns as their parents
+    "sim_kmeans_step": "broadcast 1-row seed-centroid array (k x dim)",
+    "search_bm25_indexed": "broadcast 1-row corpus stats scalar (N, avgdl)",
+    "search_rrf_hybrid": (
+        "broadcast 1-row corpus stats scalar + 1-row query vector "
+        "(the two fused rank sources)"
+    ),
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the

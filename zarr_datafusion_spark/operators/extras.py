@@ -3579,3 +3579,81 @@ def search_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_terms") == len(_BM25_TERMS))
     )
     return hits
+
+
+#: fixed test phrase — a consecutive token pair present at every
+#: driver SF (45/44/2830 matching docs at sf0.001/0.01/sf1)
+_PHRASE = ("part", "filter")
+
+_PHRASE_ORACLE = (lambda phrase: f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               (x, i) -> {{'pos': i, 'token': x}})) AS u
+      FROM documents
+    ),
+    p AS (SELECT doc_id, u.pos AS pos, u.token AS token FROM toks),
+    ph AS (SELECT * FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(phrase))}) AS t(i, term)),
+    m AS (SELECT doc_id, pos - i AS start, i FROM p JOIN ph ON token = term),
+    occ AS (
+      SELECT doc_id, start
+      FROM m GROUP BY doc_id, start
+      HAVING COUNT(DISTINCT i) = {len(phrase)}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(start) AS BIGINT) AS first_pos
+    FROM occ GROUP BY doc_id
+""")(_PHRASE)
+
+
+@_q("search_phrase", _PHRASE_ORACLE)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search — consecutive-token matching, the retrieval
+    primitive behind benchmark-contamination string lookup and quoted
+    queries.  Implemented with the POSITION-OFFSET trick instead of a
+    k-way positional self-join: a token matching phrase term i at
+    position p votes for candidate start ``p − i``; a start position
+    where all {len(_PHRASE)} distinct term indices voted is an
+    occurrence.  That turns k-term phrase matching into ONE filter +
+    ONE aggregate — no join chain, no row explosion beyond the
+    matching term positions themselves.
+
+    100 TB posture: the posexplode is pruned to phrase terms before
+    any shuffle (the same query-term pruning as BM25), and the single
+    (doc, start) aggregate carries ≤ k rows per candidate start.  With
+    a POSITIONAL index (postings + position lists) the scan side drops
+    to the phrase terms' postings, exactly like ``search_boolean_and``
+    — the voting aggregate is unchanged.  Output: per matching doc,
+    occurrence count and first match position (1-based).
+    """
+    docs = cpu_rebalance(
+        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    phrase_df = spark.createDataFrame(
+        list(enumerate(_PHRASE)), "i int, term string"
+    )
+    m = tok.join(
+        F.broadcast(phrase_df), tok["token"] == phrase_df["term"]
+    ).select(
+        "doc_id",
+        # Spark posexplode is 0-based; emit 1-based starts to match the
+        # DuckDB positional-unnest convention
+        (F.col("pos") - F.col("i") + 1).alias("start"),
+        "i",
+    )
+    occ = (
+        m.groupBy("doc_id", "start")
+        .agg(F.countDistinct("i").alias("k"))
+        .filter(F.col("k") == len(_PHRASE))
+    )
+    return occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("start").cast("bigint").alias("first_pos"),
+    )
