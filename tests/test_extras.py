@@ -76,6 +76,33 @@ def test_bm25_indexed_scans_index_not_documents(spark):
     assert "In(token," in plan, "term filter not pushed to postings scan"
 
 
+def test_phrase_indexed_matches_raw_and_scans_index_only(spark):
+    """The positional-index phrase entry must (a) return exactly the
+    raw-text entry's rows and (b) serve entirely from the index with
+    the term filter pushed; (c) the NON-positional BM25 index query
+    must not pay for the positions column (parquet column pruning)."""
+    a = sorted(map(tuple, extras.QUERIES["search_phrase"](spark, SF_DIR).collect()))
+    b = sorted(
+        map(tuple, extras.QUERIES["search_phrase_indexed"](spark, SF_DIR).collect())
+    )
+    assert a and a == b
+    plan = (
+        extras.QUERIES["search_phrase_indexed"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "bm25_index" in plan and "documents.parquet" not in plan
+    assert "In(token," in plan
+    bm25_plan = (
+        extras.QUERIES["search_bm25_indexed"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "positions" not in bm25_plan, "positions column not pruned"
+
+
 def test_bm25_indexed_matches_raw_entry(spark):
     """Build-once index vs per-query raw-text derivation: identical
     top-k, identical bit-exact scores (both feed the shared scoring

@@ -3323,8 +3323,10 @@ def bm25_index_paths(sf_dir: str) -> tuple[str, str]:
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
+    # "layout2": postings gained the positions column (r8) — bumping
+    # the layout tag rebuilds indexes written under the old schema
     key = hashlib.md5(
-        f"{src}:{st.st_size}:{int(st.st_mtime)}".encode()
+        f"{src}:{st.st_size}:{int(st.st_mtime)}:layout2".encode()
     ).hexdigest()[:10]
     base = os.path.basename(sf_dir.rstrip("/")) or "sf"
     repo_root = os.path.dirname(
@@ -3338,15 +3340,19 @@ def bm25_index_paths(sf_dir: str) -> tuple[str, str]:
 
 
 def build_bm25_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Build-once inverted retrieval index for BM25: the FULL postings
-    table (token, doc_id, tf) — exact term frequencies for every
-    token, the same structure ``text_inverted_index`` exposes — plus
-    the per-doc length table.  Postings are repartitioned and sorted
-    by token so parquet row-group min/max stats prune a query's scan
-    to the row groups containing its terms (the file-layout analog of
-    posting-list seek; at cluster scale this is ``bucketBy(token)``
-    on a saved table).  Idempotent: returns immediately when the
-    staleness-keyed directory already holds both ``_SUCCESS`` marks.
+    """Build-once inverted retrieval index: the FULL postings table
+    (token, doc_id, tf, positions) — exact term frequencies plus the
+    sorted 1-based POSITION LIST per posting (bounded per row by the
+    term's in-doc frequency; the structure phrase/proximity queries
+    seek into) — and the per-doc length table.  Non-positional queries
+    (BM25, boolean) never pay for the positions column: parquet column
+    pruning drops it at the scan (plan-tested).  Postings are
+    repartitioned and sorted by token so row-group min/max stats prune
+    a query's scan to the row groups containing its terms (the
+    file-layout analog of posting-list seek; at cluster scale this is
+    ``bucketBy(token)`` on a saved table).  Idempotent: returns
+    immediately when the staleness-keyed directory already holds both
+    ``_SUCCESS`` marks.
     """
     postings_path, doclen_path = bm25_index_paths(sf_dir)
     if all(
@@ -3357,11 +3363,16 @@ def build_bm25_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "pos", "token"
+        ),
     )
     (
         toks.groupBy("token", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos") + 1)).alias("positions"),
+        )
         .repartition(8, "token")
         .sortWithinPartitions("token")
         .write.mode("overwrite")
@@ -3647,6 +3658,42 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB positional-unnest convention
         (F.col("pos") - F.col("i") + 1).alias("start"),
         "i",
+    )
+    occ = (
+        m.groupBy("doc_id", "start")
+        .agg(F.countDistinct("i").alias("k"))
+        .filter(F.col("k") == len(_PHRASE))
+    )
+    return occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("start").cast("bigint").alias("first_pos"),
+    )
+
+
+@_q("search_phrase_indexed", _PHRASE_ORACLE)
+def search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search served from the POSITIONAL index — the scan reads
+    only the phrase terms' postings rows (pushed ``In(token)``, their
+    position lists riding along in the pruned columns) and never
+    touches document text; the same position-offset voting as
+    :func:`search_phrase` then runs over exploded position lists.
+    With the raw-text variant the explode is the whole corpus's
+    tokens; here it is ``Σ tf`` over the phrase terms' postings only —
+    at 100 TB that is the difference between scanning the corpus and
+    seeking |terms| posting runs.  Identical output to the raw-text
+    entry (same oracle, 1-based positions stored at build time).
+    """
+    postings_path, _ = build_bm25_index(spark, sf_dir)
+    phrase_df = spark.createDataFrame(
+        list(enumerate(_PHRASE)), "i int, term string"
+    )
+    m = (
+        spark.read.parquet(postings_path)
+        .filter(F.col("token").isin(list(_PHRASE)))
+        .select("doc_id", "token", "positions")
+        .join(F.broadcast(phrase_df), F.col("token") == phrase_df["term"])
+        .select("doc_id", F.explode("positions").alias("p1"), "i")
+        .select("doc_id", (F.col("p1") - F.col("i")).alias("start"), "i")
     )
     occ = (
         m.groupBy("doc_id", "start")
