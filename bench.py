@@ -105,15 +105,16 @@ HEADLINE = [
     # k-NN join (salted two-stage per-query top-k)
     "search_bm25_topk",
     "sim_knn_join",
-    # round-8 (62 -> 69): substring-span cut, index-backed BM25 +
+    # round-8 (62 -> 70): substring-span cut, index-backed BM25 +
     # boolean AND + RRF hybrid + phrase retrieval (raw + positional
-    # index), one-Lloyd-step k-means
+    # index) + NEAR/k proximity, one-Lloyd-step k-means
     "dedup_cut_spans",
     "search_bm25_indexed",
     "search_boolean_and",
     "search_rrf_hybrid",
     "search_phrase",
     "search_phrase_indexed",
+    "search_proximity",
     "sim_kmeans_step",
 ]
 

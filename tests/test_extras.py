@@ -103,6 +103,45 @@ def test_phrase_indexed_matches_raw_and_scans_index_only(spark):
     assert "positions" not in bm25_plan, "positions column not pruned"
 
 
+def test_proximity_scans_index_only_and_respects_slop(spark):
+    """search_proximity must serve from the postings index (pushed
+    In(token), no documents scan) and every returned pair gap must be
+    within (0, slop]; gap==1 rows are exactly the docs where the two
+    terms are adjacent (cross-checked against a direct text probe)."""
+    df = extras.QUERIES["search_proximity"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bm25_index" in plan and "documents.parquet" not in plan
+    assert "In(token," in plan
+    rows = df.collect()
+    assert rows
+    assert all(1 <= r.min_gap <= extras._NEAR_SLOP for r in rows)
+    adjacent = {r.doc_id for r in rows if r.min_gap == 1}
+    probe = {
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(
+            F.lower(F.trim("text")).rlike(
+                rf"(^|\s){extras._NEAR_A}\s+{extras._NEAR_B}(\s|$)"
+            )
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert adjacent == probe
+
+
+def test_streaming_index_update_deterministic_across_invocations(spark):
+    """Second invocation reuses the staleness-keyed ingest dir (the
+    cached branch) yet rebuilds index + checkpoint from scratch in a
+    fresh work dir — results must be identical, proving the upsert's
+    exactly-once outcome doesn't depend on work-dir state or on the
+    micro-batch delivery order of the at-least-once ingest files."""
+    fn = extras.QUERIES["streaming_index_update"]
+    a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert a and a == b
+
+
 def test_bm25_indexed_matches_raw_entry(spark):
     """Build-once index vs per-query raw-text derivation: identical
     top-k, identical bit-exact scores (both feed the shared scoring

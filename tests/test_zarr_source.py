@@ -297,6 +297,50 @@ def test_sink_roundtrip_v3(spark, tmp_path):
     assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
 
 
+def test_sink_roundtrip_v3_sharded(spark, tmp_path):
+    """Sharded v3 sink mode (shard_outer): 7 time slabs packed 3 per
+    sharding_indexed shard file -> 3 shard files per variable (the last
+    one partial, zero-padded like the single-node sharded writer), each
+    holding (1, lat, lon) inner chunks + the ZEP-2 end index; the v3
+    shard-decoding read path scans it back to the exact cell mapping."""
+    import json
+    import os
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    dst = str(tmp_path / "rt3s.zarr")
+    info = write_zarr(
+        src, dst, coords=["time", "lat", "lon"], zarr_format=3, shard_outer=3
+    )
+    # ceil(7/3) = 3 shards x 2 data vars
+    assert info["slabs"] == 3 and info["chunk_files"] == 6
+    meta = json.load(open(os.path.join(dst, "temperature", "zarr.json")))
+    assert meta["codecs"][0]["name"] == "sharding_indexed"
+    assert meta["codecs"][0]["configuration"]["chunk_shape"][0] == 1
+    assert meta["chunk_grid"]["configuration"]["chunk_shape"][0] == 3
+    assert os.path.exists(os.path.join(dst, "temperature", "c", "2", "0", "0"))
+    assert not os.path.exists(os.path.join(dst, "temperature", "c", "3", "0", "0"))
+    back = read_zarr(spark, dst)
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_sink_shard_outer_requires_v3(spark, tmp_path):
+    import pytest
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    with pytest.raises(ValueError, match="zarr_format=3"):
+        write_zarr(src, str(tmp_path / "x.zarr"), coords=["time", "lat", "lon"],
+                   shard_outer=3)
+    with pytest.raises(ValueError, match=">= 2"):
+        write_zarr(src, str(tmp_path / "y.zarr"), coords=["time", "lat", "lon"],
+                   zarr_format=3, shard_outer=1)
+
+
 def test_sink_rejects_non_dense(spark, tmp_path):
     from zarr_datafusion_spark.zarr import read_zarr, write_zarr
     from zarr_datafusion_spark.operators.zarr_queries import fixture_store

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from zarr_datafusion_spark.zarr.writer import (
     _V2_DTYPE,
+    _encode_shard,
     write_v2_array,
     write_v3_array,
 )
@@ -40,6 +41,7 @@ def write_zarr(
     coords: list[str],
     data_vars: list[str] | None = None,
     zarr_format: int = 2,
+    shard_outer: int | None = None,
 ) -> dict[str, int]:
     """Write ``df`` as a Zarr v2 store.
 
@@ -53,6 +55,16 @@ def write_zarr(
     ``c/<i>/...`` chunk keys, little-endian ``bytes`` codec, root
     group with embedded ``consolidated_metadata`` written LAST as the
     completion marker) — the source reads both, so either roundtrips.
+
+    ``shard_outer`` (v3 only): pack this many consecutive outer slabs
+    into ONE ``sharding_indexed`` shard file (ZEP-2; inner chunks stay
+    ``(1, d2, ...)``, index at end, bytes-le index codec — the exact
+    layout ``chunkio._decode_shard`` reads and the zarrs crate the
+    reference depends on writes).  Sharding is THE object-store layout
+    at 100 TB: a 10^5-slab store becomes 10^5/S objects instead of
+    10^5 per variable, while readers still address single slabs
+    through the shard index.  One executor task owns one shard, so
+    writes stay collect-free and slab-parallel up to S.
 
     Driver-memory contract: the ONLY driver-side collect is the
     per-axis distinct coordinate values, and it is hard-bounded at
@@ -81,13 +93,19 @@ def write_zarr(
         raise ValueError("no numeric data variable columns to write")
     if zarr_format not in (2, 3):
         raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
+    if shard_outer is not None:
+        if zarr_format != 3:
+            raise ValueError("shard_outer requires zarr_format=3")
+        if not isinstance(shard_outer, int) or shard_outer < 2:
+            raise ValueError(f"shard_outer must be an int >= 2, got {shard_outer!r}")
 
     # One materialization for the coord/count/write passes (the input
     # may be an expensive upstream plan).
     df = df.select(*coords, *data_vars).persist()
     try:
         return _write_zarr_persisted(
-            df, spark, store_path, coords, data_vars, spark_to_np, zarr_format
+            df, spark, store_path, coords, data_vars, spark_to_np,
+            zarr_format, shard_outer,
         )
     finally:
         df.unpersist()
@@ -104,7 +122,8 @@ MAX_COORD_VALUES_PER_AXIS = 10_000_000
 
 
 def _write_zarr_persisted(
-    df, spark, store_path, coords, data_vars, spark_to_np, zarr_format=2
+    df, spark, store_path, coords, data_vars, spark_to_np, zarr_format=2,
+    shard_outer=None,
 ):
     # --- driver side: coordinate values (tiny), grid validation, metadata
     coord_values: dict[str, np.ndarray] = {}
@@ -150,13 +169,19 @@ def _write_zarr_persisted(
         var_dtypes[v] = np.dtype(spark_to_np[t])
 
     # chunk grid: (1, d2, d3, ...) — one chunk per outer index spanning
-    # the full inner dims; write array metadata on the driver
+    # the full inner dims; write array metadata on the driver.  With
+    # shard_outer the STORED grid is (S, d2, ...) shards whose inner
+    # chunks are the same (1, d2, ...) slabs.
     chunks = (1,) + shape[1:]
+    top_chunks = ((shard_outer,) + shape[1:]) if shard_outer else chunks
     for v in data_vars:
         if zarr_format == 2:
             _write_v2_metadata_only(store_path, v, var_dtypes[v], shape, chunks)
         else:
-            _write_v3_metadata_only(store_path, v, var_dtypes[v], shape, chunks)
+            _write_v3_metadata_only(
+                store_path, v, var_dtypes[v], shape, top_chunks,
+                inner_chunks=chunks if shard_outer else None,
+            )
 
     # --- executor side: one task per outer index writes its chunk files
     outer = coords[0]
@@ -198,12 +223,76 @@ def _write_zarr_persisted(
             files += 1
         return pd.DataFrame({"outer_idx": [oi], "files": [files]})
 
-    results = (
-        df.repartition(min(shape[0], 512), outer)
-        .groupBy(outer)
-        .applyInPandas(_write_slab, schema=out_schema)
-        .collect()
-    )
+    def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = b_outer_index.value
+        shard = int(m[pdf[outer].iloc[0]]) // shard_outer
+        oidx = (
+            pdf[outer].map(lambda v: m[v]).to_numpy(dtype=np.int64)
+            - shard * shard_outer
+        )
+        pos = np.zeros(len(pdf), dtype=np.int64)
+        stride = 1
+        for c in reversed(inner):
+            vals = b_inner.value[c]
+            idx = np.searchsorted(vals, pdf[c].to_numpy())
+            pos += idx * stride
+            stride *= len(vals)
+        n = int(np.prod(inner_shape))
+        present = np.bincount(oidx, minlength=shard_outer)
+        flat = oidx * n + pos
+        if not ((present == 0) | (present == n)).all() or len(
+            np.unique(flat)
+        ) != len(pdf):
+            raise ValueError(
+                f"shard {shard}: partial or duplicated slabs "
+                f"(per-outer counts {present.tolist()}, {len(pdf)} rows)"
+            )
+        files = 0
+        for v, dstr in b_dtypes.value.items():
+            # absent outer rows (trailing partial shard) stay zero —
+            # the same padding the single-node sharded writer emits;
+            # the array shape slices them away on read
+            block = np.zeros((shard_outer, n), dtype=np.dtype(dstr))
+            block.flat[flat] = pdf[v].to_numpy()
+            block = block.astype(block.dtype.newbyteorder("<"), copy=False)
+            payload = _encode_shard(
+                block.reshape((shard_outer,) + inner_shape),
+                (1,) + inner_shape,
+                None,
+            )
+            adir = os.path.join(store_path, v)
+            path = os.path.join(adir, "c", str(shard), *["0"] * len(inner))
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(payload)
+            files += 1
+        return pd.DataFrame({"outer_idx": [shard], "files": [files]})
+
+    if shard_outer:
+        n_shards = -(-shape[0] // shard_outer)
+        b_shard_index = sc.broadcast(
+            {val: i // shard_outer for val, i in outer_index.items()}
+        )
+
+        @F.pandas_udf("long")
+        def _shard_of(s: pd.Series) -> pd.Series:
+            m = b_shard_index.value
+            return s.map(lambda v: m[v])
+
+        results = (
+            df.withColumn("__shard__", _shard_of(F.col(outer)))
+            .repartition(min(n_shards, 512), "__shard__")
+            .groupBy("__shard__")
+            .applyInPandas(_write_shard, schema=out_schema)
+            .collect()
+        )
+    else:
+        results = (
+            df.repartition(min(shape[0], 512), outer)
+            .groupBy(outer)
+            .applyInPandas(_write_slab, schema=out_schema)
+            .collect()
+        )
 
     # consolidated metadata: readers discover the whole store in ONE
     # read — the layout remote/object-store consumers need
@@ -262,16 +351,38 @@ def _write_v2_metadata_only(
 
 
 def _write_v3_metadata_only(
-    store: str, name: str, dtype: np.dtype, shape: tuple, chunks: tuple
+    store: str,
+    name: str,
+    dtype: np.dtype,
+    shape: tuple,
+    chunks: tuple,
+    inner_chunks: tuple | None = None,
 ) -> None:
     """v3 array node: regular chunk grid, default ``/``-separated key
     encoding, little-endian ``bytes`` codec — the exact layout
     ``writer.write_v3_array`` emits, minus the chunk payloads (those
-    come from the executors)."""
+    come from the executors).  With ``inner_chunks`` the codec chain
+    is wrapped in ``sharding_indexed`` (index at end, bytes-le index
+    codec — ``writer.write_v3_array``'s sharded convention)."""
     import json
 
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if inner_chunks is not None:
+        codecs = [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(inner_chunks),
+                    "codecs": codecs,
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}}
+                    ],
+                    "index_location": "end",
+                },
+            }
+        ]
     meta = {
         "zarr_format": 3,
         "node_type": "array",
@@ -285,7 +396,7 @@ def _write_v3_metadata_only(
             "name": "default",
             "configuration": {"separator": "/"},
         },
-        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        "codecs": codecs,
         "fill_value": 0,
         "attributes": {},
     }
