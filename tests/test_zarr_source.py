@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from zarr_datafusion_spark.zarr.writer import synthetic_weather_arrays, write_store
 
@@ -324,6 +325,125 @@ def test_sink_roundtrip_v3_sharded(spark, tmp_path):
     assert not os.path.exists(os.path.join(dst, "temperature", "c", "3", "0", "0"))
     back = read_zarr(spark, dst)
     assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "fmt,comp,shard",
+    [
+        (2, "zlib", None),
+        (2, "gzip", None),
+        (2, "blosc-lz4", None),
+        (3, "gzip", None),
+        (3, "blosc-lz4", None),
+        (3, "gzip", 3),  # compressed inner chunks inside shards
+    ],
+)
+def test_sink_roundtrip_compressed(spark, tmp_path, fmt, comp, shard):
+    """Compressed sink chunks (executor-side codec) must roundtrip
+    through the engine's own decode path for every supported
+    (format, codec, sharding) combination, and the compressed store
+    must actually be smaller than the raw cells."""
+    import os
+
+    import numpy as np
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    dst = str(tmp_path / f"rt_{fmt}_{comp}_{shard}.zarr")
+    write_zarr(
+        src, dst, coords=["time", "lat", "lon"], zarr_format=fmt,
+        shard_outer=shard, compression=comp,
+    )
+    back = read_zarr(spark, dst)
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+    n_cells = src.count()
+    raw_bytes = n_cells * np.dtype(np.float64).itemsize  # per data var
+    chunk_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(dst, "temperature"))
+        for f in fs
+        if not f.startswith((".z", "zarr"))
+    )
+    assert chunk_bytes < raw_bytes, "compression had no effect"
+
+
+@_pytest.mark.parametrize(
+    "fmt,comp", [(2, None), (2, "zlib"), (3, "gzip")]
+)
+def test_sink_append_outer_slabs(spark, tmp_path, fmt, comp):
+    """append_zarr: write the first 5 time slabs, append the last 2 —
+    the store must then scan back equal to the full fixture, no
+    existing chunk rewritten (chunk files 0-4 keep their mtimes), new
+    chunks encoded with the store's own compression, shape + outer
+    coord + consolidated metadata all patched."""
+    import os
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+    from zarr_datafusion_spark.zarr.sink import append_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    times = sorted(r[0] for r in src.select("time").distinct().collect())
+    head, tail = times[:5], times[5:]
+    dst = str(tmp_path / f"app_{fmt}.zarr")
+    write_zarr(
+        src.filter(F.col("time").isin(head)), dst,
+        coords=["time", "lat", "lon"], zarr_format=fmt, compression=comp,
+    )
+    key0 = (
+        os.path.join(dst, "temperature", "0.0.0")
+        if fmt == 2
+        else os.path.join(dst, "temperature", "c", "0", "0", "0")
+    )
+    mtime0 = os.path.getmtime(key0)
+    info = append_zarr(src.filter(F.col("time").isin(tail)), dst)
+    assert info == {"appended_slabs": 2, "outer_size": 7}
+    assert os.path.getmtime(key0) == mtime0, "existing chunk rewritten"
+    back = read_zarr(spark, dst)
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_sink_append_rejects_non_monotonic_and_sharded(spark, tmp_path):
+    import pytest
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+    from zarr_datafusion_spark.zarr.sink import append_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    times = sorted(r[0] for r in src.select("time").distinct().collect())
+    dst = str(tmp_path / "mono.zarr")
+    write_zarr(
+        src.filter(F.col("time").isin(times[2:])), dst,
+        coords=["time", "lat", "lon"],
+    )
+    with pytest.raises(ValueError, match="monotonic"):
+        append_zarr(src.filter(F.col("time").isin(times[:2])), dst)
+
+    sharded = str(tmp_path / "shard.zarr")
+    write_zarr(
+        src, sharded, coords=["time", "lat", "lon"], zarr_format=3,
+        shard_outer=3,
+    )
+    with pytest.raises(NotImplementedError, match="sharded"):
+        append_zarr(src, sharded)
+
+
+def test_sink_rejects_unsupported_compression(spark, tmp_path):
+    import pytest
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    with pytest.raises(ValueError, match="compression"):
+        write_zarr(src, str(tmp_path / "z.zarr"), coords=["time", "lat", "lon"],
+                   zarr_format=3, compression="zlib")  # v3 has no zlib codec
 
 
 def test_sink_shard_outer_requires_v3(spark, tmp_path):

@@ -234,3 +234,35 @@ def zarr_sink_roundtrip(spark, sf_dir):
     )
     write_zarr(src, out, coords=["time", "lat", "lon"])
     return read_zarr(spark, out)
+
+
+@_q(
+    "zarr_append_roundtrip",
+    f"""SELECT time, lat, lon, temperature, humidity
+        FROM read_parquet('{_MIRROR}')""",
+)
+def zarr_append_roundtrip(spark, sf_dir):
+    """Incremental-ingestion round-trip, value-checked: write the first
+    5 time slabs through the sink (gzip-compressed v3), APPEND the
+    remaining 2 via :func:`append_zarr` (new chunk files only — the
+    standard grows-by-one-time-slice Zarr workflow the reference's
+    regenerate-the-store fixture scripts sidestep), then scan the
+    store.  The oracle is the independent parquet mirror of the FULL
+    fixture, so a bad append (wrong offset, wrong codec, stale shape
+    metadata, unsorted outer coord) hash-mismatches."""
+    import tempfile
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.sink import append_zarr, write_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    times = sorted(r[0] for r in src.select("time").distinct().collect())
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="zds_append_rt_"), "weather_app.zarr"
+    )
+    write_zarr(
+        src.filter(F.col("time").isin(times[:5])), out,
+        coords=["time", "lat", "lon"], zarr_format=3, compression="gzip",
+    )
+    append_zarr(src.filter(F.col("time").isin(times[5:])), out)
+    return read_zarr(spark, out)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from zarr_datafusion_spark.zarr.writer import (
     _V2_DTYPE,
+    _compress,
     _encode_shard,
     write_v2_array,
     write_v3_array,
@@ -42,6 +43,7 @@ def write_zarr(
     data_vars: list[str] | None = None,
     zarr_format: int = 2,
     shard_outer: int | None = None,
+    compression: str | None = None,
 ) -> dict[str, int]:
     """Write ``df`` as a Zarr v2 store.
 
@@ -55,6 +57,14 @@ def write_zarr(
     ``c/<i>/...`` chunk keys, little-endian ``bytes`` codec, root
     group with embedded ``consolidated_metadata`` written LAST as the
     completion marker) — the source reads both, so either roundtrips.
+
+    ``compression``: per-chunk codec applied executor-side — v2
+    ``zlib``/``gzip``/``blosc-lz4`` (numcodecs compressor ids), v3
+    ``gzip``/``blosc-lz4`` (codec-chain entries); composes with
+    ``shard_outer`` (inner chunks compress individually inside the
+    shard, exactly what the shard index's per-chunk byte ranges are
+    for).  Coordinate arrays stay uncompressed — they are bytes-tiny
+    and reading them cheaply matters more (stats shortcuts).
 
     ``shard_outer`` (v3 only): pack this many consecutive outer slabs
     into ONE ``sharding_indexed`` shard file (ZEP-2; inner chunks stay
@@ -98,6 +108,13 @@ def write_zarr(
             raise ValueError("shard_outer requires zarr_format=3")
         if not isinstance(shard_outer, int) or shard_outer < 2:
             raise ValueError(f"shard_outer must be an int >= 2, got {shard_outer!r}")
+    allowed = {2: (None, "zlib", "gzip", "blosc-lz4"),
+               3: (None, "gzip", "blosc-lz4")}[zarr_format]
+    if compression not in allowed:
+        raise ValueError(
+            f"v{zarr_format} sink supports compression in {allowed}, "
+            f"got {compression!r}"
+        )
 
     # One materialization for the coord/count/write passes (the input
     # may be an expensive upstream plan).
@@ -105,7 +122,7 @@ def write_zarr(
     try:
         return _write_zarr_persisted(
             df, spark, store_path, coords, data_vars, spark_to_np,
-            zarr_format, shard_outer,
+            zarr_format, shard_outer, compression,
         )
     finally:
         df.unpersist()
@@ -123,7 +140,7 @@ MAX_COORD_VALUES_PER_AXIS = 10_000_000
 
 def _write_zarr_persisted(
     df, spark, store_path, coords, data_vars, spark_to_np, zarr_format=2,
-    shard_outer=None,
+    shard_outer=None, compression=None,
 ):
     # --- driver side: coordinate values (tiny), grid validation, metadata
     coord_values: dict[str, np.ndarray] = {}
@@ -176,11 +193,14 @@ def _write_zarr_persisted(
     top_chunks = ((shard_outer,) + shape[1:]) if shard_outer else chunks
     for v in data_vars:
         if zarr_format == 2:
-            _write_v2_metadata_only(store_path, v, var_dtypes[v], shape, chunks)
+            _write_v2_metadata_only(
+                store_path, v, var_dtypes[v], shape, chunks, compression
+            )
         else:
             _write_v3_metadata_only(
                 store_path, v, var_dtypes[v], shape, top_chunks,
                 inner_chunks=chunks if shard_outer else None,
+                compression=compression,
             )
 
     # --- executor side: one task per outer index writes its chunk files
@@ -217,8 +237,11 @@ def _write_zarr_persisted(
             cell[pos] = pdf[v].to_numpy()
             if zarr_format == 3:  # v3 'bytes' codec: little-endian
                 cell = cell.astype(cell.dtype.newbyteorder("<"), copy=False)
+            payload = _compress(
+                cell.tobytes(), compression, typesize=cell.dtype.itemsize
+            )
             _write_chunk_file(
-                store_path, v, oi, 1 + len(inner), cell.tobytes(), zarr_format
+                store_path, v, oi, 1 + len(inner), payload, zarr_format
             )
             files += 1
         return pd.DataFrame({"outer_idx": [oi], "files": [files]})
@@ -258,7 +281,7 @@ def _write_zarr_persisted(
             payload = _encode_shard(
                 block.reshape((shard_outer,) + inner_shape),
                 (1,) + inner_shape,
-                None,
+                compression,
             )
             adir = os.path.join(store_path, v)
             path = os.path.join(adir, "c", str(shard), *["0"] * len(inner))
@@ -330,18 +353,32 @@ def _write_zarr_persisted(
 
 
 def _write_v2_metadata_only(
-    store: str, name: str, dtype: np.dtype, shape: tuple, chunks: tuple
+    store: str,
+    name: str,
+    dtype: np.dtype,
+    shape: tuple,
+    chunks: tuple,
+    compression: str | None = None,
 ) -> None:
     import json
 
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
+    if compression == "blosc-lz4":
+        compressor = {
+            "id": "blosc", "cname": "lz4", "clevel": 5,
+            "shuffle": 1, "blocksize": 0,
+        }
+    elif compression:
+        compressor = {"id": compression, "level": 1}
+    else:
+        compressor = None
     meta = {
         "zarr_format": 2,
         "shape": list(shape),
         "chunks": list(chunks),
         "dtype": _V2_DTYPE[dtype.name],
-        "compressor": None,
+        "compressor": compressor,
         "fill_value": 0,
         "order": "C",
         "filters": None,
@@ -357,18 +394,33 @@ def _write_v3_metadata_only(
     shape: tuple,
     chunks: tuple,
     inner_chunks: tuple | None = None,
+    compression: str | None = None,
 ) -> None:
     """v3 array node: regular chunk grid, default ``/``-separated key
     encoding, little-endian ``bytes`` codec — the exact layout
     ``writer.write_v3_array`` emits, minus the chunk payloads (those
     come from the executors).  With ``inner_chunks`` the codec chain
     is wrapped in ``sharding_indexed`` (index at end, bytes-le index
-    codec — ``writer.write_v3_array``'s sharded convention)."""
+    codec — ``writer.write_v3_array``'s sharded convention); with
+    ``compression`` the gzip/blosc codec rides inside the chain, so
+    sharded inner chunks compress individually."""
     import json
 
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
     codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if compression == "gzip":
+        codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    elif compression == "blosc-lz4":
+        codecs.append(
+            {
+                "name": "blosc",
+                "configuration": {
+                    "cname": "lz4", "clevel": 5, "shuffle": "shuffle",
+                    "typesize": dtype.itemsize, "blocksize": 0,
+                },
+            }
+        )
     if inner_chunks is not None:
         codecs = [
             {
@@ -424,3 +476,218 @@ def _write_chunk_file(
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
         f.write(payload)
+
+
+def _compression_token(meta_arr) -> str | None:
+    """Map an array's stored compressor/codec config back to the sink's
+    ``compression`` token, so appended chunks encode exactly like the
+    existing ones."""
+    if meta_arr.zarr_format == 2:
+        c = meta_arr.compressor
+        if c is None:
+            return None
+        cid = c.get("id")
+        if cid in ("zlib", "gzip"):
+            return cid
+        if cid == "blosc" and c.get("cname", "lz4") == "lz4":
+            return "blosc-lz4"
+        raise NotImplementedError(f"cannot append to v2 compressor {c!r}")
+    names = [c.get("name") for c in meta_arr.codecs]
+    if any(n == "sharding_indexed" for n in names):
+        raise NotImplementedError(
+            "append into a sharded store is not supported: new outer "
+            "slabs would land inside the (zero-padded) trailing shard, "
+            "which would need a read-modify-write of that shard file"
+        )
+    for c in meta_arr.codecs:
+        if c.get("name") == "gzip":
+            return "gzip"
+        if c.get("name") == "blosc":
+            if (c.get("configuration") or {}).get("cname", "lz4") == "lz4":
+                return "blosc-lz4"
+            raise NotImplementedError(f"cannot append to v3 codec {c!r}")
+    return None
+
+
+def _read_1d(store_path: str, meta_arr) -> np.ndarray:
+    from zarr_datafusion_spark.zarr.chunkio import read_chunk
+
+    n, c = meta_arr.shape[0], meta_arr.chunks[0]
+    parts = [
+        read_chunk(store_path, meta_arr, (i,)) for i in range(-(-n // c))
+    ]
+    return np.concatenate(parts)[:n]
+
+
+def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
+    """Append new OUTER slabs (e.g. new time steps) to an existing
+    sink-written store — the standard Zarr ingestion workflow (ERA5
+    grows by one time slice per assimilation cycle; the reference's
+    fixture generator regenerates whole stores instead,
+    ``scripts/data_gen.py``).  The append unit is the store's own
+    chunk unit, so NO existing chunk file is ever rewritten:
+
+    * the DataFrame must carry every store column; its inner-coordinate
+      values must equal the store's (same grid cross-section);
+    * new outer values must all exceed the current outer max
+      (monotonic append keeps the coordinate array sorted — the
+      contract the min/max stats shortcuts and range pushdown rely on);
+    * new slabs are written by executors at offset outer indices with
+      the store's own compression (``_compression_token``), then the
+      1-D outer coordinate array is extended and every array's shape
+      metadata patched IN PLACE (other fields untouched), consolidated
+      metadata LAST as the completion marker.
+
+    Returns ``{"appended_slabs": n, "outer_size": new_total}``.
+    100 TB posture: appends touch only the new slabs + O(metadata);
+    the driver handles only coordinate values (axis-bounded).
+    """
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+
+    meta = discover_arrays(store_path)
+    coords = [c.name for c in meta.coords]
+    data_vars = sorted(v.name for v in meta.data_vars)
+    outer, inner = coords[0], coords[1:]
+    # sharded detection first: its error names the real obstacle
+    compressions = {v.name: _compression_token(v) for v in meta.data_vars}
+    for v in meta.data_vars:
+        if v.chunks != (1,) + v.shape[1:]:
+            raise NotImplementedError(
+                f"append requires the sink's (1, d2, ...) chunk layout; "
+                f"{v.name} has chunks {v.chunks}"
+            )
+
+    spark = df.sparkSession
+    df = df.select(*coords, *data_vars).persist()
+    try:
+        # validate the inner grid cross-section matches the store
+        inner_values: dict[str, np.ndarray] = {}
+        for c in inner:
+            have = np.sort(
+                np.array([r[0] for r in df.select(c).distinct().collect()])
+            )
+            stored = _read_1d(store_path, meta.array(c))
+            if len(have) != len(stored) or not (have == stored).all():
+                raise ValueError(
+                    f"inner coordinate {c!r} does not match the store's "
+                    f"({len(have)} vs {len(stored)} values)"
+                )
+            inner_values[c] = stored
+        old_outer = _read_1d(store_path, meta.array(outer))
+        new_outer = np.sort(
+            np.array([r[0] for r in df.select(outer).distinct().collect()])
+        )
+        if len(new_outer) and not (new_outer[0] > old_outer[-1]):
+            raise ValueError(
+                f"append must be monotonic: new {outer} min "
+                f"{new_outer[0]!r} <= stored max {old_outer[-1]!r}"
+            )
+        inner_shape = tuple(len(inner_values[c]) for c in inner)
+        n_cells = len(new_outer) * int(np.prod(inner_shape))
+        n_rows = df.count()
+        if n_rows != n_cells:
+            raise ValueError(
+                f"appended block is not a dense grid: {n_rows} rows != "
+                f"{n_cells} cells"
+            )
+
+        offset = len(old_outer)
+        outer_index = {
+            val: offset + i for i, val in enumerate(new_outer.tolist())
+        }
+        var_dtypes = {
+            v.name: np.dtype(v.dtype).str for v in meta.data_vars
+        }
+        zarr_format = meta.zarr_format
+        sc = spark.sparkContext
+        b_inner = sc.broadcast(inner_values)
+        b_outer_index = sc.broadcast(outer_index)
+        b_dtypes = sc.broadcast(var_dtypes)
+        b_comp = sc.broadcast(compressions)
+
+        def _append_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+            oi = b_outer_index.value[pdf[outer].iloc[0]]
+            pos = np.zeros(len(pdf), dtype=np.int64)
+            stride = 1
+            for c in reversed(inner):
+                vals = b_inner.value[c]
+                idx = np.searchsorted(vals, pdf[c].to_numpy())
+                pos += idx * stride
+                stride *= len(vals)
+            n = int(np.prod(inner_shape))
+            if len(pdf) != n or len(np.unique(pos)) != n:
+                raise ValueError(
+                    f"slab {oi}: {len(pdf)} rows for {n} cells"
+                )
+            files = 0
+            for v, dstr in b_dtypes.value.items():
+                cell = np.empty(n, dtype=np.dtype(dstr))
+                cell[pos] = pdf[v].to_numpy()
+                if zarr_format == 3:
+                    cell = cell.astype(
+                        cell.dtype.newbyteorder("<"), copy=False
+                    )
+                payload = _compress(
+                    cell.tobytes(),
+                    b_comp.value[v],
+                    typesize=cell.dtype.itemsize,
+                )
+                _write_chunk_file(
+                    store_path, v, oi, 1 + len(inner), payload, zarr_format
+                )
+                files += 1
+            return pd.DataFrame({"outer_idx": [oi], "files": [files]})
+
+        results = (
+            df.repartition(min(len(new_outer), 512), outer)
+            .groupBy(outer)
+            .applyInPandas(_append_slab, schema="outer_idx long, files int")
+            .collect()
+        )
+    finally:
+        df.unpersist()
+
+    # extend the outer coordinate array (tiny, driver-side), then patch
+    # every array's shape metadata in place; consolidated metadata LAST
+    import json
+
+    combined = np.concatenate([old_outer, new_outer])
+    write_coord = write_v2_array if zarr_format == 2 else write_v3_array
+    write_coord(store_path, outer, combined, (len(combined),))
+    meta_name = ".zarray" if zarr_format == 2 else "zarr.json"
+    for v in data_vars:
+        p = os.path.join(store_path, v, meta_name)
+        with open(p) as f:
+            m = json.load(f)
+        m["shape"][0] += len(new_outer)
+        with open(p, "w") as f:
+            json.dump(m, f)
+    if zarr_format == 2:
+        zmeta = os.path.join(store_path, ".zmetadata")
+        if os.path.exists(zmeta):
+            entries = {}
+            for name in coords + data_vars:
+                with open(os.path.join(store_path, name, ".zarray")) as f:
+                    entries[f"{name}/.zarray"] = json.load(f)
+            with open(zmeta, "w") as f:
+                json.dump(
+                    {"zarr_consolidated_format": 1, "metadata": entries}, f
+                )
+    else:
+        nodes = {}
+        for name in coords + data_vars:
+            with open(os.path.join(store_path, name, meta_name)) as f:
+                nodes[name] = json.load(f)
+        with open(os.path.join(store_path, "zarr.json"), "w") as f:
+            json.dump(
+                {
+                    "zarr_format": 3,
+                    "node_type": "group",
+                    "consolidated_metadata": {"metadata": nodes},
+                },
+                f,
+            )
+    return {
+        "appended_slabs": len(results),
+        "outer_size": len(combined),
+    }
