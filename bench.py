@@ -115,6 +115,7 @@ HEADLINE = [
     "search_phrase",
     "search_phrase_indexed",
     "search_proximity",
+    "search_qlm_topk",
     "sim_kmeans_step",
 ]
 

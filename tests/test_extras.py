@@ -130,6 +130,21 @@ def test_proximity_scans_index_only_and_respects_slop(spark):
     assert adjacent == probe
 
 
+def test_qlm_scans_index_only_and_orders_sanely(spark):
+    """search_qlm_topk must serve from the index (pushed In(token), no
+    documents scan).  Sanity the hash can't see: every score is a
+    probability product in (0, 1], and a doc carrying ALL query terms
+    outranks the same-length doc with none (smoothing < observed tf)."""
+    df = extras.QUERIES["search_qlm_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bm25_index" in plan and "documents.parquet" not in plan
+    assert "In(token," in plan
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(0.0 < r.qlm <= 1.0 for r in rows)
+    assert [r.qlm for r in rows] == sorted((r.qlm for r in rows), reverse=True)
+
+
 def test_streaming_index_update_deterministic_across_invocations(spark):
     """Second invocation reuses the staleness-keyed ingest dir (the
     cached branch) yet rebuilds index + checkpoint from scratch in a

@@ -57,6 +57,10 @@ NESTED_LOOP_OK = {
         "broadcast 1-row corpus stats scalar + 1-row query vector "
         "(the two fused rank sources)"
     ),
+    "search_qlm_topk": (
+        "broadcast 1-row corpus-total scalar + 1-row per-term "
+        "collection-frequency row (Dirichlet smoothing constants)"
+    ),
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the

@@ -3922,3 +3922,101 @@ def streaming_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+# ---------------------------------------------------------------------------
+# Query-likelihood ranking (Dirichlet smoothing)
+# ---------------------------------------------------------------------------
+
+_QLM_MU = "2000.0"  # Dirichlet prior as a shared literal string
+
+_QLM_ORACLE = (lambda terms, mu: f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id,
+                  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS DOUBLE) AS dl
+           FROM documents),
+    c AS (SELECT CAST(CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 AS c_total FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in terms)})
+           GROUP BY doc_id, token),
+    cf AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS cf
+           FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in terms)})
+           GROUP BY token),
+    cfp AS (SELECT {", ".join(f"SUM(CASE WHEN token = '{t}' THEN cf END) AS cf_{t}" for t in terms)}
+            FROM cf),
+    piv AS (SELECT doc_id,
+                   {", ".join(f"SUM(CASE WHEN token = '{t}' THEN tf END) AS tf_{t}" for t in terms)}
+            FROM tf GROUP BY doc_id)
+    SELECT doc_id,
+           {" * ".join(f"((coalesce(tf_{t}, 0.0) + {mu} * cf_{t} / c_total) / (dl + {mu}))" for t in terms)}
+           AS qlm
+    FROM piv JOIN dl USING (doc_id), c, cfp
+    ORDER BY qlm DESC, doc_id
+    LIMIT 10
+""")(_BM25_TERMS, _QLM_MU)
+
+
+@_q("search_qlm_topk", _QLM_ORACLE)
+def search_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (µ = 2000) —
+    the second classic probabilistic ranking family next to BM25,
+    served from the SAME persisted index.  Candidate set = docs
+    containing >= 1 query term (standard posting-driven scoring); each
+    candidate's score is the product over query terms of
+    ``(tf + µ·cf/C) / (dl + µ)`` — smoothing gives absent terms their
+    collection probability, so the product never zeroes out.
+
+    Bit-determinism: log-free (the product form, not the usual
+    log-sum), every input double is an exactly-represented integer
+    (tf, cf, dl, C are counts; integer-valued doubles sum exactly in
+    ANY order, so even the float SUMs here are deterministic), per-term
+    factors are pivoted columns multiplied in FIXED textual order, and
+    µ rides as one shared literal.  The DuckDB twin reproduces every
+    score bit-for-bit.
+
+    100 TB posture: identical to the BM25 indexed entry — |terms|
+    posting row-groups + the slim doclen table; cf/C are tiny
+    aggregates (two 1-row broadcasts); top-10 is
+    TakeOrderedAndProject.
+    """
+    tf, dl = _indexed_tf_dl(spark, sf_dir)
+    mu = float(_QLM_MU)
+    corpus = dl.agg(F.sum("dl").cast("double").alias("c_total"))
+    cfp = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").alias("cf"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("token") == t, F.col("cf"))).alias(f"cf_{t}")
+                for t in _BM25_TERMS
+            ]
+        )
+    )
+    piv = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("token") == t, F.col("tf"))).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    cand = (
+        piv.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(cfp))
+    )
+    score = None
+    for t in _BM25_TERMS:
+        f = (
+            F.coalesce(F.col(f"tf_{t}"), F.lit(0.0))
+            + F.lit(mu) * F.col(f"cf_{t}") / F.col("c_total")
+        ) / (F.col("dl") + F.lit(mu))
+        score = f if score is None else score * f
+    return (
+        cand.select("doc_id", score.alias("qlm"))
+        .orderBy(F.col("qlm").desc(), "doc_id")
+        .limit(10)
+    )

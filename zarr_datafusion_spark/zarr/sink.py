@@ -50,7 +50,10 @@ def write_zarr(
     ``coords``: dimension columns, outermost first; the DataFrame must
     contain every combination of their distinct values exactly once
     (dense grid — validated).  ``data_vars`` defaults to all remaining
-    numeric columns.  Returns {array_name: chunk_files_written}.
+    numeric columns.  Returns ``{"arrays", "chunk_files", "slabs",
+    "bytes_written"}`` — the last is the compressed byte count that
+    hit chunk/shard files, summed from executor tasks (the write-side
+    A10 counter).
 
     ``zarr_format``: 2 (``.zgroup``/``.zarray``/``.zmetadata``,
     dot-separated chunk keys) or 3 (per-node ``zarr.json``,
@@ -214,7 +217,7 @@ def _write_zarr_persisted(
     b_outer_index = sc.broadcast(outer_index)
     b_dtypes = sc.broadcast({v: d.str for v, d in var_dtypes.items()})
 
-    out_schema = "outer_idx long, files int"
+    out_schema = "outer_idx long, files int, bytes long"
 
     def _write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
         oi = b_outer_index.value[pdf[outer].iloc[0]]
@@ -231,7 +234,7 @@ def _write_zarr_persisted(
             raise ValueError(
                 f"slab {oi}: {len(pdf)} rows for {n} cells (grid not dense)"
             )
-        files = 0
+        files = nbytes = 0
         for v, dstr in b_dtypes.value.items():
             cell = np.empty(n, dtype=np.dtype(dstr))
             cell[pos] = pdf[v].to_numpy()
@@ -244,7 +247,10 @@ def _write_zarr_persisted(
                 store_path, v, oi, 1 + len(inner), payload, zarr_format
             )
             files += 1
-        return pd.DataFrame({"outer_idx": [oi], "files": [files]})
+            nbytes += len(payload)
+        return pd.DataFrame(
+            {"outer_idx": [oi], "files": [files], "bytes": [nbytes]}
+        )
 
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         m = b_outer_index.value
@@ -270,7 +276,7 @@ def _write_zarr_persisted(
                 f"shard {shard}: partial or duplicated slabs "
                 f"(per-outer counts {present.tolist()}, {len(pdf)} rows)"
             )
-        files = 0
+        files = nbytes = 0
         for v, dstr in b_dtypes.value.items():
             # absent outer rows (trailing partial shard) stay zero —
             # the same padding the single-node sharded writer emits;
@@ -289,7 +295,10 @@ def _write_zarr_persisted(
             with open(path, "wb") as f:
                 f.write(payload)
             files += 1
-        return pd.DataFrame({"outer_idx": [shard], "files": [files]})
+            nbytes += len(payload)
+        return pd.DataFrame(
+            {"outer_idx": [shard], "files": [files], "bytes": [nbytes]}
+        )
 
     if shard_outer:
         n_shards = -(-shape[0] // shard_outer)
@@ -349,6 +358,9 @@ def _write_zarr_persisted(
         "arrays": len(coords) + len(data_vars),
         "chunk_files": sum(r.files for r in results),
         "slabs": len(results),
+        # the write-side I/O counter (stats.rs A10 analog): compressed
+        # bytes that hit chunk/shard files, summed from executor tasks
+        "bytes_written": sum(r.bytes for r in results),
     }
 
 
@@ -538,7 +550,7 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
       metadata patched IN PLACE (other fields untouched), consolidated
       metadata LAST as the completion marker.
 
-    Returns ``{"appended_slabs": n, "outer_size": new_total}``.
+    Returns ``{"appended_slabs", "outer_size", "bytes_written"}``.
     100 TB posture: appends touch only the new slabs + O(metadata);
     the driver handles only coordinate values (axis-bounded).
     """
@@ -619,7 +631,7 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
                 raise ValueError(
                     f"slab {oi}: {len(pdf)} rows for {n} cells"
                 )
-            files = 0
+            files = nbytes = 0
             for v, dstr in b_dtypes.value.items():
                 cell = np.empty(n, dtype=np.dtype(dstr))
                 cell[pos] = pdf[v].to_numpy()
@@ -636,12 +648,17 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
                     store_path, v, oi, 1 + len(inner), payload, zarr_format
                 )
                 files += 1
-            return pd.DataFrame({"outer_idx": [oi], "files": [files]})
+                nbytes += len(payload)
+            return pd.DataFrame(
+                {"outer_idx": [oi], "files": [files], "bytes": [nbytes]}
+            )
 
         results = (
             df.repartition(min(len(new_outer), 512), outer)
             .groupBy(outer)
-            .applyInPandas(_append_slab, schema="outer_idx long, files int")
+            .applyInPandas(
+                _append_slab, schema="outer_idx long, files int, bytes long"
+            )
             .collect()
         )
     finally:
@@ -690,4 +707,5 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
     return {
         "appended_slabs": len(results),
         "outer_size": len(combined),
+        "bytes_written": sum(r.bytes for r in results),
     }
