@@ -435,6 +435,57 @@ def test_sink_append_rejects_non_monotonic_and_sharded(spark, tmp_path):
         append_zarr(src, sharded)
 
 
+def test_zarr_stream_tails_appends_exactly_once(spark, tmp_path):
+    """Streaming Zarr source: an availableNow run over a 5-slab store
+    writes 500 rows to a parquet sink; after append_zarr adds 2 slabs,
+    a SECOND availableNow run with the SAME checkpoint emits ONLY the
+    new 200 rows (offset recovery — no re-read, no duplicates), and
+    the sink's union equals the full batch scan."""
+    import os
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import (
+        append_zarr,
+        read_zarr,
+        read_zarr_stream,
+        write_zarr,
+    )
+
+    src = read_zarr(spark, fixture_store(2))
+    times = sorted(r[0] for r in src.select("time").distinct().collect())
+    store = str(tmp_path / "grow.zarr")
+    write_zarr(
+        src.filter(F.col("time").isin(times[:5])), store,
+        coords=["time", "lat", "lon"],
+    )
+    out = str(tmp_path / "tail_out")
+    ckpt = str(tmp_path / "tail_ckpt")
+
+    def run_once():
+        q = (
+            read_zarr_stream(spark, store, target_partitions=4)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 500
+    append_zarr(src.filter(F.col("time").isin(times[5:])), store)
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 700  # 200 new rows, zero duplicates
+    assert sorted(map(tuple, got.select(*src.columns).collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    # a third run with nothing new must be a no-op
+    run_once()
+    assert spark.read.parquet(out).count() == 700
+
+
 def test_sink_rejects_unsupported_compression(spark, tmp_path):
     import pytest
 

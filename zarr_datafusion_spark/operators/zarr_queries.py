@@ -266,3 +266,55 @@ def zarr_append_roundtrip(spark, sf_dir):
     )
     append_zarr(src.filter(F.col("time").isin(times[5:])), out)
     return read_zarr(spark, out)
+
+
+@_q(
+    "zarr_stream_tail",
+    f"""SELECT time, lat, lon, temperature, humidity
+        FROM read_parquet('{_MIRROR}')""",
+)
+def zarr_stream_tail(spark, sf_dir):
+    """Streaming-source round-trip, value-checked: build a 5-slab
+    store, TAIL it with the streaming Zarr source (availableNow ->
+    parquet sink + checkpoint), append 2 slabs via ``append_zarr``,
+    tail again with the SAME checkpoint — the second run must emit
+    only the new slabs (offset recovery).  The sink's union is
+    hash-checked against the full parquet mirror, so a duplicate, a
+    skipped slab, or a wrong offset all mismatch.  Beyond-reference:
+    the reference is batch-only (``zarr_exec.rs:102``)."""
+    import tempfile
+
+    from zarr_datafusion_spark.zarr import (
+        append_zarr,
+        read_zarr,
+        read_zarr_stream,
+        write_zarr,
+    )
+
+    src = read_zarr(spark, fixture_store(2))
+    times = sorted(r[0] for r in src.select("time").distinct().collect())
+    base = tempfile.mkdtemp(prefix="zds_stream_tail_")
+    store = os.path.join(base, "grow.zarr")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    write_zarr(
+        src.filter(F.col("time").isin(times[:5])), store,
+        coords=["time", "lat", "lon"],
+    )
+
+    def tail_once():
+        q = (
+            read_zarr_stream(spark, store, target_partitions=4)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    tail_once()
+    append_zarr(src.filter(F.col("time").isin(times[5:])), store)
+    tail_once()
+    return spark.read.parquet(out).select(
+        "time", "lat", "lon", "temperature", "humidity"
+    )

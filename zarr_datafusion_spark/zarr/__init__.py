@@ -17,9 +17,10 @@ early exit.
 from zarr_datafusion_spark.zarr.datasource import (
     ZarrDataSource,
     read_zarr,
+    read_zarr_stream,
     register_zarr_source,
 )
-from zarr_datafusion_spark.zarr.sink import write_zarr
+from zarr_datafusion_spark.zarr.sink import append_zarr, write_zarr
 from zarr_datafusion_spark.zarr.metadata import (
     ZarrArrayMeta,
     ZarrStoreMeta,
@@ -36,6 +37,8 @@ __all__ = [
     "discover_arrays",
     "infer_spark_schema",
     "read_zarr",
+    "read_zarr_stream",
+    "append_zarr",
     "write_zarr",
     "register_zarr_source",
 ]

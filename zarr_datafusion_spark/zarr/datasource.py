@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     InputPartition,
@@ -658,6 +659,81 @@ class ZarrDataSource(DataSource):
             schema, dict(self.options), getattr(self, "_meta", None)
         )
 
+    def streamReader(self, schema: StructType) -> "ZarrStreamReader":  # noqa: N802
+        return ZarrStreamReader(schema, dict(self.options))
+
+
+class ZarrStreamReader(DataSourceStreamReader):
+    """Streaming tail of a GROWING Zarr store — the streaming half of
+    Tier A1, pairing with ``sink.append_zarr`` (live ingestion: one
+    process appends outer slabs, another tails them).  The reference is
+    batch-only (``Boundedness::Bounded``, ``zarr_exec.rs:102``); this
+    is the beyond-reference surface a 100 TB live archive needs.
+
+    Offset model: the OUTER dimension's current length (one integer —
+    Zarr appends are monotonic along the outer axis, enforced by
+    ``append_zarr``), so offsets are total-ordered, replayable, and
+    exactly-once under checkpointing: micro-batch [lo, hi) re-reads
+    identical slabs on recovery because slab content is immutable once
+    written (append never rewrites a chunk).
+
+    Partitioning: each micro-batch's [lo, hi) window splits into
+    chunk-aligned slab pieces — the SAME planning and executor read
+    path as the batch scan (``ZarrDataSourceReader.read``), so
+    projection/batching behavior is identical and nothing is
+    materialized on the driver.  Metadata is re-discovered when an
+    offset beyond the cached shape appears (the append grew the
+    store); windows are absolute indices, so a NEWER metadata snapshot
+    is always valid for an OLDER window."""
+
+    def __init__(self, schema: StructType, options: dict):
+        from zarr_datafusion_spark.zarr.metadata import normalize_store_path
+
+        if not options.get("path"):
+            raise ValueError("zarr source requires a 'path' option")
+        self.store_path = normalize_store_path(options["path"])
+        self.schema_ = schema
+        self.options = dict(options)
+        self.target_partitions = int(options.get("target_partitions", 8))
+        self._cached: ZarrDataSourceReader | None = None
+
+    def _reader_for(self, outer: int) -> ZarrDataSourceReader:
+        r = self._cached
+        if r is None or (r.meta.coords and r.meta.coords[0].shape[0] < outer):
+            r = ZarrDataSourceReader(
+                self.schema_, dict(self.options),
+                discover_arrays(self.store_path),
+            )
+            self._cached = r
+        return r
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"outer": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        meta = discover_arrays(self.store_path)
+        outer = int(meta.coords[0].shape[0]) if meta.coords else 0
+        return {"outer": outer}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["outer"]), int(end["outer"])
+        if hi <= lo:
+            return []
+        reader = self._reader_for(hi)
+        inner = tuple((0, s) for s in reader.meta.coord_sizes[1:])
+        pieces = _aligned_pieces(
+            lo, hi, reader._outer_chunk(), self.target_partitions
+        )
+        return [ZarrInputPartition(a, b, inner, None) for a, b in pieces]
+
+    def read(self, partition: ZarrInputPartition):
+        # executes on executors: the lazily built delegate re-discovers
+        # metadata there (local metadata math, no driver involvement)
+        yield from self._reader_for(partition.outer_hi).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
 
 # ---------------------------------------------------------------------------
 # Registration / convenience API
@@ -730,6 +806,25 @@ def read_zarr(
         reader = reader.option("target_batch_rows", str(target_batch_rows))
     if stats_dir is not None:
         reader = reader.option("stats_dir", stats_dir)
+    if target_partitions is None:
+        target_partitions = spark.sparkContext.defaultParallelism
+    reader = reader.option("target_partitions", str(target_partitions))
+    return reader.load(store_path)
+
+
+def read_zarr_stream(
+    spark: SparkSession,
+    store_path: str,
+    target_partitions: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame tailing a growing Zarr store (see
+    :class:`ZarrStreamReader`): every outer slab appended after the
+    stream's last committed offset arrives as new rows — pair with
+    ``sink.append_zarr`` for live-archive ingestion.  Drive with
+    ``trigger(availableNow=True)`` for catch-up-and-stop semantics or
+    a processing-time trigger to follow the store continuously."""
+    register_zarr_source(spark)
+    reader = spark.readStream.format("zarr")
     if target_partitions is None:
         target_partitions = spark.sparkContext.defaultParallelism
     reader = reader.option("target_partitions", str(target_partitions))
