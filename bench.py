@@ -116,6 +116,7 @@ HEADLINE = [
     "search_phrase_indexed",
     "search_proximity",
     "search_qlm_topk",
+    "search_snippets",
     "sim_kmeans_step",
 ]
 

@@ -4020,3 +4020,78 @@ def search_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("qlm").desc(), "doc_id")
         .limit(10)
     )
+
+# ---------------------------------------------------------------------------
+# Snippet extraction around phrase matches
+# ---------------------------------------------------------------------------
+
+_SNIPPET_CTX = 3  # tokens of context on each side of the matched phrase
+
+_SNIPPET_ORACLE = (lambda phrase, ctx: f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+             unnest(list_transform(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               (x, i) -> {{'pos': i, 'token': x}})) AS u
+      FROM documents
+    ),
+    p AS (SELECT doc_id, u.pos AS pos, u.token AS token FROM toks),
+    ph AS (SELECT * FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(phrase))}) AS t(i, term)),
+    m AS (SELECT doc_id, pos - i AS start FROM p JOIN ph ON token = term
+          GROUP BY doc_id, pos - i HAVING COUNT(DISTINCT i) = {len(phrase)}),
+    fp AS (SELECT doc_id, CAST(MIN(start) AS BIGINT) AS first_pos
+           FROM m GROUP BY doc_id),
+    arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents)
+    SELECT fp.doc_id, fp.first_pos,
+           array_to_string(
+             w[GREATEST(1, CAST(first_pos AS INT) - {ctx}) :
+               CAST(first_pos AS INT) + {len(phrase) - 1 + ctx}],
+             ' ') AS snippet
+    FROM fp JOIN arr ON fp.doc_id = arr.doc_id
+""")(_PHRASE, _SNIPPET_CTX)
+
+
+@_q("search_snippets", _SNIPPET_ORACLE)
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contextual snippet extraction — the result-presentation step of
+    the retrieval stack: for every doc matching the exact phrase, cut
+    the token window ±{ctx} around the FIRST occurrence and render it
+    as a string.  Reuses the position-offset phrase voting
+    (:func:`search_phrase`), then one self-join back to the token
+    array and a 1-based bounded slice (both engines clamp slices at
+    the array end, and the left bound is ``greatest(1, ...)``, so the
+    window is total).
+
+    100 TB posture: the voting side is query-term-pruned as in the
+    phrase entry; the snippet join touches only MATCHING docs (a
+    semi-join-sized read of the text column), which is exactly the
+    two-phase retrieve-then-present shape production search uses.
+    """
+    docs = cpu_rebalance(
+        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    w = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    tok = w.select("doc_id", F.posexplode("w").alias("pos", "token"))
+    phrase_df = spark.createDataFrame(
+        list(enumerate(_PHRASE)), "i int, term string"
+    )
+    occ = (
+        tok.join(F.broadcast(phrase_df), tok["token"] == phrase_df["term"])
+        .select("doc_id", (F.col("pos") - F.col("i") + 1).alias("start"), "i")
+        .groupBy("doc_id", "start")
+        .agg(F.countDistinct("i").alias("k"))
+        .filter(F.col("k") == len(_PHRASE))
+        .groupBy("doc_id")
+        .agg(F.min("start").cast("bigint").alias("first_pos"))
+    )
+    lo = F.greatest(F.lit(1), F.col("first_pos").cast("int") - _SNIPPET_CTX)
+    hi = F.col("first_pos").cast("int") + (len(_PHRASE) - 1 + _SNIPPET_CTX)
+    return occ.join(w, "doc_id").select(
+        "doc_id",
+        "first_pos",
+        F.array_join(F.slice("w", lo, hi - lo + 1), " ").alias("snippet"),
+    )
