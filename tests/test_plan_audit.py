@@ -61,6 +61,10 @@ NESTED_LOOP_OK = {
         "broadcast 1-row corpus-total scalar + 1-row per-term "
         "collection-frequency row (Dirichlet smoothing constants)"
     ),
+    "streaming_index_compacted": (
+        "broadcast 1-row corpus stats scalar (N, avgdl) via the shared "
+        "BM25 scoring tail"
+    ),
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the

@@ -3822,6 +3822,30 @@ def streaming_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming is beyond the reference's batch-only surface
     (``src/reader/zarr_exec.rs`` Boundedness::Bounded).
     """
+    import shutil
+
+    work, index_dir = _incremental_postings(spark, sf_dir)
+    out = (
+        spark.read.parquet(index_dir)
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _incremental_postings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Run the at-least-once ingest stream and return ``(work_dir,
+    index_dir)`` — the doc-hash-bucketed postings built by the
+    foreachBatch copy-on-write upserts (see
+    :func:`streaming_index_update` for the semantics).  The caller
+    owns ``work_dir`` cleanup."""
     import hashlib
     import shutil
     import tempfile
@@ -3911,15 +3935,53 @@ def streaming_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.sources.partitionOverwriteMode", prev_mode
         )
 
-    out = (
-        spark.read.parquet(index_dir)
-        .groupBy("token")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("tf").cast("bigint").alias("total_tf"),
-        )
-        .localCheckpoint(eager=True)
+    return work, index_dir
+
+
+@_q("streaming_index_compacted", _BM25_ORACLE)
+def streaming_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION closes the index lifecycle: the incremental upsert
+    index (:func:`streaming_index_update`) is write-optimized —
+    bucketed by doc hash so per-batch rewrites prune — but that layout
+    serves term lookups badly (a query term's postings are scattered
+    across every bucket).  Compaction rewrites it into the
+    READ-optimized layout the batch build emits: token-repartitioned,
+    token-sorted postings (row-group min/max pruning restored) plus a
+    doclen sidecar derived as ``SUM(tf)`` per doc (exactly the token
+    count, so no text re-read).  A BM25 query over the compacted index
+    then reproduces the raw-text entry's scores bit-for-bit — the
+    shared oracle proves ingest-upsert → compact → query end-to-end.
+
+    100 TB posture: this is the LSM shape of every real search/lakehouse
+    system (write-optimized deltas + periodic compaction to
+    read-optimized base); compaction is one shuffle over the postings,
+    amortized across all subsequent pruned queries.
+    """
+    import shutil
+
+    work, index_dir = _incremental_postings(spark, sf_dir)
+    comp_postings = os.path.join(work, "compacted_postings")
+    comp_doclen = os.path.join(work, "compacted_doclen")
+    posts = spark.read.parquet(index_dir).select("token", "doc_id", "tf")
+    (
+        posts.repartition(8, "token")
+        .sortWithinPartitions("token")
+        .write.parquet(comp_postings)
     )
+    (
+        posts.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .write.parquet(comp_doclen)
+    )
+    tf = (
+        spark.read.parquet(comp_postings)
+        .filter(F.col("token").isin(list(_BM25_TERMS)))
+        .select("doc_id", "token", F.col("tf").cast("double").alias("tf"))
+    )
+    dl = spark.read.parquet(comp_doclen).select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    out = _bm25_score_topk(tf, dl).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
 
