@@ -105,9 +105,10 @@ HEADLINE = [
     # k-NN join (salted two-stage per-query top-k)
     "search_bm25_topk",
     "sim_knn_join",
-    # round-8 (62 -> 70): substring-span cut, index-backed BM25 +
+    # round-8 (62 -> 72): substring-span cut, index-backed BM25 +
     # boolean AND + RRF hybrid + phrase retrieval (raw + positional
-    # index) + NEAR/k proximity, one-Lloyd-step k-means
+    # index) + NEAR/k proximity + query-likelihood + snippets,
+    # one-Lloyd-step k-means
     "dedup_cut_spans",
     "search_bm25_indexed",
     "search_boolean_and",
