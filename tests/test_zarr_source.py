@@ -435,6 +435,50 @@ def test_sink_append_rejects_non_monotonic_and_sharded(spark, tmp_path):
         append_zarr(src, sharded)
 
 
+@_pytest.mark.parametrize(
+    "filters",
+    [
+        ({"id": "delta", "dtype": "<i8"},),
+        ({"id": "shuffle", "elementsize": 8},),
+        ({"id": "delta", "dtype": "<i8"}, {"id": "shuffle", "elementsize": 8}),
+    ],
+    ids=["delta", "shuffle", "delta+shuffle"],
+)
+def test_v2_filter_write_roundtrip(spark, tmp_path, filters):
+    """Writer-side v2 filter chains (delta, shuffle, chained — encode
+    order) must invert exactly through the reader's
+    `_apply_v2_filters_inverse`, including with zlib on top, and the
+    full Spark scan must reproduce the cells."""
+    import numpy as np
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.writer import write_v2_array
+
+    store = str(tmp_path / "filt.zarr")
+    import json
+    import os
+
+    os.makedirs(store)
+    with open(os.path.join(store, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    rng = np.random.default_rng(7)
+    t = np.arange(6, dtype=np.int64) * 100
+    y = np.arange(5, dtype=np.int64)
+    v = rng.integers(-1000, 1000, size=(6, 5)).astype(np.int64)
+    write_v2_array(store, "t", t, (6,))
+    write_v2_array(store, "y", y, (5,))
+    write_v2_array(
+        store, "v", v, (2, 5), compression="zlib", filters=filters
+    )
+    got = read_zarr(spark, store).orderBy("t", "y").collect()
+    want = [
+        (int(t[i]), int(y[j]), int(v[i, j]))
+        for i in range(6)
+        for j in range(5)
+    ]
+    assert [tuple(r) for r in got] == want
+
+
 def test_zarr_stream_tails_appends_exactly_once(spark, tmp_path):
     """Streaming Zarr source: an availableNow run over a 5-slab store
     writes 500 rows to a parquet sink; after append_zarr adds 2 slabs,

@@ -318,3 +318,48 @@ def zarr_stream_tail(spark, sf_dir):
     return spark.read.parquet(out).select(
         "time", "lat", "lon", "temperature", "humidity"
     )
+
+
+@_q(
+    "zarr_stream_agg",
+    f"""SELECT time,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(temperature) AS BIGINT) AS sum_temperature,
+               CAST(MIN(humidity) AS BIGINT) AS min_humidity
+        FROM read_parquet('{_MIRROR}') GROUP BY time""",
+)
+def zarr_stream_agg(spark, sf_dir):
+    """Streaming aggregation OVER the streaming Zarr source — proves
+    the source composes with Structured Streaming's stateful operators
+    (grouped aggregation in complete mode over the finite tail equals
+    the batch GROUP BY — the same batch/stream parity oracle the
+    events streams use).  Sums are over int64 cells, so the aggregate
+    is exact on both engines."""
+    from zarr_datafusion_spark.zarr import read_zarr_stream
+
+    agg = (
+        read_zarr_stream(spark, fixture_store(2), target_partitions=4)
+        .groupBy("time")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("temperature").cast("bigint").alias("sum_temperature"),
+            F.min("humidity").cast("bigint").alias("min_humidity"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    name = "zds_zarr_stream_agg_sink"
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out

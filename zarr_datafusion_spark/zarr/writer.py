@@ -72,6 +72,28 @@ def _compress(raw: bytes, compression: str | None, typesize: int = 1) -> bytes:
     )
 
 
+def _apply_v2_filters(raw: bytes, filters: tuple, dtype: np.dtype) -> bytes:
+    """Apply a v2/numcodecs filter chain in ENCODE order (the inverse
+    of ``chunkio._apply_v2_filters_inverse``): ``delta`` stores the
+    first value + successive differences, ``shuffle`` byte-transposes
+    by element size.  Symmetric with the reader, so a
+    writer-filtered store roundtrips through the repo's own scan."""
+    from zarr_datafusion_spark.zarr.lz4blosc import shuffle as _shuf
+
+    for f in filters:
+        fid = (f or {}).get("id")
+        if fid == "delta":
+            x = np.frombuffer(raw, dtype=np.dtype(f.get("dtype") or dtype))
+            enc_dtype = np.dtype(f.get("astype") or f.get("dtype") or dtype)
+            d = np.concatenate([x[:1], np.diff(x)]).astype(enc_dtype)
+            raw = d.tobytes()
+        elif fid == "shuffle":
+            raw = _shuf(raw, int(f.get("elementsize", dtype.itemsize)))
+        else:
+            raise NotImplementedError(f"v2 filter not supported: {fid!r}")
+    return raw
+
+
 def write_v2_array(
     store: str,
     name: str,
@@ -79,6 +101,7 @@ def write_v2_array(
     chunks: tuple[int, ...],
     compression: str | None = None,
     dimension_separator: str = ".",
+    filters: tuple | None = None,
 ) -> None:
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
@@ -117,7 +140,7 @@ def write_v2_array(
         "compressor": compressor,
         "fill_value": fill_value,
         "order": "C",
-        "filters": None,
+        "filters": list(filters) if filters else None,
         "dimension_separator": dimension_separator,
     }
     with open(os.path.join(adir, ".zarray"), "w") as f:
@@ -126,14 +149,11 @@ def write_v2_array(
         key = dimension_separator.join(str(i) for i in idx)
         path = os.path.join(adir, *key.split("/"))
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        raw = _chunk_bytes(arr, chunks, idx)
+        if filters:
+            raw = _apply_v2_filters(raw, tuple(filters), arr.dtype)
         with open(path, "wb") as f:
-            f.write(
-                _compress(
-                    _chunk_bytes(arr, chunks, idx),
-                    compression,
-                    typesize=arr.dtype.itemsize,
-                )
-            )
+            f.write(_compress(raw, compression, typesize=arr.dtype.itemsize))
 
 
 def _encode_shard(
