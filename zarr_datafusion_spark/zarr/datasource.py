@@ -717,7 +717,15 @@ class ZarrStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["outer"]), int(end["outer"])
-        if hi <= lo:
+        if hi < lo:
+            # a backwards offset means the store SHRANK under the
+            # stream — data loss, not a normal empty batch; fail loud
+            # rather than silently skipping the committed window
+            raise ValueError(
+                f"zarr store shrank under the stream: offset window "
+                f"[{lo}, {hi}) is backwards ({self.store_path})"
+            )
+        if hi == lo:
             return []
         reader = self._reader_for(hi)
         inner = tuple((0, s) for s in reader.meta.coord_sizes[1:])
