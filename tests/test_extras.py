@@ -649,3 +649,69 @@ def test_chunking_reconstructs_documents(spark):
         assert rebuilt == docs[doc_id], doc_id
         for c in cs:
             assert c.chunk_start == c.chunk_idx * extras._CHUNK_STRIDE + 1
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_join_equals_lsh_verified_pairs_above_threshold(spark):
+    """Two INDEPENDENT candidate-generation schemes (MinHash-LSH at
+    t=0.2, prefix filtering at t=0.5) must agree exactly on every pair
+    >= 0.5 — a miss on either side is a recall bug in that scheme."""
+    from zarr_datafusion_spark.operators.dedup import dedup_ngram_jaccard
+    from zarr_datafusion_spark.operators.extras import (
+        SETSIM_PREFIX_THRESHOLD,
+        dedup_setsim_prefix_join,
+    )
+
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+        if r.jaccard >= SETSIM_PREFIX_THRESHOLD
+    }
+    pf = {(r.doc_a, r.doc_b) for r in dedup_setsim_prefix_join(spark, SF_DIR).collect()}
+    assert pf, "prefix join empty at this sf (vacuous agreement)"
+    assert pf == lsh
+
+
+def test_prefix_join_brute_force_synthetic(spark):
+    """Adversarial synthetic corpus vs a Python brute-force twin:
+    short docs (< 3 tokens -> whole-text gram fallback), exact dups,
+    and borderline pairs straddling the threshold."""
+    from zarr_datafusion_spark.operators.extras import setsim_prefix_join
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g h",          # exact dup of 1
+        3: "a b c d e f g x",          # high-overlap near-dup of 1
+        4: "z y x w v u t s",          # disjoint grams
+        5: "a b c q r s t u v w",      # low overlap with 1
+        6: "hi",                        # < 3 tokens -> fallback gram
+        7: "hi",                        # dup of 6 via fallback
+        8: "solo",                      # lone fallback gram
+    }
+
+    def grams(t):
+        w = t.lower().strip().split()
+        if len(w) < 3:
+            return {t.lower().strip()}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    t = 0.5
+    expect = set()
+    for a in texts:
+        for b in texts:
+            if a < b:
+                ga, gb = grams(texts[a]), grams(texts[b])
+                j = len(ga & gb) / len(ga | gb)
+                if j >= t:
+                    expect.add((a, b, j))
+
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in setsim_prefix_join(docs, t).collect()}
+    assert expect, "synthetic corpus produced no expected pairs (vacuous)"
+    assert got == expect

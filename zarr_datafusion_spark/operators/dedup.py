@@ -114,7 +114,16 @@ def dedup_exact(spark, sf_dir):
 #: 1-(1-j^4)^16 > 1 - 2e-7 at j >= 0.88).
 NGRAM_JACCARD_THRESHOLD = 0.2
 
-_NGRAM_JACCARD_ORACLE = rf"""
+
+def jaccard_allpairs_oracle(threshold: float) -> str:
+    """All-pairs word-trigram Jaccard >= ``threshold`` as brute-force
+    DuckDB SQL — the shared ground truth every blocked/filtered
+    near-dup join entry is differentially checked against (MinHash-LSH
+    candidates in :func:`dedup_ngram_jaccard`, prefix filtering in
+    ``extras.dedup_setsim_prefix_join``).  The oracle deliberately has
+    NO blocking: a candidate-generation scheme that misses a true pair
+    shows up as a missing row."""
+    return rf"""
     WITH g AS (
       SELECT doc_id,
              list_distinct(
@@ -131,8 +140,11 @@ _NGRAM_JACCARD_ORACLE = rf"""
              / len(list_distinct(a.grams || b.grams)) AS jaccard
     FROM g a JOIN g b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-            / len(list_distinct(a.grams || b.grams)) >= {NGRAM_JACCARD_THRESHOLD}
+            / len(list_distinct(a.grams || b.grams)) >= {threshold}
 """
+
+
+_NGRAM_JACCARD_ORACLE = jaccard_allpairs_oracle(NGRAM_JACCARD_THRESHOLD)
 
 #: Spark-side word-trigram gram set (shared by the exact-verify stage).
 #: BIND-ONCE shape (r5 perf fix): the original spelling indexed
