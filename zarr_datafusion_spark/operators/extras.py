@@ -4308,3 +4308,275 @@ def setsim_prefix_join(docs: DataFrame, threshold: float) -> DataFrame:
         .select("doc_a", "doc_b", F.expr(exact_j).alias("jaccard"))
         .filter(F.col("jaccard") >= t)
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build from a change log
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE user_id < 20
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN event_type IS DISTINCT FROM
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           THEN 1 ELSE 0 END AS chg
+      FROM e
+    ),
+    grp AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged
+    ),
+    island AS (
+      SELECT user_id, g, min(event_type) AS state,
+             MIN(ts_us) AS valid_from_us
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id, state, valid_from_us,
+           lead(valid_from_us) OVER
+             (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+           lead(valid_from_us) OVER
+             (PARTITION BY user_id ORDER BY valid_from_us) IS NULL
+             AS is_current
+    FROM island
+"""
+
+
+@_q("scd2_intervals", _SCD2_ORACLE)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a change log — the
+    warehouse primitive that turns an event stream into validity
+    intervals: per entity, collapse CONSECUTIVE equal states into one
+    row with [valid_from, valid_to) and an ``is_current`` flag on the
+    open tail.  (The reference's SQL surface has no window functions
+    at all — ``README.md:317`` roadmaps them — so this whole family is
+    superset coverage; the TPC-DS-style dimension-maintenance shape is
+    the capability anchor.)
+
+    Implementation is two window passes + one aggregate (all keyed by
+    the entity): gaps-and-islands via lag-compare + running sum, island
+    collapse via groupBy, interval close via lead.  No joins, no
+    self-reads of the log.  100 TB posture: everything shuffles ONCE
+    on user_id and stays there (Catalyst reuses the partitioning for
+    both windows and the groupBy); per-task state is one carried row
+    per window.  The user_id < 20 predicate is pushed to the scan.
+    """
+    from zarr_datafusion_spark.session import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id", "event_type",
+            F.unix_micros("ts").alias("ts_us"), "event_id",
+        )
+    )
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "chg",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(wo)), 1
+        ).otherwise(0),
+    )
+    grp = flagged.withColumn(
+        "g", F.sum("chg").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    island = grp.groupBy("user_id", "g").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts_us").alias("valid_from_us"),
+    )
+    wi = W.partitionBy("user_id").orderBy("valid_from_us")
+    nxt = F.lead("valid_from_us").over(wi)
+    return island.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the part co-order graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT x, COUNT(*) AS d
+      FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) t
+      GROUP BY x
+    ),
+    oe AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS t
+      FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x
+    ),
+    tri AS (
+      SELECT w1.s AS a, w1.t AS b, w2.t AS c
+      FROM oe w1 JOIN oe w2 ON w1.s = w2.s AND w1.t <> w2.t
+      JOIN oe w3 ON w3.s = w1.t AND w3.t = w2.t
+    ),
+    verts AS (
+      SELECT a AS p FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT p AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM verts GROUP BY p
+"""
+
+
+@_q("graph_triangle_count", _TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the part co-order graph (parts
+    co-ordered in >= 2 distinct orders), via DEGREE-ORDERED edge
+    orientation — the MapReduce triangle-counting shape (Suri &
+    Vassilvitskii WWW'11; graph ops are wholly beyond the reference's
+    relational surface).
+
+    Why orientation matters at scale: counting each triangle once by
+    joining raw undirected edges enumerates every wedge at every hub —
+    a high-degree vertex of degree d contributes d^2 wedge rows (the
+    skew cliff).  Orienting every edge from its lower-(degree, id)
+    endpoint to the higher one (a) counts each triangle exactly once —
+    as (a -> b, a -> c, b -> c) with a < b < c in the order — and (b)
+    caps every vertex's OUT-degree at O(sqrt(m)), so the wedge join
+    generates at most m^1.5 rows regardless of hub skew.
+
+    Pipeline: distinct (order, part) — one shuffle; within-order pair
+    generation is an equi-join on orderkey (bounded by order size, the
+    market-basket shape); edge weights + degrees are two aggregates;
+    the wedge join keys on the oriented source and the closure join on
+    the (t1, t2) edge key.  All integers end-to-end.
+    """
+    from zarr_datafusion_spark.session import load_table
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    oa = op.select("o", F.col("p").alias("u"))
+    ob = op.select("o", F.col("p").alias("v"))
+    # e is read three ways below (degrees + both orientation joins) and
+    # oe three more (the wedge sides and the closure): materialize both
+    # once, EAGERLY — without this the co-order self-join re-executes
+    # per consumer (measured at sf1: 198 s lineage-recompute, 87 s with
+    # lazy checkpoints racing inside one job, 34 s eager — same rows).
+    e = (
+        oa.join(ob, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .localCheckpoint()
+    )
+    w1 = oe.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    w2 = oe.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    w3 = oe.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = (
+        w1.join(w2, "a")
+        .filter(F.col("b") != F.col("c"))
+        .join(w3, ["b", "c"])
+    )
+    # ONE pass over the triangle rows: a 3-element explode, not a
+    # 3-way self-union (which re-runs the wedge+closure join per
+    # branch — measured 41 s -> 16 s for this stage at sf1)
+    verts = tri.select(F.explode(F.array("a", "b", "c")).alias("p"))
+    return verts.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    ).select(F.col("p").alias("l_partkey"), "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between time windows
+# ---------------------------------------------------------------------------
+
+#: epoch microseconds of 2024-01-16 00:00:00 UTC — the event range
+#: midpoint; an integer literal shared by both engines so the split
+#: never depends on timestamp-literal parsing semantics
+_DRIFT_SPLIT_US = 1705363200000000
+
+_DRIFT_ORACLE = f"""
+    WITH e AS (
+      SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             CASE WHEN epoch_us(ts) < {_DRIFT_SPLIT_US} THEN 0 ELSE 1 END
+               AS half
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bin,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_second,
+           CAST(ABS(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                    - SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)) AS BIGINT)
+             AS abs_diff
+    FROM e GROUP BY bin
+"""
+
+
+@_q("profile_drift_bins", _DRIFT_ORACLE)
+def profile_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift profile between two time windows — the data
+    monitoring primitive behind PSI/chi-square drift alarms: equi-width
+    histogram of ``events.value`` in the first vs second half of the
+    month, per-bin counts + absolute difference (all integers; the
+    statistic layer on top is a driver-side formula over ~40 bins, so
+    the heavy lifting — two full-scan histograms in ONE pass — is what
+    the engine owns).
+
+    100 TB posture: one scan, one partial-aggregated groupBy on the
+    bin key (conditional sums fold the two windows in the same pass —
+    no self-join of the table against itself per window, no second
+    scan).  Output is bin-cardinality rows, independent of data size.
+    """
+    from zarr_datafusion_spark.session import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("value") / F.lit(10.0)).cast("bigint").alias("bin"),
+            F.when(F.unix_micros("ts") < _DRIFT_SPLIT_US, 0)
+            .otherwise(1)
+            .alias("half"),
+        )
+    )
+    first = F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+    second = F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+    return e.groupBy("bin").agg(
+        first.cast("bigint").alias("n_first"),
+        second.cast("bigint").alias("n_second"),
+        F.abs(first - second).cast("bigint").alias("abs_diff"),
+    )

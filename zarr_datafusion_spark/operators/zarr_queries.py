@@ -363,3 +363,44 @@ def zarr_stream_agg(spark, sf_dir):
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
+
+
+@_q(
+    "zarr_coarsen",
+    f"""SELECT time, lat // 2 AS lat_block, lon // 2 AS lon_block,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               AVG(temperature) AS mean_temp,
+               AVG(humidity) AS mean_hum
+        FROM read_parquet('{_MIRROR}')
+        GROUP BY time, lat // 2, lon // 2""",
+)
+def zarr_coarsen(spark, sf_dir):
+    """Block-mean spatial downsampling of the weather cube — xarray's
+    ``coarsen(lat=2, lon=2).mean()`` / the hypertable-rollup primitive
+    (the reference roadmaps aggregate pushdown, ``README.md:319``; the
+    scan + Catalyst already make the coarsened view one aggregate).
+
+    100 TB posture: grouping keys are integer divisions of the
+    coordinate columns, which the chunk-slab partitioning already
+    co-locates (a 2x2 spatial block never crosses a time slab), so the
+    partial aggregate collapses nearly everything map-side and the one
+    exchange carries ~n/4 rows.  Fixture values are int64, so the
+    block means (int sum / count) are bit-identical cross-engine
+    regardless of accumulation order.
+    """
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    df = read_zarr(spark, fixture_store(2))
+    return (
+        df.groupBy(
+            "time",
+            F.expr("lat div 2").alias("lat_block"),
+            F.expr("lon div 2").alias("lon_block"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.avg("temperature").alias("mean_temp"),
+            F.avg("humidity").alias("mean_hum"),
+        )
+        .orderBy("time", "lat_block", "lon_block")
+    )
