@@ -4580,3 +4580,183 @@ def profile_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         second.cast("bigint").alias("n_second"),
         F.abs(first - second).cast("bigint").alias("abs_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (RM3-lite)
+# ---------------------------------------------------------------------------
+
+_PRF_FB_DOCS = 5     # feedback depth: top-n BM25 docs feed expansion
+_PRF_EXP_K = 3       # expansion terms appended to the query
+_PRF_WEIGHT = 0.5    # expansion-term weight vs 1.0 for original terms
+
+_PRF_ORACLE = (lambda terms: f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id,
+                  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS DOUBLE) AS dl
+           FROM documents),
+    corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf0 AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in terms)})
+            GROUP BY doc_id, token),
+    df0 AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+            FROM tf0 GROUP BY token),
+    scored0 AS (
+      SELECT tf0.doc_id, tf0.token,
+             ((n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS score
+      FROM tf0 JOIN df0 USING (token) JOIN dl USING (doc_id), corpus
+    ),
+    piv0 AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN token = '{t}' THEN score END) AS s_{t}" for t in terms)}
+      FROM scored0 GROUP BY doc_id
+    ),
+    fb AS (
+      SELECT doc_id,
+             {" + ".join(f"coalesce(s_{t}, 0.0)" for t in terms)} AS bm25
+      FROM piv0 ORDER BY bm25 DESC, doc_id LIMIT {_PRF_FB_DOCS}
+    ),
+    exp AS (
+      SELECT token, rk FROM (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM toks JOIN fb USING (doc_id)
+          WHERE length(token) >= 4
+            AND token NOT IN ({", ".join(f"'{t}'" for t in terms)})
+          GROUP BY token))
+      WHERE rk <= {_PRF_EXP_K}
+    ),
+    slots AS (
+      {" UNION ALL ".join(f"SELECT '{t}' AS token, 'o{i + 1}' AS slot" for i, t in enumerate(terms))}
+      UNION ALL SELECT token, 'e' || CAST(rk AS VARCHAR) FROM exp
+    ),
+    tfa AS (SELECT toks.doc_id, toks.token, s.slot,
+                   CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM toks JOIN slots s USING (token)
+            GROUP BY toks.doc_id, toks.token, s.slot),
+    dfa AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+            FROM tfa GROUP BY token),
+    scored AS (
+      SELECT tfa.doc_id, tfa.slot,
+             ((n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS score
+      FROM tfa JOIN dfa USING (token) JOIN dl USING (doc_id), corpus
+    ),
+    piv AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN slot = 'o{i + 1}' THEN score END) AS s_o{i + 1}" for i in range(len(terms)))},
+             {", ".join(f"SUM(CASE WHEN slot = 'e{j + 1}' THEN score END) AS s_e{j + 1}" for j in range(_PRF_EXP_K))}
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           (({" + ".join(f"coalesce(s_o{i + 1}, 0.0)" for i in range(len(terms)))})
+            + {_PRF_WEIGHT} * ({" + ".join(f"coalesce(s_e{j + 1}, 0.0)" for j in range(_PRF_EXP_K))}))
+             AS prf
+    FROM piv ORDER BY prf DESC, doc_id LIMIT 10
+""")(_BM25_TERMS)
+
+
+@_q("search_prf_expansion", _PRF_ORACLE)
+def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3-lite): run the BM25
+    query, mine the top-{fb} feedback docs for the {k} most frequent
+    non-query terms (length >= 4, ties broken lexically — an integer
+    ranking, so the expansion set is deterministic cross-engine),
+    re-score with the expanded query at weight {w} per expansion term.
+    The classic two-pass retrieval architecture (Lavrenko & Croft
+    relevance models); everything runs off the persisted inverted
+    index — neither pass scans ``documents``.
+
+    Bit-determinism: per-slot scores pivot to STATIC columns (slots
+    o1..o4 for the query, e1..e{k} for the ranked expansion terms) and
+    add in fixed textual order, the same device as the BM25 entries —
+    a data-dependent term SET would otherwise make the float sum
+    order-nondeterministic.  The {k} expansion terms are collected to
+    the driver as model parameters (3 strings), which keeps the
+    second-pass postings read a PUSHED In(token) filter.
+    """
+    postings_path, doclen_path = build_bm25_index(spark, sf_dir)
+    postings = spark.read.parquet(postings_path)
+    dl = spark.read.parquet(doclen_path).select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    tf0 = (
+        postings.filter(F.col("token").isin(list(_BM25_TERMS)))
+        .select("doc_id", "token", F.col("tf").cast("double").alias("tf"))
+    )
+    fb = _bm25_score_topk(tf0, dl, k=_PRF_FB_DOCS).select("doc_id")
+    exp_rows = (
+        postings.join(F.broadcast(fb), "doc_id")
+        .filter(
+            (F.length("token") >= 4)
+            & (~F.col("token").isin(list(_BM25_TERMS)))
+        )
+        .groupBy("token")
+        .agg(F.sum("tf").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(_PRF_EXP_K)
+        .collect()
+    )
+    exp_terms = [r.token for r in exp_rows]
+    slots = {t: f"o{i + 1}" for i, t in enumerate(_BM25_TERMS)}
+    slots.update({t: f"e{j + 1}" for j, t in enumerate(exp_terms)})
+    slot_col = F.col("token")
+    for tok, sl in slots.items():
+        slot_col = F.when(F.col("token") == tok, sl).otherwise(slot_col)
+    tfa = (
+        postings.filter(F.col("token").isin(list(slots)))
+        .select(
+            "doc_id", "token",
+            F.col("tf").cast("double").alias("tf"),
+        )
+        .withColumn("slot", slot_col)
+    )
+    dfa = tfa.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    scored = (
+        tfa.join(dfa, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "score",
+            ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    all_slots = [f"o{i + 1}" for i in range(len(_BM25_TERMS))] + [
+        f"e{j + 1}" for j in range(_PRF_EXP_K)
+    ]
+    piv = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("slot") == s, F.col("score"))).alias(f"s_{s}")
+            for s in all_slots
+        ]
+    )
+    orig_sum = None
+    for i in range(len(_BM25_TERMS)):
+        c = F.coalesce(F.col(f"s_o{i + 1}"), F.lit(0.0))
+        orig_sum = c if orig_sum is None else orig_sum + c
+    exp_sum = None
+    for j in range(_PRF_EXP_K):
+        c = F.coalesce(F.col(f"s_e{j + 1}"), F.lit(0.0))
+        exp_sum = c if exp_sum is None else exp_sum + c
+    return (
+        piv.select(
+            "doc_id", (orig_sum + F.lit(_PRF_WEIGHT) * exp_sum).alias("prf")
+        )
+        .orderBy(F.col("prf").desc(), "doc_id")
+        .limit(10)
+    )
