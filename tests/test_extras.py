@@ -715,3 +715,42 @@ def test_prefix_join_brute_force_synthetic(spark):
     got = {(r.doc_a, r.doc_b, r.jaccard) for r in setsim_prefix_join(docs, t).collect()}
     assert expect, "synthetic corpus produced no expected pairs (vacuous)"
     assert got == expect
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The content-defined property: prepending text shifts every
+    fixed-stride window, but all CDC chunks after the first
+    post-insertion boundary are IDENTICAL (same content hashes) —
+    chunk-level dedup survives edits."""
+    import hashlib
+
+    from zarr_datafusion_spark.operators.extras import (
+        _CDC_DIVISOR,
+        _CDC_WINDOW,
+        cdc_chunks,
+    )
+
+    rng = __import__("random").Random(7)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(4000))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED-PREFIX-" * 4 + base)],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs, _CDC_WINDOW, _CDC_DIVISOR).collect()
+    by_doc = {1: [], 2: []}
+    for r in rows:
+        by_doc[r.doc_id].append((r.chunk_start, r.chunk_len, r.chunk_md5))
+    h1 = {h for _, _, h in by_doc[1]}
+    h2 = {h for _, _, h in by_doc[2]}
+    # every base chunk except the first (whose start is absorbed into
+    # the shifted head) and the last (no sentinel alignment guarantee)
+    # must reappear verbatim in the prefixed doc
+    interior = {h for i, (_, _, h) in enumerate(sorted(by_doc[1]))
+                if 0 < i < len(by_doc[1]) - 1}
+    assert len(by_doc[1]) >= 10, "base doc produced too few chunks"
+    assert interior <= h2
+    # sanity: chunk lens cover the text exactly
+    assert sum(l for _, l, _ in by_doc[1]) == len(base)
+    # and the hashes are real md5s of the reconstructed slices
+    for s, l, h in by_doc[1][:5]:
+        assert hashlib.md5(base[s - 1 : s - 1 + l].encode()).hexdigest() == h

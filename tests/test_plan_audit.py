@@ -65,6 +65,11 @@ NESTED_LOOP_OK = {
         "broadcast 1-row corpus stats scalar (N, avgdl) via the shared "
         "BM25 scoring tail"
     ),
+    # round-8 continuation
+    "search_prf_expansion": (
+        "broadcast 1-row corpus stats scalar (N, avgdl) in both BM25 "
+        "passes; expansion terms are a pushed In(token) filter"
+    ),
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the

@@ -4760,3 +4760,254 @@ def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("prf").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal-marginal-relevance diverse rerank
+# ---------------------------------------------------------------------------
+
+_MMR_SELECT = 5    # greedy selections
+_MMR_POOL = 20     # relevance candidate pool feeding the rerank
+_MMR_LAMBDA = 0.5  # relevance weight; (1 - lambda) penalizes redundancy
+
+_MMR_DOT = lambda a, b: (  # noqa: E731 — DuckDB spelling of the exact fold
+    f"list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as one static SQL string: sel1 = argmax
+    relevance; sel_k = argmax over remaining of
+    lambda*rel - (1-lambda)*max(sim to selected).  MAX is exact over
+    floats (no accumulation), so every step is bit-deterministic."""
+    parts = [f"""
+    WITH cands AS (
+      SELECT e.vec_id, round({_MMR_DOT('e.embedding', 'q.qe')}, 6) AS rel,
+             e.embedding
+      FROM embeddings e,
+           (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT {_MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             round({_MMR_DOT('a.embedding', 'b.embedding')}, 6) AS s
+      FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+      SELECT vec_id, rel, 1 AS rank FROM cands
+      ORDER BY rel DESC, vec_id LIMIT 1
+    )"""]
+    for k in range(2, _MMR_SELECT + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, k)
+        )
+        parts.append(f""",
+    sel{k} AS (
+      SELECT c.vec_id, c.rel, {k} AS rank
+      FROM cands c JOIN sims m ON m.ai = c.vec_id
+      WHERE m.bi IN ({prev}) AND c.vec_id NOT IN ({prev})
+      GROUP BY c.vec_id, c.rel
+      ORDER BY {_MMR_LAMBDA} * c.rel - {1.0 - _MMR_LAMBDA} * MAX(m.s) DESC,
+               c.vec_id LIMIT 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM sel{j}" for j in range(1, _MMR_SELECT + 1)
+    )
+    parts.append(f"""
+    SELECT rank, vec_id, rel FROM ({union})
+""")
+    return "".join(parts)
+
+
+@_q("sim_mmr_rerank", _mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein '98):
+    greedily pick {n} of the top-{pool} relevance candidates, each step
+    maximizing ``lambda*rel - (1-lambda)*max(sim to already-picked)`` —
+    the diverse-context-selection step of RAG pipelines and the
+    diversity half of training-data curation.
+
+    Greedy selection is inherently sequential, so the {n}-step loop is
+    UNROLLED into the plan (each step one argmax over <= {pool} rows) —
+    exactly what the oracle SQL does with chained CTEs.  Every step's
+    input is a <= {pool}-row eagerly-materialized frame: the expensive
+    distributed work (relevance scan + candidate pairwise sims) happens
+    once up front; the greedy tail is O(pool^2) on tiny data and would
+    be driver-side math at any scale.  All similarities are the
+    module-standard sequential-fold dot (bit-exact both engines), and
+    the per-step penalty is MAX (exact over floats, no accumulation
+    order).
+    """
+    from zarr_datafusion_spark.operators.similarity import _dot
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(F.expr(_dot("embedding", "qe")), 6).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint()
+    )
+    ca = cands.select(
+        F.col("vec_id").alias("ai"), F.col("embedding").alias("ea")
+    )
+    cb = cands.select(
+        F.col("vec_id").alias("bi"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        ca.join(cb, F.col("ai") != F.col("bi"))
+        .select("ai", "bi", F.round(F.expr(_dot("ea", "eb")), 6).alias("s"))
+        .localCheckpoint()
+    )
+    selected = (
+        cands.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "rel", F.lit(1).alias("rank"))
+        .localCheckpoint()
+    )
+    lam = _MMR_LAMBDA
+    for k in range(2, _MMR_SELECT + 1):
+        prev = selected.select("vec_id")
+        step = (
+            cands.join(prev, "vec_id", "left_anti")
+            .join(sims, F.col("ai") == F.col("vec_id"))
+            .join(prev.select(F.col("vec_id").alias("bi")), "bi")
+            .groupBy("vec_id", "rel")
+            .agg(F.max("s").alias("maxs"))
+            .orderBy(
+                (F.lit(lam) * F.col("rel")
+                 - F.lit(1.0 - lam) * F.col("maxs")).desc(),
+                "vec_id",
+            )
+            .limit(1)
+            .select("vec_id", "rel", F.lit(k).alias("rank"))
+            .localCheckpoint()
+        )
+        selected = selected.unionByName(step).localCheckpoint()
+    return selected.select("rank", "vec_id", "rel")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+_CDC_WINDOW = 16  # boundary decision looks at the trailing 16 chars
+_CDC_DIVISOR = 64  # P(boundary) = 1/64 per position -> ~64-char chunks
+
+_CDC_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) >= 1
+    ),
+    cand AS (
+      SELECT doc_id, text, n,
+             unnest(range({_CDC_WINDOW}, n + 1)) AS pos
+      FROM d
+    ),
+    hb AS (
+      SELECT doc_id, pos FROM cand
+      WHERE ('0x' || substr(md5(substr(text, CAST(pos - {_CDC_WINDOW - 1} AS INTEGER),
+                                       {_CDC_WINDOW})), 1, 8))::UBIGINT
+              % {_CDC_DIVISOR} = 0
+    ),
+    b AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, pos FROM hb
+        UNION ALL SELECT doc_id, n AS pos FROM d)
+    ),
+    iv AS (
+      SELECT doc_id, pos,
+             coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0)
+               AS prev,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                  AS BIGINT) AS chunk_idx
+      FROM b
+    )
+    SELECT iv.doc_id, chunk_idx,
+           CAST(prev + 1 AS BIGINT) AS chunk_start,
+           CAST(pos - prev AS BIGINT) AS chunk_len,
+           md5(substr(d.text, CAST(prev + 1 AS INTEGER),
+                      CAST(pos - prev AS INTEGER))) AS chunk_md5
+    FROM iv JOIN d USING (doc_id)
+"""
+
+
+def cdc_chunks(docs: DataFrame, window: int, divisor: int) -> DataFrame:
+    """Content-defined chunking core over any (doc_id, text) frame —
+    see :func:`chunk_cdc` for semantics and scale notes."""
+    d = docs.filter(F.length("text") >= 1).select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    # sequence(w, n) DESCENDS for n < w (the r4 trap) — emit no
+    # candidate positions for short docs; the end-of-doc sentinel
+    # below still closes their single chunk
+    cand = d.select(
+        "doc_id", "text", "n",
+        F.explode(
+            F.expr(
+                f"CASE WHEN n < {window} THEN array() "
+                f"ELSE sequence({window}, n) END"
+            )
+        ).alias("pos"),
+    )
+    win = f"substr(text, CAST(pos - {window - 1} AS INT), {window})"
+    hb = cand.filter(
+        F.expr(
+            f"CAST(conv(substring(md5({win}), 1, 8), 16, 10) AS BIGINT) "
+            f"% {divisor} = 0"
+        )
+    ).select("doc_id", "pos")
+    b = hb.unionByName(
+        d.select("doc_id", F.col("n").alias("pos"))
+    ).distinct()
+    wo = W.partitionBy("doc_id").orderBy("pos")
+    iv = b.select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.lag("pos").over(wo), F.lit(0)).alias("prev"),
+        (F.row_number().over(wo) - 1).cast("bigint").alias("chunk_idx"),
+    )
+    return iv.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("prev") + 1).cast("bigint").alias("chunk_start"),
+        (F.col("pos") - F.col("prev")).cast("bigint").alias("chunk_len"),
+        F.md5(
+            F.expr(
+                "substr(text, CAST(prev + 1 AS INT), "
+                "CAST(pos - prev AS INT))"
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+@_q("chunk_cdc", _CDC_ORACLE)
+def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking — boundaries where the md5 of the
+    trailing {w}-char window hits 0 mod {d} (the rolling-hash cut rule
+    of LBFS/FastCDC, with the house md5-derived hash so the boundary
+    set is oracle-exact cross-engine).  Unlike the fixed-stride
+    :func:`chunk_documents`, CDC boundaries depend only on LOCAL
+    content: inserting a prefix shifts every fixed window but leaves
+    all CDC chunks after the first post-insertion boundary intact —
+    the property that makes chunk-level dedup survive edits
+    (property-tested in test_extras).
+
+    Shape: one explode to 1 row/char (the honest exact-CDC cost, the
+    same class as the substring dedup family), a map-side hash filter
+    that keeps ~1/{d} of positions, one window over the surviving
+    boundary rows (tiny), and one join back to the text for chunk
+    hashes.  No minimum-chunk suppression: that rule is sequential
+    (each boundary depends on the previous), which would serialize the
+    scan; the pure content rule is what keeps this embarrassingly
+    parallel at 100 TB.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return cdc_chunks(docs, _CDC_WINDOW, _CDC_DIVISOR)
