@@ -2287,3 +2287,106 @@ def test_missing_chunk_reads_fill_value(spark, tmp_path):
         want_t = 0 if r.time == 3 else int(exp_t[r.time, r.lat, r.lon])
         assert r.temperature == want_t, (r.time, r.lat, r.lon)
         assert r.humidity == int(exp_h[r.time, r.lat, r.lon])
+
+
+@_pytest.mark.parametrize("fmt,comp", [(2, None), (2, "zlib"), (3, "gzip")])
+def test_sink_update_region_in_place(spark, tmp_path, fmt, comp):
+    """update_zarr_region: overwrite time slabs 2-3 with adjusted
+    values — only the targeted chunk files change (untouched slabs
+    keep their mtimes), no metadata file is rewritten, and the store
+    scans back as fixture-with-region-adjusted."""
+    import os
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+    from zarr_datafusion_spark.zarr.sink import update_zarr_region
+
+    src = read_zarr(spark, fixture_store(2))
+    dst = str(tmp_path / f"upd_{fmt}.zarr")
+    write_zarr(
+        src, dst, coords=["time", "lat", "lon"], zarr_format=fmt,
+        compression=comp,
+    )
+
+    def chunk_key(var, i):
+        return (
+            os.path.join(dst, var, f"{i}.0.0")
+            if fmt == 2
+            else os.path.join(dst, var, "c", str(i), "0", "0")
+        )
+
+    meta_file = (
+        os.path.join(dst, "temperature", ".zarray")
+        if fmt == 2
+        else os.path.join(dst, "temperature", "zarr.json")
+    )
+    mtime_keep = os.path.getmtime(chunk_key("temperature", 0))
+    mtime_meta = os.path.getmtime(meta_file)
+    upd = (
+        read_zarr(spark, dst)
+        .filter((F.col("time") >= 2) & (F.col("time") < 4))
+        .select(
+            "time", "lat", "lon",
+            (F.col("temperature") + 1000).alias("temperature"),
+            (F.col("humidity") + 500).alias("humidity"),
+        )
+    )
+    info = update_zarr_region(upd, dst)
+    assert info["updated_slabs"] == 2
+    assert info["outer_size"] == 7
+    assert info["bytes_written"] > 0
+    assert os.path.getmtime(chunk_key("temperature", 0)) == mtime_keep, (
+        "untouched slab rewritten"
+    )
+    assert os.path.getmtime(meta_file) == mtime_meta, "metadata rewritten"
+    back = read_zarr(spark, dst).collect()
+    expect = {
+        (r.time, r.lat, r.lon): (
+            r.temperature + (1000 if 2 <= r.time < 4 else 0),
+            r.humidity + (500 if 2 <= r.time < 4 else 0),
+        )
+        for r in src.collect()
+    }
+    got = {(r.time, r.lat, r.lon): (r.temperature, r.humidity) for r in back}
+    assert got == expect
+
+
+def test_sink_update_region_rejects_bad_targets(spark, tmp_path):
+    import pytest
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+    from zarr_datafusion_spark.zarr.sink import update_zarr_region
+
+    src = read_zarr(spark, fixture_store(2))
+    dst = str(tmp_path / "updbad.zarr")
+    write_zarr(src, dst, coords=["time", "lat", "lon"])
+
+    # unknown outer value -> must point at append_zarr, not write
+    ghost = src.filter(F.col("time") == 3).select(
+        (F.col("time") + 100).alias("time"), "lat", "lon",
+        "temperature", "humidity",
+    )
+    with pytest.raises(ValueError, match="existing time values"):
+        update_zarr_region(ghost, dst)
+
+    # a clipped inner range is caught by the cross-section check
+    clipped = src.filter((F.col("time") == 3) & (F.col("lat") < 5))
+    with pytest.raises(ValueError, match="inner coordinate"):
+        update_zarr_region(clipped, dst)
+
+    # one missing interior cell (full coord ranges, sparse grid) is
+    # caught by the dense-grid count before any write
+    holey = src.filter(
+        (F.col("time") == 3) & ~((F.col("lat") == 0) & (F.col("lon") == 0))
+    )
+    with pytest.raises(ValueError, match="dense grid"):
+        update_zarr_region(holey, dst)
+
+    sharded = str(tmp_path / "updshard.zarr")
+    write_zarr(
+        src, sharded, coords=["time", "lat", "lon"], zarr_format=3,
+        shard_outer=3,
+    )
+    with pytest.raises(NotImplementedError, match="chunk layout"):
+        update_zarr_region(src, sharded)

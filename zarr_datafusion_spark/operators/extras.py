@@ -5011,3 +5011,130 @@ def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return cdc_chunks(docs, _CDC_WINDOW, _CDC_DIVISOR)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation (per-query IR metrics)
+# ---------------------------------------------------------------------------
+
+_EVAL_REL_TF = 3  # qrels rule: a doc is relevant to a term if tf >= 3
+
+_EVAL_ORACLE = (lambda terms: f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id,
+                  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS DOUBLE) AS dl
+           FROM documents),
+    corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in terms)})
+           GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    ranked AS (
+      SELECT tf.doc_id, tf.token,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.token
+               ORDER BY ((n_docs - df + 0.5) / (df + 0.5))
+                        * (tf * 2.2)
+                        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) DESC,
+                        tf.doc_id) AS rnk
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id), corpus
+    ),
+    rel AS (SELECT doc_id, token FROM tf WHERE tf >= {_EVAL_REL_TF}),
+    nrel AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_rel
+             FROM rel GROUP BY token),
+    hits AS (
+      SELECT r.token,
+             CAST(COUNT(*) AS BIGINT) AS hits_at_10,
+             CAST(MIN(r.rnk) AS BIGINT) AS first_rel_rank
+      FROM ranked r JOIN rel USING (doc_id, token)
+      WHERE r.rnk <= 10 GROUP BY r.token
+    )
+    SELECT n.token AS query_term, n.n_rel,
+           coalesce(h.hits_at_10, 0) AS hits_at_10,
+           h.first_rel_rank,
+           CAST(coalesce(h.hits_at_10, 0) AS DOUBLE) / n.n_rel AS recall_at_10,
+           coalesce(1.0 / h.first_rel_rank, 0.0) AS reciprocal_rank
+    FROM nrel n LEFT JOIN hits h ON n.token = h.token
+""")(_BM25_TERMS)
+
+
+@_q("search_eval_metrics", _EVAL_ORACLE)
+def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: recall@10 and reciprocal rank for
+    each of the standing query terms, judged against DETERMINISTIC
+    qrels (relevant = tf >= {tf}) — the eval harness that closes the
+    retrieval loop (rank -> judge -> metric) the way TREC tooling does,
+    entirely inside the engine.
+
+    Float discipline: there is NO cross-query averaging (that float
+    sum would be order-nondeterministic); the engine emits per-query
+    rows and each metric is a single IEEE division (recall, 1/rank),
+    so every value is bit-exact cross-engine.  The driver-side mean
+    over 4 rows is presentation-layer math.
+
+    Shape: rankings come from the persisted postings index (pushed
+    In(token) scan, never the corpus text); rank assignment is one
+    window per term; qrels are a filter on the same tf rows — the
+    whole evaluation is two aggregates and a join on (doc, term).
+    """
+    postings_path, doclen_path = build_bm25_index(spark, sf_dir)
+    tf = (
+        spark.read.parquet(postings_path)
+        .filter(F.col("token").isin(list(_BM25_TERMS)))
+        .select("doc_id", "token", F.col("tf").cast("double").alias("tf"))
+    )
+    dl = spark.read.parquet(doclen_path).select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    score = (
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    ranked = (
+        tf.join(dft, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("token").orderBy(score.desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "token", "rnk")
+    )
+    rel = tf.filter(F.col("tf") >= _EVAL_REL_TF).select("doc_id", "token")
+    nrel = rel.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    hits = (
+        ranked.filter(F.col("rnk") <= 10)
+        .join(rel, ["doc_id", "token"])
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits_at_10"),
+            F.min("rnk").cast("bigint").alias("first_rel_rank"),
+        )
+    )
+    return nrel.join(hits, "token", "left").select(
+        F.col("token").alias("query_term"),
+        "n_rel",
+        F.coalesce(F.col("hits_at_10"), F.lit(0)).alias("hits_at_10"),
+        "first_rel_rank",
+        (
+            F.coalesce(F.col("hits_at_10"), F.lit(0)).cast("double")
+            / F.col("n_rel")
+        ).alias("recall_at_10"),
+        F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)).alias(
+            "reciprocal_rank"
+        ),
+    )

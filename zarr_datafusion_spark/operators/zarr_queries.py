@@ -404,3 +404,49 @@ def zarr_coarsen(spark, sf_dir):
         )
         .orderBy("time", "lat_block", "lon_block")
     )
+
+
+@_q(
+    "zarr_update_roundtrip",
+    f"""SELECT time, lat, lon,
+           CASE WHEN time >= 2 AND time < 4 THEN temperature + 1000
+                ELSE temperature END AS temperature,
+           CASE WHEN time >= 2 AND time < 4 THEN humidity + 500
+                ELSE humidity END AS humidity
+        FROM read_parquet('{_MIRROR}')""",
+)
+def zarr_update_roundtrip(spark, sf_dir):
+    """Region-update round-trip, value-checked: write the fixture
+    through the sink, then OVERWRITE the time-[2,4) slabs with adjusted
+    values via :func:`~zarr_datafusion_spark.zarr.sink.
+    update_zarr_region` (the reanalysis/correction half of the
+    ingestion workflow; chunk files replaced in place, zero metadata
+    writes), then scan the store.  The oracle is the mirror with the
+    same CASE adjustment, so a wrong slab offset, a missed chunk, a
+    stale unchanged region, or a codec mismatch all hash-mismatch.
+    The update frame is built by READING the store being updated —
+    the eager-materialize-before-overwrite contract inside
+    update_zarr_region is what makes that idiom safe."""
+    import tempfile
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.sink import update_zarr_region, write_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="zds_upd_rt_"), "weather_upd.zarr"
+    )
+    write_zarr(src, out, coords=["time", "lat", "lon"])
+    upd = (
+        read_zarr(spark, out)
+        .filter((F.col("time") >= 2) & (F.col("time") < 4))
+        .select(
+            "time",
+            "lat",
+            "lon",
+            (F.col("temperature") + 1000).alias("temperature"),
+            (F.col("humidity") + 500).alias("humidity"),
+        )
+    )
+    update_zarr_region(upd, out)
+    return read_zarr(spark, out)

@@ -709,3 +709,136 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
         "outer_size": len(combined),
         "bytes_written": sum(r.bytes for r in results),
     }
+
+
+def update_zarr_region(df: DataFrame, store_path: str) -> dict[str, int]:
+    """Overwrite EXISTING outer slabs of a sink-written store in place —
+    the region-write half of the ingestion workflow (:func:`append_zarr`
+    adds new slabs; this corrects ones already written, e.g. a
+    reanalysis re-issuing time steps).  The update unit is again the
+    store's own outer chunk, so the operation rewrites exactly the
+    affected chunk files and touches NO metadata (shape, coords and
+    consolidated metadata are all unchanged by construction).
+
+    Contract (validated before any file is touched):
+
+    * the DataFrame must carry every store column; its inner grid
+      cross-section must equal the store's;
+    * every outer value must already exist in the store (unknown outer
+      values are an error — use :func:`append_zarr` to grow);
+    * each touched slab must arrive as a complete dense grid (partial
+      slab updates would need read-modify-write of live chunks).
+
+    The input is eagerly ``localCheckpoint``-ed first: an update built
+    by READING the store it overwrites (the natural "fix this region"
+    idiom) must be fully materialized before the first chunk file is
+    replaced, or the lazy scan could observe its own writes (the
+    round-8 streaming-index lesson).
+
+    Returns ``{"updated_slabs", "outer_size", "bytes_written"}``.
+    """
+    import json  # noqa: F401 — parity with append_zarr's tail imports
+
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+
+    meta = discover_arrays(store_path)
+    coords = [c.name for c in meta.coords]
+    data_vars = sorted(v.name for v in meta.data_vars)
+    outer, inner = coords[0], coords[1:]
+    # layout check FIRST: for sharded stores _compression_token raises
+    # an append-specific message; the update contract is the chunk grid
+    for v in meta.data_vars:
+        if v.chunks != (1,) + v.shape[1:]:
+            raise NotImplementedError(
+                f"region update requires the sink's (1, d2, ...) chunk "
+                f"layout; {v.name} has chunks {v.chunks}"
+            )
+    compressions = {v.name: _compression_token(v) for v in meta.data_vars}
+
+    spark = df.sparkSession
+    df = df.select(*coords, *data_vars).localCheckpoint()
+    inner_values: dict[str, np.ndarray] = {}
+    for c in inner:
+        have = np.sort(
+            np.array([r[0] for r in df.select(c).distinct().collect()])
+        )
+        stored = _read_1d(store_path, meta.array(c))
+        if len(have) != len(stored) or not (have == stored).all():
+            raise ValueError(
+                f"inner coordinate {c!r} does not match the store's "
+                f"({len(have)} vs {len(stored)} values)"
+            )
+        inner_values[c] = stored
+    old_outer = _read_1d(store_path, meta.array(outer))
+    upd_outer = np.sort(
+        np.array([r[0] for r in df.select(outer).distinct().collect()])
+    )
+    pos = np.searchsorted(old_outer, upd_outer)
+    known = (pos < len(old_outer)) & (old_outer[np.minimum(pos, len(old_outer) - 1)] == upd_outer)
+    if not known.all():
+        bad = upd_outer[~known].tolist()
+        raise ValueError(
+            f"region update must target existing {outer} values; "
+            f"unknown: {bad[:5]} (use append_zarr to grow the store)"
+        )
+    inner_shape = tuple(len(inner_values[c]) for c in inner)
+    n_cells = len(upd_outer) * int(np.prod(inner_shape))
+    n_rows = df.count()
+    if n_rows != n_cells:
+        raise ValueError(
+            f"updated region is not a dense grid: {n_rows} rows != "
+            f"{n_cells} cells"
+        )
+
+    outer_index = dict(zip(upd_outer.tolist(), pos.tolist()))
+    var_dtypes = {v.name: np.dtype(v.dtype).str for v in meta.data_vars}
+    zarr_format = meta.zarr_format
+    sc = spark.sparkContext
+    b_inner = sc.broadcast(inner_values)
+    b_outer_index = sc.broadcast(outer_index)
+    b_dtypes = sc.broadcast(var_dtypes)
+    b_comp = sc.broadcast(compressions)
+
+    def _update_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+        oi = b_outer_index.value[pdf[outer].iloc[0]]
+        cell_pos = np.zeros(len(pdf), dtype=np.int64)
+        stride = 1
+        for c in reversed(inner):
+            vals = b_inner.value[c]
+            idx = np.searchsorted(vals, pdf[c].to_numpy())
+            cell_pos += idx * stride
+            stride *= len(vals)
+        n = int(np.prod(inner_shape))
+        if len(pdf) != n or len(np.unique(cell_pos)) != n:
+            raise ValueError(f"slab {oi}: {len(pdf)} rows for {n} cells")
+        files = nbytes = 0
+        for v, dstr in b_dtypes.value.items():
+            cell = np.empty(n, dtype=np.dtype(dstr))
+            cell[cell_pos] = pdf[v].to_numpy()
+            if zarr_format == 3:
+                cell = cell.astype(cell.dtype.newbyteorder("<"), copy=False)
+            payload = _compress(
+                cell.tobytes(), b_comp.value[v], typesize=cell.dtype.itemsize
+            )
+            _write_chunk_file(
+                store_path, v, oi, 1 + len(inner), payload, zarr_format
+            )
+            files += 1
+            nbytes += len(payload)
+        return pd.DataFrame(
+            {"outer_idx": [oi], "files": [files], "bytes": [nbytes]}
+        )
+
+    results = (
+        df.repartition(min(len(upd_outer), 512), outer)
+        .groupBy(outer)
+        .applyInPandas(
+            _update_slab, schema="outer_idx long, files int, bytes long"
+        )
+        .collect()
+    )
+    return {
+        "updated_slabs": len(results),
+        "outer_size": len(old_outer),
+        "bytes_written": sum(r.bytes for r in results),
+    }
