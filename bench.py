@@ -119,6 +119,20 @@ HEADLINE = [
     "search_qlm_topk",
     "search_snippets",
     "sim_kmeans_step",
+    # round-8 continuation (72 -> 82): prefix-filtered exact setsim
+    # join, SCD2 intervals, degree-ordered triangles, drift histogram,
+    # RM3 expansion, MMR rerank, content-defined chunking, IR eval,
+    # zarr coarsen + in-place region update
+    "dedup_setsim_prefix_join",
+    "scd2_intervals",
+    "graph_triangle_count",
+    "profile_drift_bins",
+    "search_prf_expansion",
+    "sim_mmr_rerank",
+    "chunk_cdc",
+    "search_eval_metrics",
+    "zarr_coarsen",
+    "zarr_update_roundtrip",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,
@@ -288,6 +302,18 @@ def main() -> None:
     for name in HEADLINE:
         best = float("inf")
         for _ in range(max(1, reps)):
+            # Convention (stable since r2, keep it): the timer covers
+            # the ACTION only.  An A/B in the r8 continuation that
+            # moved fn() inside the timer added a near-UNIFORM +0.7 s
+            # to every query — constant Catalyst analysis overhead,
+            # not data-proportional work — and would have broken seven
+            # rounds of per-query comparability for one accounting
+            # nicety.  The flip side is acknowledged: entries that do
+            # data-proportional work at CONSTRUCTION time (iterative
+            # trainers, eagerly materialized reused stages like the
+            # triangle edge tables, greedy rerank steps) are underbilled
+            # here; their honest scale costs are measured by the sf1
+            # sweep (scripts/sf1_sweep.py), whose timer includes fn().
             df = registry[name](spark, SF_DIR)
             t0 = time.perf_counter()
             _force(df)
