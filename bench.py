@@ -133,6 +133,9 @@ HEADLINE = [
     "search_eval_metrics",
     "zarr_coarsen",
     "zarr_update_roundtrip",
+    # late round-8 continuation (82 -> 84)
+    "snapshot_diff",
+    "graph_pagerank_int",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

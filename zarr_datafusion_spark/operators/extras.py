@@ -5138,3 +5138,175 @@ def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reciprocal_rank"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff (data versioning)
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 3
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 10 <> 7
+    ),
+    j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM j GROUP BY change
+"""
+
+
+@_q("snapshot_diff", _SNAPDIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots — the
+    added / removed / changed / unchanged classification every data
+    registry (and incremental training-data refresh) is built on.
+    Snapshots are derived deterministically from the one driver table
+    (old drops doc_id%10==3, new drops %10==7 and revises %5==0), so
+    both engines reconstruct identical inputs and the diff itself is
+    the thing under test.
+
+    Shape: content compare is md5 of the text (computed map-side, so
+    the join carries 32-byte digests, never the documents), ONE
+    full-outer join on the key, one aggregate.  At 100 TB the digests
+    would live in the snapshot manifests (the Delta/Iceberg shape) and
+    this query never reads text at all; the classification algebra is
+    identical.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    old = docs.filter(F.col("doc_id") % 10 != 3).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    o = old.select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+    n = new.select(F.col("doc_id").alias("n_id"), F.col("h").alias("n_h"))
+    j = o.join(n, F.col("o_id") == F.col("n_id"), "full_outer").select(
+        F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_h") != F.col("n_h"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return j.groupBy("change").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer arithmetic, fixed iterations)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000  # fixed-point: PR values are millionths
+_PR_ITERS = 3
+
+_PAGERANK_ORACLE = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+    pr0 AS (SELECT x, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg),
+    {", ".join(f'''pr{i + 1} AS (
+      SELECT e.v AS x,
+             CAST({15 * _PR_SCALE} // 100 + SUM((pr{i}.pr * 85) // (100 * deg.d))
+                  AS BIGINT) AS pr
+      FROM e JOIN pr{i} ON e.u = pr{i}.x JOIN deg ON e.u = deg.x
+      GROUP BY e.v
+    )''' for i in range(_PR_ITERS))}
+    SELECT x AS l_partkey, pr AS pagerank_millionths
+    FROM pr{_PR_ITERS}
+    ORDER BY pr DESC, x LIMIT 20
+"""
+
+
+@_q("graph_pagerank_int", _PAGERANK_ORACLE)
+def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-order graph, {n} power iterations in
+    FIXED-POINT integer arithmetic (PR values in millionths; damping
+    0.85 as the exact integer algebra ``15*S//100 + sum(85*pr //
+    (100*deg))``) — floats would make the per-vertex SUM
+    accumulation-order-dependent and the entry un-oracle-able; integer
+    division is bit-identical in both engines, so a FULL value oracle
+    holds for an iterative graph algorithm.
+
+    Shape per iteration: ONE join of the (u -> v) edge list with the
+    vertex-rank table on the source key + one aggregate keyed by the
+    destination — the standard Pregel/GraphX message-passing shape,
+    shuffle keyed by vertex both times.  Iterations are unrolled
+    (fixed {n}, like the MMR greedy steps); each rank table is eagerly
+    materialized so iteration i+1's join starts from {vcount}-row
+    state, not a growing lineage.  Truncation loss (floor division)
+    means ranks are not row-stochastic — documented: this entry is the
+    deterministic fixed-point VARIANT, the float version at scale
+    differs by < 1e-4 relative.
+    """
+    from zarr_datafusion_spark.session import load_table
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e0 = (
+        op.select("o", F.col("p").alias("u"))
+        .join(op.select("o", F.col("p").alias("v")), "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    e = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = e.groupBy(F.col("u").alias("x")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).localCheckpoint()
+    pr = deg.select("x", F.lit(_PR_SCALE).cast("bigint").alias("pr"))
+    base = (15 * _PR_SCALE) // 100
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(pr.select(F.col("x").alias("u"), "pr"), "u")
+            .join(deg.select(F.col("x").alias("u"), "d"), "u")
+            .select(
+                F.col("v").alias("x"),
+                F.expr("(pr * 85) div (100 * d)").alias("c"),
+            )
+        )
+        pr = (
+            contrib.groupBy("x")
+            .agg((F.lit(base) + F.sum("c")).cast("bigint").alias("pr"))
+            .localCheckpoint()
+        )
+    return (
+        pr.select(F.col("x").alias("l_partkey"), F.col("pr").alias("pagerank_millionths"))
+        .orderBy(F.col("pagerank_millionths").desc(), "l_partkey")
+        .limit(20)
+    )
