@@ -133,9 +133,10 @@ HEADLINE = [
     "search_eval_metrics",
     "zarr_coarsen",
     "zarr_update_roundtrip",
-    # late round-8 continuation (82 -> 84)
+    # late round-8 continuation (82 -> 85)
     "snapshot_diff",
     "graph_pagerank_int",
+    "pareto_skyline",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

@@ -5310,3 +5310,90 @@ def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank_millionths").desc(), "l_partkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+    SELECT a.p_partkey, a.p_size, a.p_retailprice
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice
+        AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+"""
+
+
+@_q("pareto_skyline", _SKYLINE_ORACLE)
+def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front operator (Borzsony-Kossmann-Stocker
+    ICDE'01): the parts no other part dominates on (price MIN, size
+    MAX) — the multi-criteria shortlist primitive (cheapest-for-its-
+    size tradeoff curve; in pipeline terms: non-dominated quality/cost
+    document selection).
+
+    The textbook spelling is the quadratic NOT EXISTS anti-self-join —
+    that IS the oracle, so this entry also proves the rewrite: for a
+    2-D skyline, collapse to per-price group maxima (one aggregate),
+    take the running max of sizes over strictly-cheaper groups, and
+    keep rows that (a) top their own price group and (b) strictly beat
+    every cheaper group's best.  O(n log n) work vs the oracle's
+    O(n^2) pair scan; ties at equal (price, size) are all kept,
+    matching dominance semantics exactly.
+
+    The running max deliberately avoids a global no-partition window
+    (the registry-wide rule since r6): the group table is
+    range-partitioned by price, the window runs WITHIN each range, and
+    the cross-range prefix maxima — one value per range — are
+    collected as model parameters and folded back in with a when-chain
+    (the ``scale.ranked_two_pass`` device applied to a running max).
+    At 100 TB the window state is one running max per range and the
+    driver handles range-count values, never data.
+    """
+    from zarr_datafusion_spark.session import load_table
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    n_ranges = 8
+    # localCheckpoint pins ONE range-partition assignment for both
+    # consumers (the local window and the per-range max collect) — the
+    # r6 branching rule
+    g = (
+        part.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("m2"))
+        .repartitionByRange(n_ranges, "p_retailprice")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wloc = (
+        W.partitionBy("pid")
+        .orderBy("p_retailprice")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    loc = g.withColumn("lmax", F.max("m2").over(wloc))
+    # one value per range: the cross-range prefix is driver-side math
+    pm = {r.pid: r.pm for r in g.groupBy("pid").agg(F.max("m2").alias("pm")).collect()}
+    prefix: dict[int, int] = {}
+    best = None
+    for pid in sorted(pm):
+        prefix[pid] = best
+        best = pm[pid] if best is None else max(best, pm[pid])
+    prior = F.lit(None).cast("int")
+    for pid, v in prefix.items():
+        if v is not None:
+            prior = F.when(F.col("pid") == pid, F.lit(v)).otherwise(prior)
+    # greatest() skips NULLs, so m1 is NULL only when nothing is cheaper
+    withm1 = loc.withColumn("m1", F.greatest(F.col("lmax"), prior))
+    return (
+        part.join(withm1, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("m2"))
+            & (F.col("m1").isNull() | (F.col("p_size") > F.col("m1")))
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
