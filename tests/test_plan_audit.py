@@ -70,6 +70,11 @@ NESTED_LOOP_OK = {
         "broadcast 1-row corpus stats scalar (N, avgdl) in both BM25 "
         "passes; expansion terms are a pushed In(token) filter"
     ),
+    "search_eval_metrics": "broadcast 1-row corpus stats scalar (N, avgdl)",
+    "sim_mmr_rerank": (
+        "broadcast 1-row query vector; the greedy tail joins operate "
+        "on <= 20-row materialized candidate frames"
+    ),
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the
