@@ -133,10 +133,11 @@ HEADLINE = [
     "search_eval_metrics",
     "zarr_coarsen",
     "zarr_update_roundtrip",
-    # late round-8 continuation (82 -> 85)
+    # late round-8 continuation (82 -> 86)
     "snapshot_diff",
     "graph_pagerank_int",
     "pareto_skyline",
+    "sketch_kmv_overlap",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

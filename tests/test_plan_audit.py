@@ -75,6 +75,10 @@ NESTED_LOOP_OK = {
         "broadcast 1-row query vector; the greedy tail joins operate "
         "on <= 20-row materialized candidate frames"
     ),
+    "sketch_kmv_overlap": (
+        "intentional 4x4 source cross join enumerating sketch pairs "
+        "(bounded by the fixed source list)"
+    ),
 }
 
 #: streaming/stateful entries execute via writeStream (explain of the

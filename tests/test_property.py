@@ -528,3 +528,34 @@ def test_cut_spans_matches_bruteforce(spark, docs):
         for r in cut_duplicate_spans(df, length=L).collect()
     }
     assert got == _brute_cut_spans(docs, L)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 10)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_skyline_2d_matches_brute_force(spark, pts):
+    """skyline_2d == the O(n^2) dominance definition for ARBITRARY
+    integer point sets, including duplicate points (all non-dominated
+    duplicates kept) and total-tie columns."""
+    from zarr_datafusion_spark.operators.extras import skyline_2d
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    expect = set()
+    for i, p, s in rows:
+        dominated = any(
+            q <= p and t >= s and (q < p or t > s) for _, q, t in rows
+        )
+        if not dominated:
+            expect.add((i, p, s))
+    df = spark.createDataFrame(rows, "id long, price int, size int")
+    got = {(r.id, r.price, r.size) for r in skyline_2d(df, "price", "size").collect()}
+    assert got == expect

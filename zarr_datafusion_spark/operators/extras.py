@@ -5359,20 +5359,28 @@ def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_size", "p_retailprice"
     )
+    return skyline_2d(part, "p_retailprice", "p_size")
+
+
+def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
+    """Reusable 2-D skyline core (minimize ``min_col``, maximize
+    ``max_col``; all other columns carried through) — see
+    :func:`pareto_skyline` for algorithm and scale notes.
+    Property-tested against a brute-force dominance scan."""
     n_ranges = 8
     # localCheckpoint pins ONE range-partition assignment for both
     # consumers (the local window and the per-range max collect) — the
     # r6 branching rule
     g = (
-        part.groupBy("p_retailprice")
-        .agg(F.max("p_size").alias("m2"))
-        .repartitionByRange(n_ranges, "p_retailprice")
+        df.groupBy(min_col)
+        .agg(F.max(max_col).alias("m2"))
+        .repartitionByRange(n_ranges, min_col)
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint()
     )
     wloc = (
         W.partitionBy("pid")
-        .orderBy("p_retailprice")
+        .orderBy(min_col)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     loc = g.withColumn("lmax", F.max("m2").over(wloc))
@@ -5390,10 +5398,196 @@ def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # greatest() skips NULLs, so m1 is NULL only when nothing is cheaper
     withm1 = loc.withColumn("m1", F.greatest(F.col("lmax"), prior))
     return (
-        part.join(withm1, "p_retailprice")
+        df.join(withm1, min_col)
         .filter(
-            (F.col("p_size") == F.col("m2"))
-            & (F.col("m1").isNull() | (F.col("p_size") > F.col("m1")))
+            (F.col(max_col) == F.col("m2"))
+            & (F.col("m1").isNull() | (F.col(max_col) > F.col("m1")))
         )
-        .select("p_partkey", "p_size", "p_retailprice")
+        .select(*df.columns)
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct/overlap sketches between sources
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SOURCES = ("src0", "src1", "src2", "src3")
+
+_KMV_ORACLE = f"""
+    WITH g AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(gram), 1, 8))::UBIGINT AS h
+      FROM (
+        SELECT source,
+               unnest(CASE WHEN len(w) < 3 THEN [lower(trim(text))]
+                    ELSE list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)
+                 AS gram
+        FROM (SELECT source, text,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+              FROM documents
+              WHERE source IN ({", ".join(f"'{s}'" for s in _KMV_SOURCES)}))
+      )
+    ),
+    nsrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+             FROM g GROUP BY source),
+    sk AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM g
+    ),
+    sketch AS (SELECT source, h FROM sk WHERE rk <= {_KMV_K}),
+    kth AS (SELECT source, MAX(h) AS hk FROM sketch GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM (SELECT DISTINCT source FROM g) a
+      JOIN (SELECT DISTINCT source FROM g) b ON a.source < b.source
+    ),
+    uni AS (
+      SELECT src_a, src_b, h,
+             ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+      FROM (
+        SELECT DISTINCT src_a, src_b, h FROM (
+          SELECT p.src_a, p.src_b, s.h
+          FROM pairs p JOIN sketch s ON s.source = p.src_a
+          UNION ALL
+          SELECT p.src_a, p.src_b, s.h
+          FROM pairs p JOIN sketch s ON s.source = p.src_b)
+      )
+    ),
+    shared AS (
+      SELECT u.src_a, u.src_b,
+             CAST(SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM uni u
+      LEFT JOIN sketch sa ON sa.source = u.src_a AND sa.h = u.h
+      LEFT JOIN sketch sb ON sb.source = u.src_b AND sb.h = u.h
+      WHERE u.rk <= {_KMV_K}
+      GROUP BY u.src_a, u.src_b
+    ),
+    exact AS (
+      SELECT p.src_a, p.src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM pairs p JOIN g ga ON ga.source = p.src_a
+      JOIN g gb ON gb.source = p.src_b AND gb.h = ga.h
+      GROUP BY p.src_a, p.src_b
+    )
+    SELECT s.src_a, s.src_b, na.n_exact AS n_a, nb.n_exact AS n_b,
+           s.n_shared,
+           CAST(s.n_shared AS DOUBLE) / {_KMV_K} AS jaccard_kmv,
+           CAST(e.n_inter AS DOUBLE)
+             / (na.n_exact + nb.n_exact - e.n_inter) AS jaccard_exact,
+           CAST({_KMV_K - 1} AS DOUBLE) * 4294967296.0 / ka.hk
+             AS est_distinct_a
+    FROM shared s
+    JOIN nsrc na ON na.source = s.src_a
+    JOIN nsrc nb ON nb.source = s.src_b
+    JOIN exact e ON e.src_a = s.src_a AND e.src_b = s.src_b
+    JOIN kth ka ON ka.source = s.src_a
+"""
+
+
+@_q("sketch_kmv_overlap", _KMV_ORACLE)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches per source + pairwise
+    overlap estimation (Beyer et al. SIGMOD'07; the theta-sketch set
+    algebra behind dedup PLANNING: estimate cross-source duplication
+    cheaply before paying for the exact join).  Sketch = the {k}
+    smallest md5-derived 32-bit hashes of each source's distinct
+    word trigrams; distinct estimate = (k-1)*2^32 / h_(k); pairwise
+    Jaccard estimate = shared fraction of the merged sketch's k
+    minima.  The exact per-pair Jaccard rides along, so the entry
+    SHOWS the estimator's error honestly.
+
+    Every hash is md5-derived (the house CMS/MinHash rule) so the
+    whole estimator — not just its contract — is oracle-checked:
+    sketch membership, kth values, and both divisions are
+    bit-identical cross-engine.  100 TB posture: sketches are
+    k-bounded per source (a GROUP BY + per-source top-k, map-side
+    combinable); merges/estimates operate on k-row frames — the whole
+    point of sketching: the exact companion join here exists only to
+    exhibit the error and would be dropped at scale.
+    """
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("source").isin(list(_KMV_SOURCES)))
+    )
+    g = (
+        docs.select("source", F.explode(F.expr(_GRAMS_EXPR)).alias("gram"))
+        .select(
+            "source",
+            F.expr(
+                "CAST(conv(substring(md5(gram), 1, 8), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nsrc = g.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    sketch = (
+        g.withColumn(
+            "rk", F.row_number().over(W.partitionBy("source").orderBy("h"))
+        )
+        .filter(F.col("rk") <= _KMV_K)
+        .select("source", "h")
+        .localCheckpoint()
+    )
+    kth = sketch.groupBy("source").agg(F.max("h").alias("hk"))
+    srcs = g.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    uni_in = (
+        pairs.join(sketch.select(F.col("source").alias("src_a"), "h"), "src_a")
+        .select("src_a", "src_b", "h")
+        .unionAll(
+            pairs.join(
+                sketch.select(F.col("source").alias("src_b"), "h"), "src_b"
+            ).select("src_a", "src_b", "h")
+        )
+        .distinct()
+    )
+    uni = uni_in.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("src_a", "src_b").orderBy("h")),
+    ).filter(F.col("rk") <= _KMV_K)
+    sa = sketch.select(F.col("source").alias("src_a"), "h", F.lit(1).alias("ina"))
+    sb = sketch.select(F.col("source").alias("src_b"), "h", F.lit(1).alias("inb"))
+    shared = (
+        uni.join(sa, ["src_a", "h"], "left")
+        .join(sb, ["src_b", "h"], "left")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.when(F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_shared")
+        )
+    )
+    ga = g.select(F.col("source").alias("src_a"), "h")
+    gb = g.select(F.col("source").alias("src_b"), "h")
+    exact = (
+        pairs.join(ga, "src_a")
+        .join(gb, ["src_b", "h"])
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    return (
+        shared.join(nsrc.select(F.col("source").alias("src_a"), F.col("n_exact").alias("n_a")), "src_a")
+        .join(nsrc.select(F.col("source").alias("src_b"), F.col("n_exact").alias("n_b")), "src_b")
+        .join(exact, ["src_a", "src_b"])
+        .join(kth.select(F.col("source").alias("src_a"), "hk"), "src_a")
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_shared",
+            (F.col("n_shared").cast("double") / _KMV_K).alias("jaccard_kmv"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard_exact"),
+            (F.lit(float(_KMV_K - 1)) * 4294967296.0 / F.col("hk")).alias(
+                "est_distinct_a"
+            ),
+        )
     )
