@@ -147,3 +147,41 @@ def test_storage_parse_http():
     assert hs.scheme == "https" and hs.bucket == "example.com"
     with pytest.raises(ValueError):
         StorageLocation.parse("http://")
+
+
+def test_copy_to_zarr_sql_roundtrip(spark, tmp_path):
+    """COPY (query) TO 'path' STORED AS ZARR — the SQL front door of
+    the distributed sink (DataFusion's write statement, which the
+    reference roadmaps): write a projection of the weather fixture,
+    register the output store, and query it back equal."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    eng = Engine(spark)
+    eng.register_zarr("w_src", fixture_store(2))
+    out = str(tmp_path / "copied.zarr")
+    res = eng.sql(
+        f"COPY (SELECT time, lat, lon, temperature, humidity FROM w_src "
+        f"WHERE time < 3) TO '{out}' STORED AS ZARR "
+        f"(COORDS 'time,lat,lon', FORMAT_VERSION '3', COMPRESSION 'gzip')"
+    ).collect()
+    assert res[0]["count"] == 300
+    back = read_zarr(spark, out)
+    src = spark.sql("SELECT * FROM w_src WHERE time < 3")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_copy_to_zarr_requires_coords(spark, tmp_path):
+    import pytest
+
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+
+    eng = Engine(spark)
+    eng.register_zarr("w_src2", fixture_store(2))
+    with pytest.raises(ValueError, match="COORDS"):
+        eng.sql(
+            f"COPY (SELECT * FROM w_src2) TO '{tmp_path}/x.zarr' "
+            f"STORED AS ZARR"
+        )

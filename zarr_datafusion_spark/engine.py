@@ -97,6 +97,48 @@ class Engine:
         re.IGNORECASE,
     )
 
+    #: DataFusion's write statement (``COPY (query) TO 'path' STORED AS
+    #: format (options)``) pointed at the distributed Zarr sink — the
+    #: SQL front door for the write path the reference roadmaps.
+    #: Options: COORDS 'c1,c2,...' (required, outermost first),
+    #: FORMAT_VERSION '2'|'3', COMPRESSION 'zlib'|'gzip'|'blosc-lz4'.
+    _ZARR_COPY = re.compile(
+        r"^\s*COPY\s*\((.*)\)\s*TO\s*'([^']+)'\s*STORED\s+AS\s+ZARR"
+        r"(?:\s*\(([^)]*)\))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _copy_to_zarr(self, m: re.Match) -> DataFrame:
+        """Execute a matched ``COPY ... TO ... STORED AS ZARR``: run the
+        inner query, write it through the distributed sink, and return
+        DataFusion's 1-row COPY result (count of rows written)."""
+        from zarr_datafusion_spark.zarr.sink import write_zarr
+
+        inner, path, opts_text = m.group(1), m.group(2), m.group(3) or ""
+
+        def opt(key: str) -> str | None:
+            om = re.search(rf"{key}\s+'([^']*)'", opts_text, re.IGNORECASE)
+            return om.group(1) if om else None
+
+        coords_opt = opt("COORDS")
+        if not coords_opt:
+            raise ValueError(
+                "COPY ... STORED AS ZARR requires a COORDS option, e.g. "
+                "(COORDS 'time,lat,lon') — outermost dimension first"
+            )
+        coords = [c.strip() for c in coords_opt.split(",") if c.strip()]
+        zarr_format = int(opt("FORMAT_VERSION") or 2)
+        df = self.spark.sql(inner)
+        write_zarr(
+            df,
+            path,
+            coords=coords,
+            zarr_format=zarr_format,
+            compression=opt("COMPRESSION"),
+        )
+        n = df.count()
+        return self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS count")
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL; answer COUNT/MIN/MAX-only queries from cached exact
         statistics without scanning (reference optimizer rules
@@ -119,6 +161,9 @@ class Engine:
             # empty result carrying the new table's schema (DataFusion's
             # CREATE EXTERNAL TABLE likewise returns no rows)
             return self.spark.sql(f"SELECT * FROM {name} WHERE 1=0")
+        m = self._ZARR_COPY.match(query)
+        if m:
+            return self._copy_to_zarr(m)
         rewritten = self._information_schema(query)
         if rewritten is not None:
             return rewritten
