@@ -133,11 +133,13 @@ HEADLINE = [
     "search_eval_metrics",
     "zarr_coarsen",
     "zarr_update_roundtrip",
-    # late round-8 continuation (82 -> 86)
+    # late round-8 continuation (82 -> 88)
     "snapshot_diff",
     "graph_pagerank_int",
     "pareto_skyline",
     "sketch_kmv_overlap",
+    "text_token_entropy",
+    "event_funnel_timing",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

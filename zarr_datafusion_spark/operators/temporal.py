@@ -181,3 +181,55 @@ def range_join_clicks_before_error(spark, sf_dir):
     return joined.groupBy("error_id", "user_id").agg(
         F.count(F.when(in_range, 1)).alias("n_clicks_before")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion-timing percentiles
+# ---------------------------------------------------------------------------
+
+_FUNNEL_TIMING_ORACLE = """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'view'
+    ),
+    d AS (
+      SELECT p.ts_us - v.ts_us AS gap_us
+      FROM p ASOF JOIN v
+        ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           quantile_cont(gap_us, 0.50) AS p50_us,
+           quantile_cont(gap_us, 0.90) AS p90_us,
+           quantile_cont(gap_us, 0.99) AS p99_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM d
+"""
+
+
+@_q("event_funnel_timing", _FUNNEL_TIMING_ORACLE)
+def event_funnel_timing(spark, sf_dir):
+    """Conversion-latency distribution: for every purchase with a
+    prior same-user view, the view->purchase delay's exact interpolated
+    percentiles — the timing half of funnel analysis
+    (:mod:`extras`.event_funnel counts stage reach; this measures how
+    LONG conversion takes).  Reuses the as-of join's union+window
+    carry-forward (one shuffle on user), then one global aggregate of
+    the matched gaps; ``percentile`` == DuckDB's ``quantile_cont``
+    (the text_length_percentiles convention), and the ASOF inner join
+    on the oracle side matches the carried-view filter here."""
+    matched = asof_view_before_purchase(spark, sf_dir).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.expr("percentile(gap_us, 0.50)").alias("p50_us"),
+        F.expr("percentile(gap_us, 0.90)").alias("p90_us"),
+        F.expr("percentile(gap_us, 0.99)").alias("p99_us"),
+        F.min("gap_us").cast("bigint").alias("min_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+    )

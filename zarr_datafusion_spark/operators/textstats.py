@@ -332,3 +332,60 @@ def text_length_percentiles(spark, sf_dir):
         F.expr("percentile(n_chars, 0.90)").alias("p90"),
         F.expr("percentile(n_chars, 0.99)").alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM toks GROUP BY doc_id, token)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+    FROM tf GROUP BY doc_id
+"""
+
+
+@_q("text_token_entropy", _ENTROPY_ORACLE)
+def text_token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution — the
+    information-theoretic quality signal between the repetition
+    fractions (low entropy = templated/looping text) and the LM
+    logprob scores (which need a trained model; entropy needs only the
+    doc itself).
+
+    Float contract: the per-doc sum of ``p*ln(p)`` terms follows the
+    ``text_unigram_logprob`` convention — round(6) absorbs libm ulp
+    and accumulation-order noise (per-doc term count is bounded by the
+    vocabulary of one document, so the error is ~1e-13).  Shape: one
+    tokenize + TWO chained aggregates on the same doc key (tf, then the
+    entropy fold in the ln(n) - sum(c ln c)/n join-free form), all
+    partial-aggregated map-side; no joins against anything corpus-wide.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    # H = ln(n) - sum(c*ln c)/n: the join-free form — one aggregation
+    # instead of tf JOIN per-doc-totals (a second 1-row-per-token
+    # shuffle, measured avoidable at sf1); same textual formula as the
+    # oracle so round(6) sees identical arithmetic
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+    )
