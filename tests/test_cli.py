@@ -146,6 +146,15 @@ def test_information_schema_queries(engine):
         ).collect()
     }
     assert {"lineitem", "orders", "customer"} <= tabs
+    # the third relation (REPL.md:66-69): registered views, with a
+    # NULL definition (Spark exposes no text for temp views)
+    views = {
+        r.table_name: r.view_definition
+        for r in engine.sql(
+            "SELECT table_name, view_definition FROM information_schema.views"
+        ).collect()
+    }
+    assert "lineitem" in views and views["lineitem"] is None
 
 
 def test_information_schema_rewrite_skips_string_literals(engine):

@@ -191,10 +191,11 @@ class Engine:
         return "".join(parts)
 
     def _information_schema(self, query: str) -> DataFrame | None:
-        """Serve ``information_schema.columns`` / ``.tables`` queries
+        """Serve ``information_schema.columns`` / ``.tables`` / ``.views``
+        queries
         (the reference enables DataFusion's information_schema,
         ``main.rs:54-65``; usage ``docs/CLI_REFERENCE.md:445-451``) —
-        Spark has no information_schema, so the two relations are
+        Spark has no information_schema, so the three relations are
         materialized as fresh catalog snapshots and the query text is
         rewritten onto them.  SQL-standard column names, with
         ``is_nullable`` as 'YES'/'NO' per the standard.  The rewrite is
@@ -203,13 +204,18 @@ class Engine:
         same-named tables across schemas don't misresolve."""
         stripped = self._SQL_STRING_LIT.sub("''", query)
         if not re.search(
-            r"\binformation_schema\.(columns|tables)\b", stripped, re.I
+            r"\binformation_schema\.(columns|tables|views)\b", stripped, re.I
         ):
             return None
-        tabs, cols = [], []
+        tabs, cols, views = [], [], []
         for t in self.spark.catalog.listTables():
             schema = ".".join(t.namespace) if t.namespace else "session"
             tabs.append((schema, t.name, t.tableType))
+            if "VIEW" in (t.tableType or "").upper() or t.isTemporary:
+                # DataFusion's third relation (REPL.md:66-69); Spark
+                # exposes no definition text for temp views, so
+                # view_definition is NULL — the standard allows it
+                views.append((schema, t.name, None))
             qualified = (
                 ".".join([*t.namespace, t.name]) if t.namespace else t.name
             )
@@ -232,6 +238,16 @@ class Engine:
             "table_schema string, table_name string, column_name string, "
             "ordinal_position int, data_type string, is_nullable string",
         ).createOrReplaceTempView("__information_schema_columns")
+        self.spark.createDataFrame(
+            views,
+            "table_schema string, table_name string, view_definition string",
+        ).createOrReplaceTempView("__information_schema_views")
+        q = self._sub_outside_literals(
+            re.compile(r"\binformation_schema\.views\b", re.I),
+            "__information_schema_views",
+            query,
+        )
+        query = q
         q = self._sub_outside_literals(
             re.compile(r"\binformation_schema\.columns\b", re.I),
             "__information_schema_columns",
