@@ -140,6 +140,7 @@ HEADLINE = [
     "sketch_kmv_overlap",
     "text_token_entropy",
     "event_funnel_timing",
+    "bpe_train_merges",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

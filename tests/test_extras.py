@@ -785,3 +785,52 @@ def test_pagerank_ranks_are_plausible(spark):
     assert rows == sorted(
         rows, key=lambda r: (-r.pagerank_millionths, r.l_partkey)
     )
+
+
+def test_bpe_merge_rounds_matches_python_reference(spark):
+    """BPE training core vs a pure-Python reference implementation,
+    on a crafted vocabulary that stresses the greedy-overlap rule:
+    repeated-symbol runs ('aaaa' -> (aa)(aa), 'aaa' -> (aa)a), ties
+    broken lexically, and merged symbols treated atomically in later
+    rounds."""
+    from zarr_datafusion_spark.operators.extras import bpe_merge_rounds
+
+    vocab = {"aaaa": 10, "aaab": 7, "abab": 5, "baaa": 4, "cc": 3, "c": 9}
+
+    def ref_bpe(vocab, rounds):
+        words = {w: [ch for ch in w] for w in vocab}
+        out = []
+        for k in range(1, rounds + 1):
+            counts = {}
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + vocab[w]
+            if not counts:
+                break
+            best = min(counts, key=lambda p: (-counts[p], p))
+            out.append((k, best[0], best[1], counts[best]))
+            for w, syms in words.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best
+                    ):
+                        res.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                words[w] = res
+        return out
+
+    expect = ref_bpe(dict(vocab), 4)
+    df = spark.createDataFrame(
+        [(w, c) for w, c in vocab.items()], "word string, cnt long"
+    )
+    got = sorted(
+        (r.round, r.merge_left, r.merge_right, r.pair_count)
+        for r in bpe_merge_rounds(df, 4).collect()
+    )
+    assert got == sorted(expect)

@@ -5591,3 +5591,208 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge-rule learning)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled BPE training as one SQL string: per round, count
+    adjacent symbol pairs (weighted by word frequency), pick the
+    argmax (count DESC, pair lexical), and apply the merge with the
+    GREEDY left-to-right non-overlap rule.  Overlaps only occur inside
+    runs of a repeated symbol (an (a,b) match at i and i+1 forces
+    a = b), so greedy application = keep every other match within each
+    consecutive-run island — pure window algebra, no sequential scan."""
+    parts = [r"""
+    WITH words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+            FROM documents)
+      WHERE length(w) >= 1
+      GROUP BY w
+    ),
+    w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
+      FROM words
+    )"""]
+    # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # five rounds of inlining w{k-1} into four consumers each is an
+    # exponential plan (the un-materialized spelling never finished);
+    # best{k} joins in as a 1-row cross join, never a per-row subquery
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    p{k} AS MATERIALIZED (
+      SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS pc
+      FROM w{k - 1}, unnest(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    best{k} AS MATERIALIZED (
+      SELECT l, r, pc FROM p{k} ORDER BY pc DESC, l, r LIMIT 1
+    ),
+    e{k} AS MATERIALIZED (
+      SELECT word, cnt, i, syms[i] AS s,
+             (i < len(syms) AND syms[i] = best{k}.l
+              AND syms[i+1] = best{k}.r) AS m
+      FROM w{k - 1}, best{k}, unnest(range(1, len(syms) + 1)) AS t(i)
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT word, i,
+             i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS runk
+      FROM e{k} WHERE m
+    ),
+    k{k} AS MATERIALIZED (
+      SELECT word, i FROM (
+        SELECT word, i,
+               ROW_NUMBER() OVER (PARTITION BY word, runk ORDER BY i) AS j
+        FROM m{k})
+      WHERE (j - 1) % 2 = 0
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT e.word, e.cnt, e.i,
+             CASE WHEN kk.i IS NOT NULL THEN best{k}.l || best{k}.r
+                  WHEN kp.i IS NOT NULL THEN NULL
+                  ELSE e.s END AS out_s
+      FROM e{k} e CROSS JOIN best{k}
+      LEFT JOIN k{k} kk ON kk.word = e.word AND kk.i = e.i
+      LEFT JOIN k{k} kp ON kp.word = e.word AND kp.i = e.i - 1
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT word, cnt, list(out_s ORDER BY i) AS syms
+      FROM b{k} WHERE out_s IS NOT NULL
+      GROUP BY word, cnt
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {k} AS round, l AS merge_left, r AS merge_right, "
+        f"pc AS pair_count FROM best{k}"
+        for k in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    {union}
+""")
+    return "".join(parts)
+
+
+@_q("bpe_train_merges", _bpe_oracle(_BPE_ROUNDS))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — {n} merge-rule rounds (Sennrich et al.
+    '16) as oracle-checked relational algebra.  `bpe_pair_counts` is
+    the inner loop's first iteration; this entry runs the actual
+    training loop: count adjacent symbol pairs weighted by word
+    frequency, adopt the argmax pair (count DESC, lexical ties), apply
+    the merge GREEDILY left-to-right everywhere, repeat on the merged
+    symbol sequences.
+
+    The sequential-looking greedy application is pure window algebra:
+    an (a,b) match at positions i and i+1 forces a = b, so overlaps
+    exist only inside repeated-symbol runs, where greedy = every other
+    match of each consecutive-run island (gaps-and-islands + parity).
+    Each adopted rule is collected as MODEL PARAMETERS (2 strings/
+    round, the kmeans contract); the returned rows stay plan-derived
+    (per-round argmax via TakeOrderedAndProject).
+
+    Scale shape: state is the word-frequency table (vocabulary-sized,
+    NOT corpus-sized — the classic BPE trick), re-materialized each
+    round; per round one pair aggregate + windows keyed by word.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(F.col("w").alias("word"), "cnt")
+    )
+    return bpe_merge_rounds(words, _BPE_ROUNDS)
+
+
+def bpe_merge_rounds(words: DataFrame, rounds: int) -> DataFrame:
+    """Reusable BPE training core over any (word, cnt) frame — see
+    :func:`bpe_train_merges`.  Returns one (round, merge_left,
+    merge_right, pair_count) row per adopted rule.  Property-tested
+    against a pure-Python reference BPE (greedy left-to-right merge
+    application) including repeated-symbol runs."""
+    w = words.select(
+        "word", "cnt",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint()
+    out = None
+    for k in range(1, rounds + 1):
+        ex = w.select(
+            "word", "cnt", F.posexplode("syms").alias("p0", "s")
+        ).select("word", "cnt", (F.col("p0") + 1).alias("i"), "s")
+        wo = W.partitionBy("word").orderBy("i")
+        ex = ex.withColumn("nxt", F.lead("s").over(wo)).localCheckpoint()
+        pairs = (
+            ex.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("s").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+        )
+        round_row = (
+            pairs.orderBy(F.col("pc").desc(), "l", "r")
+            .limit(1)
+            .select(
+                F.lit(k).alias("round"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                F.col("pc").alias("pair_count"),
+            )
+            .localCheckpoint()
+        )
+        out = round_row if out is None else out.unionByName(round_row)
+        best = round_row.collect()[0]  # model parameters: 2 strings
+        L, R = best["merge_left"], best["merge_right"]
+        flagged = ex.withColumn(
+            "m", (F.col("s") == L) & (F.col("nxt") == R)
+        )
+        matches = (
+            flagged.filter("m")
+            .withColumn("runk", F.col("i") - F.row_number().over(wo))
+        )
+        kept = (
+            matches.withColumn(
+                "j",
+                F.row_number().over(W.partitionBy("word", "runk").orderBy("i")),
+            )
+            .filter((F.col("j") - 1) % 2 == 0)
+            .select("word", "i", F.lit(True).alias("keep"))
+        )
+        rebuilt = (
+            flagged.join(kept, ["word", "i"], "left")
+            .join(
+                kept.select(
+                    "word", (F.col("i") + 1).alias("i"),
+                    F.col("keep").alias("consumed"),
+                ),
+                ["word", "i"],
+                "left",
+            )
+            .select(
+                "word", "cnt", "i",
+                F.when(F.col("keep"), F.lit(L + R))
+                .when(F.col("consumed"), F.lit(None))
+                .otherwise(F.col("s"))
+                .alias("out_s"),
+            )
+            .filter(F.col("out_s").isNotNull())
+        )
+        w = (
+            rebuilt.groupBy("word", "cnt")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, out_s))), "
+                    "x -> x.out_s)"
+                ).alias("syms")
+            )
+            .localCheckpoint()
+        )
+    return out
