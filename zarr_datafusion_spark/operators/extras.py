@@ -5600,7 +5600,7 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_oracle(rounds: int, final_select: str | None = None) -> str:
     """Unrolled BPE training as one SQL string: per round, count
     adjacent symbol pairs (weighted by word frequency), pick the
     argmax (count DESC, pair lexical), and apply the merge with the
@@ -5667,13 +5667,15 @@ def _bpe_oracle(rounds: int) -> str:
       FROM b{k} WHERE out_s IS NOT NULL
       GROUP BY word, cnt
     )""")
-    union = "\n    UNION ALL ".join(
-        f"SELECT {k} AS round, l AS merge_left, r AS merge_right, "
-        f"pc AS pair_count FROM best{k}"
-        for k in range(1, rounds + 1)
-    )
+    if final_select is None:
+        union = "\n    UNION ALL ".join(
+            f"SELECT {k} AS round, l AS merge_left, r AS merge_right, "
+            f"pc AS pair_count FROM best{k}"
+            for k in range(1, rounds + 1)
+        )
+        final_select = union
     parts.append(f"""
-    {union}
+    {final_select}
 """)
     return "".join(parts)
 
@@ -5699,6 +5701,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: state is the word-frequency table (vocabulary-sized,
     NOT corpus-sized — the classic BPE trick), re-materialized each
     round; per round one pair aggregate + windows keyed by word.
+    The companion :func:`bpe_apply_merges` returns the post-merge
+    segmentation the same chain produces.
     """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     words = (
@@ -5713,7 +5717,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_rounds(words, _BPE_ROUNDS)
 
 
-def bpe_merge_rounds(words: DataFrame, rounds: int) -> DataFrame:
+def bpe_merge_rounds(
+    words: DataFrame, rounds: int, return_words: bool = False
+) -> DataFrame:
     """Reusable BPE training core over any (word, cnt) frame — see
     :func:`bpe_train_merges`.  Returns one (round, merge_left,
     merge_right, pair_count) row per adopted rule.  Property-tested
@@ -5795,4 +5801,38 @@ def bpe_merge_rounds(words: DataFrame, rounds: int) -> DataFrame:
             )
             .localCheckpoint()
         )
-    return out
+    return w if return_words else out
+
+
+_BPE_APPLY_FINAL = f"""SELECT word, cnt,
+           CAST(len(syms) AS BIGINT) AS n_syms,
+           list_aggregate(syms, 'string_agg', ' ') AS segmented
+    FROM w{_BPE_ROUNDS}"""
+
+
+@_q("bpe_apply_merges", _bpe_oracle(_BPE_ROUNDS, _BPE_APPLY_FINAL))
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train->apply half of BPE: after the {n} learned merge
+    rounds, every vocabulary word's final segmentation (symbol count +
+    space-joined symbols) — what the tokenizer would emit.  Shares the
+    whole round chain with :func:`bpe_train_merges` (same core, same
+    oracle CTEs; only the final SELECT differs), so the two entries
+    cross-check each other: a wrong merge adoption OR a wrong greedy
+    application shows up in BOTH hashes."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(F.col("w").alias("word"), "cnt")
+    )
+    w = bpe_merge_rounds(words, _BPE_ROUNDS, return_words=True)
+    return w.select(
+        "word",
+        "cnt",
+        F.size("syms").cast("bigint").alias("n_syms"),
+        F.array_join("syms", " ").alias("segmented"),
+    )
