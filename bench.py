@@ -141,6 +141,7 @@ HEADLINE = [
     "text_token_entropy",
     "event_funnel_timing",
     "bpe_train_merges",
+    "event_time_weighted_avg",
 ]
 
 # Controlled-experiment knob (r5 drift bisect): run only a named subset,

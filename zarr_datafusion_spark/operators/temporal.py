@@ -233,3 +233,71 @@ def event_funnel_timing(spark, sf_dir):
         F.min("gap_us").cast("bigint").alias("min_us"),
         F.max("gap_us").cast("bigint").alias("max_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (hypertable rollup primitive)
+# ---------------------------------------------------------------------------
+
+_TW_AVG_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS v100, event_id
+      FROM events WHERE user_id < 30 AND value IS NOT NULL
+    ),
+    iv AS (
+      SELECT user_id, v100,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               - ts_us AS dur_us
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(SUM(v100 * dur_us) AS DOUBLE)
+             / (100.0 * CAST(SUM(dur_us) AS DOUBLE)) AS tw_avg
+    FROM iv WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+@_q("event_time_weighted_avg", _TW_AVG_ORACLE)
+def event_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of each user's metric over their event
+    timeline — the hypertable rollup primitive (TimescaleDB's
+    ``time_weight``; a plain AVG over irregular samples over-weights
+    bursts): each observation holds until the next one, so the mean is
+    sum(value x holding duration) / total duration.
+
+    Exactness without decimals: the driver's metric carries exactly
+    two decimal places (asserted at 0 violations across the corpus),
+    so ``round(value*100)`` is an exact BIGINT and the weighted sum is
+    ALL-INTEGER — order-independent, overflow-safe (~1e16 < 2^63),
+    bit-identical cross-engine after the single final division.
+    Shape: one window (lead) and one aggregate, both keyed by the
+    entity — the scan shuffles once and stays put.
+    """
+    e = (
+        _events(spark, sf_dir)
+        .filter((F.col("user_id") < 30) & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+            "event_id",
+        )
+    )
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    iv = e.withColumn("dur_us", F.lead("ts_us").over(wo) - F.col("ts_us"))
+    return (
+        iv.filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+            (
+                F.sum(F.col("v100") * F.col("dur_us")).cast("double")
+                / (F.lit(100.0) * F.sum("dur_us").cast("double"))
+            ).alias("tw_avg"),
+        )
+    )
