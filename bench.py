@@ -10,6 +10,26 @@ Each query is forced end-to-end with a noop-format write (full
 materialization — ``count()`` alone lets Spark shortcut column reads).
 A warmup query runs first so JVM/codegen startup isn't billed to the
 first headline entry.
+
+Artifact durability (VERDICT r8 item 1): the driver keeps only the
+LAST ~4 KB of stdout, and at 89 queries the single per-query line
+outgrew that window in r8 (``BENCH_r08.json`` lost its front half and
+``parsed`` was null).  Three measures, in order of defense:
+
+1. the full per-query line still prints first (human/tooling record);
+2. a COMPACT summary line prints LAST — total + query count + the
+   watchlist queries only, well under 1 KB — so a tail capture always
+   ends with one complete parseable JSON line carrying the headline;
+3. the full result is also written to ``scripts/bench_local_latest.json``
+   (override: ``$SPARK_GRAFT_BENCH_OUT``), which is checked in at each
+   round's final run.
+
+Headline growth policy (VERDICT r8 item 8): the headline set is PINNED
+at the 89 entries below.  New operators from r9 on are benchmarked by
+the sf1 sweep (``scripts/sf1_sweep.py``, which times construction +
+action over the FULL registry) and may replace — never extend — a
+headline slot, so round-over-round totals stay comparable and the
+per-query line stops growing past the driver's capture window.
 """
 
 from __future__ import annotations
@@ -149,6 +169,36 @@ HEADLINE = [
 _SUBSET = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
 if _SUBSET:
     HEADLINE = [q.strip() for q in _SUBSET.split(",") if q.strip()]
+
+#: Watchlist for the compact final line: the queries past VERDICTs put
+#: explicit bars on, plus the flagship zarr scan.  Keep this ≤ ~8 names
+#: so the line stays well under the driver's tail-capture window.
+WATCHLIST = [
+    "agg_groupby",          # r7 bar ≤1.5 s (met r8, record truncated)
+    "scale_bloom_join",     # r7 bar ≤0.6 s (met r8: 0.38)
+    "zarr_scan_era5_6m",    # flagship source throughput
+    "dedup_minhash_lsh",
+    "tpch_q3_shipping_priority",
+]
+
+#: Entries that do data-proportional work at CONSTRUCTION time
+#: (iterative trainers, eager localCheckpoints, streaming micro-batch
+#: runs) — the action-only headline timer UNDERBILLS these by design
+#: (ADVICE r8: flag them so headline comparisons aren't read as
+#: end-to-end cost).  Their honest scale numbers come from the sf1
+#: sweep, whose timer includes fn().
+EAGER_CONSTRUCTION = {
+    "sim_kmeans_train",
+    "sim_kmeans_step",
+    "sim_mmr_rerank",
+    "bpe_train_merges",
+    "bpe_apply_merges",
+    "graph_pagerank_int",
+    "graph_triangle_count",
+    "streaming_index_update",
+    "streaming_index_compacted",
+    "zarr_update_roundtrip",
+}
 
 
 def _zarr_scan_1m(spark, sf_dir):
@@ -337,14 +387,50 @@ def main() -> None:
         except ValueError:
             pass
 
+    total = round(sum(timings.values()), 4)
+    full = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # action-only timer underbills these (see module docstring);
+        # sf1 sweep carries their end-to-end numbers.
+        "eager_construction": sorted(
+            n for n in timings if n in EAGER_CONSTRUCTION
+        ),
+    }
+    print(json.dumps(full))
+
+    # Durable full record (checked in at each round's final run).
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts",
+            "bench_local_latest.json",
+        ),
+    )
+    try:
+        with open(out, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:
+        print(f"WARNING: could not write {out}: {e}", file=sys.stderr)
+
+    # Compact FINAL line — must stay far under the driver's ~4 KB tail
+    # capture so the headline total always survives verbatim.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_wall",
-                "value": round(sum(timings.values()), 4),
+                "metric": "headline_total",
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n": len(timings),
                 "sf": sf,
+                "watch": {
+                    q: timings[q] for q in WATCHLIST if q in timings
+                },
             }
         )
     )

@@ -170,6 +170,25 @@ def test_ivf_assignment_never_shuffles_corpus(spark):
     assert "hashpartitioning(vec_id" not in plan, plan[:1200]
 
 
+def test_ann_indexed_scans_index_only(spark):
+    """VERDICT r8 item 6 done-bar: the persisted-IVF entry must (a)
+    return exactly what the rebuild-per-call entry returns (persisting
+    the model changes no answer), and (b) serve entirely from the
+    index — embeddings.parquet absent from the physical plan, the
+    probed cells pruned as PARTITION filters on the cell-partitioned
+    postings (directory-level skipping, the inverted-list seek)."""
+    ivf = similarity.QUERIES["sim_ann_ivf"](spark, SF_DIR).collect()
+    df = similarity.QUERIES["sim_ann_indexed"](spark, SF_DIR)
+    idx = df.collect()
+    assert [tuple(r) for r in idx] == [tuple(r) for r in ivf]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ann_index" in plan
+    assert "embeddings.parquet" not in plan
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], "probed cells not pruned at the partition level"
+
+
 def test_kmeans_partitions_corpus_and_converges(spark):
     """Lloyd invariants: every vector is assigned (sizes sum to corpus),
     inertia is monotone non-increasing across iterations, and the final

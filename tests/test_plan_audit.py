@@ -23,6 +23,7 @@ NESTED_LOOP_OK = {
     "sim_topk_bruteforce": "broadcast 1-row query vector",
     "sim_ann_lsh": "broadcast 1-row query + plane matrix",
     "sim_ann_ivf": "broadcast 1-row centroid array",
+    "sim_ann_indexed": "broadcast 1-row query vector (postings point-lookup)",
     "sim_topk_quantized": "broadcast 1-row quantized query",
     "dedup_embedding_cosine": "broadcast small blocked-pair side",
     # intentional theta/cross semantics (Tier B parity row)

@@ -435,6 +435,27 @@ def test_sink_append_rejects_non_monotonic_and_sharded(spark, tmp_path):
         append_zarr(src, sharded)
 
 
+def test_sink_rejects_empty_input(spark, tmp_path):
+    """ADVICE r8: an empty DataFrame must fail with a CLEAR error —
+    not pass the dense-grid check (0 rows == 0 cells) and then die in
+    repartition(0) with an opaque Spark message."""
+    import pytest
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+    from zarr_datafusion_spark.zarr.sink import append_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    empty = src.filter(F.lit(False))
+    with pytest.raises(ValueError, match="nothing to write"):
+        write_zarr(empty, str(tmp_path / "e.zarr"), coords=["time", "lat", "lon"])
+
+    dst = str(tmp_path / "full.zarr")
+    write_zarr(src, dst, coords=["time", "lat", "lon"])
+    with pytest.raises(ValueError, match="nothing to append"):
+        append_zarr(empty, dst)
+
+
 @_pytest.mark.parametrize(
     "filters",
     [
@@ -1660,6 +1681,26 @@ def test_s3_sigv4_adapter_live(s3_sigv4_store, stores):
     assert fs.read_bytes(root + "/temperature/0.0.0") == open(
         os.path.join(local, "temperature", "0.0.0"), "rb"
     ).read()
+
+    # Keys needing percent-encoding (ADVICE r8: space/'+'/unicode/'%'):
+    # _obj_url RFC-3986-encodes the key, the signer signs that encoded
+    # path VERBATIM, and urllib sends the same bytes — so the verifying
+    # server (which 403s any signature mismatch over the raw request
+    # line) proves odd keys sign correctly end-to-end.
+    import shutil
+
+    odd_name = "k+y ü 100%.bin"
+    odd_dir = os.path.join(os.path.dirname(local), "odd prefix")
+    os.makedirs(odd_dir, exist_ok=True)
+    payload = b"\x00sigv4 odd key"
+    try:
+        with open(os.path.join(odd_dir, odd_name), "wb") as f:
+            f.write(payload)
+        odd_url = s3_sigv4_store.rsplit("/", 1)[0] + "/odd prefix/" + odd_name
+        assert fs.exists(odd_url)
+        assert fs.read_bytes(odd_url) == payload
+    finally:
+        shutil.rmtree(odd_dir, ignore_errors=True)
 
     unsigned = S3HttpStoreFS(credentials=None)
     with pytest.raises(urllib.error.HTTPError) as exc:

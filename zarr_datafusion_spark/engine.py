@@ -66,13 +66,29 @@ class Engine:
                 pass
         return list(dfs)
 
-    def register_zarr(self, name: str, store_path: str) -> DataFrame:
+    def register_zarr(
+        self, name: str, store_path: str, data_filter_pushdown: bool = False
+    ) -> DataFrame:
         """Register a Zarr store as a queryable table (reference
-        ``CREATE EXTERNAL TABLE ... STORED AS ZARR``, ``src/datasource/factory.rs:19-65``)."""
+        ``CREATE EXTERNAL TABLE ... STORED AS ZARR``, ``src/datasource/factory.rs:19-65``).
+
+        ``data_filter_pushdown=True`` additionally computes (once,
+        distributed, sidecar-cached) per-chunk-row min/max for the
+        data variables so ``WHERE var > x`` skips whole chunks — the
+        registration-time half of VERDICT r8 item 3.  NOTE: this also
+        enables eager window narrowing, which is only safe when the
+        registered view serves single-query sessions (see
+        ``ZarrDataSourceReader.eager_pushdown``); the default stays
+        the safe mode."""
         from zarr_datafusion_spark.stats.zarr_stats import zarr_table_stats
         from zarr_datafusion_spark.zarr import read_zarr
 
-        df = read_zarr(self.spark, store_path)
+        df = read_zarr(
+            self.spark,
+            store_path,
+            eager_pushdown=data_filter_pushdown,
+            data_filter_pushdown=data_filter_pushdown,
+        )
         df.createOrReplaceTempView(name)
         try:
             self._stats[name] = zarr_table_stats(store_path)
@@ -129,14 +145,18 @@ class Engine:
         coords = [c.strip() for c in coords_opt.split(",") if c.strip()]
         zarr_format = int(opt("FORMAT_VERSION") or 2)
         df = self.spark.sql(inner)
-        write_zarr(
+        res = write_zarr(
             df,
             path,
             coords=coords,
             zarr_format=zarr_format,
             compression=opt("COMPRESSION"),
         )
-        n = df.count()
+        # rows written = the sink's validated dense-grid cell count —
+        # never re-execute the inner query with a second count()
+        # (double execution; non-deterministic queries could disagree
+        # with the rows actually written).  ADVICE r8.
+        n = res["rows"]
         return self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS count")
 
     def sql(self, query: str) -> DataFrame:

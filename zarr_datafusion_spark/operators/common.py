@@ -58,3 +58,32 @@ def salted_bucket(key_col: str, salt: str, buckets: int = 100):
         ).cast("long")
         % buckets
     )
+
+
+def source_staleness_key(src: str, tag: str) -> str:
+    """Digest keying a derived on-disk artifact (persisted index,
+    stats sidecar) to its source file.  Uses ``st_mtime_ns`` — not
+    whole seconds — so a same-size regeneration within one second can
+    never serve a stale artifact (ADVICE r8)."""
+    import hashlib
+
+    st = os.stat(src)
+    return hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{tag}".encode()
+    ).hexdigest()[:10]
+
+
+def prune_stale_siblings(parent: str, prefix: str, keep: str) -> None:
+    """Remove superseded artifact directories ``parent/prefix*`` other
+    than ``keep`` (same source, older staleness key) so regenerated
+    testdata doesn't accumulate dead directories forever (ADVICE r8).
+    Best-effort; builds are idempotent anyway."""
+    import shutil
+
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        if name.startswith(prefix) and name != keep:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)

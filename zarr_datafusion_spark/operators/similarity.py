@@ -1029,3 +1029,132 @@ def sim_knn_join(spark, sf_dir):
         .filter(F.col("rank") <= KNN_K)
         .select("q_id", "vec_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (VERDICT r8 item 6): build-once / query-many
+# symmetry with search_bm25_indexed.
+# ---------------------------------------------------------------------------
+
+
+def ann_index_paths(sf_dir: str) -> tuple[str, str]:
+    """(centroids_path, postings_path) for ``sf_dir``'s persisted IVF
+    index — staleness-keyed off ``embeddings.parquet`` (size +
+    mtime_ns) with superseded-sibling pruning, the same discipline as
+    the BM25 index (ADVICE r8)."""
+    from zarr_datafusion_spark.operators.common import source_staleness_key
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = source_staleness_key(src, "ivf1")
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out = os.path.join(repo_root, "data", "ann_index", f"{base}-{key}")
+    return (
+        os.path.join(out, "centroids.parquet"),
+        os.path.join(out, "postings.parquet"),
+    )
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once IVF index: the coarse-quantizer model (nlist x dim
+    centroid table, tiny) plus the cell-assigned corpus PARTITIONED BY
+    ``list_id`` on disk — so a query's probed cells prune to whole
+    directories at the parquet scan (PartitionFilters), the file-layout
+    analog of an inverted list seek.  ``sim_ann_ivf`` recomputes both
+    per call (flagged by VERDICT r8 item 6); this is the serving
+    architecture: assignment happens at ingest, queries read
+    ``nprobe/nlist`` of the data.  Rows inside each cell are sorted by
+    ``vec_id`` so row-group min/max also serves point lookups (the
+    query-vector fetch never rescans ``embeddings.parquet``).
+    Idempotent via the staleness-keyed ``_SUCCESS`` marks."""
+    centroids_path, postings_path = ann_index_paths(sf_dir)
+    if all(
+        os.path.exists(os.path.join(p, "_SUCCESS"))
+        for p in (centroids_path, postings_path)
+    ):
+        return centroids_path, postings_path
+    from zarr_datafusion_spark.operators.common import prune_stale_siblings
+
+    out = os.path.dirname(postings_path)
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    prune_stale_siblings(
+        os.path.dirname(out), f"{base}-", os.path.basename(out)
+    )
+
+    e = _emb(spark, sf_dir)
+    comp = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    centroids = (
+        comp.groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            F.col("label").alias("list_id"),
+            F.expr("transform(dc, x -> x.c)").alias("centroid"),
+        )
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(centroids_path)
+
+    cents = spark.read.parquet(centroids_path).agg(
+        F.collect_list(F.struct("list_id", "centroid")).alias("cents")
+    )
+    argmax_cell = (
+        "array_max(transform(cents, c -> struct("
+        + _dot("embedding", "c.centroid")
+        + " AS score, c.list_id AS list_id))).list_id"
+    )
+    (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "label", "embedding",
+            F.expr(argmax_cell).alias("list_id"),
+        )
+        .repartition("list_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(postings_path)
+    )
+    return centroids_path, postings_path
+
+
+@_q("sim_ann_indexed", _IVF_ORACLE)
+def sim_ann_indexed(spark, sf_dir):
+    """IVF ANN served from the PERSISTED index (VERDICT r8 item 6):
+    the query plan reads ONLY the probed cells' directories of the
+    cell-partitioned postings table — ``embeddings.parquet`` never
+    appears in the plan (the query vector itself comes from a
+    vec_id point-lookup on the postings).  Centroid scoring touches
+    nlist rows (tiny parquet), probe selection collects the N_PROBE
+    winning cell ids (bounded-k model parameters, the house collect
+    contract), and the scan's ``list_id IN (...)`` lands in the
+    parquet PartitionFilters — directory-level pruning, the inverted
+    -list seek.  Same oracle as ``sim_ann_ivf``: persisting the model
+    must not change a single answer.  Plan pinned by
+    ``test_similarity_plans.test_ann_indexed_scans_index_only``."""
+    centroids_path, postings_path = build_ann_index(spark, sf_dir)
+    post = spark.read.parquet(postings_path)
+    q = post.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    probed = (
+        spark.read.parquet(centroids_path)
+        .crossJoin(F.broadcast(q))
+        .select("list_id", F.expr(_dot("qe", "centroid")).alias("cscore"))
+        .orderBy(F.col("cscore").desc())
+        .limit(N_PROBE)
+        .select("list_id")
+    )
+    probe_ids = [int(r.list_id) for r in probed.collect()]
+
+    dot_q = _dot("embedding", "qe")
+    return (
+        post.filter(F.col("list_id").isin(probe_ids))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(F.expr(dot_q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )

@@ -162,6 +162,15 @@ def _write_zarr_persisted(
         coord_values[c] = vals
     shape = tuple(len(coord_values[c]) for c in coords)
     n_cells = int(np.prod(shape))
+    if n_cells == 0:
+        # an empty axis would otherwise pass the dense-grid check
+        # (0 rows == 0 cells) and die later in repartition(0) with an
+        # opaque Spark error (ADVICE r8)
+        empty = [c for c in coords if len(coord_values[c]) == 0]
+        raise ValueError(
+            f"nothing to write: coordinate axis(es) {empty} have no "
+            "values (empty input DataFrame?)"
+        )
     n_rows = df.count()
     if n_rows != n_cells:
         raise ValueError(
@@ -361,6 +370,10 @@ def _write_zarr_persisted(
         # the write-side I/O counter (stats.rs A10 analog): compressed
         # bytes that hit chunk/shard files, summed from executor tasks
         "bytes_written": sum(r.bytes for r in results),
+        # rows written == validated dense-grid cell count; callers
+        # (COPY ... STORED AS ZARR) must report this instead of
+        # re-executing the input query with a second count (ADVICE r8)
+        "rows": n_cells,
     }
 
 
@@ -572,6 +585,19 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
     spark = df.sparkSession
     df = df.select(*coords, *data_vars).persist()
     try:
+        old_outer = _read_1d(store_path, meta.array(outer))
+        new_outer = np.sort(
+            np.array([r[0] for r in df.select(outer).distinct().collect()])
+        )
+        if len(new_outer) == 0:
+            # empty input would otherwise fail the inner-grid check
+            # with a misleading mismatch message (or, skipping that,
+            # pass the dense-grid check 0 rows == 0 cells and die in
+            # repartition(0)) — say what actually happened (ADVICE r8)
+            raise ValueError(
+                "nothing to append: input DataFrame has no "
+                f"{outer!r} values (empty input?)"
+            )
         # validate the inner grid cross-section matches the store
         inner_values: dict[str, np.ndarray] = {}
         for c in inner:
@@ -585,11 +611,7 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
                     f"({len(have)} vs {len(stored)} values)"
                 )
             inner_values[c] = stored
-        old_outer = _read_1d(store_path, meta.array(outer))
-        new_outer = np.sort(
-            np.array([r[0] for r in df.select(outer).distinct().collect()])
-        )
-        if len(new_outer) and not (new_outer[0] > old_outer[-1]):
+        if not (new_outer[0] > old_outer[-1]):
             raise ValueError(
                 f"append must be monotonic: new {outer} min "
                 f"{new_outer[0]!r} <= stored max {old_outer[-1]!r}"

@@ -236,10 +236,15 @@ def _sigv4_headers(
     SHA256 — GET/HEAD only), optional ``x-amz-security-token``, and
     the ``Authorization`` header.  The canonical URI is the request
     path exactly as sent (S3 signs the single-encoded path, no
-    normalization); the canonical query re-encodes each decoded
-    name/value RFC-3986-style and sorts — :meth:`S3HttpStoreFS._list`
-    emits its query in exactly that canonical form, so what is signed
-    is byte-for-byte what is sent."""
+    normalization) — callers must pass the URL in its wire form, i.e.
+    with the key already RFC-3986-encoded, which
+    :meth:`S3HttpStoreFS._obj_url` does (``quote(key)``); keys needing
+    encoding (space, '+', unicode, '%') therefore sign correctly —
+    proven live in ``test_s3_sigv4_adapter_live`` against the
+    signature-verifying server (ADVICE r8).  The canonical query
+    re-encodes each decoded name/value RFC-3986-style and sorts —
+    :meth:`S3HttpStoreFS._list` emits its query in exactly that
+    canonical form, so what is signed is byte-for-byte what is sent."""
     import hashlib
     import hmac
     import time as _time
