@@ -88,6 +88,10 @@ RE_RECORD: dict[str, str] = {
     "zarr_limit_pushdown": "r9: data-var chunk skipping added to source",
     "zarr_coarsen": "r9: data-var chunk skipping added to source",
     "zarr_stream_agg": "r9: data-var chunk skipping added to source",
+    # - static band index persisted (VERDICT r8 item 7): same values
+    #   (oracle unchanged, stream==batch set equality re-tested), but
+    #   the static side now reads a staleness-keyed parquet:
+    "streaming_lsh_dedup": "r9: persisted static band index",
 }
 
 

@@ -126,6 +126,65 @@ def test_zarr_store_shortcut(engine, spark, tmp_path):
     ).collect()[0]
 
 
+def test_data_var_minmax_shortcut(engine, spark):
+    """A8 extended to DATA variables (r9): registering with
+    ``data_filter_pushdown=True`` folds the chunk-row stats into the
+    table's min/max, so MIN/MAX over a data variable answers scan-free
+    — the reference's stats stop at coordinates (zarr.rs:191-254).
+    Without the flag, data-var MIN/MAX must still fall through."""
+    from zarr_datafusion_spark.operators.zarr_queries import trending_store
+
+    engine.register_zarr("trend_plain", trending_store())
+    df = engine.sql("SELECT MIN(pressure) AS lo FROM trend_plain")
+    assert not engine.last_query_used_shortcut  # coords-only stats
+    assert df.collect()[0].lo == 1000
+
+    engine.register_zarr(
+        "trend_sc", trending_store(), data_filter_pushdown=True
+    )
+    fast = engine.sql(
+        "SELECT MIN(pressure) AS lo, MAX(pressure) AS hi, "
+        "COUNT(*) AS n FROM trend_sc"
+    )
+    assert engine.last_query_used_shortcut
+    row = fast.collect()[0]
+    # pressure = 1000 + 10*time + lat + lon over 12 x 10 x 14
+    assert (row.lo, row.hi, row.n) == (1000, 1000 + 110 + 9 + 13, 12 * 10 * 14)
+    assert "Scan" not in fast._jdf.queryExecution().executedPlan().toString()
+    # differential vs the real scan
+    assert row == spark.sql(
+        "SELECT MIN(pressure) AS lo, MAX(pressure) AS hi, "
+        "COUNT(*) AS n FROM trend_sc"
+    ).collect()[0]
+
+
+def test_data_var_shortcut_withheld_for_nan_floats(engine, spark, tmp_path):
+    """A float data variable containing ANY NaN must NOT shortcut:
+    Spark sorts NaN above every number, so MAX(col) is NaN while the
+    NaN-ignoring chunk stats are not — the guard falls through to the
+    full plan, which answers Spark's own semantics."""
+    import math
+
+    import numpy as np
+
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    vals = np.arange(12.0, dtype=np.float64).reshape(3, 4)
+    vals[1, 2] = np.nan
+    store = write_store(
+        str(tmp_path / "nanstore"),
+        {
+            "t": (np.arange(3, dtype=np.int64), (3,)),
+            "x": (np.arange(4, dtype=np.int64), (4,)),
+            "v": (vals, (1, 4)),
+        },
+    )
+    engine.register_zarr("nan_sc", store, data_filter_pushdown=True)
+    df = engine.sql("SELECT MAX(v) AS hi FROM nan_sc")
+    assert not engine.last_query_used_shortcut
+    assert math.isnan(df.collect()[0].hi)
+
+
 def test_registered_table_uses_shortcut(engine):
     df = engine.sql("SELECT COUNT(*) AS n FROM region")
     # region was registered via register_parquet_dir -> shortcut fires

@@ -1816,6 +1816,250 @@ def gcs_store(stores):
         srv.shutdown()
 
 
+def _verify_rs256_jwt(assertion: str, n: int, e: int) -> dict | None:
+    """Independent RS256 JWT verification (server-side half of the
+    OAuth2 JWT-bearer flow, reimplemented here FROM THE SPEC rather
+    than imported from the adapter, so a signing bug cannot
+    self-validate — the SigV4-verifier pattern): decode the three
+    segments, recompute the EMSA-PKCS1-v1_5 encoding of
+    SHA-256(header.claims), apply the PUBLIC key power to the
+    signature, constant-shape compare.  Returns the claims on success,
+    None on any mismatch."""
+    import base64
+    import hashlib
+    import json as _json
+
+    def de(seg: str) -> bytes:
+        return base64.urlsafe_b64decode(seg + "=" * (-len(seg) % 4))
+
+    try:
+        header_b64, claims_b64, sig_b64 = assertion.split(".")
+        header = _json.loads(de(header_b64))
+        if header.get("alg") != "RS256":
+            return None
+        sig = int.from_bytes(de(sig_b64), "big")
+        k = (n.bit_length() + 7) // 8
+        em = pow(sig, e, n).to_bytes(k, "big")
+        h = hashlib.sha256(f"{header_b64}.{claims_b64}".encode()).digest()
+        prefix = bytes.fromhex("3031300d060960864801650304020105000420")
+        expected = (
+            b"\x00\x01"
+            + b"\xff" * (k - len(prefix) - len(h) - 3)
+            + b"\x00"
+            + prefix
+            + h
+        )
+        if em != expected:
+            return None
+        return _json.loads(de(claims_b64))
+    except (ValueError, KeyError):
+        return None
+
+
+@pytest.fixture()
+def gcs_oauth_store(stores):
+    """Serve the v2_plain store through a live GCS server that
+    REQUIRES a Bearer token on every object/list request (401 on
+    missing, 403 on unknown tokens — the 401 is what triggers the
+    adapter's anonymous-then-credentialed retry) and issues tokens
+    ONLY after independently verifying the service-account JWT's RS256
+    signature against the public key (the done-bar for VERDICT r8
+    item 4: a request only succeeds if the stdlib signer produced a
+    spec-correct signature)."""
+    import http.server
+    import json as _json
+    import os
+    import threading
+    import time as _time
+    import urllib.parse
+
+    from tests.conftest import GCS_TEST_PUBKEY, GCS_TEST_SOCK
+
+    store_path = stores["v2_plain"]
+    root = os.path.dirname(store_path)
+    name = os.path.basename(store_path)
+    bucket = "signed-gcs-bucket"
+    pub_n, pub_e = GCS_TEST_PUBKEY
+    issued: set[str] = set()
+    counters = {"tokens": 0}
+    token_uri = os.environ["STORAGE_EMULATOR_HOST"] + "/token"
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: D102 - quiet test server
+            pass
+
+        def _keys(self):
+            out = []
+            for dirpath, _dirs, files in os.walk(os.path.join(root, name)):
+                for fn in files:
+                    rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                    out.append(rel.replace(os.sep, "/"))
+            return sorted(out)
+
+        def _respond(self, code, body=b"", ctype="application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if self.command != "HEAD":
+                self.wfile.write(body)
+
+        def do_POST(self):
+            if urllib.parse.urlparse(self.path).path != "/token":
+                return self._respond(404, b"NotFound")
+            ln = int(self.headers.get("Content-Length", "0"))
+            form = urllib.parse.parse_qs(self.rfile.read(ln).decode())
+            if form.get("grant_type") != [
+                "urn:ietf:params:oauth:grant-type:jwt-bearer"
+            ]:
+                return self._respond(400, b"unsupported grant")
+            claims = _verify_rs256_jwt(
+                form.get("assertion", [""])[0], pub_n, pub_e
+            )
+            if (
+                claims is None
+                or claims.get("aud") != token_uri
+                or "devstorage" not in claims.get("scope", "")
+                or claims.get("exp", 0) <= _time.time()
+            ):
+                return self._respond(403, b"invalid_grant")
+            counters["tokens"] += 1
+            tok = f"zds-test-token-{counters['tokens']}"
+            issued.add(tok)
+            return self._respond(
+                200,
+                _json.dumps(
+                    {
+                        "access_token": tok,
+                        "expires_in": 3600,
+                        "token_type": "Bearer",
+                    }
+                ).encode(),
+                "application/json",
+            )
+
+        def _authorized(self) -> bool:
+            auth = self.headers.get("Authorization", "")
+            return auth.startswith("Bearer ") and auth[7:] in issued
+
+        def do_GET(self):
+            auth = self.headers.get("Authorization", "")
+            if not auth:
+                return self._respond(401, b"anonymous refused")
+            if not self._authorized():
+                return self._respond(403, b"bad token")
+            parsed = urllib.parse.urlparse(self.path)
+            path = parsed.path
+            if path.startswith(f"/storage/v1/b/{bucket}/o"):
+                qs = urllib.parse.parse_qs(parsed.query)
+                prefix = qs.get("prefix", [""])[0]
+                delim = qs.get("delimiter", [""])[0]
+                keys = [k for k in self._keys() if k.startswith(prefix)]
+                items, prefixes, seen = [], [], set()
+                for k in keys:
+                    rest = k[len(prefix) :]
+                    if delim and delim in rest:
+                        pref = prefix + rest.split(delim, 1)[0] + delim
+                        if pref not in seen:
+                            seen.add(pref)
+                            prefixes.append(pref)
+                    else:
+                        items.append({"name": k})
+                return self._respond(
+                    200,
+                    _json.dumps({"items": items, "prefixes": prefixes}).encode(),
+                    "application/json",
+                )
+            segs = path.lstrip("/").split("/", 1)
+            if segs[0] != bucket or len(segs) < 2:
+                return self._respond(404, b"NotFound")
+            key = urllib.parse.unquote(segs[1])
+            fp = os.path.join(root, *key.split("/"))
+            if not os.path.isfile(fp):
+                return self._respond(404, b"NoSuchObject")
+            with open(fp, "rb") as f:
+                return self._respond(200, f.read())
+
+        do_HEAD = do_GET
+
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), Handler, bind_and_activate=False
+    )
+    srv.socket = GCS_TEST_SOCK
+    srv.server_address = GCS_TEST_SOCK.getsockname()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"gs://{bucket}/{name}"
+    finally:
+        srv.shutdown()
+
+
+def test_gcs_oauth_adapter_live(gcs_oauth_store, stores):
+    """Credentialed gs:// (VERDICT r8 item 4): the full store-fs
+    surface against a server that refuses anonymous requests and only
+    issues tokens for a VERIFIED RS256 service-account JWT — every
+    passing call proves the stdlib OAuth2 flow end-to-end (PEM/DER key
+    parse, EMSA-PKCS1-v1_5, JWT assembly, token exchange, Bearer
+    retry).  An explicitly anonymous adapter must be refused, and
+    under the strict probe contract that refusal RAISES rather than
+    reading as absent."""
+    import os
+    import urllib.error
+
+    from zarr_datafusion_spark.zarr.storage import (
+        _GCS_TOKEN_CACHE,
+        GcsHttpStoreFS,
+        store_fs,
+    )
+
+    _GCS_TOKEN_CACHE.clear()  # force a fresh token exchange this test
+    fs, root = store_fs(gcs_oauth_store)
+    assert isinstance(fs, GcsHttpStoreFS)
+    assert fs.credentials_path, "GOOGLE_APPLICATION_CREDENTIALS not picked up"
+    assert fs.exists(root + "/.zgroup")
+    assert not fs.exists(root + "/nope")
+    assert fs.isdir(root)
+    listing = fs.listdir(root)
+    assert {"time", "lat", "lon", "temperature", "humidity"} <= set(listing)
+    local = stores["v2_plain"]
+    assert fs.read_text(root + "/.zgroup") == open(
+        os.path.join(local, ".zgroup")
+    ).read()
+    assert fs.read_bytes(root + "/temperature/0.0.0") == open(
+        os.path.join(local, "temperature", "0.0.0"), "rb"
+    ).read()
+    # the token is cached: many requests, one exchange per process
+    assert len(_GCS_TOKEN_CACHE) == 1
+
+    anon = GcsHttpStoreFS(credentials_path=None)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        anon.read_bytes(root + "/.zgroup")
+    assert exc.value.code == 401
+    with pytest.raises(urllib.error.HTTPError):
+        anon.exists(root + "/.zgroup")  # refusal must NOT read as absent
+
+
+def test_gcs_oauth_schema_and_scan(spark, gcs_oauth_store):
+    """End-to-end credentialed-gs:// Spark scan: schema inference AND
+    every executor chunk read run the OAuth2 JWT-bearer flow
+    (executors build adapters + run the token exchange from the env
+    the JVM inherited), against the JWT-VERIFYING server; result
+    equals the independent row-major expansion."""
+    from zarr_datafusion_spark.zarr import discover_arrays, read_zarr
+
+    meta = discover_arrays(gcs_oauth_store)
+    assert [c.name for c in meta.coords] == ["time", "lat", "lon"]
+    assert meta.total_rows == 700
+
+    df = read_zarr(spark, gcs_oauth_store)
+    rows = df.orderBy("time", "lat", "lon").collect()
+    exp = expected_flat()
+    assert len(rows) == 700
+    assert [r.temperature for r in rows] == list(exp["temperature"])
+    assert [r.time for r in rows] == list(exp["time"])
+
+
 def test_create_external_table_over_live_s3(engine, s3_store):
     """The reference's object-store example end-to-end
     (examples/query_gcs.rs:36-43, here over the live S3 endpoint):

@@ -94,6 +94,24 @@ class Engine:
             self._stats[name] = zarr_table_stats(store_path)
         except Exception:
             pass
+        if data_filter_pushdown and name in self._stats:
+            # fold the chunk-row stats to global data-var bounds so the
+            # A8 MIN/MAX→constant rewrite answers data-variable queries
+            # scan-free too (the reference's stats stop at coordinates,
+            # zarr.rs:191-254); NaN-containing floats are withheld —
+            # see stats.chunk_stats.data_var_bounds
+            try:
+                from zarr_datafusion_spark.stats.chunk_stats import (
+                    compute_zarr_chunk_stats,
+                    data_var_bounds,
+                )
+
+                bounds = data_var_bounds(
+                    compute_zarr_chunk_stats(self.spark, store_path)
+                )
+                self._stats[name].column_min_max.update(bounds)
+            except Exception:
+                pass
         return df
 
     def table_stats(self, name: str) -> TableStats | None:

@@ -34,7 +34,7 @@ import os
 import numpy as np
 
 #: bumped when the sidecar layout changes (forces recompute)
-_LAYOUT = "cstats1"
+_LAYOUT = "cstats2"  # 2: per-var has_nan flag (A8 data-var shortcut guard)
 
 
 def _store_marker(store_path: str) -> str | None:
@@ -142,14 +142,15 @@ def compute_zarr_chunk_stats(spark, store_path: str) -> dict:
             window = ((lo, hi),) + tuple((0, s) for s in v.shape[1:])
             arr = read_window(sp, v, window)
             if arr.dtype.kind == "f":
+                has_nan = bool(np.isnan(arr).any())
                 with np.errstate(all="ignore"):
                     mn, mx = np.nanmin(arr), np.nanmax(arr)
                 if np.isnan(mn):  # all-NaN row: skippable everywhere
-                    out.append((None, None))
+                    out.append((None, None, has_nan))
                     continue
-                out.append((float(mn), float(mx)))
+                out.append((float(mn), float(mx), has_nan))
             else:
-                out.append((int(arr.min()), int(arr.max())))
+                out.append((int(arr.min()), int(arr.max()), False))
         return (r, out)
 
     sc = spark.sparkContext
@@ -164,6 +165,12 @@ def compute_zarr_chunk_stats(spark, store_path: str) -> dict:
             v.name: {
                 "min": [rows[r][i][0] for r in range(n_rows)],
                 "max": [rows[r][i][1] for r in range(n_rows)],
+                # any NaN anywhere forbids the A8 MAX shortcut for
+                # this var (Spark sorts NaN above every number, so
+                # MAX(col) with a NaN present IS NaN — the
+                # NaN-ignoring chunk max would be wrong); pruning
+                # stays sound either way (NaN matches no comparison)
+                "has_nan": any(rows[r][i][2] for r in range(n_rows)),
             }
             for i, v in enumerate(var_metas)
         },
@@ -185,3 +192,23 @@ def compute_zarr_chunk_stats(spark, store_path: str) -> dict:
         os.replace(tmp, sidecar)
     _CACHE[cache_key] = stats
     return stats
+
+
+def data_var_bounds(stats: dict) -> dict[str, tuple]:
+    """Global exact (min, max) per data variable — the fold over the
+    per-chunk-row stats that extends the A7/A8 scan-free MIN/MAX
+    rewrite beyond coordinates (the reference's stats stop at coords,
+    ``zarr.rs:191-254``).  A float variable containing ANY NaN is
+    withheld entirely: Spark sorts NaN above every number, so its
+    MAX(col) would be NaN while the NaN-ignoring chunk stats are not
+    (MIN would still be safe unless all-NaN, but one conservative rule
+    beats two subtle ones — the full plan answers instead)."""
+    out: dict[str, tuple] = {}
+    for var, s in stats.get("vars", {}).items():
+        if s.get("has_nan"):
+            continue
+        mins = [v for v in s["min"] if v is not None]
+        maxs = [v for v in s["max"] if v is not None]
+        if mins:
+            out[var] = (min(mins), max(maxs))
+    return out
