@@ -142,7 +142,13 @@ if not hasattr(_REG, "gcs_key_file"):
         + "\n".join(_b64[i : i + 64] for i in range(0, len(_b64), 64))
         + "\n-----END RSA PRIVATE KEY-----\n"
     )
-    _kf = os.path.join(_tempfile.gettempdir(), "zds_gcs_test_key.json")
+    # Per-PID path: the token_uri inside embeds THIS process's emulator
+    # port, so two concurrent pytest processes sharing one file would
+    # clobber each other's endpoint (a token POST to a dead port —
+    # URLError; bit the r9 full-suite run while a second pytest ran).
+    _kf = os.path.join(
+        _tempfile.gettempdir(), f"zds_gcs_test_key_{os.getpid()}.json"
+    )
     with open(_kf, "w") as _f:
         _json.dump(
             {
@@ -155,7 +161,10 @@ if not hasattr(_REG, "gcs_key_file"):
         )
     _REG.gcs_key_file = _kf
     _REG.gcs_pubkey = (_n, _e)
-    os.environ.setdefault("GOOGLE_APPLICATION_CREDENTIALS", _kf)
+    # unconditional (not setdefault): the OAuth fixture verifies
+    # against THIS key's public half — an inherited foreign key file
+    # would fail every signed test confusingly
+    os.environ["GOOGLE_APPLICATION_CREDENTIALS"] = _kf
 
 GCS_TEST_KEY_FILE = _REG.gcs_key_file
 GCS_TEST_PUBKEY = _REG.gcs_pubkey

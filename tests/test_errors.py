@@ -172,6 +172,34 @@ def test_copy_to_zarr_sql_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
 
 
+def test_copy_to_zarr_sharded(spark, tmp_path):
+    """COPY with SHARD_OUTER (r9): the ZEP-2 sharded-output knob —
+    THE object-store layout at scale — reachable from SQL; the store
+    must round-trip and actually be sharded on disk (one shard file
+    per 3 outer slabs, not one chunk file per slab)."""
+    import os
+
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    eng = Engine(spark)
+    eng.register_zarr("w_src3", fixture_store(2))
+    out = str(tmp_path / "sharded.zarr")
+    res = eng.sql(
+        f"COPY (SELECT time, lat, lon, temperature, humidity FROM w_src3) "
+        f"TO '{out}' STORED AS ZARR "
+        f"(COORDS 'time,lat,lon', FORMAT_VERSION '3', SHARD_OUTER '3')"
+    ).collect()
+    assert res[0]["count"] == 700
+    # 7 slabs / 3 per shard = 3 shard files per variable
+    shards = os.listdir(os.path.join(out, "temperature", "c"))
+    assert len(shards) == 3
+    back = read_zarr(spark, out)
+    src = spark.sql("SELECT * FROM w_src3")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
 def test_copy_to_zarr_requires_coords(spark, tmp_path):
     import pytest
 

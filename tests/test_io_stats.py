@@ -200,3 +200,79 @@ def test_data_filter_pushdown_stale_sidecar_declines(spark, tmp_path):
         .filter(F.col("pressure") >= 1075)
     )
     assert df.count() == 721  # correct despite the unusable sidecar
+
+
+def test_data_filter_equality_and_allnan_skip(spark, tmp_path):
+    """Two more skip shapes: (a) a data-var EQUALITY literal prunes to
+    the chunk rows whose [min,max] contain it; (b) an ALL-NaN chunk
+    row is skipped under any comparison (NaN never satisfies one),
+    while rows mixing NaN and matches are kept."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.operators.zarr_queries import trending_store
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    # (a) equality: pressure == 1005 lives only in slab t=0 (per-slab
+    # range is [1000+10t, 1022+10t])
+    sd = str(tmp_path / "eq")
+    df = read_zarr(
+        spark, trending_store(), stats_dir=sd,
+        eager_pushdown=True, data_filter_pushdown=True,
+    ).filter(F.col("pressure") == 1005)
+    rows = df.collect()
+    assert {r.pressure for r in rows} == {1005}
+    s = collect_stats_dir(sd)
+    assert s.rows == 1 * 10 * 14  # one slab read of twelve
+
+    # (b) NaN semantics: Spark (and DuckDB) sort NaN ABOVE every
+    # number, so `v > lo` MATCHES NaN cells — a NaN-bearing slab must
+    # never be skipped under a lower bound, while `v < hi` (which NaN
+    # fails) may skip aggressively.
+    vals = np.ones((3, 4), dtype=np.float64)
+    vals[1, :] = np.nan   # slab 1: all NaN
+    vals[2, 0] = np.nan   # slab 2: mixed
+    vals[2, 3] = 0.2      # ... with one small value
+    store = write_store(
+        str(tmp_path / "nanskip"),
+        {
+            "t": (np.arange(3, dtype=np.int64), (3,)),
+            "x": (np.arange(4, dtype=np.int64), (4,)),
+            "v": (vals, (1, 4)),
+        },
+    )
+
+    def run(pred, subdir):
+        sd = str(tmp_path / subdir)
+        df = read_zarr(
+            spark, store, stats_dir=sd,
+            eager_pushdown=True, data_filter_pushdown=True,
+        ).filter(pred)
+        rows = sorted((r.t, r.x) for r in df.collect())
+        return rows, collect_stats_dir(sd)
+
+    # lower bound: NaN matches, so NOTHING prunes on this store and
+    # the NaN rows (slab 1 + cell (2,0)) are all in the result
+    got_gt, s_gt = run(F.col("v") > 0.5, "gt")
+    assert got_gt == [
+        (0, 0), (0, 1), (0, 2), (0, 3),
+        (1, 0), (1, 1), (1, 2), (1, 3),
+        (2, 0), (2, 1), (2, 2),
+    ]
+    assert s_gt.rows == 3 * 4  # no slab skipped (every slab may match)
+
+    # upper bound: NaN fails it, so the all-1.0 slab (min 1.0 > 0.5)
+    # AND the all-NaN slab both skip; only the mixed slab is read
+    got_lt, s_lt = run(F.col("v") < 0.5, "lt")
+    assert got_lt == [(2, 3)]
+    assert s_lt.rows == 1 * 4
+
+    # differential: pruned results equal the unpruned scan's
+    full = read_zarr(spark, store)
+    assert got_gt == sorted(
+        (r.t, r.x) for r in full.filter(F.col("v") > 0.5).collect()
+    )
+    assert got_lt == sorted(
+        (r.t, r.x) for r in full.filter(F.col("v") < 0.5).collect()
+    )

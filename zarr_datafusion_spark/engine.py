@@ -162,6 +162,7 @@ class Engine:
             )
         coords = [c.strip() for c in coords_opt.split(",") if c.strip()]
         zarr_format = int(opt("FORMAT_VERSION") or 2)
+        shard = opt("SHARD_OUTER")
         df = self.spark.sql(inner)
         res = write_zarr(
             df,
@@ -169,6 +170,9 @@ class Engine:
             coords=coords,
             zarr_format=zarr_format,
             compression=opt("COMPRESSION"),
+            # ZEP-2 sharded output (v3): S outer slabs per shard file —
+            # the object-store layout knob, now reachable from SQL
+            shard_outer=int(shard) if shard else None,
         )
         # rows written = the sink's validated dense-grid cell count —
         # never re-execute the inner query with a second count()

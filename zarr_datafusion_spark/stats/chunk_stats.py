@@ -20,10 +20,15 @@ data scale — an ERA5 archive with 10^5 time chunks stores 10^5 pairs
 per variable), and is exactly the parquet row-group analogy: stats per
 horizontal stripe, not per cell block.
 
-NaN discipline (floats): per-row stats are ``nanmin``/``nanmax`` —
-NaN cells never satisfy a SQL comparison, so ignoring them keeps the
-skip decision sound; an ALL-NaN row stores ``None`` and is skippable
-under any comparison predicate.
+NaN discipline (floats): Spark AND DuckDB order NaN LARGER than every
+number (``NaN > 0.5`` is TRUE, ``NaN < 0.5`` is FALSE — verified on
+both engines), so per-row stats carry ``nanmin``/``nanmax`` PLUS a
+per-row ``nan`` flag: upper-bound conjuncts (``v < hi``) can always
+skip on the NaN-ignoring min (NaN fails them too), but lower-bound
+conjuncts (``v > lo``) are satisfied by ANY NaN cell, so a row may be
+skipped on its max only when its ``nan`` flag is clear.  An ALL-NaN
+row stores ``None`` bounds: skippable under any upper bound, kept
+under lower-bound-only predicates (its NaNs match).
 """
 
 from __future__ import annotations
@@ -34,7 +39,7 @@ import os
 import numpy as np
 
 #: bumped when the sidecar layout changes (forces recompute)
-_LAYOUT = "cstats2"  # 2: per-var has_nan flag (A8 data-var shortcut guard)
+_LAYOUT = "cstats3"  # 3: per-ROW nan flags (Spark/DuckDB order NaN largest)
 
 
 def _store_marker(store_path: str) -> str | None:
@@ -165,11 +170,14 @@ def compute_zarr_chunk_stats(spark, store_path: str) -> dict:
             v.name: {
                 "min": [rows[r][i][0] for r in range(n_rows)],
                 "max": [rows[r][i][1] for r in range(n_rows)],
-                # any NaN anywhere forbids the A8 MAX shortcut for
-                # this var (Spark sorts NaN above every number, so
-                # MAX(col) with a NaN present IS NaN — the
-                # NaN-ignoring chunk max would be wrong); pruning
-                # stays sound either way (NaN matches no comparison)
+                # per-row flags drive the lower-bound skip rule
+                # (NaN sorts above every number in Spark/DuckDB, so
+                # `v > lo` matches NaN cells — a row with any NaN can
+                # never be skipped by its max)
+                "nan": [rows[r][i][2] for r in range(n_rows)],
+                # any NaN anywhere additionally forbids the A8 MAX
+                # shortcut for this var (MAX(col) with a NaN present
+                # IS NaN; the NaN-ignoring chunk max would be wrong)
                 "has_nan": any(rows[r][i][2] for r in range(n_rows)),
             }
             for i, v in enumerate(var_metas)

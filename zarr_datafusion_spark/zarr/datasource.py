@@ -238,9 +238,10 @@ class ZarrDataSourceReader(DataSourceReader):
             return v
 
         # data variables with a stats sidecar participate in chunk-row
-        # skipping; a numeric non-NaN literal is required (NaN never
-        # matches a SQL comparison, so recording it could only
-        # over-prune — bail instead)
+        # skipping; a numeric non-NaN literal is required (NaN literals
+        # compare under Spark's NaN-is-largest total order — `v = NaN`
+        # matches NaN cells, `v < NaN` matches every number — which the
+        # min/max range encoding can't express; bail, scan full)
         stat_vars = (
             set(self.data_stats["vars"]) if self.data_stats else set()
         )
@@ -461,13 +462,20 @@ class ZarrDataSourceReader(DataSourceReader):
     ) -> list[tuple[int, int]]:
         """Drop/split outer slabs so only chunk rows whose cached
         min/max can satisfy every data-var conjunct remain.  A row is
-        pruned only when PROVABLY empty (``max < lo`` / ``min > hi``
-        with strictness, or all-NaN — NaN never satisfies a SQL
-        comparison), so the surviving set is a superset of the matching
-        rows and Spark's re-applied filter does the rest (Inexact
-        contract).  Declines (returns ``slabs`` unchanged) when the
-        sidecar's chunk grid doesn't match the store — a rewritten
-        store must never be pruned by stale stats."""
+        pruned only when PROVABLY empty, under Spark/DuckDB's total
+        order where NaN sorts ABOVE every number (``NaN > 0.5`` is
+        TRUE — verified on both engines):
+
+        * upper bound (``v < hi``): NaN fails it too, so skip when the
+          NaN-ignoring min exceeds the bound (or the row is all-NaN);
+        * lower bound (``v > lo``): ANY NaN cell satisfies it, so skip
+          on the max only when the row's per-row ``nan`` flag is clear.
+
+        The surviving set is a superset of the matching rows and
+        Spark's re-applied filter does the rest (Inexact contract).
+        Declines (returns ``slabs`` unchanged) when the sidecar's chunk
+        grid doesn't match the store — a rewritten store must never be
+        pruned by stale stats."""
         stats = self.data_stats
         if not data_ranges or not stats or not stats.get("vars"):
             return slabs
@@ -486,12 +494,19 @@ class ZarrDataSourceReader(DataSourceReader):
         def row_may_match(r: int) -> bool:
             for vs, (lo, lo_s, hi, hi_s) in specs:
                 mn, mx = vs["min"][r], vs["max"][r]
-                if mn is None:  # all-NaN chunk row
-                    return False
-                if hi is not None and (mn > hi or (mn == hi and hi_s)):
-                    return False
-                if lo is not None and (mx < lo or (mx == lo and lo_s)):
-                    return False
+                # missing per-row flag (foreign sidecar): assume NaN
+                # possible — disables lower-bound skipping, stays sound
+                rn = vs["nan"][r] if "nan" in vs else True
+                if hi is not None and (
+                    mn is None or mn > hi or (mn == hi and hi_s)
+                ):
+                    return False  # NaN fails upper bounds too
+                if (
+                    lo is not None
+                    and not rn
+                    and (mx < lo or (mx == lo and lo_s))
+                ):
+                    return False  # only NaN-free rows skip on the max
             return True
 
         out: list[tuple[int, int]] = []
