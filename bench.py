@@ -25,7 +25,7 @@ outgrew that window in r8 (``BENCH_r08.json`` lost its front half and
    round's final run.
 
 Headline growth policy (VERDICT r8 item 8): the headline set is PINNED
-at the 89 entries below.  New operators from r9 on are benchmarked by
+at the 90 entries below (89 registry + the bench-only profile variant).  New operators from r9 on are benchmarked by
 the sf1 sweep (``scripts/sf1_sweep.py``, which times construction +
 action over the FULL registry) and may replace — never extend — a
 headline slot, so round-over-round totals stay comparable and the
@@ -403,20 +403,22 @@ def main() -> None:
     print(json.dumps(full))
 
     # Durable full record (checked in at each round's final run).
-    out = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(
+    # Subset runs (SPARK_GRAFT_BENCH_QUERIES experiments) must not
+    # overwrite it unless they name their own SPARK_GRAFT_BENCH_OUT.
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out is None and not _SUBSET:
+        out = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "scripts",
             "bench_local_latest.json",
-        ),
-    )
-    try:
-        with open(out, "w") as fh:
-            json.dump(full, fh, indent=1)
-            fh.write("\n")
-    except OSError as e:
-        print(f"WARNING: could not write {out}: {e}", file=sys.stderr)
+        )
+    if out:
+        try:
+            with open(out, "w") as fh:
+                json.dump(full, fh, indent=1)
+                fh.write("\n")
+        except OSError as e:
+            print(f"WARNING: could not write {out}: {e}", file=sys.stderr)
 
     # Compact FINAL line — must stay far under the driver's ~4 KB tail
     # capture so the headline total always survives verbatim.
