@@ -204,9 +204,9 @@ def test_data_filter_pushdown_stale_sidecar_declines(spark, tmp_path):
 
 def test_data_filter_equality_and_allnan_skip(spark, tmp_path):
     """Two more skip shapes: (a) a data-var EQUALITY literal prunes to
-    the chunk rows whose [min,max] contain it; (b) an ALL-NaN chunk
-    row is skipped under any comparison (NaN never satisfies one),
-    while rows mixing NaN and matches are kept."""
+    the chunk rows whose [min,max] contain it; (b) NaN under Spark's
+    NaN-is-largest order — `v > lo` MATCHES NaN cells (no NaN-bearing
+    row may skip), `v < hi` fails them (all-NaN rows skip)."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -276,3 +276,45 @@ def test_data_filter_equality_and_allnan_skip(spark, tmp_path):
     assert got_lt == sorted(
         (r.t, r.x) for r in full.filter(F.col("v") < 0.5).collect()
     )
+
+
+def test_append_invalidates_chunk_stats_sidecar(spark, tmp_path):
+    """Writing to a store must invalidate its chunk-stats sidecar:
+    append_zarr rewrites consolidated metadata LAST, so the marker
+    file's mtime_ns changes, the staleness key changes, and the next
+    data-filtered scan recomputes stats over the GROWN store — pruning
+    after an append must see the new slabs (a stale sidecar would have
+    the wrong shape0 and decline, also correct, but the key change
+    makes it recompute and keep pruning)."""
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.stats.chunk_stats import (
+        chunk_stats_sidecar_path,
+        compute_zarr_chunk_stats,
+    )
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+    from zarr_datafusion_spark.zarr.sink import append_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    times = sorted(r[0] for r in src.select("time").distinct().collect())
+    dst = str(tmp_path / "grow.zarr")
+    write_zarr(
+        src.filter(F.col("time").isin(times[:5])), dst,
+        coords=["time", "lat", "lon"],
+    )
+    s1 = compute_zarr_chunk_stats(spark, dst)
+    key1 = chunk_stats_sidecar_path(dst)
+    assert s1["shape0"] == 5
+
+    append_zarr(src.filter(F.col("time").isin(times[5:])), dst)
+    key2 = chunk_stats_sidecar_path(dst)
+    assert key2 != key1, "append did not change the staleness key"
+    s2 = compute_zarr_chunk_stats(spark, dst)
+    assert s2["shape0"] == 7
+
+    # the data-filtered scan over the grown store answers the full set
+    df = read_zarr(
+        spark, dst, eager_pushdown=True, data_filter_pushdown=True
+    ).filter(F.col("temperature") >= -100)
+    assert df.count() == 700

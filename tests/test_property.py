@@ -559,3 +559,79 @@ def test_skyline_2d_matches_brute_force(spark, pts):
     df = spark.createDataFrame(rows, "id long, price int, size int")
     got = {(r.id, r.price, r.size) for r in skyline_2d(df, "price", "size").collect()}
     assert got == expect
+
+
+def _brute_cdc_bounded(docs, W, D, MN, MX):
+    """Pure-python twin of cdc_chunks_bounded (independent of the test
+    in test_extras, which uses ONE deterministic corpus; this one runs
+    arbitrary shapes): hash boundaries -> min thinning vs the previous
+    ORIGINAL boundary -> sentinel -> forced max cuts."""
+    import hashlib
+
+    out = {}
+    for doc_id, text in docs:
+        n = len(text)
+        if n < 1:
+            continue
+        hb = [
+            p
+            for p in range(W, n + 1)
+            if int(
+                hashlib.md5(text[p - W : p].encode()).hexdigest()[:8], 16
+            ) % D == 0
+        ]
+        kept, prev = [], 0
+        for p in hb:
+            if p - prev >= MN:
+                kept.append(p)
+            prev = p
+        b = sorted(set(kept + [n]))
+        allb, prev = [], 0
+        for p in b:
+            k = (p - prev - 1) // MX
+            allb += [prev + i * MX for i in range(1, k + 1)] + [p]
+            prev = p
+        chunks, prev = [], 0
+        for i, p in enumerate(allb):
+            chunks.append(
+                (
+                    i,
+                    prev + 1,
+                    p - prev,
+                    hashlib.md5(text[prev:p].encode()).hexdigest(),
+                )
+            )
+            prev = p
+        out[doc_id] = chunks
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpora())
+def test_cdc_bounded_matches_bruteforce(spark, docs):
+    """cdc_chunks_bounded == the pure-python three-rule pipeline for
+    ANY corpus shape (docs shorter than the window, empty docs, docs
+    with zero hash boundaries, gaps needing multiple forced cuts), and
+    the output always tiles each doc exactly (chunk lens sum to doc
+    length, every chunk <= max)."""
+    from zarr_datafusion_spark.operators.extras import cdc_chunks_bounded
+
+    W, D, MN, MX = 4, 4, 3, 9  # tiny params so every rule fires often
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict = {}
+    for r in cdc_chunks_bounded(df, W, D, MN, MX).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_start, r.chunk_len, r.chunk_md5)
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    want = _brute_cdc_bounded(docs, W, D, MN, MX)
+    assert got == want
+    by_doc_len = {doc_id: len(t) for doc_id, t in docs if len(t) >= 1}
+    for doc_id, chunks in got.items():
+        lens = [ln for _, _, ln, _ in chunks]
+        assert sum(lens) == by_doc_len[doc_id]
+        assert all(ln <= MX for ln in lens)
