@@ -85,5 +85,30 @@ def prune_stale_siblings(parent: str, prefix: str, keep: str) -> None:
     except OSError:
         return
     for name in names:
-        if name.startswith(prefix) and name != keep:
+        # never remove in-flight atomic-publish tmp dirs (another
+        # process may be building under the same key right now)
+        if name.startswith(prefix) and name != keep and ".tmp" not in name:
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
+def publish_dir_atomically(build_fn, final_dir: str) -> str:
+    """Build a derived on-disk artifact into ``final_dir + '.tmp<pid>'``
+    via ``build_fn(tmp_dir)``, then atomically ``rename`` it into
+    place.  Two concurrent builders (a driver run racing a test run —
+    exactly the collision that corrupted the shared GCS key file in
+    r9) each build privately; the loser's rename fails on the winner's
+    complete directory and its tmp is discarded.  A crashed build
+    leaves only a tmp directory, never a half-written final path (the
+    ``_SUCCESS``-gated readers would reject one anyway)."""
+    import shutil
+
+    tmp = f"{final_dir}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(final_dir) or ".", exist_ok=True)
+    build_fn(tmp)
+    try:
+        os.rename(tmp, final_dir)
+    except OSError:
+        # lost the publish race — the winner's artifact is complete
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final_dir

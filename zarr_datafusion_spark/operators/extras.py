@@ -323,24 +323,29 @@ def build_lsh_band_index(spark: SparkSession, sf_dir: str) -> str:
         signature_bands,
     )
 
+    from zarr_datafusion_spark.operators.common import publish_dir_atomically
+
     corpus_bands = signature_bands(
         minhash_signatures(_docs(spark, sf_dir))
     ).withColumnsRenamed({"doc_id": "corpus_doc"})
     bucket_sizes = corpus_bands.groupBy("band_idx", "band_hash").agg(
         F.count("*").alias("__n")
     )
-    (
-        corpus_bands.join(
-            bucket_sizes.filter(F.col("__n") <= 10000).drop("__n"),
-            ["band_idx", "band_hash"],
-            "left_semi",
+
+    def _build(tmp: str) -> None:
+        (
+            corpus_bands.join(
+                bucket_sizes.filter(F.col("__n") <= 10000).drop("__n"),
+                ["band_idx", "band_hash"],
+                "left_semi",
+            )
+            .repartition(8, "band_hash")
+            .sortWithinPartitions("band_hash")
+            .write.mode("overwrite")
+            .parquet(tmp)
         )
-        .repartition(8, "band_hash")
-        .sortWithinPartitions("band_hash")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    return out
+
+    return publish_dir_atomically(_build, out)
 
 
 @_q("streaming_lsh_dedup", _stream_lsh_oracle())
@@ -3418,6 +3423,8 @@ def build_bm25_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     _prune_stale_siblings(
         os.path.dirname(out), f"{base}-", os.path.basename(out)
     )
+    from zarr_datafusion_spark.operators.common import publish_dir_atomically
+
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     toks = docs.select(
         "doc_id",
@@ -3425,25 +3432,33 @@ def build_bm25_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             "pos", "token"
         ),
     )
-    (
-        toks.groupBy("token", "doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.sort_array(F.collect_list(F.col("pos") + 1)).alias("positions"),
+
+    def _build(tmp: str) -> None:
+        (
+            toks.groupBy("token", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list(F.col("pos") + 1)).alias(
+                    "positions"
+                ),
+            )
+            .repartition(8, "token")
+            .sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "postings.parquet"))
         )
-        .repartition(8, "token")
-        .sortWithinPartitions("token")
-        .write.mode("overwrite")
-        .parquet(postings_path)
-    )
-    (
-        docs.select(
-            "doc_id",
-            F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("dl"),
+        (
+            docs.select(
+                "doc_id",
+                F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("dl"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "doclen.parquet"))
         )
-        .write.mode("overwrite")
-        .parquet(doclen_path)
-    )
+
+    # atomic publish of the PARENT dir: both tables appear together or
+    # not at all (a racing builder can never interleave task files)
+    publish_dir_atomically(_build, out)
     return postings_path, doclen_path
 
 

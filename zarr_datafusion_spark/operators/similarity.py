@@ -1083,6 +1083,8 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         os.path.dirname(out), f"{base}-", os.path.basename(out)
     )
 
+    from zarr_datafusion_spark.operators.common import publish_dir_atomically
+
     e = _emb(spark, sf_dir)
     comp = e.select("label", F.posexplode("embedding").alias("dim", "v"))
     centroids = (
@@ -1095,28 +1097,35 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             F.expr("transform(dc, x -> x.c)").alias("centroid"),
         )
     )
-    centroids.coalesce(1).write.mode("overwrite").parquet(centroids_path)
 
-    cents = spark.read.parquet(centroids_path).agg(
-        F.collect_list(F.struct("list_id", "centroid")).alias("cents")
-    )
-    argmax_cell = (
-        "array_max(transform(cents, c -> struct("
-        + _dot("embedding", "c.centroid")
-        + " AS score, c.list_id AS list_id))).list_id"
-    )
-    (
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "label", "embedding",
-            F.expr(argmax_cell).alias("list_id"),
+    def _build(tmp: str) -> None:
+        tmp_cent = os.path.join(tmp, "centroids.parquet")
+        centroids.coalesce(1).write.mode("overwrite").parquet(tmp_cent)
+
+        cents = spark.read.parquet(tmp_cent).agg(
+            F.collect_list(F.struct("list_id", "centroid")).alias("cents")
         )
-        .repartition("list_id")
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(postings_path)
-    )
+        argmax_cell = (
+            "array_max(transform(cents, c -> struct("
+            + _dot("embedding", "c.centroid")
+            + " AS score, c.list_id AS list_id))).list_id"
+        )
+        (
+            e.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "label", "embedding",
+                F.expr(argmax_cell).alias("list_id"),
+            )
+            .repartition("list_id")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(tmp, "postings.parquet"))
+        )
+
+    # atomic publish of the PARENT dir: model + postings appear
+    # together or not at all (racing builders can't interleave)
+    publish_dir_atomically(_build, out)
     return centroids_path, postings_path
 
 
