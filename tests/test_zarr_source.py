@@ -1816,6 +1816,138 @@ def gcs_store(stores):
         srv.shutdown()
 
 
+@pytest.fixture()
+def s3_trending_store():
+    """Serve the TRENDING store (the data-skipping fixture) through a
+    live unsigned S3 server on the shared test socket, so the remote
+    chunk-statistics path can be proven end-to-end over a socket."""
+    import http.server
+    import os
+    import threading
+    import urllib.parse
+
+    from tests.conftest import S3_TEST_SOCK
+    from zarr_datafusion_spark.operators.zarr_queries import trending_store
+
+    store_path = trending_store()
+    root = os.path.dirname(store_path)
+    name = os.path.basename(store_path)
+    bucket = "trend-bucket"
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: D102 - quiet test server
+            pass
+
+        def _respond(self, code, body=b"", ctype="application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if self.command != "HEAD":
+                self.wfile.write(body)
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            segs = parsed.path.lstrip("/").split("/", 1)
+            if segs[0] != bucket:
+                return self._respond(404, b"NoSuchBucket")
+            if len(segs) == 1 or parsed.query:
+                qs = urllib.parse.parse_qs(parsed.query)
+                prefix = qs.get("prefix", [""])[0]
+                delim = qs.get("delimiter", [""])[0]
+                keys = []
+                for dirpath, _dirs, files in os.walk(
+                    os.path.join(root, name)
+                ):
+                    for fn in files:
+                        rel = os.path.relpath(
+                            os.path.join(dirpath, fn), root
+                        ).replace(os.sep, "/")
+                        if rel.startswith(prefix):
+                            keys.append(rel)
+                contents, prefixes, seen = [], [], set()
+                for k in sorted(keys):
+                    rest = k[len(prefix):]
+                    if delim and delim in rest:
+                        pref = prefix + rest.split(delim, 1)[0] + delim
+                        if pref not in seen:
+                            seen.add(pref)
+                            prefixes.append(pref)
+                    else:
+                        contents.append(k)
+                xml = [
+                    '<?xml version="1.0" encoding="UTF-8"?>',
+                    '<ListBucketResult xmlns='
+                    '"http://s3.amazonaws.com/doc/2006-03-01/">',
+                    "<IsTruncated>false</IsTruncated>",
+                ]
+                xml += [f"<Contents><Key>{k}</Key></Contents>" for k in contents]
+                xml += [
+                    f"<CommonPrefixes><Prefix>{p}</Prefix></CommonPrefixes>"
+                    for p in prefixes
+                ]
+                xml.append("</ListBucketResult>")
+                return self._respond(
+                    200, "".join(xml).encode(), "application/xml"
+                )
+            key = urllib.parse.unquote(segs[1])
+            fp = os.path.join(root, *key.split("/"))
+            if not os.path.isfile(fp):
+                return self._respond(404, b"NoSuchKey")
+            with open(fp, "rb") as f:
+                return self._respond(200, f.read())
+
+        do_HEAD = do_GET
+
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), Handler, bind_and_activate=False
+    )
+    srv.socket = S3_TEST_SOCK
+    srv.server_address = S3_TEST_SOCK.getsockname()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"s3://{bucket}/{name}"
+    finally:
+        srv.shutdown()
+
+
+def test_remote_data_filter_pushdown(spark, s3_trending_store, tmp_path):
+    """Data-variable chunk skipping over a LIVE remote store — the
+    object-store case the feature exists for at 100 TB: the one-time
+    stats pass reads chunks through the per-task S3 adapters, the
+    sidecar caches locally keyed by the remote marker's CONTENT, and
+    the filtered scan then skips half the slabs (verified in the
+    spilled I/O counters) while returning exactly the local store's
+    answer."""
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.operators.zarr_queries import trending_store
+    from zarr_datafusion_spark.stats.io_stats import collect_stats_dir
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    sd = str(tmp_path / "io")
+    df = read_zarr(
+        spark,
+        s3_trending_store,
+        stats_dir=sd,
+        eager_pushdown=True,
+        data_filter_pushdown=True,
+    ).filter(F.col("pressure") >= 1075)
+    remote_rows = sorted(map(tuple, df.collect()))
+    local_rows = sorted(
+        map(
+            tuple,
+            read_zarr(spark, trending_store())
+            .filter(F.col("pressure") >= 1075)
+            .collect(),
+        )
+    )
+    assert remote_rows == local_rows and len(remote_rows) == 721
+    s = collect_stats_dir(sd)
+    assert s.rows == 6 * 10 * 14, "remote scan did not skip chunk rows"
+
+
 def _verify_rs256_jwt(assertion: str, n: int, e: int) -> dict | None:
     """Independent RS256 JWT verification (server-side half of the
     OAuth2 JWT-bearer flow, reimplemented here FROM THE SPEC rather

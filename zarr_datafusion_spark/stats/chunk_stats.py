@@ -53,17 +53,46 @@ def _store_marker(store_path: str) -> str | None:
 
 
 def chunk_stats_sidecar_path(store_path: str) -> str | None:
-    """Staleness-keyed sidecar path for a LOCAL store, or ``None`` when
-    the store is remote / has no marker (stats then live only in the
-    in-process cache).  Key = md5(store path, marker size, mtime_ns,
-    layout) — the same discipline as the persisted BM25 index
-    (``extras._source_staleness_key``): regenerated stores can never be
-    served stale pruning decisions."""
+    """Staleness-keyed LOCAL sidecar path for a store (the sidecar is
+    a cache, so it lives under the repo's data/ dir even for remote
+    stores), or ``None`` when no metadata marker is found.
+
+    Key discipline (regenerated stores can never be served stale
+    pruning decisions):
+
+    * local stores: md5(path, marker size, mtime_ns, layout) — the
+      persisted-index pattern, no reads;
+    * remote stores (s3/gs/http — THE 100 TB case): md5(url, marker
+      CONTENT, layout) — object stores expose no reliable mtime
+      cheaply, but the consolidated-metadata marker is small, changes
+      on every append/update (shape fields), and is read once at
+      registration anyway."""
     import hashlib
 
     from zarr_datafusion_spark.zarr.metadata import normalize_store_path
+    from zarr_datafusion_spark.zarr.storage import StorageLocation, store_fs
 
     store_path = normalize_store_path(store_path)
+    if StorageLocation.parse(store_path).is_remote:
+        fs, root = store_fs(store_path)
+        content = None
+        for name in (".zmetadata", "zarr.json", ".zgroup"):
+            p = f"{root.rstrip('/')}/{name}"
+            if fs.exists(p):
+                content = fs.read_bytes(p)
+                break
+        if content is None:
+            return None
+        key = hashlib.md5(
+            f"{store_path}:{_LAYOUT}:".encode() + content
+        ).hexdigest()[:12]
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        base = os.path.basename(store_path.rstrip("/")) or "store"
+        return os.path.join(
+            repo_root, "data", "zarr_chunk_stats", f"{base}-{key}.json"
+        )
     marker = _store_marker(store_path)
     if marker is None:
         return None

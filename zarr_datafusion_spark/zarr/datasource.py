@@ -967,8 +967,12 @@ def read_zarr(
     temperature > x`` then skips whole chunks, the parquet-row-group
     data-skipping story the reference lacks (its pruning stops at
     coordinates, ``filter.rs:70-302``).  Requires ``eager_pushdown``
-    (same single-query caveat).  Local stores only (the sidecar keys
-    off the store's metadata file); remote stores silently scan full.
+    (same single-query caveat).  Works for LOCAL and REMOTE stores —
+    the remote (object-store) case is where skipping matters most:
+    the sidecar is a local cache keyed by the store's consolidated-
+    metadata CONTENT (see ``chunk_stats_sidecar_path``), and the
+    one-time stats pass reads chunks through the same per-task remote
+    adapters as the scan.  Stores with no metadata marker scan full.
     """
     register_zarr_source(spark)
     reader = spark.read.format("zarr")
