@@ -105,10 +105,16 @@ def publish_dir_atomically(build_fn, final_dir: str) -> str:
     tmp = f"{final_dir}.tmp{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(os.path.dirname(final_dir) or ".", exist_ok=True)
-    build_fn(tmp)
     try:
-        os.rename(tmp, final_dir)
-    except OSError:
-        # lost the publish race — the winner's artifact is complete
+        build_fn(tmp)
+        try:
+            os.rename(tmp, final_dir)
+        except OSError:
+            # lost the publish race — the winner's artifact is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        # a failed build must not leak its tmp forever (sibling pruning
+        # deliberately skips ".tmp" names to protect IN-FLIGHT builds)
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return final_dir
