@@ -923,3 +923,32 @@ def test_bpe_merge_rounds_matches_python_reference(spark):
         for r in bpe_merge_rounds(df, 4).collect()
     )
     assert got == sorted(expect)
+
+
+def test_index_build_replaces_incomplete_leftover(spark, tmp_path):
+    """A half-written final index directory (no _SUCCESS — a crash
+    predating atomic publishing, or a corrupted copy) must be REPLACED
+    by the next build, not wedge the path forever (the rename-into-
+    existing-dir failure used to discard every good rebuild while
+    readers kept seeing the bad dir)."""
+    import os
+    import shutil
+
+    from zarr_datafusion_spark.operators.extras import (
+        build_lsh_band_index,
+        lsh_band_index_paths,
+    )
+
+    out = lsh_band_index_paths(SF_DIR)
+    shutil.rmtree(out, ignore_errors=True)
+    # plant an INCOMPLETE leftover: a dir with junk and no _SUCCESS
+    os.makedirs(out)
+    with open(os.path.join(out, "part-garbage.parquet"), "wb") as f:
+        f.write(b"\x00not parquet")
+
+    built = build_lsh_band_index(spark, SF_DIR)
+    assert built == out
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "part-garbage.parquet"))
+    # and the index actually serves
+    assert spark.read.parquet(out).count() > 0

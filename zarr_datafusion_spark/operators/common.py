@@ -91,15 +91,22 @@ def prune_stale_siblings(parent: str, prefix: str, keep: str) -> None:
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
-def publish_dir_atomically(build_fn, final_dir: str) -> str:
+def publish_dir_atomically(build_fn, final_dir: str, is_complete=None) -> str:
     """Build a derived on-disk artifact into ``final_dir + '.tmp<pid>'``
     via ``build_fn(tmp_dir)``, then atomically ``rename`` it into
     place.  Two concurrent builders (a driver run racing a test run —
     exactly the collision that corrupted the shared GCS key file in
     r9) each build privately; the loser's rename fails on the winner's
     complete directory and its tmp is discarded.  A crashed build
-    leaves only a tmp directory, never a half-written final path (the
-    ``_SUCCESS``-gated readers would reject one anyway)."""
+    leaves only a tmp directory, never a half-written final path.
+
+    ``is_complete`` (optional, no-arg callable): the caller's own
+    completion check (its ``_SUCCESS`` gate).  When the rename fails
+    but the existing final directory is NOT complete — a half-written
+    leftover from a crash predating atomic publishing — that leftover
+    would otherwise wedge the path forever (every rebuild renames into
+    it and fails, discarding its good tmp while readers keep seeing the
+    bad dir); in that case the leftover is replaced by this build."""
     import shutil
 
     tmp = f"{final_dir}.tmp{os.getpid()}"
@@ -110,8 +117,14 @@ def publish_dir_atomically(build_fn, final_dir: str) -> str:
         try:
             os.rename(tmp, final_dir)
         except OSError:
-            # lost the publish race — the winner's artifact is complete
-            shutil.rmtree(tmp, ignore_errors=True)
+            if is_complete is not None and not is_complete():
+                # pre-existing INCOMPLETE dir (not a racing winner —
+                # winners are complete): replace it with this build
+                shutil.rmtree(final_dir, ignore_errors=True)
+                os.rename(tmp, final_dir)
+            else:
+                # lost the publish race — the winner's artifact stands
+                shutil.rmtree(tmp, ignore_errors=True)
     except BaseException:
         # a failed build must not leak its tmp forever (sibling pruning
         # deliberately skips ".tmp" names to protect IN-FLIGHT builds)

@@ -345,7 +345,11 @@ def build_lsh_band_index(spark: SparkSession, sf_dir: str) -> str:
             .parquet(tmp)
         )
 
-    return publish_dir_atomically(_build, out)
+    return publish_dir_atomically(
+        _build,
+        out,
+        is_complete=lambda: os.path.exists(os.path.join(out, "_SUCCESS")),
+    )
 
 
 @_q("streaming_lsh_dedup", _stream_lsh_oracle())
@@ -3458,7 +3462,14 @@ def build_bm25_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     # atomic publish of the PARENT dir: both tables appear together or
     # not at all (a racing builder can never interleave task files)
-    publish_dir_atomically(_build, out)
+    publish_dir_atomically(
+        _build,
+        out,
+        is_complete=lambda: all(
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            for p in (postings_path, doclen_path)
+        ),
+    )
     return postings_path, doclen_path
 
 

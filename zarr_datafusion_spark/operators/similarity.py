@@ -1125,7 +1125,14 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     # atomic publish of the PARENT dir: model + postings appear
     # together or not at all (racing builders can't interleave)
-    publish_dir_atomically(_build, out)
+    publish_dir_atomically(
+        _build,
+        out,
+        is_complete=lambda: all(
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            for p in (centroids_path, postings_path)
+        ),
+    )
     return centroids_path, postings_path
 
 
