@@ -50,48 +50,10 @@ WINDOW = 50
 #: carries human-readable reasons (and covers rounds predating the
 #: snapshot).  Reset the contents every round.
 RE_RECORD: dict[str, str] = {
-    # r9: reset at round start (VERDICT r8 item 2) — the r8 reasons all
-    # re-recorded green in CORRECTNESS_r08.json.  With few first-record
-    # entries this round, the freed slots rotate the stale r5 green
-    # cohort (standing entries fill the window stalest-first below).
-    #
-    # r9 ADVICE fixes touched shared helpers; same values, records
-    # predate the code (the mechanical check flags these too — the
-    # reasons live here):
-    # - index staleness keys now use st_mtime_ns + sibling pruning
-    #   (ADVICE r8), in every persisted-index entry's call graph:
-    "search_bm25_indexed": "r9: index staleness key mtime_ns + pruning",
-    "search_boolean_and": "r9: index staleness key mtime_ns + pruning",
-    "search_eval_metrics": "r9: index staleness key mtime_ns + pruning",
-    "search_phrase_indexed": "r9: index staleness key mtime_ns + pruning",
-    "search_prf_expansion": "r9: index staleness key mtime_ns + pruning",
-    "search_proximity": "r9: index staleness key mtime_ns + pruning",
-    "search_qlm_topk": "r9: index staleness key mtime_ns + pruning",
-    "search_rrf_hybrid": "r9: index staleness key mtime_ns + pruning",
-    "search_snippets": "r9: index staleness key mtime_ns + pruning",
-    "streaming_index_compacted": "r9: index staleness key mtime_ns + pruning",
-    "streaming_index_update": "r9: index staleness key mtime_ns + pruning",
-    # - sink/engine: empty-input guards + rows-written in the return
-    #   dict (ADVICE r8), in the sink entries' call graphs:
-    "zarr_append_roundtrip": "r9: sink empty guard + rows in return",
-    "zarr_sink_roundtrip": "r9: sink empty guard + rows in return",
-    "zarr_stats_shortcut": "r9: sink empty guard (fixture path)",
-    "zarr_stream_tail": "r9: sink empty guard (fixture path)",
-    "zarr_update_roundtrip": "r9: sink empty guard + rows in return",
-    # - datasource.py gained data-variable chunk-row skipping (VERDICT
-    #   r8 item 3) — in every zarr entry's call graph; the new pruning
-    #   is inert without a data_stats_path option, same plans:
-    "zarr_scan_flatten": "r9: data-var chunk skipping added to source",
-    "zarr_filter_pushdown": "r9: data-var chunk skipping added to source",
-    "zarr_range_pushdown": "r9: data-var chunk skipping added to source",
-    "zarr_agg": "r9: data-var chunk skipping added to source",
-    "zarr_limit_pushdown": "r9: data-var chunk skipping added to source",
-    "zarr_coarsen": "r9: data-var chunk skipping added to source",
-    "zarr_stream_agg": "r9: data-var chunk skipping added to source",
-    # - static band index persisted (VERDICT r8 item 7): same values
-    #   (oracle unchanged, stream==batch set equality re-tested), but
-    #   the static side now reads a staleness-keyed parquet:
-    "streaming_lsh_dedup": "r9: persisted static band index",
+    # r10: reset at round start (VERDICT r9 item 1) — the r9 reasons all
+    # re-recorded green in CORRECTNESS_r09.json.  With the registry
+    # stable, the freed slots rotate the 49-entry r6 green cohort
+    # stalest-first (standing entries fill the window below).
 }
 
 
