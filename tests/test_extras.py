@@ -952,3 +952,53 @@ def test_index_build_replaces_incomplete_leftover(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "part-garbage.parquet"))
     # and the index actually serves
     assert spark.read.parquet(out).count() > 0
+
+
+def test_publish_recovery_rename_lost_race(tmp_path, monkeypatch):
+    """ADVICE r9: in the incomplete-leftover recovery branch, a racing
+    builder can publish a COMPLETE artifact between the rmtree and the
+    recovery rename.  That must be treated as a lost race (tmp
+    discarded, winner's directory served), not a propagated OSError."""
+    import os
+
+    from zarr_datafusion_spark.operators.common import publish_dir_atomically
+
+    final = str(tmp_path / "idx")
+    # plant an INCOMPLETE leftover (non-empty, no _SUCCESS)
+    os.makedirs(final)
+    with open(os.path.join(final, "junk"), "w") as f:
+        f.write("x")
+
+    def is_complete():
+        return os.path.exists(os.path.join(final, "_SUCCESS"))
+
+    def build_fn(tmp_dir):
+        os.makedirs(tmp_dir)
+        with open(os.path.join(tmp_dir, "_SUCCESS"), "w"):
+            pass
+        with open(os.path.join(tmp_dir, "mine"), "w") as f:
+            f.write("loser")
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def racing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2 and dst == final:
+            # the RECOVERY rename: a racing winner publishes a complete
+            # artifact into final between the rmtree and this call
+            os.makedirs(final)
+            with open(os.path.join(final, "_SUCCESS"), "w"):
+                pass
+            with open(os.path.join(final, "winner"), "w") as f:
+                f.write("winner")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    got = publish_dir_atomically(build_fn, final, is_complete=is_complete)
+    assert got == final
+    assert calls["n"] == 2  # initial rename + recovery rename, both failed
+    # the winner's artifact stands; the loser's tmp is gone
+    assert os.path.exists(os.path.join(final, "winner"))
+    assert not os.path.exists(os.path.join(final, "mine"))
+    assert not [n for n in os.listdir(tmp_path) if ".tmp" in n]

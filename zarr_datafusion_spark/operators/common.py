@@ -121,7 +121,17 @@ def publish_dir_atomically(build_fn, final_dir: str, is_complete=None) -> str:
                 # pre-existing INCOMPLETE dir (not a racing winner —
                 # winners are complete): replace it with this build
                 shutil.rmtree(final_dir, ignore_errors=True)
-                os.rename(tmp, final_dir)
+                try:
+                    os.rename(tmp, final_dir)
+                except OSError:
+                    # a racing builder published a COMPLETE artifact
+                    # between the rmtree and this rename — that's a
+                    # lost race, not a failure (ADVICE r9): discard
+                    # our tmp and serve the winner's directory
+                    if not is_complete():
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        raise
+                    shutil.rmtree(tmp, ignore_errors=True)
             else:
                 # lost the publish race — the winner's artifact stands
                 shutil.rmtree(tmp, ignore_errors=True)
