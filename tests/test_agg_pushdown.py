@@ -1,0 +1,201 @@
+"""Chunk-level aggregate pushdown tests (reference ``README.md:297``,
+the unchecked "push SUM/AVG/COUNT to chunk level" roadmap item).
+
+Layers: differential (shortcut answer == full-scan answer, the
+``integration_optimizer.rs`` discipline), plan shape (no zarr scan when
+every chunk row is interior), I/O accounting (ONLY boundary slabs are
+read when the window cuts mid-chunk), and the bail guards (floats,
+overflow-withheld sums, unsorted coordinates — the full plan must
+answer, never a wrong shortcut).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import plan_text
+
+
+@pytest.fixture(scope="module")
+def agg_engine(spark):
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import (
+        trending_chunked_store,
+    )
+
+    e = Engine(spark)
+    e.register_zarr("tc", trending_chunked_store(), data_filter_pushdown=True)
+    return e
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # boundary + interior mix (window cuts chunk rows 0 and 2)
+        "SELECT SUM(pressure) AS s, COUNT(*) AS n, AVG(pressure) AS a, "
+        "MIN(pressure) AS lo, MAX(pressure) AS hi "
+        "FROM tc WHERE time >= 2 AND time <= 9",
+        # chunk-aligned window: interior only
+        "SELECT SUM(pressure) AS s FROM tc WHERE time BETWEEN 4 AND 7",
+        # no WHERE: global fold
+        "SELECT SUM(pressure) AS s, AVG(pressure) AS a FROM tc",
+        # strict bounds
+        "SELECT SUM(pressure) AS s, COUNT(pressure) AS c FROM tc WHERE time > 5",
+        "SELECT AVG(pressure) AS a FROM tc WHERE time < 3",
+        # equality inside a chunk (boundary-only)
+        "SELECT COUNT(*) AS n, SUM(pressure) AS s FROM tc WHERE time = 5",
+        # empty window: SUM/AVG NULL, COUNT 0
+        "SELECT SUM(pressure) AS s, COUNT(*) AS n FROM tc WHERE time > 100",
+        # redundant conjuncts tighten correctly
+        "SELECT SUM(pressure) AS s FROM tc WHERE time >= 1 AND time >= 3 AND time <= 10 AND time < 9",
+    ],
+)
+def test_pushdown_matches_full_scan(agg_engine, spark, sql):
+    fast = agg_engine.sql(sql)
+    assert agg_engine.last_query_used_shortcut, sql
+    full = spark.sql(sql)
+    assert fast.collect() == full.collect()
+    assert [f.name for f in fast.schema.fields] == [
+        f.name for f in full.schema.fields
+    ]
+
+
+def test_interior_only_plan_is_scan_free(agg_engine):
+    """A chunk-aligned window needs no boundary scan — the physical
+    plan must contain no zarr source at all (the ``assert_no_zarr_exec``
+    discipline, reference ``tests/common/mod.rs:118-124``)."""
+    df = agg_engine.sql("SELECT SUM(pressure) AS s FROM tc WHERE time BETWEEN 4 AND 7")
+    assert agg_engine.last_query_used_shortcut
+    assert "zarr" not in plan_text(df).lower()
+    df = agg_engine.sql("SELECT SUM(pressure) AS s, AVG(pressure) AS a FROM tc")
+    assert agg_engine.last_query_used_shortcut
+    assert "zarr" not in plan_text(df).lower()
+
+
+def test_boundary_slabs_only_are_read(spark, tmp_path, monkeypatch):
+    """The done-bar I/O check (VERDICT r9 item 2): under
+    ``time BETWEEN 2 AND 9`` over outer chunks of 4, chunk rows 0 and 2
+    are boundary (cut at t=2 / t=9) and row 1 (times 4-7) is interior —
+    the assembled answer must never read the interior slab.  The
+    coordinate-range pushdown narrows WITHIN each boundary slab too,
+    so exactly the filtered outer indices {2,3} and {8,9} are read —
+    4 x 10 x 14 = 560 of 1680 rows."""
+    import zarr_datafusion_spark.zarr as Z
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import (
+        trending_chunked_store,
+    )
+    from zarr_datafusion_spark.stats.io_stats import collect_stats_dir
+
+    sd = str(tmp_path / "io")
+    orig = Z.read_zarr
+
+    def instrumented(spark_, store, **kw):
+        return orig(spark_, store, stats_dir=sd, **kw)
+
+    monkeypatch.setattr(Z, "read_zarr", instrumented)
+    e = Engine(spark)
+    e.register_zarr("tc_io", trending_chunked_store(), data_filter_pushdown=True)
+    df = e.sql(
+        "SELECT SUM(pressure) AS s, COUNT(*) AS n FROM tc_io "
+        "WHERE time >= 2 AND time <= 9"
+    )
+    assert e.last_query_used_shortcut
+    row = df.collect()[0]
+    # independent arithmetic: sum over t in [2,9] of (1000+10t+lat+lon)
+    t = np.arange(2, 10)
+    la = np.arange(10)
+    lo = np.arange(14)
+    expect = int(
+        (1000 + 10 * t[:, None, None] + la[None, :, None] + lo[None, None, :]).sum()
+    )
+    assert (row.s, row.n) == (expect, 8 * 10 * 14)
+    s = collect_stats_dir(sd)
+    assert s.rows == 4 * 10 * 14, "read beyond the boundary windows"
+
+
+def test_float_and_unsorted_and_overflow_bail(spark, tmp_path):
+    """Guards: float vars (order-dependent sums), unsorted outer
+    coordinates (boundary scan could double-count), and
+    overflow-withheld sums must all fall through to the full plan —
+    which still answers correctly."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    e = Engine(spark)
+
+    # float data var: SUM/AVG never shortcut
+    fstore = str(tmp_path / "f.zarr")
+    write_store(
+        fstore,
+        {
+            "t": (np.arange(6, dtype=np.int64), (6,)),
+            "x": (np.arange(4, dtype=np.int64), (4,)),
+            "v": (np.arange(24, dtype=np.float64).reshape(6, 4) / 3.0, (2, 4)),
+        },
+    )
+    e.register_zarr("fstore", fstore, data_filter_pushdown=True)
+    df = e.sql("SELECT SUM(v) AS s FROM fstore WHERE t >= 2")
+    assert not e.last_query_used_shortcut
+    assert df.collect() == spark.sql(
+        "SELECT SUM(v) AS s FROM fstore WHERE t >= 2"
+    ).collect()
+
+    # unsorted outer coordinate: filtered form disabled, global still ok
+    ustore = str(tmp_path / "u.zarr")
+    write_store(
+        ustore,
+        {
+            "t": (np.array([3, 0, 2, 5, 1, 4], dtype=np.int64), (6,)),
+            "x": (np.arange(4, dtype=np.int64), (4,)),
+            "v": (np.arange(24, dtype=np.int64).reshape(6, 4), (2, 4)),
+        },
+    )
+    e.register_zarr("ustore", ustore, data_filter_pushdown=True)
+    df = e.sql("SELECT SUM(v) AS s FROM ustore WHERE t >= 2")
+    assert not e.last_query_used_shortcut
+    assert df.collect()[0].s == spark.sql(
+        "SELECT SUM(v) AS s FROM ustore WHERE t >= 2"
+    ).collect()[0].s
+    df = e.sql("SELECT SUM(v) AS s FROM ustore")  # no WHERE: safe
+    assert e.last_query_used_shortcut
+    assert df.collect()[0].s == 24 * 23 // 2
+
+    # overflow-withheld per-row sums: bail (the full plan then raises
+    # Spark's own ANSI overflow — the shortcut must never answer where
+    # the scan would error, and must not answer FROM stats it withheld)
+    big = str(tmp_path / "big.zarr")
+    write_store(
+        big,
+        {
+            "t": (np.arange(4, dtype=np.int64), (4,)),
+            "x": (np.arange(2, dtype=np.int64), (2,)),
+            "v": (
+                np.full((4, 2), (1 << 61) + 7, dtype=np.int64),
+                (2, 2),
+            ),
+        },
+    )
+    e.register_zarr("bigstore", big, data_filter_pushdown=True)
+    e.sql("SELECT SUM(v) AS s FROM bigstore WHERE t >= 1")
+    assert not e.last_query_used_shortcut
+
+
+def test_bail_shapes_fall_through(agg_engine, spark):
+    """Shapes outside the contract must leave the full plan in charge
+    (and the answers correct): GROUP BY, non-coord predicates, coord
+    aggregates, unknown columns, OR, parenthesised predicates."""
+    for sql, rows in [
+        ("SELECT time, SUM(pressure) AS s FROM tc GROUP BY time", 12),
+        ("SELECT SUM(pressure) AS s FROM tc WHERE pressure > 1100", 1),
+        ("SELECT SUM(lat) AS s FROM tc WHERE time >= 2", 1),
+        ("SELECT SUM(pressure) AS s FROM tc WHERE time >= 2 OR time <= 1", 1),
+        ("SELECT SUM(pressure) AS s FROM tc WHERE (time >= 2)", 1),
+        ("SELECT SUM(pressure) AS s FROM tc WHERE lat = 3 AND time >= 2", 1),
+    ]:
+        df = agg_engine.sql(sql)
+        assert not agg_engine.last_query_used_shortcut, sql
+        got = df.collect()
+        assert len(got) == rows
+        assert got == spark.sql(sql).collect()

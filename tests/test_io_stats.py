@@ -318,3 +318,64 @@ def test_append_invalidates_chunk_stats_sidecar(spark, tmp_path):
         spark, dst, eager_pushdown=True, data_filter_pushdown=True
     ).filter(F.col("temperature") >= -100)
     assert df.count() == 700
+
+
+def test_sidecar_prune_is_store_scoped_and_tmp_safe(spark, tmp_path):
+    """ADVICE r9: (a) two stores sharing a BASENAME must not prune each
+    other's sidecars into a recompute ping-pong — the sidecar prefix
+    carries a digest of the full store path; (b) the prune loop must
+    skip ``.tmp`` names (a concurrent writer's in-flight file); (c) the
+    tmp file is pid-suffixed."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.stats.chunk_stats import (
+        chunk_stats_sidecar_path,
+        compute_zarr_chunk_stats,
+    )
+    from zarr_datafusion_spark.zarr import read_zarr, write_zarr
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+
+    src = read_zarr(spark, fixture_store(2))
+    a = str(tmp_path / "a" / "same.zarr")
+    b = str(tmp_path / "b" / "same.zarr")
+    for dst in (a, b):
+        write_zarr(
+            src.filter(F.col("time") < 3), dst, coords=["time", "lat", "lon"]
+        )
+
+    pa_, pb = chunk_stats_sidecar_path(a), chunk_stats_sidecar_path(b)
+    assert pa_ != pb
+    # (a) distinct PREFIXES, not just distinct keys: same-basename
+    # stores must never match each other's prune glob
+    assert os.path.basename(pa_).rsplit("-", 1)[0] != os.path.basename(
+        pb
+    ).rsplit("-", 1)[0]
+
+    compute_zarr_chunk_stats(spark, a)
+    # (b) plant a superseded key and an in-flight tmp for store a, then
+    # force a rebuild (new key via marker touch)
+    side_dir = os.path.dirname(pa_)
+    prefix = os.path.basename(pa_).rsplit("-", 1)[0]
+    stale = os.path.join(side_dir, f"{prefix}-deadbeef0000.json")
+    inflight = os.path.join(side_dir, f"{prefix}-deadbeef0000.json.tmp999")
+    with open(stale, "w") as f:
+        json.dump({}, f)
+    with open(inflight, "w") as f:
+        json.dump({}, f)
+    marker = os.path.join(a, ".zmetadata")
+    if not os.path.isfile(marker):
+        marker = os.path.join(a, "zarr.json")
+    if not os.path.isfile(marker):
+        marker = os.path.join(a, ".zgroup")
+    st = os.stat(marker)
+    os.utime(marker, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+
+    compute_zarr_chunk_stats(spark, b)  # unrelated store: no pruning of a's
+    assert os.path.exists(stale), "store b pruned store a's sidecar"
+    compute_zarr_chunk_stats(spark, a)  # rebuild for a prunes the stale key
+    assert not os.path.exists(stale)
+    assert os.path.exists(inflight), ".tmp in-flight file was pruned"
+    os.remove(inflight)

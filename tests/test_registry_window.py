@@ -58,13 +58,24 @@ def test_need_entries_lead_the_window():
 
 
 def test_standing_entries_fill_window_stalest_first():
+    """Standing = green, not hand-declared (RE_RECORD), and not
+    mechanically fingerprint-flagged — the flagged set sorts into the
+    stale block at the window front, same as RE_RECORD."""
+    from zarr_datafusion_spark import fingerprints as FP
+
     qs, oracles = E._registries()
     green = E._latest_green_round()
+    changed = FP.changed_since_record(
+        green, FP.compute_fingerprints(qs, E.oracle_sql())
+    )
     names = list(qs)
     standing = [
         n
         for n in names
-        if n in oracles and n in green and n not in E.RE_RECORD
+        if n in oracles
+        and n in green
+        and n not in E.RE_RECORD
+        and n not in changed
     ]
     rounds = [green[n] for n in standing]
     assert rounds == sorted(rounds), "standing entries not stalest-first"

@@ -158,6 +158,33 @@ def test_data_var_minmax_shortcut(engine, spark):
     ).collect()[0]
 
 
+def test_registered_view_is_multi_query_safe(engine, spark):
+    """ADVICE r9 (medium): ``register_zarr(data_filter_pushdown=True)``
+    must register the VIEW in the safe lazy mode — eager narrowing
+    bakes a filtered query's pruned partition set into Spark's
+    per-relation plan cache, and a registered table is inherently
+    multi-query.  A filtered query followed by a full COUNT against
+    the SAME view must see every row (the old eager registration could
+    silently replay the narrowed partitions)."""
+    from zarr_datafusion_spark.operators.zarr_queries import trending_store
+
+    engine.register_zarr("trend_mq", trending_store(), data_filter_pushdown=True)
+    # 1) a filtered query that (under eager+data pruning) narrows to
+    #    half the outer chunk rows
+    narrowed = spark.sql(
+        "SELECT COUNT(*) AS n FROM trend_mq WHERE pressure >= 1075"
+    ).collect()[0]
+    assert narrowed.n == 721
+    # 2) the same VIEW must still serve the full table afterwards —
+    #    spark.sql bypasses the engine's stats shortcut, forcing a scan
+    full = spark.sql("SELECT COUNT(*) AS n FROM trend_mq").collect()[0]
+    assert full.n == 12 * 10 * 14
+    # and the stats-folding half still works: scan-free MIN/MAX answers
+    fast = engine.sql("SELECT MAX(pressure) AS hi FROM trend_mq")
+    assert engine.last_query_used_shortcut
+    assert fast.collect()[0].hi == 1000 + 110 + 9 + 13
+
+
 def test_data_var_shortcut_withheld_for_nan_floats(engine, spark, tmp_path):
     """A float data variable containing ANY NaN must NOT shortcut:
     Spark sorts NaN above every number, so MAX(col) is NaN while the

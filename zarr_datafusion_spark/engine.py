@@ -46,6 +46,9 @@ class Engine:
         self.spark = spark or get_spark()
         #: table name -> TableStats for registered tables with exact stats
         self._stats: dict[str, TableStats] = {}
+        #: table name -> zarr store path, for tables registered with
+        #: chunk-row statistics (chunk-level aggregate pushdown)
+        self._chunk_agg: dict[str, str] = {}
         self._last_shortcut: str | None = None
 
     # ------------------------------------------------------------------
@@ -74,21 +77,24 @@ class Engine:
 
         ``data_filter_pushdown=True`` additionally computes (once,
         distributed, sidecar-cached) per-chunk-row min/max for the
-        data variables so ``WHERE var > x`` skips whole chunks — the
-        registration-time half of VERDICT r8 item 3.  NOTE: this also
-        enables eager window narrowing, which is only safe when the
-        registered view serves single-query sessions (see
-        ``ZarrDataSourceReader.eager_pushdown``); the default stays
-        the safe mode."""
+        data variables and folds them into the table statistics, so
+        the A8 rewrite answers data-variable MIN/MAX scan-free — the
+        registration-time half of VERDICT r8 item 3.
+
+        The VIEW itself is always registered in the safe (lazy)
+        pushdown mode: eager window narrowing bakes the narrowed
+        partition set into Spark's per-relation plan cache
+        (``ZarrDataSourceReader.eager_pushdown``), and a registered
+        SQL table is inherently multi-query — a second query against
+        the view would silently replay the first query's pruning
+        (ADVICE r9, medium).  Per-query eager + chunk-level data
+        pruning remains available via :func:`read_zarr` with
+        ``eager_pushdown=True, data_filter_pushdown=True`` on a fresh
+        relation per query."""
         from zarr_datafusion_spark.stats.zarr_stats import zarr_table_stats
         from zarr_datafusion_spark.zarr import read_zarr
 
-        df = read_zarr(
-            self.spark,
-            store_path,
-            eager_pushdown=data_filter_pushdown,
-            data_filter_pushdown=data_filter_pushdown,
-        )
+        df = read_zarr(self.spark, store_path)
         df.createOrReplaceTempView(name)
         try:
             self._stats[name] = zarr_table_stats(store_path)
@@ -110,6 +116,9 @@ class Engine:
                     compute_zarr_chunk_stats(self.spark, store_path)
                 )
                 self._stats[name].column_min_max.update(bounds)
+                # and enable chunk-level SUM/AVG/COUNT pushdown
+                # (reference README.md:297, unchecked roadmap item)
+                self._chunk_agg[name] = store_path
             except Exception:
                 pass
         return df
@@ -213,6 +222,23 @@ class Engine:
         if shortcut is not None:
             self._last_shortcut = query
             return shortcut
+        if self._chunk_agg:
+            from zarr_datafusion_spark.stats.agg_pushdown import (
+                try_chunk_agg_pushdown,
+            )
+            from zarr_datafusion_spark.stats.chunk_stats import (
+                compute_zarr_chunk_stats,
+            )
+
+            pushed = try_chunk_agg_pushdown(
+                self.spark,
+                query,
+                self._chunk_agg,
+                lambda store: compute_zarr_chunk_stats(self.spark, store),
+            )
+            if pushed is not None:
+                self._last_shortcut = query
+                return pushed
         return self.spark.sql(query)
 
     #: a SQL single-quoted string literal ('' = escaped quote) — the

@@ -490,14 +490,24 @@ def trending_store() -> str:
     return path
 
 
+def trending_mirror_path() -> str:
+    """PURE path computation for the oracle f-string — no write at
+    import time (ADVICE r9: the import-time build raced concurrent
+    importers and failed outright under an unwritable data/)."""
+    return os.path.join(_REPO_ROOT, "data", "trending_mirror.parquet")
+
+
 def trending_mirror_parquet() -> str:
     """Independent row-major parquet expansion of the trending store
-    (repeat/tile arithmetic, not the zarr reader under test)."""
+    (repeat/tile arithmetic, not the zarr reader under test).  Built
+    lazily by the entry that needs it; published atomically via a
+    pid-suffixed tmp + ``os.replace`` so a concurrent builder or a
+    DuckDB oracle reader never observes a partial file."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(_REPO_ROOT, "data", "trending_mirror.parquet")
+    path = trending_mirror_path()
     if not os.path.exists(path):
         nt, nla, nlo = 12, 10, 14
         time = np.arange(nt, dtype=np.int64)
@@ -515,11 +525,13 @@ def trending_mirror_parquet() -> str:
             }
         )
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(tbl, path)
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
     return path
 
 
-_TREND_MIRROR = trending_mirror_parquet()
+_TREND_MIRROR = trending_mirror_path()
 
 
 @_q(
@@ -542,6 +554,7 @@ def zarr_data_filter_pushdown(spark, sf_dir):
     pins the skipped chunk reads; this entry pins values."""
     from zarr_datafusion_spark.zarr import read_zarr
 
+    trending_mirror_parquet()  # lazy oracle-mirror build (ADVICE r9)
     df = read_zarr(
         spark,
         trending_store(),
@@ -550,4 +563,78 @@ def zarr_data_filter_pushdown(spark, sf_dir):
     )
     return df.filter(F.col("pressure") >= 1075).orderBy(
         "time", "lat", "lon"
+    )
+
+
+def trending_chunked_store() -> str:
+    """The trending data re-chunked with OUTER CHUNKS OF 4 time steps
+    (``pressure`` chunks ``(4, 10, 14)``), so a coordinate window can
+    cut mid-chunk — the fixture for chunk-level aggregate pushdown's
+    interior/boundary split (the 1-step chunks of ``trending_store``
+    make every chunk row interior and would never exercise the
+    boundary-slab path)."""
+    import numpy as np
+
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    path = os.path.join(_REPO_ROOT, "data", "trending_chunked.zarr")
+    if not os.path.exists(os.path.join(path, ".zgroup")):
+        nt, nla, nlo = 12, 10, 14
+        time = np.arange(nt, dtype=np.int64)
+        lat = np.arange(nla, dtype=np.int64)
+        lon = np.arange(nlo, dtype=np.int64)
+        pressure = (
+            1000
+            + 10 * time[:, None, None]
+            + lat[None, :, None]
+            + lon[None, None, :]
+        ).astype(np.int64)
+        write_store(
+            path,
+            {
+                "time": (time, (nt,)),
+                "lat": (lat, (nla,)),
+                "lon": (lon, (nlo,)),
+                "pressure": (pressure, (4, nla, nlo)),
+            },
+        )
+    return path
+
+
+@_q(
+    "zarr_agg_pushdown",
+    f"""SELECT CAST(SUM(pressure) AS BIGINT) AS sum_p,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        AVG(pressure) AS avg_p,
+        CAST(MIN(pressure) AS BIGINT) AS min_p,
+        CAST(MAX(pressure) AS BIGINT) AS max_p
+        FROM read_parquet('{_TREND_MIRROR}')
+        WHERE time >= 2 AND time <= 9""",
+)
+def zarr_agg_pushdown(spark, sf_dir):
+    """Chunk-level aggregate pushdown — the reference's own UNCHECKED
+    roadmap item (``/root/reference/README.md:297``: push SUM/AVG/COUNT
+    to chunk level).  ``WHERE time BETWEEN 2 AND 9`` over outer chunks
+    of 4 splits the 3 chunk rows into one INTERIOR row (times 4-7 —
+    answered from the sidecar's exact per-row integer sums, zero reads)
+    and two BOUNDARY rows (cut at t=2 and t=9 — scanned, ONLY those
+    slabs, through the pruned reader); the halves combine in a one-row
+    JVM plan.  Policy: integer vars exact (associative sums); float
+    SUM/AVG withheld wholesale (order-dependent, no contract) — see
+    ``stats/agg_pushdown.py``.  ``test_agg_pushdown.py`` pins the
+    boundary-only reads via the io-stats spill; this entry pins values.
+    Construction-eager: registration builds/loads the staleness-keyed
+    sidecar."""
+    from zarr_datafusion_spark.engine import Engine
+
+    trending_mirror_parquet()  # lazy oracle-mirror build
+    engine = Engine(spark)
+    engine.register_zarr(
+        "trend_agg_pd", trending_chunked_store(), data_filter_pushdown=True
+    )
+    return engine.sql(
+        "SELECT SUM(pressure) AS sum_p, COUNT(*) AS n_rows, "
+        "AVG(pressure) AS avg_p, MIN(pressure) AS min_p, "
+        "MAX(pressure) AS max_p "
+        "FROM trend_agg_pd WHERE time >= 2 AND time <= 9"
     )

@@ -39,7 +39,10 @@ import os
 import numpy as np
 
 #: bumped when the sidecar layout changes (forces recompute)
-_LAYOUT = "cstats3"  # 3: per-ROW nan flags (Spark/DuckDB order NaN largest)
+#: 3: per-ROW nan flags (Spark/DuckDB order NaN largest)
+#: 4: per-row exact integer sums + outer-coordinate row bounds
+#:    (chunk-level aggregate pushdown, reference README.md:297)
+_LAYOUT = "cstats4"
 
 
 def _store_marker(store_path: str) -> str | None:
@@ -50,6 +53,19 @@ def _store_marker(store_path: str) -> str | None:
         if os.path.isfile(p):
             return p
     return None
+
+
+def _sidecar_base(store_path: str) -> str:
+    """Per-store sidecar basename prefix: last path component plus a
+    short digest of the FULL store path, so two stores sharing a
+    basename (e.g. ``a/weather.zarr`` and ``b/weather.zarr``) never
+    prune each other's sidecars into a recompute ping-pong (ADVICE
+    r9)."""
+    import hashlib
+
+    base = os.path.basename(store_path.rstrip("/")) or "store"
+    digest = hashlib.md5(store_path.encode()).hexdigest()[:8]
+    return f"{base}-{digest}"
 
 
 def chunk_stats_sidecar_path(store_path: str) -> str | None:
@@ -89,7 +105,7 @@ def chunk_stats_sidecar_path(store_path: str) -> str | None:
         repo_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-        base = os.path.basename(store_path.rstrip("/")) or "store"
+        base = _sidecar_base(store_path)
         return os.path.join(
             repo_root, "data", "zarr_chunk_stats", f"{base}-{key}.json"
         )
@@ -104,7 +120,7 @@ def chunk_stats_sidecar_path(store_path: str) -> str | None:
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    base = os.path.basename(store_path.rstrip("/")) or "store"
+    base = _sidecar_base(os.path.abspath(store_path))
     # basename prefix so superseded keys for the same store can be
     # pruned when a new key is written (ADVICE r8 pattern)
     return os.path.join(
@@ -127,10 +143,26 @@ def compute_zarr_chunk_stats(spark, store_path: str) -> dict:
     data variables, paid ONCE per store version — every subsequent
     filtered scan can skip non-matching chunk rows for free.
 
-    Returns ``{"outer_chunk": C, "shape0": n, "vars":
-    {name: {"min": [...], "max": [...]}}}`` with ``None`` entries for
-    all-NaN rows.  Lists are indexed by outer chunk-row
+    Returns ``{"outer_chunk": C, "shape0": n, "inner_rows": m,
+    "coord0": name, "coord0_min": [...], "coord0_max": [...],
+    "coord0_sorted": bool, "vars": {name: {"kind": k, "min": [...],
+    "max": [...], "nan": [...], "sum": [...]}}}`` with ``None`` min/max
+    entries for all-NaN rows.  Lists are indexed by outer chunk-row
     ``r`` covering rows ``[r*C, (r+1)*C)`` of the outer dimension.
+
+    ``sum`` (layout 4, chunk-level aggregate pushdown — the
+    reference's own unchecked roadmap item, ``README.md:297``) is the
+    EXACT per-chunk-row sum for integer variables, and ``None`` for
+    float variables and for rows whose magnitude bound could overflow
+    int64 — float sums are order-dependent (no cross-engine or
+    shortcut-vs-scan contract exists), so they are withheld wholesale,
+    the same discipline as the NaN MIN/MAX withhold in
+    :func:`data_var_bounds`.  ``coord0_min``/``coord0_max`` bound the
+    OUTER coordinate's values per chunk row so a coordinate-range
+    filter maps to interior / boundary / outside chunk rows without
+    touching the store; ``coord0_sorted`` (strictly increasing) gates
+    the filtered pushdown — with unsorted coords a value-range
+    boundary scan could overlap interior rows and double-count.
     """
     from zarr_datafusion_spark.zarr.metadata import (
         discover_arrays,
@@ -157,7 +189,16 @@ def compute_zarr_chunk_stats(spark, store_path: str) -> dict:
         if np.dtype(v.dtype).kind in "iufb"
     ]
     if not meta.coords or not num_vars:
-        stats = {"outer_chunk": 1, "shape0": 0, "vars": {}}
+        stats = {
+            "outer_chunk": 1,
+            "shape0": 0,
+            "inner_rows": 0,
+            "coord0": None,
+            "coord0_min": [],
+            "coord0_max": [],
+            "coord0_sorted": False,
+            "vars": {},
+        }
         _CACHE[cache_key] = stats
         return stats
 
@@ -180,11 +221,20 @@ def compute_zarr_chunk_stats(spark, store_path: str) -> dict:
                 with np.errstate(all="ignore"):
                     mn, mx = np.nanmin(arr), np.nanmax(arr)
                 if np.isnan(mn):  # all-NaN row: skippable everywhere
-                    out.append((None, None, has_nan))
+                    out.append((None, None, has_nan, None))
                     continue
-                out.append((float(mn), float(mx), has_nan))
+                # float sums withheld: order-dependent, no contract
+                out.append((float(mn), float(mx), has_nan, None))
             else:
-                out.append((int(arr.min()), int(arr.max()), False))
+                mn, mx = int(arr.min()), int(arr.max())
+                # exact int sum, withheld when an int64 accumulator
+                # could overflow (|bound| * cells >= 2^62 — the full
+                # plan then raises Spark's own ANSI overflow instead)
+                if max(abs(mn), abs(mx)) * arr.size < (1 << 62):
+                    s = int(arr.sum(dtype=np.int64))
+                else:
+                    s = None
+                out.append((mn, mx, False, s))
         return (r, out)
 
     sc = spark.sparkContext
@@ -192,13 +242,56 @@ def compute_zarr_chunk_stats(spark, store_path: str) -> dict:
     rows = dict(
         sc.parallelize(range(n_rows), max(1, n_tasks)).map(_row_stats).collect()
     )
+
+    # outer-coordinate per-chunk-row bounds: one 1-D metadata-sized
+    # array, read once on the driver (discovery already reads every
+    # coordinate for its min/max stats)
+    from zarr_datafusion_spark.zarr.chunkio import read_window as _rw
+
+    coord0 = meta.coords[0]
+    c0 = _rw(store_path, coord0, ((0, coord0.shape[0]),))
+    c0_min, c0_max, sorted_ok = [], [], True
+    if c0.dtype.kind in "iub":
+        conv = int
+    elif c0.dtype.kind == "f":
+        conv = float
+    else:  # datetime/string coords: no numeric filter mapping
+        conv = None
+    for r in range(n_rows):
+        lo, hi = r * outer_chunk, min((r + 1) * outer_chunk, shape0)
+        seg = c0[lo:hi]
+        if conv is None:
+            c0_min.append(None)
+            c0_max.append(None)
+        else:
+            c0_min.append(conv(seg.min()))
+            c0_max.append(conv(seg.max()))
+    if conv is None or not bool(np.all(c0[:-1] < c0[1:])):
+        sorted_ok = False
+
+    # rows per outer index in the FLATTENED table = product of the
+    # data grid's inner dimensions (all vars share the coord grid)
+    inner_rows = 1
+    for s in num_vars[0].shape[1:]:
+        inner_rows *= int(s)
+
     stats = {
         "outer_chunk": outer_chunk,
         "shape0": shape0,
+        "inner_rows": inner_rows,
+        "coord0": coord0.name,
+        "coord0_min": c0_min,
+        "coord0_max": c0_max,
+        "coord0_sorted": sorted_ok,
         "vars": {
             v.name: {
+                "kind": np.dtype(v.dtype).kind,
                 "min": [rows[r][i][0] for r in range(n_rows)],
                 "max": [rows[r][i][1] for r in range(n_rows)],
+                # exact per-row integer sums (None = withheld: float
+                # var or potential int64 overflow) — chunk-level
+                # aggregate pushdown raw material
+                "sum": [rows[r][i][3] for r in range(n_rows)],
                 # per-row flags drive the lower-bound skip rule
                 # (NaN sorts above every number in Spark/DuckDB, so
                 # `v > lo` matches NaN cells — a row with any NaN can
@@ -214,16 +307,26 @@ def compute_zarr_chunk_stats(spark, store_path: str) -> dict:
     }
     if sidecar:
         os.makedirs(os.path.dirname(sidecar), exist_ok=True)
-        # prune superseded keys for the same store (ADVICE r8 pattern)
-        base = os.path.basename(store_path.rstrip("/")) or "store"
+        # prune superseded keys for the same store (ADVICE r8 pattern);
+        # the prefix is the sidecar's own "<base>-<pathdigest>" stem so
+        # it always agrees with chunk_stats_sidecar_path, and ".tmp"
+        # names are skipped to protect a concurrent writer's in-flight
+        # file (ADVICE r9)
         keep = os.path.basename(sidecar)
+        prefix = keep.rsplit("-", 1)[0]
         for name in os.listdir(os.path.dirname(sidecar)):
-            if name.startswith(f"{base}-") and name != keep:
+            if (
+                name.startswith(f"{prefix}-")
+                and name != keep
+                and ".tmp" not in name
+            ):
                 try:
                     os.remove(os.path.join(os.path.dirname(sidecar), name))
                 except OSError:
                     pass
-        tmp = sidecar + ".tmp"
+        # pid-suffixed tmp: two same-key builders each write privately
+        # and the replace is last-writer-wins over identical content
+        tmp = f"{sidecar}.tmp{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(stats, f)
         os.replace(tmp, sidecar)
