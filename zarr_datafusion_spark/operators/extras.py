@@ -5024,9 +5024,19 @@ _CDC_ORACLE = f"""
 """
 
 
-def cdc_chunks(docs: DataFrame, window: int, divisor: int) -> DataFrame:
-    """Content-defined chunking core over any (doc_id, text) frame —
-    see :func:`chunk_cdc` for semantics and scale notes."""
+def _cdc_core(
+    docs: DataFrame,
+    window: int,
+    divisor: int,
+    min_len: int | None = None,
+    max_len: int | None = None,
+) -> DataFrame:
+    """Shared content-defined-chunking core (VERDICT r9 item 3 folded
+    the bounded and unbounded variants together): hash-boundary
+    detection, optional MIN thinning, end-of-doc sentinel, optional
+    MAX forced cuts, interval assembly.  ``min_len``/``max_len`` None
+    = the pure LBFS content rule (:func:`chunk_cdc`); set = the
+    FastCDC-style parallel bounds (:func:`chunk_cdc_bounded`)."""
     d = docs.filter(F.length("text") >= 1).select(
         "doc_id", "text", F.length("text").alias("n")
     )
@@ -5049,10 +5059,40 @@ def cdc_chunks(docs: DataFrame, window: int, divisor: int) -> DataFrame:
             f"% {divisor} = 0"
         )
     ).select("doc_id", "pos")
+    wo = W.partitionBy("doc_id").orderBy("pos")
+    if min_len is not None:
+        # MIN via boundary thinning: survive iff no ORIGINAL hash
+        # boundary lies within min_len before (lag over the hash set)
+        hb = (
+            hb.select(
+                "doc_id", "pos",
+                F.coalesce(F.lag("pos").over(wo), F.lit(0)).alias("hprev"),
+            )
+            .filter(F.col("pos") - F.col("hprev") >= min_len)
+            .select("doc_id", "pos")
+        )
     b = hb.unionByName(
         d.select("doc_id", F.col("n").alias("pos"))
     ).distinct()
-    wo = W.partitionBy("doc_id").orderBy("pos")
+    if max_len is not None:
+        # MAX via forced cuts at prev + i*max_len — depends only on
+        # the adjacent survivor pair, so still parallel
+        iv0 = b.select(
+            "doc_id", "pos",
+            F.coalesce(F.lag("pos").over(wo), F.lit(0)).alias("prev"),
+        )
+        forced = iv0.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN pos - prev - 1 < {max_len} THEN array() "
+                    f"ELSE transform(sequence(1, "
+                    f"CAST(floor((pos - prev - 1) / {max_len}) AS INT)), "
+                    f"i -> prev + CAST(i AS BIGINT) * {max_len}) END"
+                )
+            ).alias("pos"),
+        )
+        b = b.unionByName(forced).distinct()
     iv = b.select(
         "doc_id",
         "pos",
@@ -5071,6 +5111,12 @@ def cdc_chunks(docs: DataFrame, window: int, divisor: int) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+def cdc_chunks(docs: DataFrame, window: int, divisor: int) -> DataFrame:
+    """Content-defined chunking core over any (doc_id, text) frame —
+    see :func:`chunk_cdc` for semantics and scale notes."""
+    return _cdc_core(docs, window, divisor)
 
 
 _CDC_MIN = 32  # boundary-thinning floor (FastCDC min chunk analog)
@@ -5178,79 +5224,10 @@ def cdc_chunks_bounded(
     cuts to the adjacent survivor pair — so chunks re-synchronize
     after the first two aligned surviving boundaries past an edit.
 
-    Deliberately NOT a refactor of :func:`cdc_chunks` this round: the
-    shared-core extraction would fingerprint-drift ``chunk_cdc`` and
-    spend the window slot the r5-cohort rotation needs (VERDICT r8
-    item 2); fold the two together in r10 when the window is free.
-    """
-    d = docs.filter(F.length("text") >= 1).select(
-        "doc_id", "text", F.length("text").alias("n")
-    )
-    cand = d.select(
-        "doc_id", "text", "n",
-        F.explode(
-            F.expr(
-                f"CASE WHEN n < {window} THEN array() "
-                f"ELSE sequence({window}, n) END"
-            )
-        ).alias("pos"),
-    )
-    win = f"substr(text, CAST(pos - {window - 1} AS INT), {window})"
-    hb = cand.filter(
-        F.expr(
-            f"CAST(conv(substring(md5({win}), 1, 8), 16, 10) AS BIGINT) "
-            f"% {divisor} = 0"
-        )
-    ).select("doc_id", "pos")
-
-    wo = W.partitionBy("doc_id").orderBy("pos")
-    kept = (
-        hb.select(
-            "doc_id", "pos",
-            F.coalesce(F.lag("pos").over(wo), F.lit(0)).alias("hprev"),
-        )
-        .filter(F.col("pos") - F.col("hprev") >= min_len)
-        .select("doc_id", "pos")
-    )
-    b = kept.unionByName(
-        d.select("doc_id", F.col("n").alias("pos"))
-    ).distinct()
-    iv0 = b.select(
-        "doc_id", "pos",
-        F.coalesce(F.lag("pos").over(wo), F.lit(0)).alias("prev"),
-    )
-    # sequence(1, 0) DESCENDS (the r4 trap) — emit no forced cut when
-    # the gap already fits max_len
-    forced = iv0.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN pos - prev - 1 < {max_len} THEN array() "
-                f"ELSE transform(sequence(1, "
-                f"CAST(floor((pos - prev - 1) / {max_len}) AS INT)), "
-                f"i -> prev + CAST(i AS BIGINT) * {max_len}) END"
-            )
-        ).alias("pos"),
-    )
-    allb = b.unionByName(forced).distinct()
-    iv = allb.select(
-        "doc_id",
-        "pos",
-        F.coalesce(F.lag("pos").over(wo), F.lit(0)).alias("prev"),
-        (F.row_number().over(wo) - 1).cast("bigint").alias("chunk_idx"),
-    )
-    return iv.join(d.select("doc_id", "text"), "doc_id").select(
-        "doc_id",
-        "chunk_idx",
-        (F.col("prev") + 1).cast("bigint").alias("chunk_start"),
-        (F.col("pos") - F.col("prev")).cast("bigint").alias("chunk_len"),
-        F.md5(
-            F.expr(
-                "substr(text, CAST(prev + 1 AS INT), "
-                "CAST(pos - prev AS INT))"
-            )
-        ).alias("chunk_md5"),
-    )
+    Shares :func:`_cdc_core` with the unbounded :func:`cdc_chunks`
+    (VERDICT r9 item 3 — the r9 round deferred the fold to protect
+    that round's window rotation)."""
+    return _cdc_core(docs, window, divisor, min_len=min_len, max_len=max_len)
 
 
 @_q("chunk_cdc_bounded", _CDC_BOUNDED_ORACLE)
