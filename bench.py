@@ -248,6 +248,44 @@ def _zarr_scan_era5_6m(spark, sf_dir):
     return read_zarr(spark, store, target_batch_rows=1 << 20)
 
 
+def _machine_probes() -> dict:
+    """~1 s of machine calibration, emitted with every bench artifact
+    (VERDICT r9 item 5): rounds 5→6 and 8→9 both burned a judge cycle
+    proving uniform cross-query drifts were the BOX, not the code —
+    these are the exact probes BASELINE.md records by hand.  A uniform
+    bench drift with no plan changes should first be normalized by
+    ``matmul_gflops`` (threaded ceiling) and ``pyloop_ms``
+    (single-thread Python speed) before hunting code causes."""
+    import numpy as np
+
+    probes: dict = {}
+    try:
+        a = np.random.default_rng(0).random((2000, 2000))
+        t0 = time.perf_counter()
+        a @ a
+        dt = time.perf_counter() - t0
+        probes["matmul_ms"] = round(dt * 1000, 1)
+        probes["matmul_gflops"] = round(2 * 2000**3 / dt / 1e9, 1)
+    except Exception:
+        pass
+    try:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10_000_000):
+            x += i
+        probes["pyloop_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+    except Exception:
+        pass
+    try:  # CPU steal percentage since boot (order-of-magnitude signal)
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:9]]
+        probes["cpu_steal_pct"] = round(100 * vals[7] / max(1, sum(vals)), 2)
+    except Exception:
+        pass
+    return probes
+
+
 def _force(df) -> None:
     """Fully materialize (noop sink: executes the whole plan, discards
     rows executor-side — nothing is collected to the driver)."""
@@ -388,12 +426,16 @@ def main() -> None:
             pass
 
     total = round(sum(timings.values()), 4)
+    probes = _machine_probes()
     full = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # machine calibration (VERDICT r9 item 5): normalize
+        # cross-round comparisons by these before reading any drift
+        "probes": probes,
         # action-only timer underbills these (see module docstring);
         # sf1 sweep carries their end-to-end numbers.
         "eager_construction": sorted(
@@ -433,6 +475,7 @@ def main() -> None:
                 "watch": {
                     q: timings[q] for q in WATCHLIST if q in timings
                 },
+                "probes": probes,
             }
         )
     )

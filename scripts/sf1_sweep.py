@@ -33,6 +33,29 @@ def main() -> None:
     spark = get_spark("sf1-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Pre-build the persisted build-once/query-many indexes OUTSIDE the
+    # per-entry timers, with the build cost printed honestly (VERDICT
+    # r9 item 4): the per-entry lines then measure each entry's
+    # STEADY-STATE shape — a stale-keyed first run was billing the
+    # whole band-index build to streaming_lsh_dedup (63.6 s recorded
+    # vs 31.6 s steady on the same box).
+    from zarr_datafusion_spark.operators import extras, similarity
+
+    for label, build in (
+        ("bm25_index", extras.build_bm25_index),
+        ("ann_index", similarity.build_ann_index),
+        ("lsh_band_index", extras.build_lsh_band_index),
+    ):
+        t0 = time.perf_counter()
+        try:
+            build(spark, sf)
+            print(
+                f"[prebuild] {label}: {time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"[prebuild] {label}: ERROR {type(e).__name__}: {e}")
+
     times: dict[str, object] = {}
     for name, fn in E.queries().items():
         t0 = time.perf_counter()
