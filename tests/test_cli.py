@@ -194,3 +194,62 @@ def test_repl_help_and_backslash_d(monkeypatch, capsys, engine):
     out = _run_repl(monkeypatch, capsys, engine, ["help", "\\d", "\\q"])
     assert "show tables / \\d" in out
     assert "lineitem" in out  # \d listed the registered tables
+
+
+def test_repl_schema_command(monkeypatch, capsys, engine):
+    """Reference roadmap `.schema <table>` (README.md:308): one line
+    per column, no result framing."""
+    out = _run_repl(monkeypatch, capsys, engine, [".schema region", "\\q"])
+    assert "r_regionkey" in out and "r_name  string" in out
+    assert "| " not in out.split(".schema", 1)[-1][:20]
+
+
+def test_repl_format_csv_and_json(monkeypatch, capsys, engine):
+    """Reference roadmap output formats (README.md:305): csv and json
+    emit EVERY row machine-readably; table stays the default."""
+    out = _run_repl(
+        monkeypatch,
+        capsys,
+        engine,
+        [
+            "\\format csv",
+            "SELECT r_regionkey AS k, r_name AS n FROM region "
+            "ORDER BY r_regionkey;",
+            "\\format json",
+            "SELECT 7 AS seven;",
+            "\\format",
+            "\\format bogus",
+            "\\q",
+        ],
+    )
+    assert "format: csv" in out
+    assert "k,n" in out  # csv header
+    assert "0,AFRICA" in out
+    assert '{"seven": 7}' in out
+    assert out.count("format: json") >= 2  # set + bare query
+    assert "usage: \\format" in out
+
+
+def test_repl_pager_used_for_large_tty_results(monkeypatch, capsys, engine):
+    """Reference roadmap pager support (README.md:309): on a tty, a
+    >40-row table pages in FULL through $PAGER instead of truncating."""
+    import sys as _sys
+
+    paged = {}
+
+    def fake_page(text):
+        paged["text"] = text
+        return True
+
+    monkeypatch.setattr(cli, "_page", fake_page)
+    monkeypatch.setattr(_sys.stdout, "isatty", lambda: True, raising=False)
+    out = _run_repl(
+        monkeypatch,
+        capsys,
+        engine,
+        ["SELECT l_orderkey FROM lineitem LIMIT 50;", "\\q"],
+    )
+    assert "text" in paged, "pager was not invoked"
+    assert paged["text"].count("\n") >= 50  # full result, no truncation
+    assert "more rows)" not in paged["text"]
+    assert "50 rows ·" in out

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import atexit
+import json
 import os
 import sys
 import time
@@ -149,6 +150,7 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
         tables_fn=lambda: [t.name for t in engine.spark.catalog.listTables()],
     )
     tty = getattr(sys.stdout, "isatty", lambda: False)()
+    fmt = "table"  # \format table|csv|json (reference README.md:305)
     buffer: list[str] = []
     while True:
         try:
@@ -171,16 +173,44 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
                 "  help                 show this message\n"
                 "  quit / exit / \\q     exit the CLI\n"
                 "  show tables / \\d     list all registered tables\n"
+                "  .schema <table>      quick schema view\n"
+                "  \\format [table|csv|json]   result output format\n"
                 "  DESCRIBE <table>     show a table's schema\n"
                 "  EXPLAIN [ANALYZE|VERBOSE] <query>\n"
                 "  CREATE EXTERNAL TABLE t STORED AS ZARR LOCATION '<path>'\n"
+                "  COPY (query) TO 'path' STORED AS ZARR (COORDS '...')\n"
                 "  any Spark SQL statement (terminate with ; or newline;"
-                " trailing \\ continues)"
+                " trailing \\ continues)\n"
+                "  large results page through $PAGER on a tty"
             )
             continue
         if not buffer and line.strip() == "\\d":
             # reference CLI `\d` = SHOW TABLES (docs/CLI_REFERENCE.md:33)
             line = "SHOW TABLES"
+        stripped = line.strip()
+        if not buffer and stripped.lower().startswith(".schema"):
+            # reference roadmap `.schema <table>` (README.md:308) —
+            # the quick view: one line per column, no result framing
+            target = stripped.split(None, 1)[1:] or [""]
+            try:
+                for f in engine.spark.table(target[0].strip(" ;")).schema.fields:
+                    nn = "" if f.nullable else " NOT NULL"
+                    print(f"  {f.name}  {f.dataType.simpleString()}{nn}")
+            except Exception as e:
+                print(f"Error: {e}")
+            continue
+        if not buffer and stripped.lower().startswith("\\format"):
+            # reference roadmap output formats (README.md:305);
+            # bare \format prints the current mode
+            parts = stripped.split()
+            if len(parts) == 1:
+                print(f"format: {fmt}")
+            elif parts[1].lower() in ("table", "csv", "json"):
+                fmt = parts[1].lower()
+                print(f"format: {fmt}")
+            else:
+                print("usage: \\format [table|csv|json]")
+            continue
         if not line.strip():
             continue
         buffer.append(line)
@@ -219,7 +249,7 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
             print(f"Error: {e}")
             continue
 
-        _print_rows(df.columns, rows)
+        _emit_rows(df.columns, rows, fmt=fmt, tty=tty)
         scanned = _base_zarr_table(sql, zarr_tables)
         if engine.last_query_used_shortcut:
             print(f"{len(rows)} rows · answered from statistics (no scan) · {secs:.3f}s")
@@ -247,21 +277,84 @@ def _base_zarr_table(sql: str, zarr_tables: dict[str, str]) -> str | None:
     return None
 
 
-def _print_rows(columns: list[str], rows, max_rows: int = 40) -> None:
-    shown = rows[:max_rows]
+def _format_table(columns: list[str], rows, max_rows: int | None = 40) -> str:
+    shown = rows if max_rows is None else rows[:max_rows]
     cells = [[str(c) for c in columns]] + [
         ["NULL" if v is None else str(v) for v in r] for r in shown
     ]
     widths = [max(len(row[i]) for row in cells) for i in range(len(columns))]
     sep = "+-" + "-+-".join("-" * w for w in widths) + "-+"
-    print(sep)
-    print("| " + " | ".join(c.ljust(w) for c, w in zip(cells[0], widths)) + " |")
-    print(sep)
+    lines = [sep]
+    lines.append(
+        "| " + " | ".join(c.ljust(w) for c, w in zip(cells[0], widths)) + " |"
+    )
+    lines.append(sep)
     for row in cells[1:]:
-        print("| " + " | ".join(c.ljust(w) for c, w in zip(row, widths)) + " |")
-    print(sep)
-    if len(rows) > max_rows:
-        print(f"... ({len(rows) - max_rows} more rows)")
+        lines.append(
+            "| " + " | ".join(c.ljust(w) for c, w in zip(row, widths)) + " |"
+        )
+    lines.append(sep)
+    if max_rows is not None and len(rows) > max_rows:
+        lines.append(f"... ({len(rows) - max_rows} more rows)")
+    return "\n".join(lines)
+
+
+def _print_rows(columns: list[str], rows, max_rows: int = 40) -> None:
+    print(_format_table(columns, rows, max_rows))
+
+
+def _page(text: str) -> bool:
+    """Pipe ``text`` through $PAGER/less (reference roadmap
+    ``README.md:309``); returns False when no pager could run (the
+    caller prints normally)."""
+    import shutil
+    import subprocess
+
+    pager = os.environ.get("PAGER") or "less"
+    exe = shutil.which(pager.split()[0])
+    if exe is None:
+        return False
+    try:
+        subprocess.run(
+            pager.split(),
+            input=text.encode(),
+            env={**os.environ, "LESS": os.environ.get("LESS", "-FRX")},
+            check=False,
+        )
+        return True
+    except OSError:
+        return False
+
+
+def _emit_rows(
+    columns: list[str], rows, fmt: str = "table", tty: bool = False
+) -> None:
+    """Result presentation (reference roadmap output formats + pager,
+    ``README.md:305,309``): csv/json emit EVERY row machine-readably;
+    table view truncates at 40 rows — unless the session is
+    interactive, where a large result pages through $PAGER in full."""
+    if fmt == "csv":
+        import csv
+        import io as _io
+
+        buf = _io.StringIO()
+        w = csv.writer(buf, lineterminator="\n")
+        w.writerow(columns)
+        for r in rows:
+            w.writerow(["" if v is None else v for v in r])
+        print(buf.getvalue(), end="")
+        return
+    if fmt == "json":
+        for r in rows:
+            print(
+                json.dumps(
+                    {c: v for c, v in zip(columns, r)}, default=str
+                )
+            )
+        return
+    if tty and len(rows) > 40 and _page(_format_table(columns, rows, None)):
+        return
+    _print_rows(columns, rows)
 
 
 def main(argv: list[str] | None = None) -> None:
