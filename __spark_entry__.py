@@ -51,9 +51,42 @@ WINDOW = 50
 #: snapshot).  Reset the contents every round.
 RE_RECORD: dict[str, str] = {
     # r10: reset at round start (VERDICT r9 item 1) — the r9 reasons all
-    # re-recorded green in CORRECTNESS_r09.json.  With the registry
-    # stable, the freed slots rotate the 49-entry r6 green cohort
-    # stalest-first (standing entries fill the window below).
+    # re-recorded green in CORRECTNESS_r09.json.  The reasons below
+    # mirror what the MECHANICAL fingerprint check flags this round
+    # (same membership; the dict carries the human why), and the
+    # remaining slots rotate the r6 green cohort stalest-first.
+    #
+    # chunk-stats sidecar layout bumped to cstats4 (per-row integer
+    # sums + outer-coord bounds for aggregate pushdown) + store-scoped
+    # tmp-safe pruning (ADVICE r9) — in every zarr entry's call graph:
+    "zarr_scan_flatten": "r10: sidecar cstats4 + prune fix in source graph",
+    "zarr_filter_pushdown": "r10: sidecar cstats4 + prune fix in source graph",
+    "zarr_range_pushdown": "r10: sidecar cstats4 + prune fix in source graph",
+    "zarr_agg": "r10: sidecar cstats4 + prune fix in source graph",
+    "zarr_limit_pushdown": "r10: sidecar cstats4 + prune fix in source graph",
+    "zarr_coarsen": "r10: sidecar cstats4 + prune fix in source graph",
+    "zarr_stats_shortcut": "r10: sidecar cstats4 + prune fix in source graph",
+    "zarr_sink_roundtrip": "r10: sidecar cstats4 + prune fix in source graph",
+    "zarr_append_roundtrip": "r10: sidecar cstats4 + prune fix in source graph",
+    "zarr_stream_tail": "r10: sidecar cstats4 + prune fix in source graph",
+    "zarr_update_roundtrip": "r10: sidecar cstats4 + prune fix in source graph",
+    "zarr_data_filter_pushdown": "r10: cstats4 + lazy atomic oracle mirror",
+    # publish_dir_atomically gained lost-race recovery (ADVICE r9) —
+    # in every persisted-index entry's call graph:
+    "search_bm25_indexed": "r10: publish lost-race recovery",
+    "search_boolean_and": "r10: publish lost-race recovery",
+    "search_eval_metrics": "r10: publish lost-race recovery",
+    "search_phrase_indexed": "r10: publish lost-race recovery",
+    "search_prf_expansion": "r10: publish lost-race recovery",
+    "search_proximity": "r10: publish lost-race recovery",
+    "search_qlm_topk": "r10: publish lost-race recovery",
+    "search_rrf_hybrid": "r10: publish lost-race recovery",
+    "search_snippets": "r10: publish lost-race recovery",
+    "sim_ann_indexed": "r10: publish lost-race recovery",
+    "streaming_lsh_dedup": "r10: publish lost-race recovery",
+    # CDC shared-core fold (VERDICT r9 item 3): same values, shared code
+    "chunk_cdc": "r10: folded into shared _cdc_core",
+    "chunk_cdc_bounded": "r10: folded into shared _cdc_core",
 }
 
 
