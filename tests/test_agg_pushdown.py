@@ -199,3 +199,84 @@ def test_bail_shapes_fall_through(agg_engine, spark):
         got = df.collect()
         assert len(got) == rows
         assert got == spark.sql(sql).collect()
+
+
+@pytest.mark.parametrize(
+    "sql,expect_shortcut",
+    [
+        # full rollup, no scan (trending_store has outer_chunk == 1)
+        ("SELECT time, SUM(pressure) AS s, COUNT(*) AS n, AVG(pressure) AS a, "
+         "MIN(pressure) AS lo, MAX(pressure) AS hi FROM tr GROUP BY time", True),
+        # windowed rollup
+        ("SELECT time, SUM(pressure) AS s FROM tr WHERE time >= 3 GROUP BY time", True),
+        ("SELECT SUM(pressure) AS s, time FROM tr WHERE time BETWEEN 2 AND 5 "
+         "GROUP BY time", True),
+        # empty window
+        ("SELECT time, SUM(pressure) AS s FROM tr WHERE time > 99 GROUP BY time", True),
+        # outer chunks of 4: per-group sums unavailable -> full plan
+        ("SELECT time, SUM(pressure) AS s FROM tc GROUP BY time", False),
+        # grouping on a non-outer coordinate -> full plan
+        ("SELECT lat, SUM(pressure) AS s FROM tr GROUP BY lat", False),
+    ],
+)
+def test_grouped_rollup_matches_full_scan(rollup_engine, spark, sql, expect_shortcut):
+    fast = rollup_engine.sql(sql)
+    assert rollup_engine.last_query_used_shortcut == expect_shortcut, sql
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, spark.sql(sql).collect())
+    )
+    assert [(f.name, f.dataType) for f in fast.schema.fields] == [
+        (f.name, f.dataType) for f in spark.sql(sql).schema.fields
+    ]
+
+
+@pytest.fixture(scope="module")
+def rollup_engine(spark):
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import (
+        trending_chunked_store,
+        trending_store,
+    )
+
+    e = Engine(spark)
+    e.register_zarr("tr", trending_store(), data_filter_pushdown=True)
+    e.register_zarr("tc", trending_chunked_store(), data_filter_pushdown=True)
+    return e
+
+
+def test_grouped_rollup_plan_is_scan_free(rollup_engine):
+    df = rollup_engine.sql(
+        "SELECT time, SUM(pressure) AS s FROM tr WHERE time >= 3 GROUP BY time"
+    )
+    assert rollup_engine.last_query_used_shortcut
+    assert "zarr" not in plan_text(df).lower()
+
+
+def test_grouped_rollup_merges_duplicate_coord_values(spark, tmp_path):
+    """An outer coordinate with DUPLICATE values (legal in an unsorted
+    axis) must merge into one SQL group, not emit one row per chunk
+    row."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    store = str(tmp_path / "dup.zarr")
+    write_store(
+        store,
+        {
+            "t": (np.array([2, 1, 2, 1], dtype=np.int64), (4,)),
+            "x": (np.arange(3, dtype=np.int64), (3,)),
+            "v": (np.arange(12, dtype=np.int64).reshape(4, 3), (1, 3)),
+        },
+    )
+    e = Engine(spark)
+    e.register_zarr("dup_t", store, data_filter_pushdown=True)
+    sql = (
+        "SELECT t, SUM(v) AS s, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi "
+        "FROM dup_t GROUP BY t"
+    )
+    fast = e.sql(sql)
+    assert e.last_query_used_shortcut
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, spark.sql(sql).collect())
+    )
+    assert fast.count() == 2

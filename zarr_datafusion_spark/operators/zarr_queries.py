@@ -638,3 +638,45 @@ def zarr_agg_pushdown(spark, sf_dir):
         "MAX(pressure) AS max_p "
         "FROM trend_agg_pd WHERE time >= 2 AND time <= 9"
     )
+
+
+@_q(
+    "zarr_agg_rollup",
+    f"""SELECT time,
+        CAST(SUM(pressure) AS BIGINT) AS sum_p,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        AVG(pressure) AS avg_p,
+        CAST(MIN(pressure) AS BIGINT) AS min_p,
+        CAST(MAX(pressure) AS BIGINT) AS max_p
+        FROM read_parquet('{_TREND_MIRROR}')
+        WHERE time >= 3
+        GROUP BY time""",
+)
+def zarr_agg_rollup(spark, sf_dir):
+    """GROUP-BY-outer-coordinate rollup answered ENTIRELY from the
+    chunk-statistics sidecar — the hypertable-rollup shape
+    (per-time-bucket SUM/AVG/COUNT over an append-axis store), the
+    grouped extension of :func:`zarr_agg_pushdown`'s scalar form.
+    ``trending_store`` has one outer index per chunk row, so every
+    group's exact integer sum/min/max/count is sidecar material and
+    the plan contains NO zarr scan at all (``test_agg_pushdown``
+    pins the plan and the duplicate-coordinate merge rule); integer
+    vars only, float sums withheld — the ``stats/agg_pushdown.py``
+    policy.  Construction-eager: registration builds/loads the
+    staleness-keyed sidecar."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from zarr_datafusion_spark.engine import Engine
+
+    trending_mirror_parquet()  # lazy oracle-mirror build
+    engine = Engine(spark)
+    engine.register_zarr(
+        "trend_rollup", trending_store(), data_filter_pushdown=True
+    )
+    df = engine.sql(
+        "SELECT time, SUM(pressure) AS sum_p, COUNT(*) AS n_rows, "
+        "AVG(pressure) AS avg_p, MIN(pressure) AS min_p, "
+        "MAX(pressure) AS max_p "
+        "FROM trend_rollup WHERE time >= 3 GROUP BY time"
+    )
+    return df.orderBy("time")

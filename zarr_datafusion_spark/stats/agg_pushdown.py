@@ -42,11 +42,13 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# SELECT <items> FROM <bare-table> [WHERE <conds>] — nothing else.
+# SELECT <items> FROM <bare-table> [WHERE <conds>] [GROUP BY <col>] —
+# nothing else.
 _QUERY_RE = re.compile(
     r"^\s*select\s+(?P<items>.+?)\s+from\s+"
     r"(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
-    r"(?:\s+where\s+(?P<where>.+?))?\s*;?\s*$",
+    r"(?:\s+where\s+(?P<where>.+?))?"
+    r"(?:\s+group\s+by\s+(?P<group>[A-Za-z_][A-Za-z0-9_]*))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -156,9 +158,16 @@ def try_chunk_agg_pushdown(
 
     coord = stats.get("coord0")
     where = m.group("where")
+    group = m.group("group")
     interval = _parse_where(where, coord)
     if interval is None:
         return None
+    if group is not None:
+        # GROUP BY rollup path (hypertable-rollup shape): needs
+        # chunk-row == outer-index granularity; handles its own guards
+        return _grouped_rollup(
+            spark, stats, schema, m.group("items"), group, coord, interval
+        )
     if where is not None and not stats.get("coord0_sorted"):
         return None  # unsorted outer coord: boundary scan could double-count
 
@@ -303,3 +312,131 @@ def try_chunk_agg_pushdown(
                 (F.greatest(*cols) if len(cols) > 1 else cols[0]).alias(name)
             )
     return b.select(*out)
+
+
+#: a grouped rollup larger than this answers from the full plan — the
+#: sidecar fold is driver-side (the result IS this size either way,
+#: but a distributed fold should own truly huge rollups)
+_ROLLUP_MAX_GROUPS = 100_000
+
+
+def _grouped_rollup(
+    spark, stats: dict, schema: dict, items_text: str, group: str,
+    coord: str | None, interval,
+):
+    """``SELECT coord0, AGGs FROM t [WHERE coord0 ...] GROUP BY coord0``
+    answered entirely from the sidecar — the hypertable-rollup shape
+    (per-time-bucket SUM/AVG over an append-axis store).  Requires
+    chunk-row granularity == one outer index (``outer_chunk == 1``), so
+    every group's exact per-row sum/min/max/count is already in the
+    sidecar and NO store read happens at all; a window cuts nothing
+    mid-group (each row's coord bounds collapse to one value, so
+    classification is exact in/out — sortedness is NOT required here,
+    there is no boundary scan to double-count).  The fold runs
+    driver-side over metadata-sized lists; rollups beyond
+    ``_ROLLUP_MAX_GROUPS`` groups bail to the distributed plan."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if group != coord or stats.get("outer_chunk") != 1:
+        return None
+    n_rows_list = len(stats.get("coord0_min", []))
+    if n_rows_list != stats.get("shape0") or n_rows_list > _ROLLUP_MAX_GROUPS:
+        return None
+
+    # ---- items: the bare group column plus the supported aggs --------
+    items = []  # (kind, arg, out_name)
+    for raw in items_text.split(","):
+        raw_s = raw.strip()
+        if re.fullmatch(rf"{group}", raw_s):
+            items.append(("group", None, group))
+            continue
+        am = _AGG_RE.match(raw_s)
+        if am is None:
+            return None
+        fn = am.group("fn").lower()
+        arg = am.group("arg")
+        alias = am.group("alias")
+        if fn == "count":
+            if arg in ("*", "1"):
+                items.append(("count", None, alias or "count(1)"))
+                continue
+            if arg != coord and arg not in stats["vars"]:
+                return None
+            items.append(("count", arg, alias or f"count({arg})"))
+            continue
+        v = stats["vars"].get(arg)
+        if v is None or v.get("kind") not in ("i", "u"):
+            return None  # float policy: full plan answers
+        if fn in ("sum", "avg") and any(s is None for s in v["sum"]):
+            return None
+        items.append((fn, arg, alias or f"{fn}({arg})"))
+    if not items:
+        return None
+
+    # accumulate per GROUP VALUE (duplicate coordinate values — legal
+    # in an unsorted axis — must merge into one group, as SQL does)
+    inner = stats["inner_rows"]
+    # vars whose per-row stats the fold must carry (count(coord) needs
+    # none; sum-None entries only reach here for min/max-only items)
+    vars_needed = sorted(
+        {arg for fn, arg, _ in items if arg and arg in stats["vars"]}
+    )
+    acc: dict = {}  # cv -> {"cells": n, var: [sum, min, max]}
+    order: list = []
+    for r in range(n_rows_list):
+        cv = stats["coord0_min"][r]
+        if cv is None or cv != stats["coord0_max"][r]:
+            return None  # non-numeric or inconsistent row bounds
+        if _classify(cv, cv, interval) != "in":
+            continue
+        a = acc.get(cv)
+        if a is None:
+            a = acc[cv] = {"cells": 0}
+            order.append(cv)
+        a["cells"] += inner
+        for vname in vars_needed:
+            v = stats["vars"][vname]
+            cur = a.get(vname)
+            s = v["sum"][r]
+            if cur is None:
+                a[vname] = [s, v["min"][r], v["max"][r]]
+            else:
+                cur[0] = None if (cur[0] is None or s is None) else cur[0] + s
+                cur[1] = min(cur[1], v["min"][r])
+                cur[2] = max(cur[2], v["max"][r])
+
+    rows = []
+    for cv in order:
+        a = acc[cv]
+        out = []
+        for fn, arg, _ in items:
+            if fn == "group":
+                out.append(cv)
+            elif fn == "count":
+                out.append(a["cells"])
+            elif fn == "sum":
+                s = a[arg][0]
+                if abs(s) >= (1 << 63):
+                    return None  # full plan raises ANSI overflow
+                out.append(s)
+            elif fn == "avg":
+                out.append(float(a[arg][0]) / a["cells"])
+            elif fn == "min":
+                out.append(a[arg][1])
+            else:
+                out.append(a[arg][2])
+        rows.append(tuple(out))
+
+    fields = []
+    for fn, arg, name in items:
+        if fn == "group":
+            fields.append(StructField(name, schema[group], nullable=False))
+        elif fn == "count":
+            fields.append(StructField(name, LongType(), nullable=False))
+        elif fn == "sum":
+            fields.append(StructField(name, LongType(), nullable=True))
+        elif fn == "avg":
+            fields.append(StructField(name, DoubleType(), nullable=True))
+        else:
+            fields.append(StructField(name, schema[arg], nullable=True))
+    return spark.createDataFrame(rows, StructType(fields))
