@@ -280,3 +280,74 @@ def test_grouped_rollup_merges_duplicate_coord_values(spark, tmp_path):
         map(tuple, spark.sql(sql).collect())
     )
     assert fast.count() == 2
+
+
+@pytest.mark.parametrize(
+    "sql,expect_shortcut",
+    [
+        # tail top-k across a slab boundary (200 rows = 2 outer indices)
+        ("SELECT time, lat, lon, pressure FROM tc "
+         "ORDER BY time DESC, lat DESC, lon DESC LIMIT 200", True),
+        # head direction, SELECT *
+        ("SELECT * FROM tc ORDER BY time, lat, lon LIMIT 150", True),
+        # k >= total rows: nothing prunable
+        ("SELECT time, pressure FROM tc ORDER BY time DESC LIMIT 5000", False),
+        # leading key not the outer coordinate
+        ("SELECT time, pressure FROM tc ORDER BY pressure DESC LIMIT 10", False),
+    ],
+)
+def test_topk_matches_full_plan(agg_engine, spark, sql, expect_shortcut):
+    """Top-K pushdown (reference roadmap README.md:298): coordinate-
+    leading ORDER BY ... LIMIT answers from a threshold-pruned scan and
+    must equal the full plan row-for-row (total orders only here)."""
+    fast = agg_engine.sql(sql)
+    assert agg_engine.last_query_used_shortcut == expect_shortcut, sql
+    assert [tuple(r) for r in fast.collect()] == [
+        tuple(r) for r in spark.sql(sql).collect()
+    ]
+
+
+def test_topk_reads_only_tail_slabs(spark, tmp_path, monkeypatch):
+    """ORDER BY time DESC LIMIT 200 over 3 slabs of 4 outer indices x
+    140 rows: the top 200 fit inside the LAST slab, so the pruned scan
+    reads exactly that one slab (560 rows) and never the other 1120.
+    Slab granularity is the honest statistics contract (the parquet
+    row-group analog): the sidecar bounds coordinates per chunk row,
+    so the threshold lands on a slab edge, not a row edge."""
+    import zarr_datafusion_spark.zarr as Z
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import (
+        trending_chunked_store,
+    )
+    from zarr_datafusion_spark.stats.io_stats import collect_stats_dir
+
+    sd = str(tmp_path / "io")
+    orig = Z.read_zarr
+    monkeypatch.setattr(
+        Z, "read_zarr", lambda sp, st, **kw: orig(sp, st, stats_dir=sd, **kw)
+    )
+    e = Engine(spark)
+    e.register_zarr("tc_tk", trending_chunked_store(), data_filter_pushdown=True)
+    df = e.sql(
+        "SELECT time, lat, lon, pressure FROM tc_tk "
+        "ORDER BY time DESC, lat DESC, lon DESC LIMIT 200"
+    )
+    assert e.last_query_used_shortcut
+    assert e.last_shortcut_kind == "pruned"  # it DOES read tail slabs
+    rows = df.collect()
+    assert len(rows) == 200
+    assert rows[0].time == 11 and rows[0].lat == 9 and rows[0].lon == 13
+    assert {r.time for r in rows} == {10, 11}
+    s = collect_stats_dir(sd)
+    assert s.rows == 4 * 10 * 14, "read beyond the top-k tail slab"
+
+
+def test_shortcut_kind_accounting(agg_engine):
+    """`last_shortcut_kind` must say scan_free only when the plan has
+    no zarr source (the honest REPL line, ADVICE-proofing)."""
+    agg_engine.sql("SELECT SUM(pressure) AS s FROM tc WHERE time BETWEEN 4 AND 7")
+    assert agg_engine.last_shortcut_kind == "scan_free"
+    agg_engine.sql("SELECT SUM(pressure) AS s FROM tc WHERE time >= 2 AND time <= 9")
+    assert agg_engine.last_shortcut_kind == "pruned"  # boundary slabs read
+    agg_engine.sql("SELECT time, SUM(pressure) AS s FROM tc GROUP BY time")
+    assert agg_engine.last_shortcut_kind is None  # full plan (outer_chunk=4)

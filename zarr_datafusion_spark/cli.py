@@ -252,7 +252,13 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
         _emit_rows(df.columns, rows, fmt=fmt, tty=tty)
         scanned = _base_zarr_table(sql, zarr_tables)
         if engine.last_query_used_shortcut:
-            print(f"{len(rows)} rows · answered from statistics (no scan) · {secs:.3f}s")
+            kind = getattr(engine, "last_shortcut_kind", "scan_free")
+            how = (
+                "answered from statistics (no scan)"
+                if kind == "scan_free"
+                else "statistics rewrite (pruned scan)"
+            )
+            print(f"{len(rows)} rows · {how} · {secs:.3f}s")
         elif scanned:
             # Unpruned figures: REPL zarr views use the reuse-safe
             # (non-narrowing) pushdown default, so the full store is

@@ -199,6 +199,7 @@ class Engine:
         from zarr_datafusion_spark.stats.shortcuts import try_stats_shortcut
 
         self._last_shortcut = None
+        self._last_shortcut_kind = None
         # The reference's EXPLAIN VERBOSE (docs/CLI_REFERENCE.md:469-475)
         # is Spark's EXPLAIN EXTENDED — accept the DataFusion spelling
         # verbatim so reference sessions replay unchanged.
@@ -221,6 +222,7 @@ class Engine:
         shortcut = try_stats_shortcut(self.spark, query, self._stats)
         if shortcut is not None:
             self._last_shortcut = query
+            self._last_shortcut_kind = "scan_free"
             return shortcut
         if self._chunk_agg:
             from zarr_datafusion_spark.stats.agg_pushdown import (
@@ -229,15 +231,27 @@ class Engine:
             from zarr_datafusion_spark.stats.chunk_stats import (
                 compute_zarr_chunk_stats,
             )
+            from zarr_datafusion_spark.stats.topk import try_topk_pushdown
 
-            pushed = try_chunk_agg_pushdown(
-                self.spark,
-                query,
-                self._chunk_agg,
-                lambda store: compute_zarr_chunk_stats(self.spark, store),
+            stats_of = lambda store: compute_zarr_chunk_stats(  # noqa: E731
+                self.spark, store
             )
+            pushed = try_chunk_agg_pushdown(
+                self.spark, query, self._chunk_agg, stats_of
+            )
+            if pushed is None:
+                # coordinate-leading ORDER BY ... LIMIT k: scan only
+                # the slabs that can reach the top k (README.md:298)
+                pushed = try_topk_pushdown(
+                    self.spark, query, self._chunk_agg, stats_of
+                )
             if pushed is not None:
                 self._last_shortcut = query
+                # honest accounting: boundary-slab assembly and top-k
+                # DO read their pruned slabs
+                self._last_shortcut_kind = getattr(
+                    pushed, "_zds_shortcut_kind", "scan_free"
+                )
                 return pushed
         return self.spark.sql(query)
 
@@ -330,11 +344,22 @@ class Engine:
 
     @property
     def last_query_used_shortcut(self) -> bool:
-        """True if the most recent ``sql()`` call was answered from
-        metadata only (no scan) — the analog of the reference's
-        plan-shape assertion ``assert_no_zarr_exec``
-        (``tests/common/mod.rs:118-124``)."""
+        """True if the most recent ``sql()`` call was answered by a
+        statistics rewrite instead of the vanilla plan — scan-free
+        (A7/A8, interior-only aggregates, grouped rollups: the analog
+        of the reference's ``assert_no_zarr_exec`` plan shape) or a
+        statistics-pruned scan (boundary-slab aggregate assembly,
+        coordinate-leading top-k); :attr:`last_shortcut_kind` says
+        which."""
         return self._last_shortcut is not None
+
+    @property
+    def last_shortcut_kind(self) -> str | None:
+        """``"scan_free"`` | ``"pruned"`` for the most recent
+        shortcut-answered ``sql()`` call, else ``None``.  Drives the
+        honest REPL stats line — a pruned top-k DOES read its tail
+        slabs and must not claim "no scan"."""
+        return self._last_shortcut_kind if self._last_shortcut else None
 
     def explain(self, query: str) -> str:
         """Physical-plan text for a SQL query (reference ``EXPLAIN`` /

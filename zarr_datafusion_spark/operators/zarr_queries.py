@@ -680,3 +680,35 @@ def zarr_agg_rollup(spark, sf_dir):
         "FROM trend_rollup WHERE time >= 3 GROUP BY time"
     )
     return df.orderBy("time")
+
+
+@_q(
+    "zarr_topk_tail",
+    f"""SELECT time, lat, lon, pressure
+        FROM read_parquet('{_TREND_MIRROR}')
+        ORDER BY time DESC, lat DESC, lon DESC
+        LIMIT 200""",
+)
+def zarr_topk_tail(spark, sf_dir):
+    """Top-K pushdown — the reference's own UNCHECKED roadmap item
+    (``/root/reference/README.md:298``: ``ORDER BY x LIMIT k`` without
+    a full sort).  Spark already sorts with a k-row heap
+    (TakeOrderedAndProject); the pushdown additionally bounds the SCAN:
+    the leading ORDER BY key is the sorted outer coordinate, so the
+    chunk-stats sidecar proves which slab suffix can reach the top k
+    and only that suffix is read — the "latest rows" time-series query
+    at its honest cost (one tail slab instead of 10k).  Slab-granular,
+    the parquet row-group analog; ``test_agg_pushdown`` pins the
+    tail-slab-only reads and full-plan row equality.  Construction-
+    eager: registration builds/loads the staleness-keyed sidecar."""
+    from zarr_datafusion_spark.engine import Engine
+
+    trending_mirror_parquet()  # lazy oracle-mirror build
+    engine = Engine(spark)
+    engine.register_zarr(
+        "trend_topk", trending_chunked_store(), data_filter_pushdown=True
+    )
+    return engine.sql(
+        "SELECT time, lat, lon, pressure FROM trend_topk "
+        "ORDER BY time DESC, lat DESC, lon DESC LIMIT 200"
+    )

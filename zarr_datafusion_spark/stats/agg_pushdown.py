@@ -311,7 +311,10 @@ def try_chunk_agg_pushdown(
             out.append(
                 (F.greatest(*cols) if len(cols) > 1 else cols[0]).alias(name)
             )
-    return b.select(*out)
+    res = b.select(*out)
+    if boundary:
+        res._zds_shortcut_kind = "pruned"  # boundary slabs are read
+    return res
 
 
 #: a grouped rollup larger than this answers from the full plan — the
