@@ -351,3 +351,31 @@ def test_shortcut_kind_accounting(agg_engine):
     assert agg_engine.last_shortcut_kind == "pruned"  # boundary slabs read
     agg_engine.sql("SELECT time, SUM(pressure) AS s FROM tc GROUP BY time")
     assert agg_engine.last_shortcut_kind is None  # full plan (outer_chunk=4)
+
+
+def test_ddl_options_enable_chunk_stats(spark):
+    """DataFusion's OPTIONS spelling on the verbatim DDL enables the
+    sidecar from SQL: ``CREATE EXTERNAL TABLE ... STORED AS ZARR
+    LOCATION '...' OPTIONS ('chunk_stats' 'true')`` makes aggregate
+    and top-k pushdown serve the table; without the option the DDL
+    registers the plain (also multi-query-safe) view."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import trending_store
+
+    e = Engine(spark)
+    e.sql(
+        f"CREATE EXTERNAL TABLE trend_ddl_cs STORED AS ZARR "
+        f"LOCATION '{trending_store()}' OPTIONS ('chunk_stats' 'true')"
+    )
+    df = e.sql("SELECT SUM(pressure) AS s FROM trend_ddl_cs WHERE time >= 6")
+    assert e.last_query_used_shortcut
+    assert df.collect() == spark.sql(
+        "SELECT SUM(pressure) AS s FROM trend_ddl_cs WHERE time >= 6"
+    ).collect()
+
+    e.sql(
+        f"CREATE EXTERNAL TABLE trend_ddl_plain STORED AS ZARR "
+        f"LOCATION '{trending_store()}'"
+    )
+    e.sql("SELECT SUM(pressure) AS s FROM trend_ddl_plain WHERE time >= 6")
+    assert not e.last_query_used_shortcut

@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import plan_text
 from zarr_datafusion_spark.zarr.writer import synthetic_weather_arrays, write_store
 
 ARRAYS = synthetic_weather_arrays()
@@ -1946,6 +1947,47 @@ def test_remote_data_filter_pushdown(spark, s3_trending_store, tmp_path):
     assert remote_rows == local_rows and len(remote_rows) == 721
     s = collect_stats_dir(sd)
     assert s.rows == 6 * 10 * 14, "remote scan did not skip chunk rows"
+
+
+def test_remote_agg_pushdown(spark, s3_trending_store):
+    """Chunk-level aggregate pushdown over a LIVE remote store — the
+    100 TB posture: registration pays the one-time distributed stats
+    pass through the per-task S3 adapters (sidecar cached locally,
+    keyed by the remote marker's CONTENT), after which a windowed
+    SUM/AVG and a GROUP-BY rollup answer from the sidecar with NO
+    remote reads at all (the plans contain no zarr source)."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import trending_store
+
+    e = Engine(spark)
+    e.register_zarr("s3_trend", s3_trending_store, data_filter_pushdown=True)
+    e.register_zarr("local_trend", trending_store())
+
+    q = (
+        "SELECT SUM(pressure) AS s, AVG(pressure) AS a, COUNT(*) AS n "
+        "FROM {t} WHERE time >= 6"
+    )
+    fast = e.sql(q.format(t="s3_trend"))
+    assert e.last_query_used_shortcut
+    assert e.last_shortcut_kind == "scan_free"  # 1-step chunks: no boundary
+    assert "zarr" not in plan_text(fast).lower()
+    assert fast.collect() == spark.sql(q.format(t="local_trend")).collect()
+
+    roll = e.sql(
+        "SELECT time, SUM(pressure) AS s FROM s3_trend "
+        "WHERE time >= 6 GROUP BY time"
+    )
+    assert e.last_query_used_shortcut
+    assert "zarr" not in plan_text(roll).lower()
+    assert sorted(map(tuple, roll.collect())) == sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT time, SUM(pressure) AS s FROM local_trend "
+                "WHERE time >= 6 GROUP BY time"
+            ).collect(),
+        )
+    )
 
 
 def _verify_rs256_jwt(assertion: str, n: int, e: int) -> dict | None:

@@ -134,9 +134,13 @@ class Engine:
     #: ``docs/CLI_REFERENCE.md:39-53``) — accepted verbatim so a user
     #: migrating from the reference can paste their statements
     #: unchanged; rewritten onto :meth:`register_zarr`.
+    #: optional trailing OPTIONS clause uses DataFusion's own spelling
+    #: (``OPTIONS ('key' 'value', ...)``); recognized key:
+    #: ``'chunk_stats' 'true'`` — build the chunk-statistics sidecar at
+    #: registration so aggregate/top-k pushdown serve this table.
     _ZARR_DDL = re.compile(
         r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s+STORED\s+AS\s+ZARR\s+"
-        r"LOCATION\s+'([^']+)'\s*;?\s*$",
+        r"LOCATION\s+'([^']+)'\s*(?:OPTIONS\s*\(([^)]*)\))?\s*;?\s*$",
         re.IGNORECASE,
     )
 
@@ -208,8 +212,11 @@ class Engine:
         )
         m = self._ZARR_DDL.match(query)
         if m:
-            name, location = m.group(1), m.group(2)
-            self.register_zarr(name, location)
+            name, location, opts = m.group(1), m.group(2), m.group(3) or ""
+            chunk_stats = bool(
+                re.search(r"'chunk_stats'\s+'true'", opts, re.IGNORECASE)
+            )
+            self.register_zarr(name, location, data_filter_pushdown=chunk_stats)
             # empty result carrying the new table's schema (DataFusion's
             # CREATE EXTERNAL TABLE likewise returns no rows)
             return self.spark.sql(f"SELECT * FROM {name} WHERE 1=0")
