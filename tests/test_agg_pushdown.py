@@ -379,3 +379,50 @@ def test_ddl_options_enable_chunk_stats(spark):
     )
     e.sql("SELECT SUM(pressure) AS s FROM trend_ddl_plain WHERE time >= 6")
     assert not e.last_query_used_shortcut
+
+
+def test_sql_filter_rewrite_prunes_and_matches(spark, tmp_path, monkeypatch):
+    """A plain filtered SELECT against a chunk-stats table rewrites
+    onto a FRESH pruned relation per statement: the scan skips the
+    slabs the data statistics prove empty, the values equal the lazy
+    view's, and — the ADVICE r9 regression — a later full COUNT on the
+    same view still sees every row (nothing cacheable survives)."""
+    import zarr_datafusion_spark.zarr as Z
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import trending_store
+    from zarr_datafusion_spark.stats.io_stats import collect_stats_dir
+
+    sd = str(tmp_path / "io")
+    orig = Z.read_zarr
+
+    def instrumented(spark_, store, **kw):
+        kw.setdefault("stats_dir", sd)
+        return orig(spark_, store, **kw)
+
+    monkeypatch.setattr(Z, "read_zarr", instrumented)
+    e = Engine(spark)
+    e.register_zarr("tr_fr", trending_store(), data_filter_pushdown=True)
+
+    sql = (
+        "SELECT time, lat, lon, pressure FROM tr_fr "
+        "WHERE pressure >= 1075 AND lat > 2"
+    )
+    fast = e.sql(sql)
+    assert e.last_query_used_shortcut
+    assert e.last_shortcut_kind == "pruned"
+    fast_rows = sorted(map(tuple, fast.collect()))
+    # snapshot BEFORE the view comparison below (the view's full scan
+    # spills into the same instrumented stats dir)
+    s = collect_stats_dir(sd)
+    # pressure >= 1075 skips slabs t<6 via data stats; lat > 2 narrows
+    # the lat window to 7 of 10 — 6 slabs x 7 lats x 14 lons
+    assert s.rows == 6 * 7 * 14, "rewrite did not prune the scan"
+    assert fast_rows == sorted(map(tuple, spark.sql(sql).collect()))
+
+    # the named view itself stays lazy and multi-query-safe
+    assert spark.sql("SELECT COUNT(*) AS n FROM tr_fr").collect()[0].n == 1680
+
+    # non-rewritable shapes answer through the view, correctly
+    odd = "SELECT time, pressure FROM tr_fr WHERE pressure >= 1075 OR lat > 2"
+    e.sql(odd)
+    assert not e.last_query_used_shortcut

@@ -252,6 +252,18 @@ class Engine:
                 pushed = try_topk_pushdown(
                     self.spark, query, self._chunk_agg, stats_of
                 )
+            if pushed is None:
+                # plain filtered SELECT: fresh pruned relation per
+                # query (coordinate windows + data-var chunk skipping)
+                # — the multi-query-safe SQL route to the A5/data
+                # pruning the lazy view deliberately forgoes
+                from zarr_datafusion_spark.stats.filter_rewrite import (
+                    try_filter_rewrite,
+                )
+
+                pushed = try_filter_rewrite(
+                    self.spark, query, self._chunk_agg
+                )
             if pushed is not None:
                 self._last_shortcut = query
                 # honest accounting: boundary-slab assembly and top-k
