@@ -137,7 +137,10 @@ def test_float_and_unsorted_and_overflow_bail(spark, tmp_path):
     )
     e.register_zarr("fstore", fstore, data_filter_pushdown=True)
     df = e.sql("SELECT SUM(v) AS s FROM fstore WHERE t >= 2")
-    assert not e.last_query_used_shortcut
+    # float SUM never takes the scan-free stats assembly — but the
+    # pruned-SCAN rewrite may serve it (Spark computes the sum itself,
+    # so there is no stats-vs-scan float contract to violate)
+    assert e.last_shortcut_kind in (None, "pruned")
     assert df.collect() == spark.sql(
         "SELECT SUM(v) AS s FROM fstore WHERE t >= 2"
     ).collect()
@@ -154,7 +157,9 @@ def test_float_and_unsorted_and_overflow_bail(spark, tmp_path):
     )
     e.register_zarr("ustore", ustore, data_filter_pushdown=True)
     df = e.sql("SELECT SUM(v) AS s FROM ustore WHERE t >= 2")
-    assert not e.last_query_used_shortcut
+    # the scan-free assembly must decline (unsorted coords); the
+    # pruned-scan rewrite may serve it instead — values via Spark
+    assert e.last_shortcut_kind in (None, "pruned")
     assert df.collect()[0].s == spark.sql(
         "SELECT SUM(v) AS s FROM ustore WHERE t >= 2"
     ).collect()[0].s
@@ -179,20 +184,22 @@ def test_float_and_unsorted_and_overflow_bail(spark, tmp_path):
     )
     e.register_zarr("bigstore", big, data_filter_pushdown=True)
     e.sql("SELECT SUM(v) AS s FROM bigstore WHERE t >= 1")
-    assert not e.last_query_used_shortcut
+    # never answered FROM the withheld stats — at most a pruned scan
+    # whose Spark-computed SUM raises the same ANSI overflow the full
+    # plan would
+    assert e.last_shortcut_kind in (None, "pruned")
 
 
 def test_bail_shapes_fall_through(agg_engine, spark):
-    """Shapes outside the contract must leave the full plan in charge
-    (and the answers correct): GROUP BY, non-coord predicates, coord
-    aggregates, unknown columns, OR, parenthesised predicates."""
+    """Shapes outside EVERY rewrite's contract must leave the full
+    plan in charge (and the answers correct): ungrouped-unfiltered
+    GROUP BY, OR disjunctions, parenthesised predicates.  (Data-var
+    and mixed-column predicates now route to the pruned-scan
+    aggregate rewrite instead — covered by test_pruned_agg_rewrite.)"""
     for sql, rows in [
         ("SELECT time, SUM(pressure) AS s FROM tc GROUP BY time", 12),
-        ("SELECT SUM(pressure) AS s FROM tc WHERE pressure > 1100", 1),
-        ("SELECT SUM(lat) AS s FROM tc WHERE time >= 2", 1),
         ("SELECT SUM(pressure) AS s FROM tc WHERE time >= 2 OR time <= 1", 1),
         ("SELECT SUM(pressure) AS s FROM tc WHERE (time >= 2)", 1),
-        ("SELECT SUM(pressure) AS s FROM tc WHERE lat = 3 AND time >= 2", 1),
     ]:
         df = agg_engine.sql(sql)
         assert not agg_engine.last_query_used_shortcut, sql
@@ -426,3 +433,55 @@ def test_sql_filter_rewrite_prunes_and_matches(spark, tmp_path, monkeypatch):
     odd = "SELECT time, pressure FROM tr_fr WHERE pressure >= 1075 OR lat > 2"
     e.sql(odd)
     assert not e.last_query_used_shortcut
+
+
+def test_pruned_agg_rewrite(spark, tmp_path, monkeypatch):
+    """Aggregates the stats assembly declines (data-variable
+    predicates, grouped forms over multi-index chunks) still run on a
+    PRUNED scan: Spark computes the aggregate, the chunk statistics
+    skip the provably-empty slabs, values equal the lazy view's."""
+    import zarr_datafusion_spark.zarr as Z
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import (
+        trending_chunked_store,
+    )
+    from zarr_datafusion_spark.stats.io_stats import collect_stats_dir
+
+    sd = str(tmp_path / "io")
+    orig = Z.read_zarr
+
+    def instrumented(spark_, store, **kw):
+        kw.setdefault("stats_dir", sd)
+        return orig(spark_, store, **kw)
+
+    monkeypatch.setattr(Z, "read_zarr", instrumented)
+    e = Engine(spark)
+    e.register_zarr("tc_pa", trending_chunked_store(), data_filter_pushdown=True)
+
+    # data-variable predicate: pressure >= 1075 skips slabs whose max
+    # (1022 + 10*t_hi) proves empty — rows t in [0..3] skip entirely
+    sql = (
+        "SELECT COUNT(*) AS n, SUM(pressure) AS s, AVG(pressure) AS a "
+        "FROM tc_pa WHERE pressure >= 1075"
+    )
+    fast = e.sql(sql)
+    assert e.last_query_used_shortcut
+    assert e.last_shortcut_kind == "pruned"
+    got = fast.collect()
+    s = collect_stats_dir(sd)
+    assert s.rows == 2 * 4 * 10 * 14, "data-var pruning did not skip slabs"
+    assert got == spark.sql(sql).collect()
+
+    # grouped over multi-index chunks (stats assembly bails: outer
+    # chunks of 4): the pruned-scan rewrite still serves it, column
+    # order preserved even with the group key listed last
+    sql = (
+        "SELECT SUM(pressure) AS s, time FROM tc_pa "
+        "WHERE pressure >= 1075 GROUP BY time"
+    )
+    fast = e.sql(sql)
+    assert e.last_query_used_shortcut
+    assert [f.name for f in fast.schema.fields] == ["s", "time"]
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, spark.sql(sql).collect())
+    )

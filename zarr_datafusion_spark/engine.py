@@ -259,11 +259,19 @@ class Engine:
                 # pruning the lazy view deliberately forgoes
                 from zarr_datafusion_spark.stats.filter_rewrite import (
                     try_filter_rewrite,
+                    try_pruned_agg_rewrite,
                 )
 
                 pushed = try_filter_rewrite(
                     self.spark, query, self._chunk_agg
                 )
+                if pushed is None:
+                    # aggregates the stats assembly declined (float
+                    # vars, data-var predicates, grouped multi-index
+                    # chunks): Spark computes, the scan still prunes
+                    pushed = try_pruned_agg_rewrite(
+                        self.spark, query, self._chunk_agg
+                    )
             if pushed is not None:
                 self._last_shortcut = query
                 # honest accounting: boundary-slab assembly and top-k
