@@ -71,6 +71,7 @@ RE_RECORD: dict[str, str] = {
     "zarr_stream_tail": "r10: sidecar cstats4 + prune fix in source graph",
     "zarr_update_roundtrip": "r10: sidecar cstats4 + prune fix in source graph",
     "zarr_data_filter_pushdown": "r10: cstats4 + lazy atomic oracle mirror",
+    "zarr_stream_agg": "r10: read_chunk gained the missing-flag variant",
     # publish_dir_atomically gained lost-race recovery (ADVICE r9) —
     # in every persisted-index entry's call graph:
     "search_bm25_indexed": "r10: publish lost-race recovery",

@@ -2849,3 +2849,76 @@ def test_sink_update_region_rejects_bad_targets(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="chunk layout"):
         update_zarr_region(src, sharded)
+
+
+def test_fill_value_nulls_surface(spark, tmp_path):
+    """Reference roadmap README.md:318 ("Handle fill_value as Arrow
+    nulls"): a missing data-var chunk reads as the spec's fill_value by
+    default, and as SQL NULL under ``fill_value_nulls=True`` —
+    COUNT(col)/AVG then behave like any nullable column.  Coordinates
+    stay dense either way."""
+    import os
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    path = str(tmp_path / "gap.zarr")
+    write_store(
+        path,
+        {
+            "t": (np.arange(6, dtype=np.int64), (6,)),
+            "x": (np.arange(4, dtype=np.int64), (4,)),
+            "v": (np.arange(24, dtype=np.int64).reshape(6, 4), (2, 4)),
+        },
+    )
+    os.remove(os.path.join(path, "v", "1.0"))  # rows t in {2, 3}
+
+    plain = read_zarr(spark, path)
+    assert plain.filter(F.col("v").isNull()).count() == 0
+    assert plain.filter((F.col("t") == 2) & (F.col("v") == 0)).count() == 4
+
+    nulls = read_zarr(spark, path, fill_value_nulls=True)
+    got = nulls.filter(F.col("v").isNull()).select("t").distinct().collect()
+    assert sorted(r.t for r in got) == [2, 3]
+    agg = nulls.agg(
+        F.count("v").alias("n"), F.count(F.lit(1)).alias("all")
+    ).collect()[0]
+    assert (agg.n, agg.all) == (16, 24)
+    # coordinates are never masked
+    assert nulls.filter(F.col("t").isNull()).count() == 0
+    # non-gap values identical to the plain read
+    a = sorted(
+        map(tuple, nulls.filter(F.col("v").isNotNull()).collect())
+    )
+    b = sorted(
+        map(tuple, plain.filter(~F.col("t").isin(2, 3)).collect())
+    )
+    assert a == b
+
+
+def test_fill_value_nulls_sharded_file_granularity(spark, tmp_path):
+    """Sharded stores mask wholly-missing shard FILES; inner gaps
+    inside a present shard stay fill_value (the documented sub-file
+    limitation)."""
+    import os
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.sink import write_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    dst = str(tmp_path / "shard.zarr")
+    write_zarr(
+        src, dst, coords=["time", "lat", "lon"], zarr_format=3, shard_outer=2
+    )
+    # remove one whole shard file (covers two outer time steps)
+    shards = sorted(
+        os.path.join(root, f)
+        for root, _, names in os.walk(os.path.join(dst, "temperature"))
+        for f in names
+        if not f.startswith(".") and f != "zarr.json"
+    )
+    os.remove(shards[0])
+    df = read_zarr(spark, dst, fill_value_nulls=True)
+    got = df.filter(F.col("temperature").isNull()).select("time").distinct()
+    assert got.count() == 2  # the two outer steps of the missing shard

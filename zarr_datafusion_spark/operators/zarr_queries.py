@@ -712,3 +712,68 @@ def zarr_topk_tail(spark, sf_dir):
         "SELECT time, lat, lon, pressure FROM trend_topk "
         "ORDER BY time DESC, lat DESC, lon DESC LIMIT 200"
     )
+
+
+def gapped_store() -> str:
+    """The trending grid with the ``time = 5`` pressure chunk file
+    DELETED — a store with a real gap.  Plain reads materialize the
+    spec's fill_value there; ``fill_value_nulls=True`` surfaces the
+    gap as SQL NULL (reference roadmap ``README.md:318``).  Built
+    deterministically: write, then remove exactly one chunk file."""
+    import numpy as np
+
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    path = os.path.join(_REPO_ROOT, "data", "trending_gaps.zarr")
+    gap_chunk = os.path.join(path, "pressure", "5.0.0")
+    if not os.path.exists(os.path.join(path, ".zgroup")):
+        nt, nla, nlo = 12, 10, 14
+        time = np.arange(nt, dtype=np.int64)
+        lat = np.arange(nla, dtype=np.int64)
+        lon = np.arange(nlo, dtype=np.int64)
+        pressure = (
+            1000
+            + 10 * time[:, None, None]
+            + lat[None, :, None]
+            + lon[None, None, :]
+        ).astype(np.int64)
+        write_store(
+            path,
+            {
+                "time": (time, (nt,)),
+                "lat": (lat, (nla,)),
+                "lon": (lon, (nlo,)),
+                "pressure": (pressure, (1, nla, nlo)),
+            },
+        )
+    if os.path.exists(gap_chunk):
+        os.remove(gap_chunk)
+    return path
+
+
+@_q(
+    "zarr_gap_nulls",
+    f"""SELECT time, lat, lon,
+        CASE WHEN time = 5 THEN NULL ELSE pressure END AS pressure
+        FROM read_parquet('{_TREND_MIRROR}')""",
+)
+def zarr_gap_nulls(spark, sf_dir):
+    """Fill-value-as-nulls — the reference's own UNCHECKED roadmap row
+    (``/root/reference/README.md:318``: "Handle fill_value as Arrow
+    nulls").  The fixture store is missing its ``time = 5`` pressure
+    chunk; ``read_zarr(..., fill_value_nulls=True)`` surfaces those
+    cells as SQL NULL (Arrow validity mask built per batch from the
+    missing-chunk map) instead of the spec's dense fill_value, so
+    COUNT/AVG/IS NULL behave like any nullable column.  Data variables
+    only (coordinates define the grid); sharded stores mask
+    wholly-missing shard files only; never enabled on registered
+    tables (the engine's exact null-count statistics assume dense
+    columns).  The oracle rebuilds the same nullability from the dense
+    mirror."""
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    trending_mirror_parquet()  # lazy oracle-mirror build
+    df = read_zarr(spark, gapped_store(), fill_value_nulls=True)
+    return df.select("time", "lat", "lon", "pressure").orderBy(
+        "time", "lat", "lon"
+    )

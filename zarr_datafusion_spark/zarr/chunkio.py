@@ -266,6 +266,18 @@ def _store_fs(store_path: str):
 
 def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np.ndarray:
     """Read + decode one chunk; missing file -> fill_value (Zarr spec)."""
+    return read_chunk_ex(store_path, meta, idx)[0]
+
+
+def read_chunk_ex(
+    store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]
+) -> tuple[np.ndarray, bool]:
+    """:func:`read_chunk` plus a ``missing`` flag: True when the chunk
+    FILE was absent and the array is spec-mandated fill_value — the raw
+    material for the optional fill-as-null surface (reference roadmap
+    ``README.md:318``).  A present-but-sharded file with missing INNER
+    chunks reports False: its gaps are sub-file and stay fill_value
+    (documented limitation of the null mask)."""
     fs = _store_fs(store_path)
     dtype = numpy_dtype_for(meta.dtype, meta.byte_order)
     path = _chunk_path(store_path, meta, idx)
@@ -286,7 +298,7 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
                 fill = b""
         elif dtype.kind == "U" and not isinstance(fill, str):
             fill = ""
-        return np.full(meta.chunks, fill, dtype=dtype)
+        return np.full(meta.chunks, fill, dtype=dtype), True
     raw = fs.read_bytes(path)
     _IO.disk_bytes += len(raw)
     _IO.n_chunks += 1
@@ -308,7 +320,7 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
                 meta.fill_value,
             )
             _IO.decoded_bytes += arr.nbytes
-            return arr
+            return arr, False
         transpose = next(
             (c for c in meta.codecs if c.get("name") == "transpose"), None
         )
@@ -333,8 +345,11 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
         # transposing back with the inverse permutation.
         stored_shape = tuple(meta.chunks[i] for i in transpose_order)
         inverse = tuple(int(i) for i in np.argsort(transpose_order))
-        return np.ascontiguousarray(arr.reshape(stored_shape).transpose(inverse))
-    return arr.reshape(meta.chunks, order=meta.order)
+        return (
+            np.ascontiguousarray(arr.reshape(stored_shape).transpose(inverse)),
+            False,
+        )
+    return arr.reshape(meta.chunks, order=meta.order), False
 
 
 def read_window(
@@ -370,6 +385,52 @@ def read_window(
             dst_sel.append(slice(s_lo - lo, s_hi - lo))
         out[tuple(dst_sel)] = chunk[tuple(src_sel)]
     return _decode_fixed_strings(out)
+
+
+def read_window_masked(
+    store_path: str, meta: ZarrArrayMeta, window: tuple[tuple[int, int], ...]
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """:func:`read_window` plus a boolean MISSING mask (True = the cell
+    came from an absent chunk file and holds spec-mandated fill_value)
+    — the raw material for the optional fill-as-null read surface
+    (reference roadmap ``README.md:318``).  Returns ``(array, None)``
+    when every visited chunk was present, so the common no-gap case
+    allocates nothing extra.  Sharded stores mask only wholly-missing
+    SHARD files; sub-file inner gaps stay fill_value (documented)."""
+    from zarr_datafusion_spark.zarr.chunkio import read_chunk_ex
+
+    if len(window) != len(meta.shape):
+        raise ValueError(f"window rank {len(window)} != array rank {len(meta.shape)}")
+    out_shape = tuple(hi - lo for lo, hi in window)
+    dtype = numpy_dtype_for(meta.dtype, meta.byte_order)
+    out = np.empty(out_shape, dtype=dtype.newbyteorder("="))
+    mask: np.ndarray | None = None
+
+    chunk_ranges = [
+        range(lo // cs, (hi + cs - 1) // cs) if hi > lo else range(0)
+        for (lo, hi), cs in zip(window, meta.chunks)
+    ]
+    if any(len(r) == 0 for r in chunk_ranges):
+        return _decode_fixed_strings(out), None
+
+    import itertools
+
+    for idx in itertools.product(*chunk_ranges):
+        chunk, missing = read_chunk_ex(store_path, meta, idx)
+        src_sel, dst_sel = [], []
+        for d, ci in enumerate(idx):
+            cs = meta.chunks[d]
+            lo, hi = window[d]
+            c_lo, c_hi = ci * cs, min((ci + 1) * cs, meta.shape[d])
+            s_lo, s_hi = max(lo, c_lo), min(hi, c_hi)
+            src_sel.append(slice(s_lo - c_lo, s_hi - c_lo))
+            dst_sel.append(slice(s_lo - lo, s_hi - lo))
+        out[tuple(dst_sel)] = chunk[tuple(src_sel)]
+        if missing:
+            if mask is None:
+                mask = np.zeros(out_shape, dtype=bool)
+            mask[tuple(dst_sel)] = True
+    return _decode_fixed_strings(out), mask
 
 
 def _decode_fixed_strings(arr: np.ndarray) -> np.ndarray:
