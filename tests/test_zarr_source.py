@@ -2922,3 +2922,46 @@ def test_fill_value_nulls_sharded_file_granularity(spark, tmp_path):
     df = read_zarr(spark, dst, fill_value_nulls=True)
     got = df.filter(F.col("temperature").isNull()).select("time").distinct()
     assert got.count() == 2  # the two outer steps of the missing shard
+
+
+def test_zarr_attributes_in_schema_metadata(spark, tmp_path):
+    """Reference roadmap README.md:319 ("Expose Zarr attributes in
+    Arrow schema metadata"): .zattrs (v2) ride into the Spark schema as
+    StructField metadata — units/long_name/CF conventions stay attached
+    to the column through the scan.  Covered for both discovery paths
+    (consolidated .zmetadata and the directory walk)."""
+    import json
+    import os
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    attrs = {"units": "K", "long_name": "air temperature", "scale": 1.5}
+    path = str(tmp_path / "attrs.zarr")
+    write_store(
+        path,
+        {
+            "t": (np.arange(4, dtype=np.int64), (4,)),
+            "x": (np.arange(3, dtype=np.int64), (3,)),
+            "v": (np.arange(12, dtype=np.float64).reshape(4, 3), (2, 3)),
+        },
+    )
+    with open(os.path.join(path, "v", ".zattrs"), "w") as f:
+        json.dump(attrs, f)
+    zm = os.path.join(path, ".zmetadata")
+    if os.path.exists(zm):
+        doc = json.load(open(zm))
+        doc["metadata"]["v/.zattrs"] = attrs
+        with open(zm, "w") as f:
+            json.dump(doc, f)
+
+    df = read_zarr(spark, path)
+    assert df.schema["v"].metadata == attrs
+    assert df.schema["t"].metadata == {}
+    assert df.count() == 12  # the scan itself is untouched
+
+    # directory-walk path: same answer without consolidated metadata
+    if os.path.exists(zm):
+        os.remove(zm)
+    df2 = read_zarr(spark, path)
+    assert df2.schema["v"].metadata == attrs

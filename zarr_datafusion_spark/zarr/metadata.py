@@ -156,6 +156,9 @@ class ZarrArrayMeta:
     codecs: tuple = ()  # v3 codec chain
     dimension_separator: str = "."  # v2 chunk key separator
     chunk_key_separator: str = "/"  # v3 chunk key separator
+    #: user attributes (.zattrs / v3 "attributes") — exposed as Spark
+    #: StructField metadata (reference roadmap README.md:319, unchecked)
+    attrs: dict = field(default_factory=dict)
 
     @property
     def is_coordinate(self) -> bool:
@@ -243,7 +246,7 @@ def detect_zarr_version(store_path: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _parse_v2_array(name: str, meta: dict) -> ZarrArrayMeta:
+def _parse_v2_array(name: str, meta: dict, attrs: dict | None = None) -> ZarrArrayMeta:
     dtype, order_char = parse_v2_dtype(meta["dtype"])
     return ZarrArrayMeta(
         name=name,
@@ -257,6 +260,7 @@ def _parse_v2_array(name: str, meta: dict) -> ZarrArrayMeta:
         compressor=meta.get("compressor"),
         filters=tuple(meta.get("filters") or ()),
         dimension_separator=meta.get("dimension_separator", "."),
+        attrs=dict(attrs or {}),
     )
 
 
@@ -280,6 +284,7 @@ def _parse_v3_array(name: str, meta: dict) -> ZarrArrayMeta:
         fill_value=meta.get("fill_value", 0),
         codecs=tuple(meta.get("codecs") or ()),
         chunk_key_separator=separator,
+        attrs=dict(meta.get("attributes") or {}),
     )
 
 
@@ -328,8 +333,11 @@ def _arrays_from_consolidated(fs, store_path: str) -> list[ZarrArrayMeta] | None
     arrays: list[ZarrArrayMeta] = []
     for key in sorted(entries):
         if key.endswith("/.zarray") and "/" not in key[: -len("/.zarray")]:
+            name = key[: -len("/.zarray")]
             arrays.append(
-                _parse_v2_array(key[: -len("/.zarray")], entries[key])
+                _parse_v2_array(
+                    name, entries[key], entries.get(f"{name}/.zattrs")
+                )
             )
     return arrays or None
 
@@ -386,8 +394,17 @@ def discover_arrays(store_path: str) -> ZarrStoreMeta:
             if version == 2:
                 zarray = os.path.join(sub, ".zarray")
                 if fs.exists(zarray):
+                    zattrs = os.path.join(sub, ".zattrs")
+                    attrs = None
+                    if fs.exists(zattrs):
+                        try:
+                            attrs = json.loads(fs.read_text(zattrs))
+                        except Exception:
+                            attrs = None  # malformed attrs never block a scan
                     arrays.append(
-                        _parse_v2_array(entry, json.loads(fs.read_text(zarray)))
+                        _parse_v2_array(
+                            entry, json.loads(fs.read_text(zarray)), attrs
+                        )
                     )
             else:
                 zjson = os.path.join(sub, "zarr.json")
@@ -456,12 +473,19 @@ def discover_arrays(store_path: str) -> ZarrStoreMeta:
 def infer_spark_schema(meta: ZarrStoreMeta) -> T.StructType:
     """Field order: coords (dimension order) then data vars
     (alphabetical); coords non-nullable, data vars nullable
-    (``schema_inference.rs:417-435``)."""
+    (``schema_inference.rs:417-435``).  Zarr user attributes (.zattrs /
+    v3 ``attributes`` — units, long_name, CF conventions) ride along as
+    StructField metadata (reference roadmap ``README.md:319``,
+    unchecked there): ``df.schema["temperature"].metadata["units"]``."""
     fields = [
-        T.StructField(c.name, spark_type_for(c.dtype), nullable=False)
+        T.StructField(
+            c.name, spark_type_for(c.dtype), nullable=False, metadata=c.attrs
+        )
         for c in meta.coords
     ] + [
-        T.StructField(v.name, spark_type_for(v.dtype), nullable=True)
+        T.StructField(
+            v.name, spark_type_for(v.dtype), nullable=True, metadata=v.attrs
+        )
         for v in meta.data_vars
     ]
     return T.StructType(fields)
