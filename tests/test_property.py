@@ -9,6 +9,8 @@ formats, through the real Spark scan.
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -635,3 +637,88 @@ def test_cdc_bounded_matches_bruteforce(spark, docs):
         lens = [ln for _, _, ln, _ in chunks]
         assert sum(lens) == by_doc_len[doc_id]
         assert all(ln <= MX for ln in lens)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level aggregate pushdown: property differential (round 10)
+# ---------------------------------------------------------------------------
+
+_AGG_COUNTER = itertools.count()
+
+
+@st.composite
+def _agg_cases(draw):
+    nt = draw(st.integers(min_value=3, max_value=10))
+    nx = draw(st.integers(min_value=2, max_value=5))
+    chunk = draw(st.integers(min_value=1, max_value=4))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    # interval: optional bounds with mixed strictness, spanning the
+    # coord domain generously (empty / full / partial windows all hit)
+    lo = draw(st.one_of(st.none(), st.integers(min_value=-2, max_value=nt + 1)))
+    hi = draw(st.one_of(st.none(), st.integers(min_value=-2, max_value=nt + 1)))
+    lo_op = draw(st.sampled_from([">", ">="]))
+    hi_op = draw(st.sampled_from(["<", "<="]))
+    grouped = draw(st.booleans())
+    return (nt, nx, chunk, seed, lo, lo_op, hi, hi_op, grouped)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_agg_cases())
+def test_agg_pushdown_matches_view_any_store(
+    spark, tmp_path_factory, case
+):
+    """For ARBITRARY small integer stores (any chunking, any values
+    incl. negatives) and ARBITRARY coordinate windows (empty, full,
+    strict/inclusive, chunk-aligned or not), the engine's aggregate
+    answer must equal the lazy view's full plan — whichever route
+    served it (scan-free assembly, boundary-slab combine, grouped
+    rollup, pruned-scan rewrite, or the plain view)."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    nt, nx, chunk, seed, lo, lo_op, hi, hi_op, grouped = case
+    rng = np.random.RandomState(seed)
+    data = rng.randint(-1_000_000, 1_000_000, (nt, nx)).astype(np.int64)
+
+    n = next(_AGG_COUNTER)
+    path = str(tmp_path_factory.mktemp("aggprop") / f"s{n}.zarr")
+    write_store(
+        path,
+        {
+            "t": (np.arange(nt, dtype=np.int64), (nt,)),
+            "x": (np.arange(nx, dtype=np.int64), (nx,)),
+            "v": (data, (chunk, nx)),
+        },
+    )
+    e = Engine(spark)
+    table = f"aggprop_{n}"
+    e.register_zarr(table, path, data_filter_pushdown=True)
+
+    conj = []
+    if lo is not None:
+        conj.append(f"t {lo_op} {lo}")
+    if hi is not None:
+        conj.append(f"t {hi_op} {hi}")
+    where = f" WHERE {' AND '.join(conj)}" if conj else ""
+    if grouped:
+        sql = (
+            f"SELECT t, SUM(v) AS s, COUNT(*) AS n, AVG(v) AS a, "
+            f"MIN(v) AS lo_v, MAX(v) AS hi_v FROM {table}{where} GROUP BY t"
+        )
+    else:
+        sql = (
+            f"SELECT SUM(v) AS s, COUNT(*) AS n, AVG(v) AS a, "
+            f"MIN(v) AS lo_v, MAX(v) AS hi_v FROM {table}{where}"
+        )
+    fast = e.sql(sql)
+    full = spark.sql(sql)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert [(f.name, f.dataType) for f in fast.schema.fields] == [
+        (f.name, f.dataType) for f in full.schema.fields
+    ]
