@@ -722,3 +722,118 @@ def test_agg_pushdown_matches_view_any_store(
     assert [(f.name, f.dataType) for f in fast.schema.fields] == [
         (f.name, f.dataType) for f in full.schema.fields
     ]
+
+
+@st.composite
+def _topk_cases(draw):
+    nt = draw(st.integers(min_value=3, max_value=12))
+    nx = draw(st.integers(min_value=2, max_value=4))
+    chunk = draw(st.integers(min_value=1, max_value=5))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    k = draw(st.integers(min_value=1, max_value=nt * nx + 5))
+    desc = draw(st.booleans())
+    return (nt, nx, chunk, seed, k, desc)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_topk_cases())
+def test_topk_pushdown_matches_view_any_store(spark, tmp_path_factory, case):
+    """Coordinate-leading top-k over arbitrary stores: any chunking,
+    any k (including k larger than the table), both directions — the
+    threshold-pruned scan must reproduce the view's rows in order
+    (ORDER BY is a total order here, so row-for-row)."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    nt, nx, chunk, seed, k, desc = case
+    rng = np.random.RandomState(seed)
+    data = rng.randint(-1000, 1000, (nt, nx)).astype(np.int64)
+
+    n = next(_AGG_COUNTER)
+    path = str(tmp_path_factory.mktemp("topkprop") / f"s{n}.zarr")
+    write_store(
+        path,
+        {
+            "t": (np.arange(nt, dtype=np.int64), (nt,)),
+            "x": (np.arange(nx, dtype=np.int64), (nx,)),
+            "v": (data, (chunk, nx)),
+        },
+    )
+    e = Engine(spark)
+    table = f"topkprop_{n}"
+    e.register_zarr(table, path, data_filter_pushdown=True)
+
+    d = "DESC" if desc else "ASC"
+    sql = (
+        f"SELECT t, x, v FROM {table} "
+        f"ORDER BY t {d}, x {d} LIMIT {k}"
+    )
+    fast = e.sql(sql)
+    full = spark.sql(sql)
+    assert [tuple(r) for r in fast.collect()] == [
+        tuple(r) for r in full.collect()
+    ]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    nt=st.integers(min_value=2, max_value=8),
+    chunk=st.integers(min_value=1, max_value=3),
+    gaps=st.sets(st.integers(min_value=0, max_value=7), max_size=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_fill_value_nulls_any_gap_set(
+    spark, tmp_path_factory, nt, chunk, gaps, seed
+):
+    """For ANY set of deleted chunk files, fill_value_nulls=True masks
+    exactly the deleted chunks' windows as NULL and every other value
+    matches the dense read."""
+    import os
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.writer import write_store
+    from pyspark.sql import functions as F
+
+    nx = 3
+    rng = np.random.RandomState(seed)
+    data = rng.randint(-100, 100, (nt, nx)).astype(np.int64)
+    n = next(_AGG_COUNTER)
+    path = str(tmp_path_factory.mktemp("gapprop") / f"s{n}.zarr")
+    write_store(
+        path,
+        {
+            "t": (np.arange(nt, dtype=np.int64), (nt,)),
+            "x": (np.arange(nx, dtype=np.int64), (nx,)),
+            "v": (data, (chunk, nx)),
+        },
+    )
+    n_chunks = (nt + chunk - 1) // chunk
+    gap_rows = {g for g in gaps if g < n_chunks}
+    for g in gap_rows:
+        os.remove(os.path.join(path, "v", f"{g}.0"))
+    expect_null_t = {
+        t for g in gap_rows for t in range(g * chunk, min((g + 1) * chunk, nt))
+    }
+
+    df = read_zarr(spark, path, fill_value_nulls=True)
+    got_null_t = {
+        r.t for r in df.filter(F.col("v").isNull()).select("t").distinct().collect()
+    }
+    assert got_null_t == expect_null_t
+    kept = {
+        (r.t, r.x): r.v
+        for r in df.filter(F.col("v").isNotNull()).collect()
+    }
+    for t in range(nt):
+        if t in expect_null_t:
+            continue
+        for x in range(nx):
+            assert kept[(t, x)] == data[t, x]
