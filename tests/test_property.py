@@ -653,9 +653,19 @@ def _agg_cases(draw):
     chunk = draw(st.integers(min_value=1, max_value=4))
     seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
     # interval: optional bounds with mixed strictness, spanning the
-    # coord domain generously (empty / full / partial windows all hit)
-    lo = draw(st.one_of(st.none(), st.integers(min_value=-2, max_value=nt + 1)))
-    hi = draw(st.one_of(st.none(), st.integers(min_value=-2, max_value=nt + 1)))
+    # coord domain generously (empty / full / partial windows all hit);
+    # half-integer literals exercise float-vs-int comparison semantics
+    def bound():
+        return st.one_of(
+            st.none(),
+            st.integers(min_value=-2, max_value=nt + 1),
+            st.integers(min_value=-4, max_value=2 * nt + 2).map(
+                lambda i: i / 2.0
+            ),
+        )
+
+    lo = draw(bound())
+    hi = draw(bound())
     lo_op = draw(st.sampled_from([">", ">="]))
     hi_op = draw(st.sampled_from(["<", "<="]))
     grouped = draw(st.booleans())
