@@ -50,44 +50,20 @@ WINDOW = 50
 #: carries human-readable reasons (and covers rounds predating the
 #: snapshot).  Reset the contents every round.
 RE_RECORD: dict[str, str] = {
-    # r10: reset at round start (VERDICT r9 item 1) — the r9 reasons all
-    # re-recorded green in CORRECTNESS_r09.json.  The reasons below
-    # mirror what the MECHANICAL fingerprint check flags this round
-    # (same membership; the dict carries the human why), and the
-    # remaining slots rotate the r6 green cohort stalest-first.
+    # r11: reset at round start — the r10 reasons all re-recorded green
+    # in CORRECTNESS_r10.json.  The reasons below mirror what the
+    # MECHANICAL fingerprint check flags this round (same membership;
+    # the dict carries the human why), and the remaining slots rotate
+    # the r6 green cohort stalest-first.
     #
-    # chunk-stats sidecar layout bumped to cstats4 (per-row integer
-    # sums + outer-coord bounds for aggregate pushdown) + store-scoped
-    # tmp-safe pruning (ADVICE r9) — in every zarr entry's call graph:
-    "zarr_scan_flatten": "r10: sidecar cstats4 + prune fix in source graph",
-    "zarr_filter_pushdown": "r10: sidecar cstats4 + prune fix in source graph",
-    "zarr_range_pushdown": "r10: sidecar cstats4 + prune fix in source graph",
-    "zarr_agg": "r10: sidecar cstats4 + prune fix in source graph",
-    "zarr_limit_pushdown": "r10: sidecar cstats4 + prune fix in source graph",
-    "zarr_coarsen": "r10: sidecar cstats4 + prune fix in source graph",
-    "zarr_stats_shortcut": "r10: sidecar cstats4 + prune fix in source graph",
-    "zarr_sink_roundtrip": "r10: sidecar cstats4 + prune fix in source graph",
-    "zarr_append_roundtrip": "r10: sidecar cstats4 + prune fix in source graph",
-    "zarr_stream_tail": "r10: sidecar cstats4 + prune fix in source graph",
-    "zarr_update_roundtrip": "r10: sidecar cstats4 + prune fix in source graph",
-    "zarr_data_filter_pushdown": "r10: cstats4 + lazy atomic oracle mirror",
-    "zarr_stream_agg": "r10: read_chunk gained the missing-flag variant",
-    # publish_dir_atomically gained lost-race recovery (ADVICE r9) —
-    # in every persisted-index entry's call graph:
-    "search_bm25_indexed": "r10: publish lost-race recovery",
-    "search_boolean_and": "r10: publish lost-race recovery",
-    "search_eval_metrics": "r10: publish lost-race recovery",
-    "search_phrase_indexed": "r10: publish lost-race recovery",
-    "search_prf_expansion": "r10: publish lost-race recovery",
-    "search_proximity": "r10: publish lost-race recovery",
-    "search_qlm_topk": "r10: publish lost-race recovery",
-    "search_rrf_hybrid": "r10: publish lost-race recovery",
-    "search_snippets": "r10: publish lost-race recovery",
-    "sim_ann_indexed": "r10: publish lost-race recovery",
-    "streaming_lsh_dedup": "r10: publish lost-race recovery",
-    # CDC shared-core fold (VERDICT r9 item 3): same values, shared code
-    "chunk_cdc": "r10: folded into shared _cdc_core",
-    "chunk_cdc_bounded": "r10: folded into shared _cdc_core",
+    # ADVICE r10 fixes in stats/agg_pushdown.py (min/max-only queries
+    # over overflow-withheld sums no longer fold None sums or compute
+    # an unasked boundary SUM; grouped-rollup AVG defers to the full
+    # plan past 2^63) — in the pushdown entries' call graphs:
+    "zarr_agg_pushdown": "r11: ADVICE fixes in agg_pushdown assembly",
+    "zarr_agg_rollup": "r11: ADVICE fixes in agg_pushdown rollup",
+    "zarr_topk_tail": "r11: agg_pushdown module in engine rewrite graph",
+    "zarr_stats_shortcut": "r11: agg_pushdown module in engine rewrite graph",
 }
 
 

@@ -190,6 +190,84 @@ def test_float_and_unsorted_and_overflow_bail(spark, tmp_path):
     assert e.last_shortcut_kind in (None, "pruned")
 
 
+def test_minmax_only_over_withheld_sums(spark, tmp_path):
+    """ADVICE r10 (medium): a MIN/MAX-only aggregate over a var whose
+    per-row sums were overflow-withheld must still be answered (the
+    per-row MIN/MAX stats are present and exact) — it used to raise
+    TypeError folding ``sum([None, ...])`` for the interior rows.  And
+    the boundary scan must not compute a SUM the query never asked for
+    (that sum can ANSI-overflow where the full MIN/MAX plan succeeds)."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    big = str(tmp_path / "big_mm.zarr")
+    write_store(
+        big,
+        {
+            "t": (np.arange(4, dtype=np.int64), (4,)),
+            "x": (np.arange(2, dtype=np.int64), (2,)),
+            # |bound| * cells >= 2^62: sidecar withholds per-row sums;
+            # 8 cells of ~2^61 also make any full-column SUM raise
+            # Spark's ANSI long overflow — MIN/MAX must not trip it
+            "v": (
+                np.full((4, 2), (1 << 61) + 7, dtype=np.int64),
+                (2, 2),
+            ),
+        },
+    )
+    e = Engine(spark)
+    e.register_zarr("big_mm", big, data_filter_pushdown=True)
+    sql = "SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM big_mm WHERE t >= 1"
+    df = e.sql(sql)  # regression: raised TypeError out of Engine.sql
+    row = df.collect()[0]
+    assert (row.lo, row.hi, row.n) == ((1 << 61) + 7, (1 << 61) + 7, 6)
+    assert df.collect() == spark.sql(sql).collect()
+    # whichever path served it, no SUM over v may appear in the plan
+    assert "sum(v" not in plan_text(df).lower()
+
+    # SUM over the same var must still bail to the full plan (which
+    # raises ANSI overflow) — the mixed-item guard is unchanged
+    e.sql("SELECT SUM(v) AS s, MIN(v) AS lo FROM big_mm WHERE t >= 1")
+    assert e.last_shortcut_kind in (None, "pruned")
+
+
+def test_rollup_avg_overflow_defers_to_full_plan(spark, tmp_path):
+    """ADVICE r10 (low): merging duplicate coordinate rows can push a
+    group's exact integer sum past 2^63 even though every per-row sum
+    was kept.  SUM already bails there; AVG must too — Spark's
+    AVG(bigint) accumulates in DOUBLE (it does NOT overflow), and at
+    that magnitude the full plan's rounding is the answer of record."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    store = str(tmp_path / "avg_ovf.zarr")
+    # outer_chunk == 1 (rollup shape); four duplicate t=7 rows, each
+    # per-row sum = 2 * 2^60 = 2^61 (< 2^62: kept); merged group sum
+    # = 2^63 (>= 2^63: must defer)
+    write_store(
+        store,
+        {
+            "t": (np.array([7, 7, 7, 7], dtype=np.int64), (1,)),
+            "x": (np.arange(2, dtype=np.int64), (2,)),
+            "v": (np.full((4, 2), 1 << 60, dtype=np.int64), (1, 2)),
+        },
+    )
+    e = Engine(spark)
+    e.register_zarr("avg_ovf", store, data_filter_pushdown=True)
+    df = e.sql("SELECT t, AVG(v) AS a FROM avg_ovf GROUP BY t")
+    assert not e.last_query_used_shortcut
+    # the full plan answers (double accumulation), and the values agree
+    assert df.collect() == spark.sql(
+        "SELECT t, AVG(v) AS a FROM avg_ovf GROUP BY t"
+    ).collect()
+    # MIN/MAX/COUNT over the same store still roll up scan-free
+    df = e.sql("SELECT t, MIN(v) AS lo, COUNT(*) AS n FROM avg_ovf GROUP BY t")
+    assert e.last_query_used_shortcut
+    assert df.collect() == spark.sql(
+        "SELECT t, MIN(v) AS lo, COUNT(*) AS n FROM avg_ovf GROUP BY t"
+    ).collect()
+
+
 def test_bail_shapes_fall_through(agg_engine, spark):
     """Shapes outside EVERY rewrite's contract must leave the full
     plan in charge (and the answers correct): ungrouped-unfiltered

@@ -219,8 +219,16 @@ def try_chunk_agg_pushdown(
 
     i_count = sum(row_cells(r) for r in interior)
     vars_needed = sorted({arg for fn, arg, _ in items if arg and arg != coord})
+    # per-row sums exist only where the sidecar kept them (None =
+    # overflow-withheld) — a MIN/MAX-only query over such a var must
+    # never fold them (ADVICE r10: sum([None, ...]) raised TypeError),
+    # and its boundary scan must not compute a SUM the full plan
+    # wouldn't (that sum could ANSI-overflow where MIN/MAX succeeds)
+    sum_vars = sorted(
+        {arg for fn, arg, _ in items if fn in ("sum", "avg") and arg}
+    )
     i_sum = {
-        v: sum(stats["vars"][v]["sum"][r] for r in interior) for v in vars_needed
+        v: sum(stats["vars"][v]["sum"][r] for r in interior) for v in sum_vars
     }
     i_min = {
         v: min((stats["vars"][v]["min"][r] for r in interior), default=None)
@@ -230,8 +238,8 @@ def try_chunk_agg_pushdown(
         v: max((stats["vars"][v]["max"][r] for r in interior), default=None)
         for v in vars_needed
     }
-    for v in vars_needed:
-        if abs(i_sum.get(v, 0)) >= (1 << 63):
+    for v in sum_vars:
+        if abs(i_sum[v]) >= (1 << 63):
             return None  # the full plan raises ANSI overflow; we must too
 
     # ---- boundary slab scans (only those slabs) -----------------------
@@ -246,8 +254,9 @@ def try_chunk_agg_pushdown(
 
     aggs = [F.count(F.lit(1)).alias("_bn")]
     for v in vars_needed:
+        if v in sum_vars:
+            aggs.append(F.sum(v).alias(f"_bsum_{v}"))
         aggs += [
-            F.sum(v).alias(f"_bsum_{v}"),
             F.min(v).alias(f"_bmin_{v}"),
             F.max(v).alias(f"_bmax_{v}"),
         ]
@@ -273,10 +282,14 @@ def try_chunk_agg_pushdown(
                 e
                 for v in vars_needed
                 for e in (
-                    F.lit(None).cast("bigint").alias(f"_bsum_{v}"),
+                    [F.lit(None).cast("bigint").alias(f"_bsum_{v}")]
+                    if v in sum_vars
+                    else []
+                )
+                + [
                     F.lit(None).cast("bigint").alias(f"_bmin_{v}"),
                     F.lit(None).cast("bigint").alias(f"_bmax_{v}"),
-                )
+                ]
             ],
         )
 
@@ -287,8 +300,9 @@ def try_chunk_agg_pushdown(
         if fn == "count":
             out.append(total.alias(name))
             continue
-        bsum = F.coalesce(F.col(f"_bsum_{arg}"), F.lit(0)).cast("bigint")
-        s = (F.lit(i_sum[arg]).cast("bigint") + bsum).cast("bigint")
+        if fn in ("sum", "avg"):
+            bsum = F.coalesce(F.col(f"_bsum_{arg}"), F.lit(0)).cast("bigint")
+            s = (F.lit(i_sum[arg]).cast("bigint") + bsum).cast("bigint")
         if fn == "sum":
             out.append(F.when(total > 0, s).alias(name))
         elif fn == "avg":
@@ -423,7 +437,18 @@ def _grouped_rollup(
                     return None  # full plan raises ANSI overflow
                 out.append(s)
             elif fn == "avg":
-                out.append(float(a[arg][0]) / a["cells"])
+                s = a[arg][0]
+                if abs(s) >= (1 << 63):
+                    # duplicate-coord merges can push the exact Python
+                    # sum past int64 even when every per-row sum was
+                    # kept (ADVICE r10 low).  Spark's AVG(bigint) sums
+                    # in DOUBLE (verified: no ANSI overflow, unlike
+                    # SUM), so at this magnitude the full plan's
+                    # order-dependent double accumulation is the
+                    # answer of record — the exact integer fold defers
+                    # rather than risk a divergent rounding
+                    return None
+                out.append(float(s) / a["cells"])
             elif fn == "min":
                 out.append(a[arg][1])
             else:
