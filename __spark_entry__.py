@@ -64,6 +64,22 @@ RE_RECORD: dict[str, str] = {
     "zarr_agg_rollup": "r11: ADVICE fixes in agg_pushdown rollup",
     "zarr_topk_tail": "r11: agg_pushdown module in engine rewrite graph",
     "zarr_stats_shortcut": "r11: agg_pushdown module in engine rewrite graph",
+    # store_fs gained the reference:// (kerchunk) dispatch — in every
+    # zarr entry's call graph (values unchanged; the adapter is a new
+    # branch), so the whole family re-records:
+    "zarr_scan_flatten": "r11: reference:// dispatch in store_fs graph",
+    "zarr_filter_pushdown": "r11: reference:// dispatch in store_fs graph",
+    "zarr_range_pushdown": "r11: reference:// dispatch in store_fs graph",
+    "zarr_agg": "r11: reference:// dispatch in store_fs graph",
+    "zarr_limit_pushdown": "r11: reference:// dispatch in store_fs graph",
+    "zarr_coarsen": "r11: reference:// dispatch in store_fs graph",
+    "zarr_sink_roundtrip": "r11: reference:// guard + store_fs graph",
+    "zarr_append_roundtrip": "r11: reference:// guard + store_fs graph",
+    "zarr_update_roundtrip": "r11: reference:// guard + store_fs graph",
+    "zarr_stream_tail": "r11: reference:// dispatch in store_fs graph",
+    "zarr_stream_agg": "r11: reference:// dispatch in store_fs graph",
+    "zarr_data_filter_pushdown": "r11: reference:// dispatch in store_fs graph",
+    "zarr_gap_nulls": "r11: reference:// dispatch in store_fs graph",
 }
 
 

@@ -36,6 +36,16 @@ from zarr_datafusion_spark.zarr.writer import (
 )
 
 
+def _reject_readonly_store(store_path: str, op: str) -> None:
+    """Virtual (kerchunk) stores describe byte ranges of OTHER files —
+    there is nothing writable behind them."""
+    if store_path.startswith("reference://"):
+        raise ValueError(
+            f"cannot {op} a reference:// (kerchunk) store: virtual "
+            "stores are read-only"
+        )
+
+
 def write_zarr(
     df: DataFrame,
     store_path: str,
@@ -88,6 +98,7 @@ def write_zarr(
     data-sized, not a dense-grid axis.  Data cells never pass through
     the driver at any size.
     """
+    _reject_readonly_store(store_path, "write")
     if len(coords) < 2:
         raise ValueError("need >= 2 coordinate columns (data vars must be nD)")
     spark = df.sparkSession
@@ -567,6 +578,7 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
     100 TB posture: appends touch only the new slabs + O(metadata);
     the driver handles only coordinate values (axis-bounded).
     """
+    _reject_readonly_store(store_path, "append")
     from zarr_datafusion_spark.zarr.metadata import discover_arrays
 
     meta = discover_arrays(store_path)
@@ -759,6 +771,7 @@ def update_zarr_region(df: DataFrame, store_path: str) -> dict[str, int]:
 
     Returns ``{"updated_slabs", "outer_size", "bytes_written"}``.
     """
+    _reject_readonly_store(store_path, "update")
     import json  # noqa: F401 — parity with append_zarr's tail imports
 
     from zarr_datafusion_spark.zarr.metadata import discover_arrays

@@ -67,6 +67,13 @@ class StorageLocation:
     def parse(cls, location: str) -> "StorageLocation":
         if location.startswith("file://"):
             return cls("file", "", location[len("file://") :])
+        if location.startswith("reference://"):
+            # kerchunk virtual store: the "path" is the refs JSON
+            # document (itself a local path or URL), kept verbatim
+            rest = location[len("reference://") :]
+            if not rest:
+                raise ValueError(f"missing refs path in {location!r}")
+            return cls("reference", "", rest)
         for scheme in ("s3", "gs", "http", "https"):
             prefix = f"{scheme}://"
             if location.startswith(prefix):
@@ -86,6 +93,8 @@ class StorageLocation:
     def url(self) -> str:
         if self.scheme == "file":
             return self.path
+        if self.scheme == "reference":
+            return f"reference://{self.path}"
         return f"{self.scheme}://{self.bucket}/{self.path}"
 
 
@@ -791,6 +800,11 @@ def store_fs(store_path: str):
     semantics, the reference's no-credential modes) when the packages
     are absent."""
     loc = StorageLocation.parse(store_path)
+    if loc.scheme == "reference":
+        from zarr_datafusion_spark.zarr.kerchunk import ReferenceStoreFS
+
+        fs = ReferenceStoreFS(loc.path)
+        return fs, fs.root
     if loc.scheme in ("http", "https"):
         return HttpStoreFS(), loc.url()
     if loc.scheme == "s3":
