@@ -46,6 +46,96 @@ def reset_io_counters() -> None:
     _IO.reset()
 
 
+class _ChunkCache:
+    """Process-wide LRU over DECODED chunks (reference roadmap
+    ``README.md:327`` — "LRU cache for frequently accessed chunks", an
+    unchecked row; the zarr-python analog is ``LRUStoreCache``).
+
+    Scale posture: one bounded cache per EXECUTOR PYTHON WORKER (Spark
+    reuses workers across tasks, so a hot store's chunks survive task
+    boundaries); byte-budgeted, never row-count-budgeted.  Local chunk
+    keys carry ``(st_size, st_mtime_ns)`` so in-place updates and
+    appends can never serve stale data; remote chunks have no cheap
+    stat, so they key by path alone — enabling the cache on a remote
+    scan is an explicit opt-in to object-immutability (the standard
+    object-store posture; a rewritten object under the same key is
+    outside the contract).  Cached arrays are marked read-only — every
+    consumer copies via slice-assign anyway.
+
+    Cache hits do NOT count toward ``disk_bytes``/``n_chunks`` (those
+    are honest physical-read counters); hit/miss/eviction totals live
+    here, surfaced by :func:`chunk_cache_stats`.
+    """
+
+    def __init__(self) -> None:
+        from collections import OrderedDict
+
+        self._lock = threading.Lock()
+        self._data: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._bytes = 0
+        self.capacity = 0  # bytes; 0 = disabled
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    def configure(self, mb: int) -> None:
+        """Raise the process budget to at least ``mb`` MiB (scans with
+        different budgets share the one cache; the largest wins)."""
+        with self._lock:
+            self.capacity = max(self.capacity, int(mb) * (1 << 20))
+
+    def get(self, key: tuple):
+        with self._lock:
+            hit = self._data.get(key)
+            if hit is None:
+                self.misses += 1
+                return None
+            self._data.move_to_end(key)
+            self.hits += 1
+            return hit[0]
+
+    def put(self, key: tuple, arr) -> None:
+        nbytes = int(arr.nbytes)
+        with self._lock:
+            if nbytes > self.capacity or key in self._data:
+                return
+            self._data[key] = (arr, nbytes)
+            self._bytes += nbytes
+            while self._bytes > self.capacity and self._data:
+                _, (_, evicted) = self._data.popitem(last=False)
+                self._bytes -= evicted
+                self.evictions += 1
+
+    def stats(self) -> dict[str, int]:
+        with self._lock:
+            return {
+                "entries": len(self._data),
+                "bytes": self._bytes,
+                "capacity": self.capacity,
+                "hits": self.hits,
+                "misses": self.misses,
+                "evictions": self.evictions,
+            }
+
+    def clear(self) -> None:
+        with self._lock:
+            self._data.clear()
+            self._bytes = 0
+            self.capacity = 0
+            self.hits = self.misses = self.evictions = 0
+
+
+_CHUNK_CACHE = _ChunkCache()
+
+
+def chunk_cache_stats() -> dict[str, int]:
+    return _CHUNK_CACHE.stats()
+
+
+def clear_chunk_cache() -> None:
+    _CHUNK_CACHE.clear()
+
+
 def io_counters() -> dict[str, int]:
     """Snapshot of this thread's counters since the last reset."""
     return {
@@ -270,18 +360,61 @@ def read_chunk(store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]) -> np
 
 
 def read_chunk_ex(
-    store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]
+    store_path: str,
+    meta: ZarrArrayMeta,
+    idx: tuple[int, ...],
+    cache_mb: int = 0,
 ) -> tuple[np.ndarray, bool]:
     """:func:`read_chunk` plus a ``missing`` flag: True when the chunk
     FILE was absent and the array is spec-mandated fill_value — the raw
     material for the optional fill-as-null surface (reference roadmap
     ``README.md:318``).  A present-but-sharded file with missing INNER
     chunks reports False: its gaps are sub-file and stay fill_value
-    (documented limitation of the null mask)."""
+    (documented limitation of the null mask).
+
+    ``cache_mb > 0`` consults/feeds the process LRU over decoded
+    chunks (:class:`_ChunkCache`); missing chunks are never cached
+    (``np.full`` is cheaper than a lookup, and an appended store must
+    see a late-arriving chunk file immediately)."""
+    cache_key = None
+    if cache_mb > 0:
+        _CHUNK_CACHE.configure(cache_mb)
+        if "://" in store_path:
+            # remote: no cheap stat — path-keyed, documented opt-in to
+            # object immutability
+            cache_key = (store_path, meta.name, idx)
+        else:
+            try:
+                st = os.stat(_chunk_path(store_path, meta, idx))
+                cache_key = (
+                    store_path, meta.name, idx, st.st_size, st.st_mtime_ns,
+                )
+            except OSError:
+                cache_key = None  # absent: fall through to the fill path
+        if cache_key is not None:
+            hit = _CHUNK_CACHE.get(cache_key)
+            if hit is not None:
+                return hit, False
+    arr, missing = _read_chunk_ex_uncached(store_path, meta, idx)
+    if cache_key is not None and not missing:
+        arr.setflags(write=False)
+        _CHUNK_CACHE.put(cache_key, arr)
+    return arr, missing
+
+
+def _read_chunk_ex_uncached(
+    store_path: str, meta: ZarrArrayMeta, idx: tuple[int, ...]
+) -> tuple[np.ndarray, bool]:
     fs = _store_fs(store_path)
     dtype = numpy_dtype_for(meta.dtype, meta.byte_order)
     path = _chunk_path(store_path, meta, idx)
-    if not fs.exists(path):
+    # ONE round trip per chunk: read directly and map the adapter's
+    # DEFINITIVE not-found to the fill path (try_read_bytes keeps the
+    # strict ADVICE r7 contract — any non-404 failure raises, never
+    # degrades to fabricated fill values).  The old exists-then-read
+    # pair cost remote scans a HEAD per chunk.
+    raw = fs.try_read_bytes(path)
+    if raw is None:
         fill = meta.fill_value if meta.fill_value is not None else 0
         if dtype.kind == "S":
             # zarr v2 spec: fill_value for fixed-length byte strings is
@@ -299,7 +432,6 @@ def read_chunk_ex(
         elif dtype.kind == "U" and not isinstance(fill, str):
             fill = ""
         return np.full(meta.chunks, fill, dtype=dtype), True
-    raw = fs.read_bytes(path)
     _IO.disk_bytes += len(raw)
     _IO.n_chunks += 1
     transpose_order = None
@@ -352,12 +484,53 @@ def read_chunk_ex(
     return arr.reshape(meta.chunks, order=meta.order), False
 
 
+def _gather_chunks(
+    store_path: str,
+    meta: ZarrArrayMeta,
+    idxs: list[tuple[int, ...]],
+    cache_mb: int = 0,
+    prefetch: int = 0,
+):
+    """(chunk, missing) per index, in order.  ``prefetch > 1`` fetches
+    + decodes chunks on a bounded thread pool (reference roadmap
+    ``README.md:326`` — "Async chunk prefetching"): remote chunks are
+    latency-bound, so overlapping ranged GETs inside ONE task is pure
+    win, while the cross-chunk parallelism a cluster needs stays where
+    it belongs — in Spark's partitioning, one slab-range per task.
+    The I/O counters are thread-local; each pool task measures its own
+    deltas and the caller's thread absorbs them, so stats stay exact
+    under concurrency."""
+    if prefetch <= 1 or len(idxs) <= 1:
+        return [read_chunk_ex(store_path, meta, i, cache_mb) for i in idxs]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def task(idx):
+        _IO.reset()  # pool-thread-local; each task measures itself
+        res = read_chunk_ex(store_path, meta, idx, cache_mb)
+        return res, io_counters()
+
+    with ThreadPoolExecutor(max_workers=min(prefetch, len(idxs))) as pool:
+        results = list(pool.map(task, idxs))
+    for _res, c in results:
+        _IO.disk_bytes += c["disk_bytes"]
+        _IO.decoded_bytes += c["decoded_bytes"]
+        _IO.n_chunks += c["n_chunks"]
+    return [res for res, _c in results]
+
+
 def read_window(
-    store_path: str, meta: ZarrArrayMeta, window: tuple[tuple[int, int], ...]
+    store_path: str,
+    meta: ZarrArrayMeta,
+    window: tuple[tuple[int, int], ...],
+    cache_mb: int = 0,
+    prefetch: int = 0,
 ) -> np.ndarray:
     """Read the half-open rectangular ``window`` ((start, stop) per dim),
     visiting only intersecting chunks (the I/O-reduction core of
-    pushdown, ``zarr_reader.rs:243-317``)."""
+    pushdown, ``zarr_reader.rs:243-317``).  ``cache_mb``/``prefetch``
+    enable the decoded-chunk LRU and intra-window concurrent fetch
+    (reference roadmap ``README.md:326-327``)."""
     if len(window) != len(meta.shape):
         raise ValueError(f"window rank {len(window)} != array rank {len(meta.shape)}")
     out_shape = tuple(hi - lo for lo, hi in window)
@@ -373,8 +546,9 @@ def read_window(
 
     import itertools
 
-    for idx in itertools.product(*chunk_ranges):
-        chunk = read_chunk(store_path, meta, idx)
+    idxs = list(itertools.product(*chunk_ranges))
+    chunks = _gather_chunks(store_path, meta, idxs, cache_mb, prefetch)
+    for idx, (chunk, _missing) in zip(idxs, chunks):
         src_sel, dst_sel = [], []
         for d, ci in enumerate(idx):
             cs = meta.chunks[d]
@@ -388,7 +562,11 @@ def read_window(
 
 
 def read_window_masked(
-    store_path: str, meta: ZarrArrayMeta, window: tuple[tuple[int, int], ...]
+    store_path: str,
+    meta: ZarrArrayMeta,
+    window: tuple[tuple[int, int], ...],
+    cache_mb: int = 0,
+    prefetch: int = 0,
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """:func:`read_window` plus a boolean MISSING mask (True = the cell
     came from an absent chunk file and holds spec-mandated fill_value)
@@ -397,7 +575,6 @@ def read_window_masked(
     when every visited chunk was present, so the common no-gap case
     allocates nothing extra.  Sharded stores mask only wholly-missing
     SHARD files; sub-file inner gaps stay fill_value (documented)."""
-    from zarr_datafusion_spark.zarr.chunkio import read_chunk_ex
 
     if len(window) != len(meta.shape):
         raise ValueError(f"window rank {len(window)} != array rank {len(meta.shape)}")
@@ -415,8 +592,9 @@ def read_window_masked(
 
     import itertools
 
-    for idx in itertools.product(*chunk_ranges):
-        chunk, missing = read_chunk_ex(store_path, meta, idx)
+    idxs = list(itertools.product(*chunk_ranges))
+    chunks = _gather_chunks(store_path, meta, idxs, cache_mb, prefetch)
+    for idx, (chunk, missing) in zip(idxs, chunks):
         src_sel, dst_sel = [], []
         for d, ci in enumerate(idx):
             cs = meta.chunks[d]

@@ -187,6 +187,17 @@ class ZarrDataSourceReader(DataSourceReader):
         #: relations (read_zarr per query) opt in for the A5 I/O
         #: reduction.
         self.eager_pushdown = options.get("filter_pushdown", "safe") == "eager"
+        #: decoded-chunk LRU budget per executor python worker, MiB
+        #: (reference roadmap ``README.md:327``; 0 = off).  Off by
+        #: default: the honest disk_bytes/n_chunks accounting and the
+        #: read-your-writes tests stay exact; repeated-scan workloads
+        #: opt in per read.
+        self.chunk_cache_mb = int(options.get("chunk_cache_mb", 0))
+        #: intra-task concurrent chunk fetch width (reference roadmap
+        #: ``README.md:326``; 0/1 = sequential).  Pays on remote stores
+        #: (latency-bound ranged GETs); cross-chunk parallelism at
+        #: cluster scale stays in Spark's partitioning.
+        self.prefetch = int(options.get("prefetch", 0))
 
     # -- filter pushdown ----------------------------------------------------
 
@@ -756,14 +767,18 @@ class ZarrDataSourceReader(DataSourceReader):
                         )
 
                         col, miss = read_window_masked(
-                            self.store_path, var, window
+                            self.store_path, var, window,
+                            cache_mb=self.chunk_cache_mb,
+                            prefetch=self.prefetch,
                         )
                         col = col.reshape(-1)
                         if miss is not None:
                             null_mask = miss.reshape(-1)[:batch_rows]
                     else:
                         col = read_window(
-                            self.store_path, var, window
+                            self.store_path, var, window,
+                            cache_mb=self.chunk_cache_mb,
+                            prefetch=self.prefetch,
                         ).reshape(-1)
                 col = col[:batch_rows]
                 target = _ARROW_TYPES.get(meta.array(name).dtype, pa.string())
@@ -970,6 +985,8 @@ def read_zarr(
     eager_pushdown: bool = False,
     data_filter_pushdown: bool = False,
     fill_value_nulls: bool = False,
+    chunk_cache_mb: int = 0,
+    prefetch: int = 0,
 ) -> DataFrame:
     """Flattened DataFrame over a Zarr store (engine API analog of the
     reference's ``register_table`` example path, EP2).
@@ -1007,6 +1024,19 @@ def read_zarr(
     wholly-missing shard files only.  ``register_zarr`` never enables
     this: the engine's COUNT(col) shortcut assumes exact zero null
     counts, so nullable semantics stay a per-query read opt-in.
+
+    ``chunk_cache_mb``: byte-budgeted LRU over decoded chunks, one per
+    executor python worker (reference roadmap ``README.md:327``).
+    Local chunk keys carry size+mtime_ns (updates/appends never serve
+    stale); enabling it on a REMOTE store opts into object
+    immutability (no cheap stat).  Off by default so physical-I/O
+    accounting stays exact.
+
+    ``prefetch``: fetch+decode up to this many chunks concurrently
+    WITHIN each task's window assembly (reference roadmap
+    ``README.md:326``) — pays on latency-bound remote stores; local
+    scans usually prefer the default sequential reads (the chunks of
+    one window are adjacent on disk).
     """
     register_zarr_source(spark)
     reader = spark.read.format("zarr")
@@ -1029,6 +1059,10 @@ def read_zarr(
             reader = reader.option("data_stats_path", sidecar)
     if fill_value_nulls:
         reader = reader.option("fill_value_nulls", "true")
+    if chunk_cache_mb:
+        reader = reader.option("chunk_cache_mb", str(int(chunk_cache_mb)))
+    if prefetch:
+        reader = reader.option("prefetch", str(int(prefetch)))
     if columns:
         reader = reader.option("columns", ",".join(columns))
     if limit is not None:

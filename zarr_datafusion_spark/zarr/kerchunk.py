@@ -219,6 +219,14 @@ class ReferenceStoreFS:
     def read_text(self, p: str) -> str:
         return self.read_bytes(p).decode("utf-8")
 
+    def try_read_bytes(self, p: str) -> bytes | None:
+        """None only when the key is absent from the refs (definitive);
+        a present ref whose TARGET read fails raises — a broken payload
+        pointer must never degrade to fill values."""
+        if self._key(p) not in self.refs:
+            return None
+        return self.read_bytes(p)
+
     def read_bytes(self, p: str) -> bytes:
         key = self._key(p)
         try:

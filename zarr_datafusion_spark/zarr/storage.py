@@ -125,6 +125,18 @@ class LocalStoreFS:
         with open(p, "rb") as f:
             return f.read()
 
+    def try_read_bytes(self, p: str) -> bytes | None:
+        """One-round-trip read: None ONLY on definitive absence (the
+        chunk-is-fill case); every other failure raises (the strict
+        ADVICE r7 contract, same as the exists probes)."""
+        try:
+            with open(p, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+        except NotADirectoryError:
+            return None  # a path component is a file: definitively absent
+
 
 class FsspecStoreFS:
     """Filesystem adapter over an fsspec filesystem (S3/GCS) — each
@@ -152,6 +164,15 @@ class FsspecStoreFS:
 
     def read_bytes(self, p: str) -> bytes:
         return self.fs.cat(p)
+
+    def try_read_bytes(self, p: str) -> bytes | None:
+        """Single-request read; None only on the filesystem's own
+        definitive not-found (fsspec maps object-store 404/NoSuchKey to
+        FileNotFoundError; throttling/auth/timeouts re-raise)."""
+        try:
+            return self.fs.cat(p)
+        except FileNotFoundError:
+            return None
 
 
 class HttpStoreFS:
@@ -221,6 +242,20 @@ class HttpStoreFS:
     def read_bytes(self, p: str) -> bytes:
         with self._get(p) as resp:
             return resp.read()
+
+    def try_read_bytes(self, p: str) -> bytes | None:
+        """ONE GET per chunk instead of HEAD-then-GET (halves the
+        round trips of a remote scan); None only on a definitive 404
+        — any other failure re-raises (strict ADVICE r7 contract)."""
+        import urllib.error
+
+        try:
+            with self._get(p) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
 
     def read_text(self, p: str) -> str:
         return self.read_bytes(p).decode()
@@ -489,6 +524,19 @@ class S3HttpStoreFS:
     def read_bytes(self, p: str) -> bytes:
         with self._open(self._obj_url(p)) as resp:
             return resp.read()
+
+    def try_read_bytes(self, p: str) -> bytes | None:
+        """One signed GET per chunk (no HEAD pre-probe); None only on
+        the object store's definitive 404, everything else raises."""
+        import urllib.error
+
+        try:
+            with self._open(self._obj_url(p)) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
 
     def read_text(self, p: str) -> str:
         return self.read_bytes(p).decode()
@@ -787,6 +835,19 @@ class GcsHttpStoreFS:
     def read_bytes(self, p: str) -> bytes:
         with self._open(self._obj_url(p)) as resp:
             return resp.read()
+
+    def try_read_bytes(self, p: str) -> bytes | None:
+        """One signed GET per chunk (no HEAD pre-probe); None only on
+        the object store's definitive 404, everything else raises."""
+        import urllib.error
+
+        try:
+            with self._open(self._obj_url(p)) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
 
     def read_text(self, p: str) -> str:
         return self.read_bytes(p).decode()
