@@ -253,3 +253,33 @@ def test_repl_pager_used_for_large_tty_results(monkeypatch, capsys, engine):
     assert paged["text"].count("\n") >= 50  # full result, no truncation
     assert "more rows)" not in paged["text"]
     assert "50 rows ·" in out
+
+
+def test_repl_format_parquet(monkeypatch, capsys, engine, tmp_path):
+    """The 4th roadmap output format (README.md:305): \\format parquet
+    <path> writes each result as a parquet dataset via the EXECUTORS
+    (no driver collect) and reports the row count; bad usage keeps the
+    session alive."""
+    out_path = str(tmp_path / "res.parquet")
+    out = _run_repl(
+        monkeypatch,
+        capsys,
+        engine,
+        [
+            "\\format parquet",  # missing path: usage
+            f"\\format parquet {out_path}",
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag;",
+            "\\format table",
+            "\\q",
+        ],
+    )
+    assert "usage: \\format" in out
+    assert f"format: parquet -> {out_path}" in out
+    assert f"rows written to {out_path}" in out
+    assert "format: table" in out
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out_path}/*.parquet')"
+    ).fetchone()[0]
+    assert n == 3

@@ -174,7 +174,7 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
                 "  quit / exit / \\q     exit the CLI\n"
                 "  show tables / \\d     list all registered tables\n"
                 "  .schema <table>      quick schema view\n"
-                "  \\format [table|csv|json]   result output format\n"
+                "  \\format [table|csv|json|parquet <path>]   result output format\n"
                 "  DESCRIBE <table>     show a table's schema\n"
                 "  EXPLAIN [ANALYZE|VERBOSE] <query>\n"
                 "  CREATE EXTERNAL TABLE t STORED AS ZARR LOCATION '<path>'\n"
@@ -204,12 +204,19 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
             # bare \format prints the current mode
             parts = stripped.split()
             if len(parts) == 1:
-                print(f"format: {fmt}")
+                print(f"format: {fmt if isinstance(fmt, str) else 'parquet ' + fmt[1]}")
             elif parts[1].lower() in ("table", "csv", "json"):
                 fmt = parts[1].lower()
                 print(f"format: {fmt}")
+            elif parts[1].lower() == "parquet" and len(parts) == 3:
+                # the 4th roadmap output format: results land as a
+                # parquet dataset at the given path (written by the
+                # EXECUTORS — the one mode where a result larger than
+                # the driver stays distributed end-to-end)
+                fmt = ("parquet", parts[2])
+                print(f"format: parquet -> {parts[2]}")
             else:
-                print("usage: \\format [table|csv|json]")
+                print("usage: \\format [table|csv|json|parquet <path>]")
             continue
         if not line.strip():
             continue
@@ -242,6 +249,16 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
                 print(f"OK ({time.perf_counter() - t0:.3f}s)")
                 continue
             df = engine.sql(sql)
+            if isinstance(fmt, tuple):  # parquet sink mode: no collect
+                path = fmt[1]
+                with _live_status(engine.spark):
+                    df.write.mode("overwrite").parquet(path)
+                n = engine.spark.read.parquet(path).count()
+                print(
+                    f"{n} rows written to {path} "
+                    f"({time.perf_counter() - t0:.3f}s)"
+                )
+                continue
             with _live_status(engine.spark):
                 rows = df.collect()
             secs = time.perf_counter() - t0

@@ -70,7 +70,12 @@ class Engine:
         return list(dfs)
 
     def register_zarr(
-        self, name: str, store_path: str, data_filter_pushdown: bool = False
+        self,
+        name: str,
+        store_path: str,
+        data_filter_pushdown: bool = False,
+        chunk_cache_mb: int = 0,
+        prefetch: int = 0,
     ) -> DataFrame:
         """Register a Zarr store as a queryable table (reference
         ``CREATE EXTERNAL TABLE ... STORED AS ZARR``, ``src/datasource/factory.rs:19-65``).
@@ -90,11 +95,24 @@ class Engine:
         (ADVICE r9, medium).  Per-query eager + chunk-level data
         pruning remains available via :func:`read_zarr` with
         ``eager_pushdown=True, data_filter_pushdown=True`` on a fresh
-        relation per query."""
+        relation per query.
+
+        ``chunk_cache_mb``/``prefetch`` apply the decoded-chunk LRU and
+        intra-task concurrent fetch (reference roadmap
+        ``README.md:326-327``) to every query through the view — both
+        are plan-cache-safe (data-level, staleness-keyed), unlike eager
+        narrowing.  The per-statement pruned REWRITES read through
+        default options (they touch boundary-sized windows where
+        caching matters least)."""
         from zarr_datafusion_spark.stats.zarr_stats import zarr_table_stats
         from zarr_datafusion_spark.zarr import read_zarr
 
-        df = read_zarr(self.spark, store_path)
+        df = read_zarr(
+            self.spark,
+            store_path,
+            chunk_cache_mb=chunk_cache_mb,
+            prefetch=prefetch,
+        )
         df.createOrReplaceTempView(name)
         try:
             self._stats[name] = zarr_table_stats(store_path)
@@ -135,9 +153,12 @@ class Engine:
     #: migrating from the reference can paste their statements
     #: unchanged; rewritten onto :meth:`register_zarr`.
     #: optional trailing OPTIONS clause uses DataFusion's own spelling
-    #: (``OPTIONS ('key' 'value', ...)``); recognized key:
+    #: (``OPTIONS ('key' 'value', ...)``); recognized keys:
     #: ``'chunk_stats' 'true'`` — build the chunk-statistics sidecar at
-    #: registration so aggregate/top-k pushdown serve this table.
+    #: registration so aggregate/top-k pushdown serve this table;
+    #: ``'chunk_cache_mb' 'N'`` / ``'prefetch' 'N'`` — decoded-chunk
+    #: LRU budget and intra-task concurrent fetch width for queries
+    #: through the view (roadmap ``README.md:326-327``).
     _ZARR_DDL = re.compile(
         r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s+STORED\s+AS\s+ZARR\s+"
         r"LOCATION\s+'([^']+)'\s*(?:OPTIONS\s*\(([^)]*)\))?\s*;?\s*$",
@@ -216,7 +237,18 @@ class Engine:
             chunk_stats = bool(
                 re.search(r"'chunk_stats'\s+'true'", opts, re.IGNORECASE)
             )
-            self.register_zarr(name, location, data_filter_pushdown=chunk_stats)
+
+            def int_opt(key: str) -> int:
+                om = re.search(rf"'{key}'\s+'(\d+)'", opts, re.IGNORECASE)
+                return int(om.group(1)) if om else 0
+
+            self.register_zarr(
+                name,
+                location,
+                data_filter_pushdown=chunk_stats,
+                chunk_cache_mb=int_opt("chunk_cache_mb"),
+                prefetch=int_opt("prefetch"),
+            )
             # empty result carrying the new table's schema (DataFusion's
             # CREATE EXTERNAL TABLE likewise returns no rows)
             return self.spark.sql(f"SELECT * FROM {name} WHERE 1=0")
