@@ -394,6 +394,13 @@ def main(argv: list[str] | None = None) -> None:
         metavar="NAME=PATH",
         help="register a Zarr store as a table (repeatable)",
     )
+    parser.add_argument(
+        "--flight",
+        metavar="LOCATION",
+        default=None,
+        help="also serve the engine over Arrow Flight "
+        "(e.g. grpc://127.0.0.1:8815; reference roadmap README.md:334)",
+    )
     args = parser.parse_args(argv)
 
     from zarr_datafusion_spark.engine import Engine
@@ -409,6 +416,12 @@ def main(argv: list[str] | None = None) -> None:
             sys.exit(2)
         engine.register_zarr(name, path)
         zarr_tables[name] = path
+
+    if args.flight:
+        from zarr_datafusion_spark.flight import start_server
+
+        server, _t = start_server(engine, args.flight)
+        print(f"Arrow Flight serving at {server.location}")
 
     print(f"zarr_datafusion_spark shell — {len(tables)} parquet tables"
           + (f", {len(zarr_tables)} zarr tables" if zarr_tables else "")
