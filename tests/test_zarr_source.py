@@ -2965,3 +2965,147 @@ def test_zarr_attributes_in_schema_metadata(spark, tmp_path):
         os.remove(zm)
     df2 = read_zarr(spark, path)
     assert df2.schema["v"].metadata == attrs
+
+
+# ---------------------------------------------------------------------------
+# Datetime coordinate axes through the sink (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_sink_datetime_coordinate_roundtrip(spark, tmp_path):
+    """Event-time outer axes (the common real case — ERA5 time,
+    ingestion timestamps) roundtrip through the sink: Spark TIMESTAMP
+    coords become datetime64[us] zarr arrays and read back as
+    TimestampType with equal values, both formats, sharded included."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.sink import write_zarr
+
+    df = (
+        spark.range(6 * 4)
+        .select(
+            F.to_timestamp(
+                F.lit("2026-03-01 00:00:00")
+            ).alias("base"),
+            (F.col("id") / 4).cast("long").alias("h"),
+            (F.col("id") % 4).alias("x"),
+            F.col("id").alias("v"),
+        )
+        .select(
+            (F.col("base") + F.make_interval(hours=F.col("h"))).alias("ts"),
+            "x",
+            "v",
+        )
+    )
+    for kw in (
+        {"zarr_format": 2},
+        {"zarr_format": 3},
+        {"zarr_format": 3, "shard_outer": 3},
+    ):
+        store = str(
+            tmp_path / f"ts_{kw['zarr_format']}_{kw.get('shard_outer', 0)}.zarr"
+        )
+        res = write_zarr(df, store, ["ts", "x"], **kw)
+        assert res["rows"] == 24
+        back = read_zarr(spark, store)
+        assert back.schema["ts"].dataType.simpleString() == "timestamp"
+        got = back.orderBy("ts", "x").collect()
+        want = df.orderBy("ts", "x").collect()
+        assert [(r.ts, r.x, r.v) for r in got] == [
+            (r.ts, r.x, r.v) for r in want
+        ]
+        # the stored array is datetime64[us] (exact µs, both formats)
+        from zarr_datafusion_spark.zarr.metadata import (
+            discover_arrays,
+            numpy_dtype_for,
+        )
+
+        ts_meta = discover_arrays(store).array("ts")
+        assert np.dtype(
+            numpy_dtype_for(ts_meta.dtype, ts_meta.byte_order)
+        ) == np.dtype("<M8[us]")
+
+
+def test_sink_date_coordinate_clear_error(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.zarr.sink import write_zarr
+
+    df = spark.range(4).select(
+        F.to_date(F.lit("2026-03-01")).alias("d"),
+        F.col("id").alias("x"),
+        F.col("id").alias("v"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cast it to TIMESTAMP"):
+        write_zarr(df, str(tmp_path / "d.zarr"), ["d", "x"])
+
+
+def test_copy_to_zarr_with_timestamp_axis(spark, tmp_path):
+    """COPY (time-bucketed events) TO '...' STORED AS ZARR — the SQL
+    front door now takes event-time axes end to end."""
+    from zarr_datafusion_spark.engine import Engine
+
+    e = Engine(spark)
+    store = str(tmp_path / "ev.zarr")
+    res = e.sql(
+        f"""COPY (
+            SELECT timestamp'2026-03-01 00:00:00'
+                       + make_interval(0,0,0,0, CAST(id / 4 AS INT)) AS ts,
+                   id % 4 AS x,
+                   id * 10 AS v
+            FROM range(24)
+        ) TO '{store}' STORED AS ZARR (COORDS 'ts,x')"""
+    )
+    n = res.collect()[0][0]
+    assert n == 24
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    back = read_zarr(spark, store)
+    assert back.schema["ts"].dataType.simpleString() == "timestamp"
+    assert back.count() == 24
+    row = back.orderBy("ts", "x").collect()[5]
+    assert row.v == 50 and row.x == 1
+
+
+def test_sink_datetime_append_and_update(spark, tmp_path):
+    """The ingestion pair on an event-time axis: monotonic append of
+    later hours, then an in-place reissue of one — coordinate math runs
+    on the store's own datetime64 dtype end to end."""
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.sink import (
+        append_zarr,
+        update_zarr_region,
+        write_zarr,
+    )
+
+    def block(lo, hi, off=0):
+        return spark.range(lo * 4, hi * 4).select(
+            (
+                F.to_timestamp(F.lit("2026-03-01 00:00:00"))
+                + F.make_interval(hours=(F.col("id") / 4).cast("int"))
+            ).alias("ts"),
+            (F.col("id") % 4).alias("x"),
+            (F.col("id") + off).alias("v"),
+        )
+
+    store = str(tmp_path / "ts_ing.zarr")
+    write_zarr(block(0, 6), store, ["ts", "x"])
+    r = append_zarr(block(6, 8), store)
+    assert r["appended_slabs"] == 2 and r["outer_size"] == 8
+    r = update_zarr_region(block(2, 3, off=1000), store)
+    assert r["updated_slabs"] == 1
+    back = read_zarr(spark, store).orderBy("ts", "x").collect()
+    assert len(back) == 32
+    assert [row.v for row in back[8:12]] == [1008, 1009, 1010, 1011]
+    assert [row.v for row in back[-4:]] == [28, 29, 30, 31]
+    # non-monotonic datetime append still refuses, typed error intact
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="monotonic"):
+        append_zarr(block(3, 4), store)

@@ -36,6 +36,37 @@ from zarr_datafusion_spark.zarr.writer import (
 )
 
 
+def _outer_key_map(vals: np.ndarray, offset: int = 0, positions=None):
+    """``(index dict, executor-side key fn)`` for an outer coordinate.
+
+    Datetime axes key by epoch-µs ints: the driver holds
+    ``datetime64`` values while ``applyInPandas`` hands the executors
+    pandas Timestamps — a shared integer key sidesteps cross-type
+    hashing entirely.  Other dtypes key by their Python values, as
+    before."""
+    if positions is None:
+        positions = range(offset, offset + len(vals))
+    if vals.dtype.kind == "M":
+        keys = vals.astype("datetime64[us]").astype(np.int64)
+        idx = {int(k): p for k, p in zip(keys, positions)}
+
+        def okey(v):
+            return int(pd.Timestamp(v).value // 1000)
+
+        return idx, okey
+    return dict(zip(vals.tolist(), positions)), (lambda v: v)
+
+
+def _collect_coord(df, c: str, np_dtype=None) -> np.ndarray:
+    """Sorted distinct values of one coordinate column; ``np_dtype``
+    pins the array dtype (datetime axes: the store's datetime64 unit,
+    so comparisons and concatenations stay typed)."""
+    rows = df.select(c).distinct().collect()
+    if np_dtype is not None and np.dtype(np_dtype).kind == "M":
+        return np.sort(np.array([r[0] for r in rows], dtype=np_dtype))
+    return np.sort(np.array([r[0] for r in rows]))
+
+
 def _reject_readonly_store(store_path: str, op: str) -> None:
     """Virtual (kerchunk) stores describe byte ranges of OTHER files —
     there is nothing writable behind them."""
@@ -159,6 +190,7 @@ def _write_zarr_persisted(
     # --- driver side: coordinate values (tiny), grid validation, metadata
     coord_values: dict[str, np.ndarray] = {}
     cap = MAX_COORD_VALUES_PER_AXIS
+    col_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for c in coords:
         # limit(cap+1) bounds the driver transfer in the same pass that
         # detects overflow — no separate count job, no unbounded collect
@@ -169,7 +201,21 @@ def _write_zarr_persisted(
                 "that is data-sized, not axis-sized — not a dense-grid "
                 "coordinate"
             )
-        vals = np.sort(np.array([r[0] for r in rows]))
+        if col_types.get(c) in ("timestamp", "timestamp_ntz"):
+            # event-time axes (the common real outer dimension): store
+            # as datetime64[us] — Spark timestamps ARE µs, the reader
+            # maps <M8[*] back to TimestampType, so the roundtrip is
+            # exact both formats (v3 data_type carries the numpy name)
+            vals = np.sort(
+                np.array([r[0] for r in rows], dtype="datetime64[us]")
+            )
+        elif col_types.get(c) == "date":
+            raise ValueError(
+                f"coordinate {c!r} is DATE; cast it to TIMESTAMP for a "
+                "zarr axis (datetime64 units below seconds only)"
+            )
+        else:
+            vals = np.sort(np.array([r[0] for r in rows]))
         coord_values[c] = vals
     shape = tuple(len(coord_values[c]) for c in coords)
     n_cells = int(np.prod(shape))
@@ -231,7 +277,7 @@ def _write_zarr_persisted(
     inner = coords[1:]
     inner_values = {c: coord_values[c] for c in inner}
     inner_shape = shape[1:]
-    outer_index = {val: i for i, val in enumerate(coord_values[outer].tolist())}
+    outer_index, okey = _outer_key_map(coord_values[outer])
     sc = spark.sparkContext
     b_inner = sc.broadcast(inner_values)
     b_outer_index = sc.broadcast(outer_index)
@@ -240,7 +286,7 @@ def _write_zarr_persisted(
     out_schema = "outer_idx long, files int, bytes long"
 
     def _write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
-        oi = b_outer_index.value[pdf[outer].iloc[0]]
+        oi = b_outer_index.value[okey(pdf[outer].iloc[0])]
         # order rows into row-major position within the slab
         pos = np.zeros(len(pdf), dtype=np.int64)
         stride = 1
@@ -274,9 +320,9 @@ def _write_zarr_persisted(
 
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         m = b_outer_index.value
-        shard = int(m[pdf[outer].iloc[0]]) // shard_outer
+        shard = int(m[okey(pdf[outer].iloc[0])]) // shard_outer
         oidx = (
-            pdf[outer].map(lambda v: m[v]).to_numpy(dtype=np.int64)
+            pdf[outer].map(lambda v: m[okey(v)]).to_numpy(dtype=np.int64)
             - shard * shard_outer
         )
         pos = np.zeros(len(pdf), dtype=np.int64)
@@ -329,7 +375,7 @@ def _write_zarr_persisted(
         @F.pandas_udf("long")
         def _shard_of(s: pd.Series) -> pd.Series:
             m = b_shard_index.value
-            return s.map(lambda v: m[v])
+            return s.map(lambda v: m[okey(v)])
 
         results = (
             df.withColumn("__shard__", _shard_of(F.col(outer)))
@@ -598,9 +644,7 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
     df = df.select(*coords, *data_vars).persist()
     try:
         old_outer = _read_1d(store_path, meta.array(outer))
-        new_outer = np.sort(
-            np.array([r[0] for r in df.select(outer).distinct().collect()])
-        )
+        new_outer = _collect_coord(df, outer, old_outer.dtype)
         if len(new_outer) == 0:
             # empty input would otherwise fail the inner-grid check
             # with a misleading mismatch message (or, skipping that,
@@ -613,10 +657,8 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
         # validate the inner grid cross-section matches the store
         inner_values: dict[str, np.ndarray] = {}
         for c in inner:
-            have = np.sort(
-                np.array([r[0] for r in df.select(c).distinct().collect()])
-            )
             stored = _read_1d(store_path, meta.array(c))
+            have = _collect_coord(df, c, stored.dtype)
             if len(have) != len(stored) or not (have == stored).all():
                 raise ValueError(
                     f"inner coordinate {c!r} does not match the store's "
@@ -638,9 +680,7 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
             )
 
         offset = len(old_outer)
-        outer_index = {
-            val: offset + i for i, val in enumerate(new_outer.tolist())
-        }
+        outer_index, okey = _outer_key_map(new_outer, offset=offset)
         var_dtypes = {
             v.name: np.dtype(v.dtype).str for v in meta.data_vars
         }
@@ -652,7 +692,7 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
         b_comp = sc.broadcast(compressions)
 
         def _append_slab(pdf: pd.DataFrame) -> pd.DataFrame:
-            oi = b_outer_index.value[pdf[outer].iloc[0]]
+            oi = b_outer_index.value[okey(pdf[outer].iloc[0])]
             pos = np.zeros(len(pdf), dtype=np.int64)
             stride = 1
             for c in reversed(inner):
@@ -794,10 +834,8 @@ def update_zarr_region(df: DataFrame, store_path: str) -> dict[str, int]:
     df = df.select(*coords, *data_vars).localCheckpoint()
     inner_values: dict[str, np.ndarray] = {}
     for c in inner:
-        have = np.sort(
-            np.array([r[0] for r in df.select(c).distinct().collect()])
-        )
         stored = _read_1d(store_path, meta.array(c))
+        have = _collect_coord(df, c, stored.dtype)
         if len(have) != len(stored) or not (have == stored).all():
             raise ValueError(
                 f"inner coordinate {c!r} does not match the store's "
@@ -805,9 +843,7 @@ def update_zarr_region(df: DataFrame, store_path: str) -> dict[str, int]:
             )
         inner_values[c] = stored
     old_outer = _read_1d(store_path, meta.array(outer))
-    upd_outer = np.sort(
-        np.array([r[0] for r in df.select(outer).distinct().collect()])
-    )
+    upd_outer = _collect_coord(df, outer, old_outer.dtype)
     pos = np.searchsorted(old_outer, upd_outer)
     known = (pos < len(old_outer)) & (old_outer[np.minimum(pos, len(old_outer) - 1)] == upd_outer)
     if not known.all():
@@ -825,7 +861,7 @@ def update_zarr_region(df: DataFrame, store_path: str) -> dict[str, int]:
             f"{n_cells} cells"
         )
 
-    outer_index = dict(zip(upd_outer.tolist(), pos.tolist()))
+    outer_index, okey = _outer_key_map(upd_outer, positions=pos.tolist())
     var_dtypes = {v.name: np.dtype(v.dtype).str for v in meta.data_vars}
     zarr_format = meta.zarr_format
     sc = spark.sparkContext
@@ -835,7 +871,7 @@ def update_zarr_region(df: DataFrame, store_path: str) -> dict[str, int]:
     b_comp = sc.broadcast(compressions)
 
     def _update_slab(pdf: pd.DataFrame) -> pd.DataFrame:
-        oi = b_outer_index.value[pdf[outer].iloc[0]]
+        oi = b_outer_index.value[okey(pdf[outer].iloc[0])]
         cell_pos = np.zeros(len(pdf), dtype=np.int64)
         stride = 1
         for c in reversed(inner):
