@@ -1,0 +1,357 @@
+"""Transactional Zarr (icechunk-style) tests — reference roadmap
+``README.md:330`` ("Integrate icechunk for transactional Zarr reads"),
+an UNCHECKED row the reference never built.
+
+Layers: commit/read round-trip (differential against the source store),
+snapshot isolation (a pinned DataFrame keeps its snapshot while the
+branch advances), time travel (tags, ``branch~N``, bare snapshot ids),
+optimistic-concurrency conflicts (expected-parent mismatch AND the
+generation-file ``O_EXCL`` race), structural sharing (an append commit
+stages only the changed chunks), history, gc of unreachable objects,
+engine/pushdown integration over a snapshot, and the read-only write
+guards."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from zarr_datafusion_spark.zarr.icechunk import (
+    IcechunkConflictError,
+    IcechunkStoreFS,
+    commit_store,
+    commit_zarr,
+    create_tag,
+    gc_repo,
+    history,
+    parse_icechunk_url,
+    pin_snapshot,
+    resolve_ref,
+)
+
+
+def _chunk_objects(repo: str) -> set[str]:
+    out = set()
+    for _dirpath, _dirs, files in os.walk(os.path.join(repo, "chunks")):
+        out.update(f for f in files if ".tmp" not in f)
+    return out
+
+
+@pytest.fixture(scope="module")
+def repo(spark, tmp_path_factory):
+    """Two-commit repository over the weather fixture: v1 = the first
+    five time slabs (tagged), v2 = the full image."""
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    path = str(tmp_path_factory.mktemp("ic") / "weather.ic")
+    src = read_zarr(spark, fixture_store(2))
+    s1 = commit_zarr(
+        src.filter(F.col("time") < 5), path,
+        coords=["time", "lat", "lon"], message="first five slabs",
+        expected_snapshot=None,
+    )
+    create_tag(path, "v1", s1)
+    s2 = commit_zarr(
+        src, path, coords=["time", "lat", "lon"], message="full image",
+        expected_snapshot=s1,
+    )
+    return path, s1, s2
+
+
+# ---------------------------------------------------------------------------
+# round-trip + refs
+# ---------------------------------------------------------------------------
+
+
+def test_head_roundtrip_values(spark, repo):
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    path, _s1, _s2 = repo
+    got = sorted(map(tuple, read_zarr(spark, f"icechunk://{path}").collect()))
+    want = sorted(map(tuple, read_zarr(spark, fixture_store(2)).collect()))
+    assert got == want
+
+
+def test_time_travel_refs_agree(spark, repo):
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    path, s1, s2 = repo
+    for ref in (f"@tag:v1", f"@snap:{s1}", f"@{s1}", "@branch:main~1"):
+        df = read_zarr(spark, f"icechunk://{path}{ref}")
+        assert df.count() == 500, ref
+        assert df.agg(F.max("time")).first()[0] == 4, ref
+    assert resolve_ref(path, "branch:main") == s2
+    assert resolve_ref(path, "tag:v1") == resolve_ref(path, "branch:main~1")
+
+
+def test_snapshot_isolation_under_concurrent_commit(spark, tmp_path):
+    """A DataFrame constructed before a commit keeps reading its own
+    snapshot afterwards — read_zarr pins the branch ref at
+    construction (repeatable reads)."""
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    path = str(tmp_path / "iso.ic")
+    src = read_zarr(spark, fixture_store(2))
+    commit_zarr(src.filter(F.col("time") < 2), path,
+                coords=["time", "lat", "lon"])
+    pinned = read_zarr(spark, f"icechunk://{path}")
+    assert pinned.count() == 200
+    commit_zarr(src, path, coords=["time", "lat", "lon"])
+    assert pinned.count() == 200  # still snapshot 1
+    assert read_zarr(spark, f"icechunk://{path}").count() == 700
+
+
+def test_pin_snapshot_and_url_parse(repo):
+    path, _s1, s2 = repo
+    assert parse_icechunk_url("icechunk://a/b@tag:v1") == ("a/b", "tag:v1")
+    assert parse_icechunk_url("icechunk://a/b") == ("a/b", None)
+    pinned = pin_snapshot(f"icechunk://{path}")
+    assert pinned == f"icechunk://{path}@snap:{s2}"
+    assert pin_snapshot(pinned) == pinned  # idempotent
+    assert pin_snapshot("/plain/path") == "/plain/path"
+
+
+def test_missing_refs_raise(repo):
+    path, _s1, _s2 = repo
+    with pytest.raises(FileNotFoundError):
+        resolve_ref(path, "tag:nope")
+    with pytest.raises(FileNotFoundError):
+        resolve_ref(path, "branch:nope")
+    with pytest.raises(FileNotFoundError):
+        resolve_ref(path, "branch:main~9")
+
+
+# ---------------------------------------------------------------------------
+# concurrency + immutability
+# ---------------------------------------------------------------------------
+
+
+def test_expected_parent_conflict(spark, repo):
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    path, s1, _s2 = repo
+    src = read_zarr(spark, fixture_store(2))
+    with pytest.raises(IcechunkConflictError, match="concurrent commit"):
+        commit_zarr(src.limit(1), path, coords=["time", "lat", "lon"],
+                    expected_snapshot=s1)
+
+
+def test_generation_race_loses_cleanly(repo, tmp_path, monkeypatch):
+    """The ``O_EXCL`` generation-file race: both writers observe the
+    SAME head (simulated by pinning ``_branch_head`` to the stale
+    value), the concurrent winner's generation file already exists,
+    and the loser must raise a conflict instead of clobbering it."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+
+    path, _s1, s2 = repo
+    # materialize a tiny valid store to commit
+    stage = str(tmp_path / "s.zarr")
+    fs = IcechunkStoreFS(path, f"snap:{s2}")
+    os.makedirs(os.path.join(stage, "time"))
+    for key in (".zgroup", "time/.zarray", "time/0"):
+        payload = fs.read_bytes(f"{fs.root}/{key}")
+        with open(os.path.join(stage, key), "wb") as f:
+            f.write(payload)
+
+    stale_seq = history(path)[0]["sequence"]
+    winner = os.path.join(
+        path, "refs", "branch.main", ic._gen_name(stale_seq + 1)
+    )
+    with open(winner, "w") as f:
+        json.dump({"snapshot": s2}, f)
+    monkeypatch.setattr(ic, "_branch_head", lambda *_a: (s2, stale_seq))
+    try:
+        with pytest.raises(IcechunkConflictError, match="generation"):
+            commit_store(stage, path, message="loser")
+    finally:
+        os.unlink(winner)
+
+
+def test_tags_are_write_once(repo):
+    path, s1, _s2 = repo
+    with pytest.raises(FileExistsError):
+        create_tag(path, "v1", s1)
+
+
+def test_write_guards(spark, repo):
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.sink import append_zarr, write_zarr
+
+    path, _s1, _s2 = repo
+    df = read_zarr(spark, f"icechunk://{path}").limit(1)
+    with pytest.raises(ValueError, match="immutable"):
+        write_zarr(df, f"icechunk://{path}", coords=["time", "lat", "lon"])
+    with pytest.raises(ValueError, match="immutable"):
+        append_zarr(df, f"icechunk://{path}@branch:main")
+
+
+def test_commit_refuses_non_store(repo, tmp_path):
+    """Refused BEFORE staging: the repo gains no chunk objects."""
+    path, _s1, _s2 = repo
+    junk = str(tmp_path / "junk")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "blob"), "wb") as f:
+        f.write(b"\x00\x01")
+    before = _chunk_objects(path)
+    with pytest.raises(ValueError, match="no Zarr metadata"):
+        commit_store(junk, path, branch="scratch")
+    assert _chunk_objects(path) == before
+
+
+# ---------------------------------------------------------------------------
+# structural sharing + history + gc
+# ---------------------------------------------------------------------------
+
+
+def test_structural_sharing(spark, repo):
+    """The v2 (full-image) commit stages only what changed vs v1: the
+    two new time slabs' variable chunks and the longer time coordinate;
+    lat/lon and the five shared slabs' payloads are stored once."""
+    path, s1, s2 = repo
+    m1 = {k: v["digest"] for k, v in IcechunkStoreFS(path, f"snap:{s1}")._chunks.items()}
+    m2 = {k: v["digest"] for k, v in IcechunkStoreFS(path, f"snap:{s2}")._chunks.items()}
+    same_key_shared = [k for k in m1 if m2.get(k) == m1[k]]
+    # lat, lon, 5 slabs x 2 vars = 12 shared payload keys; only the
+    # time coordinate (now 7 long) changed in place
+    assert len(same_key_shared) == 12
+    assert [k for k in m1 if k in m2 and m2[k] != m1[k]] == ["time/0"]
+    assert sorted(set(m2) - set(m1)) == [
+        "humidity/5.0.0", "humidity/6.0.0",
+        "temperature/5.0.0", "temperature/6.0.0",
+    ]
+    # nothing staged twice, and identical payloads (lat/0 == lon/0,
+    # both arange(10)) land in ONE content-addressed object
+    assert _chunk_objects(path) == set(m1.values()) | set(m2.values())
+    assert m1["lat/0"] == m1["lon/0"]
+
+
+def test_history_order(repo):
+    path, s1, s2 = repo
+    h = history(path)
+    assert [(x["sequence"], x["id"]) for x in h] == [(2, s2), (1, s1)]
+    assert h[0]["parent"] == s1 and h[1]["parent"] is None
+    assert h[1]["message"] == "first five slabs"
+
+
+def test_gc_collects_unreachable(spark, tmp_path):
+    import shutil
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    path = str(tmp_path / "gc.ic")
+    src = read_zarr(spark, fixture_store(2))
+    commit_zarr(src.filter(F.col("time") < 1), path,
+                coords=["time", "lat", "lon"])
+    live = _chunk_objects(path)
+    # a scratch branch with otherwise-unreferenced chunks, then expire it
+    commit_zarr(src.filter(F.col("time") >= 5), path, branch="scratch",
+                coords=["time", "lat", "lon"])
+    assert len(_chunk_objects(path)) > len(live)
+    shutil.rmtree(os.path.join(path, "refs", "branch.scratch"))
+    removed = gc_repo(path)
+    assert removed["snapshots"] == 1 and removed["manifests"] == 1
+    assert removed["chunks"] > 0
+    assert _chunk_objects(path) == live
+    # survivors still read
+    assert read_zarr(spark, f"icechunk://{path}").count() == 100
+
+
+def test_gc_noop_when_all_reachable(repo):
+    path, _s1, _s2 = repo
+    # first pass may sweep the debris earlier conflict-loser tests
+    # staged (their chunk payloads were all shared, so chunks stay);
+    # a second pass over a fully-reachable repo removes nothing.
+    first = gc_repo(path)
+    assert first["chunks"] == 0
+    assert gc_repo(path) == {"snapshots": 0, "manifests": 0, "chunks": 0}
+
+
+# ---------------------------------------------------------------------------
+# adapter protocol + integrity
+# ---------------------------------------------------------------------------
+
+
+def test_adapter_protocol(repo):
+    path, _s1, s2 = repo
+    fs = IcechunkStoreFS(path, f"snap:{s2}")
+    assert fs.isdir(fs.root)
+    assert ".zgroup" in fs.listdir(fs.root)
+    assert "temperature" in fs.listdir(fs.root)
+    assert fs.exists(f"{fs.root}/temperature/.zarray")
+    assert fs.try_read_bytes(f"{fs.root}/temperature/99.0.0") is None
+    with pytest.raises(FileNotFoundError):
+        fs.listdir(f"{fs.root}/nope")
+    with pytest.raises(FileNotFoundError):
+        fs.read_bytes(f"{fs.root}/nope/0")
+    meta = json.loads(fs.read_text(f"{fs.root}/temperature/.zarray"))
+    assert meta["shape"] == [7, 10, 10]
+
+
+def test_corrupt_chunk_object_raises(spark, tmp_path):
+    """A manifest entry whose object is truncated must raise, never
+    degrade to fill values."""
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    path = str(tmp_path / "bad.ic")
+    src = read_zarr(spark, fixture_store(2))
+    commit_zarr(src.filter(F.col("time") < 1), path,
+                coords=["time", "lat", "lon"])
+    fs = IcechunkStoreFS(path)
+    key = "temperature/0.0.0"
+    digest = fs._chunks[key]["digest"]
+    obj = os.path.join(path, "chunks", digest[:2], digest)
+    with open(obj, "wb") as f:
+        f.write(b"short")
+    with pytest.raises(OSError, match="expected"):
+        fs.read_bytes(f"{fs.root}/{key}")
+
+
+# ---------------------------------------------------------------------------
+# engine + pushdown integration
+# ---------------------------------------------------------------------------
+
+
+def test_engine_over_snapshot(spark, repo):
+    from zarr_datafusion_spark.engine import Engine
+
+    path, _s1, _s2 = repo
+    eng = Engine(spark)
+    eng.register_zarr("ic_weather", f"icechunk://{path}")
+    row = eng.sql(
+        "SELECT COUNT(*) AS n, MIN(time) AS lo, MAX(time) AS hi "
+        "FROM ic_weather"
+    ).first()
+    assert (row.n, row.lo, row.hi) == (700, 0, 6)
+    # scan-free shortcut must hold over snapshots too (stats provider
+    # runs on the adapter like any other backend)
+    assert eng.last_query_used_shortcut
+
+
+def test_eager_pushdown_prunes_snapshot_chunks(spark, repo, tmp_path):
+    """Coordinate pushdown I/O accounting works unchanged over a
+    snapshot: an equality window reads strictly fewer chunks than the
+    full scan."""
+    from zarr_datafusion_spark.stats.io_stats import collect_stats_dir
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    path, _s1, _s2 = repo
+    url = f"icechunk://{path}"
+
+    def chunks_read(filt) -> int:
+        d = str(tmp_path / f"st{abs(hash(str(filt)))}")
+        df = read_zarr(spark, url, stats_dir=d, eager_pushdown=True)
+        df.filter(filt).agg(F.sum("temperature")).collect()
+        return collect_stats_dir(d).n_chunks
+
+    full = chunks_read(F.col("lat") >= 0)
+    narrow = chunks_read(F.col("time") == 3)
+    assert narrow < full

@@ -1038,6 +1038,14 @@ def read_zarr(
     scans usually prefer the default sequential reads (the chunks of
     one window are adjacent on disk).
     """
+    if store_path.startswith("icechunk://"):
+        # pin a mutable branch ref to its snapshot id NOW, so the plan
+        # cache, per-worker adapter memoization, and every executor
+        # task read ONE immutable snapshot (repeatable reads under
+        # concurrent commits); re-read/re-register to see new commits.
+        from zarr_datafusion_spark.zarr.icechunk import pin_snapshot
+
+        store_path = pin_snapshot(store_path)
     register_zarr_source(spark)
     reader = spark.read.format("zarr")
     if eager_pushdown:

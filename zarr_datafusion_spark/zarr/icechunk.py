@@ -1,0 +1,563 @@
+"""Transactional Zarr reads — snapshots, branches, tags, time travel
+(reference roadmap ``/root/reference/README.md:330``: "Integrate
+icechunk for transactional Zarr reads", an UNCHECKED row the reference
+never built).
+
+The icechunk package itself is not available in this environment, so
+this module implements the transactional SEMANTICS natively, following
+the shape of icechunk's published on-disk design (content-addressed
+chunk objects, immutable snapshot + manifest documents, branch refs as
+generation files whose names sort latest-first so "resolve head" is
+one LIST, tags as write-once refs — see the public icechunk spec).
+Documents are JSON rather than icechunk's flatbuffers/msgpack, i.e.
+this is an icechunk-STYLE repository format, not byte-compatible with
+the icechunk crate; what is preserved is the transactional contract:
+
+- **Atomic commits.** A commit stages only immutable content-addressed
+  objects (chunks, manifest, snapshot) and becomes visible in ONE
+  atomic step: create-exclusive of the branch's next generation file.
+  Readers see the old snapshot or the new one, never a mix.
+- **Optimistic concurrency.** Two writers committing on the same
+  parent race on the same generation filename; ``O_EXCL`` makes
+  exactly one win and the loser raises :class:`IcechunkConflictError`
+  (its staged objects are garbage, collectable by :func:`gc_repo`).
+- **Snapshot isolation / repeatable reads.** ``read_zarr`` pins a
+  branch ref to its snapshot id at DataFrame construction
+  (:func:`pin_snapshot`), so a query plans and executes against ONE
+  immutable snapshot even if the branch advances mid-query.
+- **Time travel.** Any historical snapshot stays addressable —
+  ``icechunk://repo@snap:<id>``, ``@tag:<name>``, ``@branch:<name>``,
+  and ``@branch:<name>~N`` (N commits back) all resolve through the
+  same immutable documents.
+- **Structural sharing.** Chunk payloads are stored once under their
+  sha256; an append-one-slab commit writes only the new slab's chunks
+  and a new manifest/snapshot — the rest of the image is shared with
+  the parent, which is what makes per-commit cost proportional to the
+  CHANGE at 100 TB scale, not to the store size.
+
+Read integration: :class:`IcechunkStoreFS` serves the ordinary Zarr
+key space (``.zgroup``/``.zarray``/``zarr.json`` metadata inline from
+the snapshot document, chunk keys through the manifest) behind the
+same adapter protocol as every other backend, so schema inference,
+projection/filter/limit pushdown, chunk-statistics pruning, the LRU
+chunk cache, and the SQL engine all run UNCHANGED over a snapshot.
+The repository itself may live on any supported backend (local, s3,
+gs, http) — reads go through :func:`~zarr_datafusion_spark.zarr.
+storage.store_fs`; commits require a local repo path.
+
+Scale posture: resolving a ref costs one small LIST + two small GETs
+(ref file, snapshot doc) on the driver; each executor task then reads
+exactly its own chunks' content-addressed objects (no central lock, no
+read amplification), and snapshot pinning means zero coordination
+between tasks.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+
+__all__ = [
+    "IcechunkConflictError",
+    "IcechunkStoreFS",
+    "commit_store",
+    "commit_zarr",
+    "create_tag",
+    "gc_repo",
+    "history",
+    "init_repo",
+    "parse_icechunk_url",
+    "pin_snapshot",
+    "resolve_ref",
+]
+
+_MARKER = "icechunk.json"
+_FORMAT = {"format": "zds-icechunk", "spec_version": 1}
+#: generation filenames sort LATEST-FIRST (icechunk's ref trick): the
+#: head of a branch is the lexicographically smallest name, so one
+#: sorted LIST resolves it without reading every generation.
+_GEN_MAX = 10**12
+#: zarr metadata basenames held inline in the snapshot document
+_META_NAMES = {".zgroup", ".zarray", ".zattrs", ".zmetadata", "zarr.json"}
+
+
+class IcechunkConflictError(RuntimeError):
+    """A concurrent commit advanced the branch first (the optimistic-
+    concurrency loss); retry by recommitting on the new head."""
+
+
+def _gen_name(seq: int) -> str:
+    return f"gen-{_GEN_MAX - seq:012d}.json"
+
+
+def _gen_seq(name: str) -> int:
+    return _GEN_MAX - int(name[len("gen-") : -len(".json")])
+
+
+def _digest(payload: bytes) -> str:
+    return hashlib.sha256(payload).hexdigest()
+
+
+def _chunk_rel(digest: str) -> str:
+    # two-level fanout keeps directory listings bounded on filesystems
+    return f"chunks/{digest[:2]}/{digest}"
+
+
+def _require_local(repo: str, op: str) -> str:
+    if "://" in repo and not repo.startswith("file://"):
+        raise NotImplementedError(
+            f"icechunk {op} requires a local repository path (reads may "
+            f"be remote, commits are local-only); got {repo!r}"
+        )
+    return repo[len("file://") :] if repo.startswith("file://") else repo
+
+
+def init_repo(repo: str) -> str:
+    """Create an empty repository (idempotent)."""
+    repo = _require_local(repo, "init")
+    os.makedirs(os.path.join(repo, "refs"), exist_ok=True)
+    for d in ("snapshots", "manifests", "chunks"):
+        os.makedirs(os.path.join(repo, d), exist_ok=True)
+    marker = os.path.join(repo, _MARKER)
+    if not os.path.exists(marker):
+        tmp = marker + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(_FORMAT, f)
+        os.replace(tmp, marker)
+    return repo
+
+
+def _write_object(repo: str, rel: str, payload: bytes) -> None:
+    """Immutable-object write: content under ``rel`` never changes, so
+    an existing file is already correct and a concurrent writer racing
+    us produces identical bytes (atomic tmp+rename either way)."""
+    path = os.path.join(repo, rel)
+    if os.path.exists(path):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        if not os.path.exists(path):
+            raise
+        os.unlink(tmp)
+
+
+def _canon(doc: dict) -> bytes:
+    return json.dumps(doc, sort_keys=True, separators=(",", ":")).encode()
+
+
+# ---------------------------------------------------------------------------
+# refs
+# ---------------------------------------------------------------------------
+
+
+def _branch_head(fs, repo: str, branch: str) -> tuple[str, int] | None:
+    """(snapshot_id, sequence) of the branch head, or None."""
+    bdir = f"{repo}/refs/branch.{branch}"
+    try:
+        names = [n for n in fs.listdir(bdir) if n.startswith("gen-")]
+    except (FileNotFoundError, OSError):
+        return None
+    if not names:
+        return None
+    head = sorted(names)[0]  # latest-first naming
+    doc = json.loads(fs.read_text(f"{bdir}/{head}"))
+    return doc["snapshot"], _gen_seq(head)
+
+
+def resolve_ref(repo: str, ref: str | None) -> str:
+    """Resolve a ref spec to an immutable snapshot id.
+
+    ``None``/'' → head of ``main``; ``snap:<id>`` or a bare id → that
+    snapshot; ``tag:<name>`` → the tag; ``branch:<name>[~N]`` → the
+    branch head (N commits back)."""
+    from zarr_datafusion_spark.zarr.storage import store_fs
+
+    fs, norm = store_fs(repo)
+    ref = ref or "branch:main"
+    if ref.startswith("snap:"):
+        return ref[len("snap:") :]
+    if ref.startswith("tag:"):
+        name = ref[len("tag:") :]
+        path = f"{norm}/refs/tag.{name}/ref.json"
+        data = fs.try_read_bytes(path)
+        if data is None:
+            raise FileNotFoundError(f"icechunk tag {name!r} in {repo!r}")
+        return json.loads(data.decode())["snapshot"]
+    if ref.startswith("branch:"):
+        spec = ref[len("branch:") :]
+        name, _, back = spec.partition("~")
+        head = _branch_head(fs, norm, name)
+        if head is None:
+            raise FileNotFoundError(f"icechunk branch {name!r} in {repo!r}")
+        sid = head[0]
+        for _ in range(int(back) if back else 0):
+            snap = _load_snapshot(fs, norm, sid)
+            sid = snap.get("parent")
+            if sid is None:
+                raise FileNotFoundError(
+                    f"icechunk ref {ref!r}: ancestry of branch {name!r} "
+                    "is shorter than requested"
+                )
+        return sid
+    return ref  # bare snapshot id
+
+
+def _load_snapshot(fs, repo: str, sid: str) -> dict:
+    data = fs.try_read_bytes(f"{repo}/snapshots/{sid}.json")
+    if data is None:
+        raise FileNotFoundError(f"icechunk snapshot {sid!r} in {repo!r}")
+    return json.loads(data.decode())
+
+
+def create_tag(repo: str, name: str, snapshot_id: str) -> None:
+    """Tags are write-once (immutable), enforced by ``O_EXCL``."""
+    repo = _require_local(repo, "tag")
+    tdir = os.path.join(repo, "refs", f"tag.{name}")
+    os.makedirs(tdir, exist_ok=True)
+    fd = os.open(
+        os.path.join(tdir, "ref.json"),
+        os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump({"snapshot": snapshot_id}, f)
+
+
+def history(repo: str, ref: str | None = None) -> list[dict]:
+    """Snapshot documents from the resolved ref back to the root
+    (newest first) — the ``git log`` of the store."""
+    from zarr_datafusion_spark.zarr.storage import store_fs
+
+    fs, norm = store_fs(repo)
+    out: list[dict] = []
+    sid: str | None = resolve_ref(repo, ref)
+    while sid is not None:
+        snap = _load_snapshot(fs, norm, sid)
+        out.append(snap)
+        sid = snap.get("parent")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# commit
+# ---------------------------------------------------------------------------
+
+
+def commit_store(
+    store_dir: str,
+    repo: str,
+    branch: str = "main",
+    message: str = "",
+    expected_snapshot: str | None | type(...) = ...,
+) -> str:
+    """Commit a materialized Zarr store directory as the branch's next
+    snapshot; returns the new snapshot id.
+
+    The store image is ingested whole: metadata documents inline into
+    the snapshot, chunk payloads as content-addressed objects (bytes
+    already present from ANY earlier snapshot are not rewritten —
+    structural sharing).  Only then does the branch ref advance, via a
+    create-exclusive generation file: the commit is all-or-nothing.
+
+    ``expected_snapshot``: optimistic-concurrency check — the parent
+    the caller based its changes on (``None`` = expects an empty
+    branch).  Left at the default, the current head is used (last
+    writer wins, still atomic).  On mismatch or a lost ref race,
+    :class:`IcechunkConflictError`.
+    """
+    repo = init_repo(repo)
+    from zarr_datafusion_spark.zarr.storage import LocalStoreFS, store_fs
+
+    head = _branch_head(LocalStoreFS(), repo, branch)
+    head_sid, head_seq = head if head else (None, 0)
+    if expected_snapshot is not ... and expected_snapshot != head_sid:
+        raise IcechunkConflictError(
+            f"branch {branch!r} is at {head_sid!r}, expected "
+            f"{expected_snapshot!r} (a concurrent commit advanced it)"
+        )
+
+    src_fs, src_norm = store_fs(store_dir)
+    # refuse BEFORE staging anything: a Zarr store root carries a
+    # metadata marker (v2 group/consolidated doc or the v3 zarr.json)
+    if not (set(src_fs.listdir(src_norm)) & _META_NAMES):
+        raise ValueError(
+            f"{store_dir!r} has no Zarr metadata documents; refusing to "
+            "commit a non-store directory"
+        )
+    metadata: dict[str, dict] = {}
+    manifest: dict[str, dict] = {}
+
+    def walk(rel: str) -> None:
+        abspath = f"{src_norm}/{rel}" if rel else src_norm
+        for name in sorted(src_fs.listdir(abspath)):
+            sub = f"{rel}/{name}" if rel else name
+            if src_fs.isdir(f"{src_norm}/{sub}"):
+                walk(sub)
+                continue
+            payload = src_fs.read_bytes(f"{src_norm}/{sub}")
+            if name in _META_NAMES:
+                try:
+                    metadata[sub] = {"text": payload.decode("utf-8")}
+                except UnicodeDecodeError:
+                    metadata[sub] = {
+                        "b64": base64.b64encode(payload).decode("ascii")
+                    }
+            else:
+                d = _digest(payload)
+                _write_object(repo, _chunk_rel(d), payload)
+                manifest[sub] = {"digest": d, "length": len(payload)}
+
+    walk("")
+    if not metadata:
+        raise ValueError(
+            f"{store_dir!r} has no Zarr metadata documents; refusing to "
+            "commit a non-store directory"
+        )
+
+    man_bytes = _canon(manifest)
+    mid = _digest(man_bytes)[:24]
+    _write_object(repo, f"manifests/{mid}.json", man_bytes)
+
+    seq = head_seq + 1
+    body = {
+        "parent": head_sid,
+        "sequence": seq,
+        "message": message,
+        "metadata": metadata,
+        "manifest": mid,
+    }
+    sid = _digest(_canon(body))[:24]
+    body["id"] = sid
+    _write_object(repo, f"snapshots/{sid}.json", _canon(body))
+
+    bdir = os.path.join(repo, "refs", f"branch.{branch}")
+    os.makedirs(bdir, exist_ok=True)
+    try:
+        fd = os.open(
+            os.path.join(bdir, _gen_name(seq)),
+            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+        )
+    except FileExistsError:
+        raise IcechunkConflictError(
+            f"branch {branch!r}: generation {seq} was committed "
+            "concurrently; rebase on the new head and retry"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump({"snapshot": sid}, f)
+    return sid
+
+
+def commit_zarr(
+    df,
+    repo: str,
+    coords: list[str],
+    branch: str = "main",
+    message: str = "",
+    expected_snapshot: str | None | type(...) = ...,
+    **write_kwargs,
+) -> str:
+    """Distributed write + transactional publish: stage the DataFrame
+    through the ordinary Zarr sink (executors own chunk slabs,
+    ``sink.write_zarr``) into a private directory, then
+    :func:`commit_store` it — the committed image becomes visible
+    atomically or not at all.  Returns the snapshot id."""
+    import shutil
+    import tempfile
+
+    from zarr_datafusion_spark.zarr.sink import write_zarr
+
+    staging = tempfile.mkdtemp(prefix="zds_ic_stage_")
+    try:
+        store = os.path.join(staging, "stage.zarr")
+        write_zarr(df, store, coords=coords, **write_kwargs)
+        return commit_store(
+            store, repo, branch=branch, message=message,
+            expected_snapshot=expected_snapshot,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# read side
+# ---------------------------------------------------------------------------
+
+
+def parse_icechunk_url(url: str) -> tuple[str, str | None]:
+    """``icechunk://<repo>[@<ref>]`` → (repo, ref-or-None).  The LAST
+    ``@`` splits, so repo paths containing ``@`` need an explicit ref
+    (always true for pinned URLs)."""
+    rest = url[len("icechunk://") :]
+    if not rest:
+        raise ValueError(f"missing repository path in {url!r}")
+    if "@" in rest:
+        repo, _, ref = rest.rpartition("@")
+        return repo, ref
+    return rest, None
+
+
+def pin_snapshot(url: str) -> str:
+    """Pin a mutable ref (branch head, default-main) to its snapshot id
+    — ``icechunk://repo@snap:<id>`` — so everything downstream (plan
+    cache, per-worker adapter memoization, every executor task) reads
+    ONE immutable snapshot: repeatable reads under concurrent commits.
+    Non-icechunk URLs and already-pinned URLs pass through."""
+    if not url.startswith("icechunk://"):
+        return url
+    repo, ref = parse_icechunk_url(url)
+    if ref is not None and ref.startswith("snap:"):
+        return url
+    return f"icechunk://{repo}@snap:{resolve_ref(repo, ref)}"
+
+
+class IcechunkStoreFS:
+    """Store-filesystem adapter serving a snapshot's Zarr key space.
+    Matches the ``LocalStoreFS`` protocol (exists / isdir / listdir /
+    read_text / read_bytes / try_read_bytes), so metadata discovery,
+    chunk I/O, pushdown, and caching run unmodified over it."""
+
+    def __init__(self, repo: str, ref: str | None = None):
+        from zarr_datafusion_spark.zarr.storage import store_fs
+
+        self._fs, self._repo = store_fs(repo)
+        sid = resolve_ref(repo, ref)
+        snap = _load_snapshot(self._fs, self._repo, sid)
+        self.snapshot_id = sid
+        self.root = f"icechunk://{repo}@snap:{sid}"
+        self._meta: dict[str, dict] = snap["metadata"]
+        man = self._fs.read_bytes(
+            f"{self._repo}/manifests/{snap['manifest']}.json"
+        )
+        self._chunks: dict[str, dict] = json.loads(man.decode())
+
+    # -- key mapping --------------------------------------------------
+    def _key(self, p: str) -> str:
+        p = p.replace(os.sep, "/")
+        if p.startswith(self.root):
+            p = p[len(self.root) :]
+        return p.lstrip("/")
+
+    def _keys(self):
+        yield from self._meta
+        yield from self._chunks
+
+    # -- protocol -----------------------------------------------------
+    def exists(self, p: str) -> bool:
+        key = self._key(p)
+        return key in self._meta or key in self._chunks or self.isdir(p)
+
+    def isdir(self, p: str) -> bool:
+        key = self._key(p)
+        if key == "":
+            return True
+        prefix = key + "/"
+        return any(k.startswith(prefix) for k in self._keys())
+
+    def listdir(self, p: str) -> list[str]:
+        key = self._key(p)
+        prefix = "" if key == "" else key + "/"
+        names = {
+            k[len(prefix) :].split("/", 1)[0]
+            for k in self._keys()
+            if k.startswith(prefix)
+        }
+        if prefix and not names:
+            raise FileNotFoundError(p)
+        return sorted(names)
+
+    def read_text(self, p: str) -> str:
+        return self.read_bytes(p).decode("utf-8")
+
+    def try_read_bytes(self, p: str) -> bytes | None:
+        """None only when the key is absent from the snapshot
+        (definitive — e.g. a genuinely missing chunk reads as fill
+        value); a PRESENT manifest entry whose chunk object is gone
+        raises, a corrupted repository must never degrade silently."""
+        key = self._key(p)
+        if key not in self._meta and key not in self._chunks:
+            return None
+        return self.read_bytes(p)
+
+    def read_bytes(self, p: str) -> bytes:
+        key = self._key(p)
+        meta = self._meta.get(key)
+        if meta is not None:
+            if "text" in meta:
+                return meta["text"].encode("utf-8")
+            return base64.b64decode(meta["b64"])
+        ent = self._chunks.get(key)
+        if ent is None:
+            raise FileNotFoundError(p)
+        payload = self._fs.read_bytes(f"{self._repo}/{_chunk_rel(ent['digest'])}")
+        if len(payload) != ent["length"]:
+            raise OSError(
+                f"icechunk chunk object {ent['digest']} for key {key!r}: "
+                f"expected {ent['length']} bytes, read {len(payload)}"
+            )
+        return payload
+
+
+# ---------------------------------------------------------------------------
+# maintenance
+# ---------------------------------------------------------------------------
+
+
+def gc_repo(repo: str) -> dict[str, int]:
+    """Delete snapshots/manifests/chunk objects unreachable from any
+    branch head's ancestry or tag (the debris of lost commit races and
+    expired branches).  Returns removal counts per object kind.  Only
+    run when no commit is in flight: a commit stages objects BEFORE
+    its ref appears, and gc would collect that staging window."""
+    repo = _require_local(repo, "gc")
+    from zarr_datafusion_spark.zarr.storage import LocalStoreFS
+
+    fs = LocalStoreFS()
+    live_snaps: set[str] = set()
+    refdir = os.path.join(repo, "refs")
+    for name in sorted(os.listdir(refdir)) if os.path.isdir(refdir) else []:
+        if name.startswith("branch."):
+            head = _branch_head(fs, repo, name[len("branch.") :])
+            if head:
+                live_snaps.add(head[0])
+        elif name.startswith("tag."):
+            with open(os.path.join(refdir, name, "ref.json")) as f:
+                live_snaps.add(json.load(f)["snapshot"])
+
+    # expand ancestry; collect live manifests and chunk digests
+    live_mans: set[str] = set()
+    live_digests: set[str] = set()
+    stack = list(live_snaps)
+    while stack:
+        sid = stack.pop()
+        snap = _load_snapshot(fs, repo, sid)
+        live_snaps.add(sid)
+        mid = snap["manifest"]
+        if mid not in live_mans:
+            live_mans.add(mid)
+            with open(os.path.join(repo, "manifests", f"{mid}.json")) as f:
+                live_digests.update(e["digest"] for e in json.load(f).values())
+        parent = snap.get("parent")
+        if parent and parent not in live_snaps:
+            stack.append(parent)
+
+    removed = {"snapshots": 0, "manifests": 0, "chunks": 0}
+
+    def sweep(subdir: str, live: set[str], strip: str, counter: str) -> None:
+        base = os.path.join(repo, subdir)
+        for dirpath, _dirs, files in os.walk(base):
+            for name in files:
+                stem = name[: -len(strip)] if strip and name.endswith(strip) else name
+                if stem not in live and ".tmp" not in name:
+                    os.unlink(os.path.join(dirpath, name))
+                    removed[counter] += 1
+
+    sweep("snapshots", live_snaps, ".json", "snapshots")
+    sweep("manifests", live_mans, ".json", "manifests")
+    sweep("chunks", live_digests, "", "chunks")
+    return removed

@@ -75,6 +75,12 @@ def _reject_readonly_store(store_path: str, op: str) -> None:
             f"cannot {op} a reference:// (kerchunk) store: virtual "
             "stores are read-only"
         )
+    if store_path.startswith("icechunk://"):
+        raise ValueError(
+            f"cannot {op} an icechunk:// snapshot directly: snapshots "
+            "are immutable — publish a new one with "
+            "zarr_datafusion_spark.zarr.icechunk.commit_zarr"
+        )
 
 
 def write_zarr(

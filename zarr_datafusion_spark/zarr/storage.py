@@ -74,6 +74,12 @@ class StorageLocation:
             if not rest:
                 raise ValueError(f"missing refs path in {location!r}")
             return cls("reference", "", rest)
+        if location.startswith("icechunk://"):
+            # transactional snapshot repo: "<repo>[@<ref>]", verbatim
+            rest = location[len("icechunk://") :]
+            if not rest:
+                raise ValueError(f"missing repository path in {location!r}")
+            return cls("icechunk", "", rest)
         for scheme in ("s3", "gs", "http", "https"):
             prefix = f"{scheme}://"
             if location.startswith(prefix):
@@ -95,6 +101,8 @@ class StorageLocation:
             return self.path
         if self.scheme == "reference":
             return f"reference://{self.path}"
+        if self.scheme == "icechunk":
+            return f"icechunk://{self.path}"
         return f"{self.scheme}://{self.bucket}/{self.path}"
 
 
@@ -865,6 +873,15 @@ def store_fs(store_path: str):
         from zarr_datafusion_spark.zarr.kerchunk import ReferenceStoreFS
 
         fs = ReferenceStoreFS(loc.path)
+        return fs, fs.root
+    if loc.scheme == "icechunk":
+        from zarr_datafusion_spark.zarr.icechunk import (
+            IcechunkStoreFS,
+            parse_icechunk_url,
+        )
+
+        repo, ref = parse_icechunk_url(store_path)
+        fs = IcechunkStoreFS(repo, ref)
         return fs, fs.root
     if loc.scheme in ("http", "https"):
         return HttpStoreFS(), loc.url()
