@@ -397,9 +397,41 @@ def read_chunk_ex(
                 return hit, False
     arr, missing = _read_chunk_ex_uncached(store_path, meta, idx)
     if cache_key is not None and not missing:
+        if isinstance(arr, np.memmap):
+            # the cache must hold HEAP memory: a cached mapping would
+            # pin one fd per entry and expose the entry to any
+            # non-atomic in-place rewrite of the old file
+            arr = np.asarray(arr).copy()
         arr.setflags(write=False)
         _CHUNK_CACHE.put(cache_key, arr)
     return arr, missing
+
+
+#: Zero-copy memory-mapped reads of RAW (codec-free) local chunks —
+#: reference roadmap ``README.md:314`` ("Zero-copy reads with
+#: memory-mapped I/O").  Flag exists for tests/A-B only; semantics are
+#: identical to the buffered path (strict absence contract included).
+MMAP_LOCAL_RAW = True
+
+
+def _mmap_dtype(store_path: str, meta: ZarrArrayMeta):
+    """The on-disk dtype when a chunk is eligible for zero-copy mmap —
+    LOCAL store, raw codec chain (v2: no compressor/filters; v3: at
+    most the ``bytes`` endian codec) — else None.  Decoding such a
+    chunk is a pure reinterpretation of the file's bytes, so the page
+    cache can back the array directly: no read() copy, and a window
+    that slices one row of a chunk only ever faults that row's pages."""
+    if not MMAP_LOCAL_RAW or "://" in store_path:
+        return None
+    dtype = numpy_dtype_for(meta.dtype, meta.byte_order)
+    if meta.zarr_format == 2:
+        return dtype if meta.compressor is None and not meta.filters else None
+    endian = "little"
+    for codec in meta.codecs:
+        if codec.get("name") != "bytes":
+            return None
+        endian = (codec.get("configuration") or {}).get("endian", "little")
+    return dtype.newbyteorder("<" if endian == "little" else ">")
 
 
 def _read_chunk_ex_uncached(
@@ -408,6 +440,30 @@ def _read_chunk_ex_uncached(
     fs = _store_fs(store_path)
     dtype = numpy_dtype_for(meta.dtype, meta.byte_order)
     path = _chunk_path(store_path, meta, idx)
+    mm_dtype = _mmap_dtype(store_path, meta)
+    if mm_dtype is not None:
+        try:
+            arr = np.memmap(path, dtype=mm_dtype, mode="r")
+        except FileNotFoundError:
+            arr = None  # definitive absence: the spec'd fill path below
+        except ValueError as e:
+            # np.memmap raises ValueError on a size/itemsize mismatch —
+            # surface it as the same corruption error the buffered path
+            # gives, never as fill values
+            raise ValueError(
+                f"{meta.name} chunk {idx}: file size is not a whole "
+                f"number of {mm_dtype} elements ({e})"
+            ) from None
+        if arr is not None:
+            if arr.size != int(np.prod(meta.chunks)):
+                raise ValueError(
+                    f"{meta.name} chunk {idx}: decoded {arr.size} elements, "
+                    f"expected {int(np.prod(meta.chunks))}"
+                )
+            _IO.disk_bytes += arr.nbytes
+            _IO.decoded_bytes += arr.nbytes
+            _IO.n_chunks += 1
+            return arr.reshape(meta.chunks, order=meta.order), False
     # ONE round trip per chunk: read directly and map the adapter's
     # DEFINITIVE not-found to the fill path (try_read_bytes keeps the
     # strict ADVICE r7 contract — any non-404 failure raises, never

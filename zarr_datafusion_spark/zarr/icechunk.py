@@ -296,6 +296,8 @@ def commit_store(
     def walk(rel: str) -> None:
         abspath = f"{src_norm}/{rel}" if rel else src_norm
         for name in sorted(src_fs.listdir(abspath)):
+            if ".tmp" in name:
+                continue  # crash leftovers of atomic writes, never data
             sub = f"{rel}/{name}" if rel else name
             if src_fs.isdir(f"{src_norm}/{sub}"):
                 walk(sub)

@@ -364,8 +364,10 @@ def _write_zarr_persisted(
             adir = os.path.join(store_path, v)
             path = os.path.join(adir, "c", str(shard), *["0"] * len(inner))
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "wb") as f:
+            tmp = f"{path}.tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
                 f.write(payload)
+            os.replace(tmp, path)
             files += 1
             nbytes += len(payload)
         return pd.DataFrame(
@@ -562,8 +564,13 @@ def _write_chunk_file(
     else:
         path = os.path.join(adir, ".".join([str(outer_idx)] + ["0"] * (rank - 1)))
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
+    # atomic replace, never truncate-in-place: a concurrent reader (or
+    # a zero-copy mmap of the old chunk) keeps the old inode's bytes,
+    # and a crash mid-write can never leave a torn chunk file
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(payload)
+    os.replace(tmp, path)
 
 
 def _compression_token(meta_arr) -> str | None:

@@ -152,8 +152,10 @@ def write_v2_array(
         raw = _chunk_bytes(arr, chunks, idx)
         if filters:
             raw = _apply_v2_filters(raw, tuple(filters), arr.dtype)
-        with open(path, "wb") as f:
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
             f.write(_compress(raw, compression, typesize=arr.dtype.itemsize))
+        os.replace(tmp, path)
 
 
 def _encode_shard(
@@ -270,8 +272,10 @@ def write_v3_array(
                 compression,
                 typesize=arr.dtype.itemsize,
             )
-        with open(path, "wb") as f:
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
             f.write(payload)
+        os.replace(tmp, path)
 
 
 def write_store(
