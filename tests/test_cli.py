@@ -283,3 +283,27 @@ def test_repl_format_parquet(monkeypatch, capsys, engine, tmp_path):
         f"SELECT COUNT(*) FROM read_parquet('{out_path}/*.parquet')"
     ).fetchone()[0]
     assert n == 3
+
+
+def test_needs_continuation_rules():
+    from zarr_datafusion_spark.cli import _needs_continuation as nc
+
+    assert nc("SELECT sum(")
+    assert nc("WITH x AS (SELECT 1")
+    assert nc("SELECT 'an open string")
+    assert nc("SELECT 'it''s open")           # '' escape, still open
+    assert not nc("SELECT 'it''s closed'")
+    assert not nc("SELECT ')' -- (comment (")  # paren in string/comment
+    assert not nc("SELECT (1 + (2)) AS x")
+
+
+def test_repl_multiline_paste(monkeypatch, capsys, engine):
+    """A formatted statement with open parens buffers line-by-line and
+    runs once balanced (reference roadmap README.md:303)."""
+    out = _run_repl(
+        monkeypatch,
+        capsys,
+        engine,
+        ["SELECT t.x FROM (", "  SELECT 2 AS x", ") t;", "quit"],
+    )
+    assert "2" in out and "Error" not in out

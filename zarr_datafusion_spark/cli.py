@@ -78,6 +78,36 @@ def _status_line(elapsed: float, stages: list[tuple[int, int, int]]) -> str:
     return " · ".join(parts)
 
 
+def _needs_continuation(sql: str) -> bool:
+    """True while the statement cannot be complete yet: inside an
+    unterminated '…'/"…" literal or with unclosed parentheses
+    (``--`` line comments ignored).  The multi-line-editing rule
+    (reference roadmap README.md:303): pasting a formatted statement
+    keeps buffering until it balances."""
+    depth = 0
+    quote: str | None = None
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote is not None:
+            if ch == quote:
+                if i + 1 < n and sql[i + 1] == quote:  # SQL '' escape
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            nl = sql.find("\n", i)
+            i = n if nl < 0 else nl
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        i += 1
+    return quote is not None or depth > 0
+
+
 class _live_status:
     """Context manager painting :func:`_status_line` to a TTY at 5 Hz
     while the query runs; silent when stdout is not a terminal (tests,
@@ -180,7 +210,7 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
                 "  CREATE EXTERNAL TABLE t STORED AS ZARR LOCATION '<path>'\n"
                 "  COPY (query) TO 'path' STORED AS ZARR (COORDS '...')\n"
                 "  any Spark SQL statement (terminate with ; or newline;"
-                " trailing \\ continues)\n"
+                " trailing \\, open parens, or an open string continue)\n"
                 "  large results page through $PAGER on a tty"
             )
             continue
@@ -226,6 +256,12 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
         # plain-stdin equivalent).
         if line.rstrip().endswith("\\"):
             buffer[-1] = line.rstrip()[:-1]
+            continue
+        # Multi-line query editing (reference roadmap README.md:303):
+        # an open parenthesis or an unterminated string keeps the
+        # statement buffering, so a formatted query (CTEs, IN lists)
+        # pastes straight in without per-line '\' markers.
+        if _needs_continuation("\n".join(buffer)):
             continue
         sql = "\n".join(buffer).rstrip().rstrip(";")
         buffer = []
