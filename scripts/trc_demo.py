@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=float, default=1e8)
-    ap.add_argument("--stations", type=int, default=10_000)
+    ap.add_argument("--stations", type=int, default=8_000)
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -49,6 +49,9 @@ def main() -> None:
 
     ns = args.stations
     no = max(1, int(args.rows) // ns)
+    if no == ns:
+        no += 1  # equal dim sizes make dimension-order inference
+        # ambiguous (documented limitation); keep them distinct
     rows = ns * no
 
     base_dir = tempfile.mkdtemp(prefix="trc_demo_")
@@ -73,6 +76,10 @@ def main() -> None:
     t_write = time.monotonic() - t0
 
     spark = get_spark("trc-demo")
+    # one throwaway job through the datasource: JVM/datasource/python-
+    # worker first-use constants (~10 s on this box) must not bill the
+    # measured phases
+    read_zarr(spark, store, limit=1).collect()
     sql = (
         "SELECT station, MIN(temp_x10) AS min_t, AVG(temp_x10) AS mean_t, "
         "MAX(temp_x10) AS max_t, COUNT(*) AS n FROM {t} GROUP BY station"

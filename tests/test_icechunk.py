@@ -355,3 +355,67 @@ def test_eager_pushdown_prunes_snapshot_chunks(spark, repo, tmp_path):
     full = chunks_read(F.col("lat") >= 0)
     narrow = chunks_read(F.col("time") == 3)
     assert narrow < full
+
+
+def test_data_filter_pushdown_over_snapshot(spark, tmp_path):
+    """The data-variable chunk-statistics pruning runs unchanged over
+    a snapshot — and because snapshots are immutable, the content-
+    keyed sidecar can never go stale for a pinned URL.  Uses the
+    TRENDING store (monotone pressure), the fixture whose slabs can
+    actually be skipped — the weather grid's uniform slabs never
+    prune by design."""
+    from zarr_datafusion_spark.operators.zarr_queries import trending_store
+    from zarr_datafusion_spark.stats.chunk_stats import chunk_stats_sidecar_path
+    from zarr_datafusion_spark.stats.io_stats import collect_stats_dir
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    repo_path = str(tmp_path / "trend.ic")
+    sid = commit_store(trending_store(), repo_path, message="trend v1")
+    url = f"icechunk://{repo_path}@snap:{sid}"
+    assert chunk_stats_sidecar_path(url) is not None
+
+    def run(**kw):
+        d = str(tmp_path / f"st{len(kw)}")
+        df = read_zarr(spark, url, stats_dir=d, eager_pushdown=True, **kw)
+        rows = df.filter(F.col("pressure") > 1100).count()
+        return rows, collect_stats_dir(d).n_chunks
+
+    rows_plain, chunks_plain = run()
+    rows_pruned, chunks_pruned = run(data_filter_pushdown=True)
+    assert rows_pruned == rows_plain > 0
+    assert chunks_pruned < chunks_plain
+
+
+def test_stream_fails_loud_on_branch_shrink(spark, tmp_path):
+    """A commit that SHRINKS the outer axis under a tailing stream is
+    data loss, not an empty batch — the next micro-batch must fail
+    loud (the append-only streaming contract)."""
+    from pyspark.sql.utils import StreamingQueryException
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr, read_zarr_stream
+
+    repo = str(tmp_path / "shrink.ic")
+    src = read_zarr(spark, fixture_store(2))
+    commit_zarr(src, repo, coords=["time", "lat", "lon"], message="full")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def tail_once():
+        q = (
+            read_zarr_stream(spark, f"icechunk://{repo}", target_partitions=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    tail_once()
+    assert spark.read.parquet(out).count() == 700
+    commit_zarr(
+        src.filter(F.col("time") < 3), repo,
+        coords=["time", "lat", "lon"], message="history rewrite",
+    )
+    with pytest.raises(StreamingQueryException, match="backwards|shrank"):
+        tail_once()

@@ -1031,3 +1031,58 @@ def trc_station_rollup(spark, sf_dir):
         "MAX(temp_x10) AS max_t, COUNT(*) AS n FROM trc GROUP BY station"
     )
     return df.orderBy("station")
+
+
+@_q(
+    "zarr_icechunk_stream",
+    f"""SELECT time, lat, lon, temperature, humidity
+        FROM read_parquet('{_MIRROR}')""",
+)
+def zarr_icechunk_stream(spark, sf_dir):
+    """Streaming tail of an icechunk BRANCH — change-data-capture over
+    the transactional store: each micro-batch re-resolves the branch
+    head to a PINNED snapshot (the per-worker adapter memoization can
+    never serve a stale head), offsets stay absolute outer indices, so
+    a commit that grows the outer axis arrives as exactly its new
+    slabs.  Harness mirrors ``zarr_stream_tail``: commit five slabs,
+    tail (availableNow -> parquet sink + checkpoint), commit the full
+    image (the transactional append — structural sharing stages only
+    the two new slabs' chunks), tail again with the SAME checkpoint;
+    the union must equal the full mirror (duplicate slabs, a stale
+    head, or a wrong offset all hash-mismatch).  Beyond-reference
+    twice over: the reference is batch-only AND has no transactional
+    layer (roadmap README.md:330)."""
+    import tempfile
+
+    from zarr_datafusion_spark.zarr import read_zarr, read_zarr_stream
+    from zarr_datafusion_spark.zarr.icechunk import commit_zarr
+
+    src = read_zarr(spark, fixture_store(2))
+    times = sorted(r[0] for r in src.select("time").distinct().collect())
+    base = tempfile.mkdtemp(prefix="zds_ic_stream_")
+    repo = os.path.join(base, "grow.ic")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    commit_zarr(
+        src.filter(F.col("time").isin(times[:5])), repo,
+        coords=["time", "lat", "lon"], message="first five slabs",
+    )
+
+    def tail_once():
+        q = (
+            read_zarr_stream(spark, f"icechunk://{repo}", target_partitions=4)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    tail_once()
+    commit_zarr(
+        src, repo, coords=["time", "lat", "lon"], message="full image",
+    )
+    tail_once()
+    return spark.read.parquet(out).select(
+        "time", "lat", "lon", "temperature", "humidity"
+    )

@@ -893,12 +893,42 @@ class ZarrStreamReader(DataSourceStreamReader):
         self.target_partitions = int(options.get("target_partitions", 8))
         self._cached: ZarrDataSourceReader | None = None
 
+    def _effective_path(self, min_outer: int = 0) -> str:
+        """Store path to read THROUGH for a window reaching
+        ``min_outer``.  Plain stores pass through.  An ``icechunk://``
+        BRANCH ref is the transactional tail: every call re-resolves
+        the head and pins it, so each micro-batch reads one immutable
+        snapshot (the per-worker adapter memoization keys on the
+        pinned URL and can never serve a stale head).  Offsets stay
+        absolute outer indices, so the stream contract is the same
+        append-only discipline ``append_zarr`` enforces for plain
+        stores — commits must only GROW the outer axis; a window the
+        head cannot cover fails loud below (shrink = data loss)."""
+        if not self.store_path.startswith("icechunk://"):
+            return self.store_path
+        from zarr_datafusion_spark.zarr.icechunk import pin_snapshot
+
+        url = pin_snapshot(self.store_path)
+        if min_outer:
+            meta = discover_arrays(url)
+            outer = int(meta.coords[0].shape[0]) if meta.coords else 0
+            if outer < min_outer:
+                raise ValueError(
+                    f"icechunk branch head {url!r} covers only outer "
+                    f"length {outer}, but the committed stream window "
+                    f"needs {min_outer} — the branch shrank or was "
+                    "rewritten under the stream (append-only contract)"
+                )
+        return url
+
     def _reader_for(self, outer: int) -> ZarrDataSourceReader:
         r = self._cached
         if r is None or (r.meta.coords and r.meta.coords[0].shape[0] < outer):
+            eff = self._effective_path(outer)
+            opts = dict(self.options)
+            opts["path"] = eff  # chunk reads go through the PINNED url
             r = ZarrDataSourceReader(
-                self.schema_, dict(self.options),
-                discover_arrays(self.store_path),
+                self.schema_, opts, discover_arrays(eff)
             )
             self._cached = r
         return r
@@ -907,7 +937,7 @@ class ZarrStreamReader(DataSourceStreamReader):
         return {"outer": 0}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        meta = discover_arrays(self.store_path)
+        meta = discover_arrays(self._effective_path())
         outer = int(meta.coords[0].shape[0]) if meta.coords else 0
         return {"outer": outer}
 

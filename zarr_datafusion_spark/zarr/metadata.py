@@ -159,6 +159,11 @@ class ZarrArrayMeta:
     #: user attributes (.zattrs / v3 "attributes") — exposed as Spark
     #: StructField metadata (reference roadmap README.md:319, unchecked)
     attrs: dict = field(default_factory=dict)
+    #: declared dimension names, when the store carries them: the v3
+    #: core-spec ``dimension_names`` field, or xarray's v2 convention
+    #: ``_ARRAY_DIMENSIONS`` in .zattrs.  Names make dimension ORDER
+    #: exact where shape-matching is ambiguous (equal-size dims).
+    dimension_names: tuple = ()
 
     @property
     def is_coordinate(self) -> bool:
@@ -246,8 +251,24 @@ def detect_zarr_version(store_path: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _dim_names(raw) -> tuple:
+    """Validated declared-dimension tuple: a list of strings (v3
+    allows nulls for unnamed axes — those void the declaration for
+    ordering purposes)."""
+    if not isinstance(raw, (list, tuple)) or not raw:
+        return ()
+    if not all(isinstance(d, str) and d for d in raw):
+        return ()
+    return tuple(raw)
+
+
 def _parse_v2_array(name: str, meta: dict, attrs: dict | None = None) -> ZarrArrayMeta:
     dtype, order_char = parse_v2_dtype(meta["dtype"])
+    attrs = dict(attrs or {})
+    # xarray's dimension declaration is SYSTEM metadata: honor it for
+    # axis order, strip it from user-facing attrs (exactly as xarray
+    # itself hides it)
+    dim_names = _dim_names(attrs.pop("_ARRAY_DIMENSIONS", None))
     return ZarrArrayMeta(
         name=name,
         dtype=dtype,
@@ -260,7 +281,9 @@ def _parse_v2_array(name: str, meta: dict, attrs: dict | None = None) -> ZarrArr
         compressor=meta.get("compressor"),
         filters=tuple(meta.get("filters") or ()),
         dimension_separator=meta.get("dimension_separator", "."),
-        attrs=dict(attrs or {}),
+        attrs=attrs,
+        # xarray's v2 convention: .zattrs _ARRAY_DIMENSIONS
+        dimension_names=dim_names,
     )
 
 
@@ -285,19 +308,39 @@ def _parse_v3_array(name: str, meta: dict) -> ZarrArrayMeta:
         codecs=tuple(meta.get("codecs") or ()),
         chunk_key_separator=separator,
         attrs=dict(meta.get("attributes") or {}),
+        # v3 core-spec field (nullable per axis; nulls void it here)
+        dimension_names=_dim_names(meta.get("dimension_names")),
     )
 
 
 def _infer_coord_order(
     coords: list[ZarrArrayMeta], data_vars: list[ZarrArrayMeta]
 ) -> list[ZarrArrayMeta]:
-    """Match a data variable's shape to coordinate sizes, first-unused
-    wins per position (``schema_inference.rs:311-358``); alphabetical
-    fallback.  Candidates are pre-sorted by name (determinism — see
-    module docstring divergence note)."""
+    """Dimension order of the store's coordinates.
+
+    DECLARED names win outright: a data variable carrying the v3
+    core-spec ``dimension_names`` field or xarray's v2
+    ``_ARRAY_DIMENSIONS`` attribute states its axis order exactly —
+    no inference, and no ambiguity when dimension sizes collide
+    (equal-size dims are where shape-matching is provably blind).
+
+    Otherwise: match a data variable's shape to coordinate sizes,
+    first-unused wins per position (``schema_inference.rs:311-358``);
+    alphabetical fallback.  Candidates are pre-sorted by name
+    (determinism — see module docstring divergence note)."""
     coords = sorted(coords, key=lambda c: c.name)
     if not coords or not data_vars:
         return coords
+    by_name = {c.name: c for c in coords}
+    for var in data_vars:
+        names = var.dimension_names
+        if (
+            len(names) == len(coords)
+            and len(set(names)) == len(names)
+            and all(n in by_name for n in names)
+            and tuple(by_name[n].shape[0] for n in names) == var.shape
+        ):
+            return [by_name[n] for n in names]
     for var in data_vars:
         if len(var.shape) != len(coords):
             continue

@@ -269,13 +269,15 @@ def _write_zarr_persisted(
     for v in data_vars:
         if zarr_format == 2:
             _write_v2_metadata_only(
-                store_path, v, var_dtypes[v], shape, chunks, compression
+                store_path, v, var_dtypes[v], shape, chunks, compression,
+                dims=tuple(coords),
             )
         else:
             _write_v3_metadata_only(
                 store_path, v, var_dtypes[v], shape, top_chunks,
                 inner_chunks=chunks if shard_outer else None,
                 compression=compression,
+                dims=tuple(coords),
             )
 
     # --- executor side: one task per outer index writes its chunk files
@@ -411,6 +413,10 @@ def _write_zarr_persisted(
         for name in list(coords) + list(data_vars):
             with open(os.path.join(store_path, name, ".zarray")) as f:
                 entries[f"{name}/.zarray"] = json.load(f)
+            zattrs = os.path.join(store_path, name, ".zattrs")
+            if os.path.exists(zattrs):
+                with open(zattrs) as f:
+                    entries[f"{name}/.zattrs"] = json.load(f)
         with open(os.path.join(store_path, ".zmetadata"), "w") as f:
             json.dump({"zarr_consolidated_format": 1, "metadata": entries}, f)
     else:
@@ -449,6 +455,7 @@ def _write_v2_metadata_only(
     shape: tuple,
     chunks: tuple,
     compression: str | None = None,
+    dims: tuple | None = None,
 ) -> None:
     import json
 
@@ -475,6 +482,12 @@ def _write_v2_metadata_only(
     }
     with open(os.path.join(adir, ".zarray"), "w") as f:
         json.dump(meta, f)
+    if dims:
+        # xarray's convention: declared dimension names make the axis
+        # order exact for every reader (ours strips the attr back out
+        # of user-facing schema metadata, exactly as xarray does)
+        with open(os.path.join(adir, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": list(dims)}, f)
 
 
 def _write_v3_metadata_only(
@@ -485,6 +498,7 @@ def _write_v3_metadata_only(
     chunks: tuple,
     inner_chunks: tuple | None = None,
     compression: str | None = None,
+    dims: tuple | None = None,
 ) -> None:
     """v3 array node: regular chunk grid, default ``/``-separated key
     encoding, little-endian ``bytes`` codec — the exact layout
@@ -542,6 +556,8 @@ def _write_v3_metadata_only(
         "fill_value": 0,
         "attributes": {},
     }
+    if dims:
+        meta["dimension_names"] = list(dims)  # v3 core-spec field
     with open(os.path.join(adir, "zarr.json"), "w") as f:
         json.dump(meta, f)
 
