@@ -386,6 +386,62 @@ def commit_zarr(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def append_snapshot(
+    df,
+    repo: str,
+    branch: str = "main",
+    message: str = "",
+) -> str:
+    """Transactional APPEND: add the DataFrame's outer slabs on top of
+    the branch head and publish the grown image as the next snapshot.
+
+    The head is materialized into a private staging store by
+    HARDLINKING its chunk payloads out of the content-addressed object
+    store (no bytes copied — the payloads are immutable either way),
+    ``sink.append_zarr`` writes the new slabs (monotonic-outer rules
+    enforced there), and :func:`commit_store` re-ingests: unchanged
+    chunks hash to their existing objects, so the commit stages ONLY
+    the new slabs' chunks plus the grown coordinate.  Cost is
+    proportional to the APPEND at any store size.  Optimistic
+    concurrency: the commit expects the head this append was built on
+    and conflicts if the branch moved."""
+    import shutil
+    import tempfile
+
+    from zarr_datafusion_spark.zarr.sink import append_zarr
+
+    repo_local = _require_local(repo, "append")
+    head_sid = resolve_ref(repo_local, f"branch:{branch}")
+    fs = IcechunkStoreFS(repo_local, f"snap:{head_sid}")
+    staging = tempfile.mkdtemp(prefix="zds_ic_append_")
+    try:
+        store = os.path.join(staging, "head.zarr")
+        for key, doc in fs._meta.items():
+            path = os.path.join(store, *key.split("/"))
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(
+                    doc["text"].encode("utf-8")
+                    if "text" in doc
+                    else base64.b64decode(doc["b64"])
+                )
+        for key, ent in fs._chunks.items():
+            src = os.path.join(repo_local, _chunk_rel(ent["digest"]))
+            dst = os.path.join(store, *key.split("/"))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copyfile(src, dst)  # cross-device fallback
+        append_zarr(df, store)
+        return commit_store(
+            store, repo_local, branch=branch, message=message,
+            expected_snapshot=head_sid,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # read side
 # ---------------------------------------------------------------------------

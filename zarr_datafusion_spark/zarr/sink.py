@@ -789,6 +789,12 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
             for name in coords + data_vars:
                 with open(os.path.join(store_path, name, ".zarray")) as f:
                     entries[f"{name}/.zarray"] = json.load(f)
+                zattrs = os.path.join(store_path, name, ".zattrs")
+                if os.path.exists(zattrs):
+                    # keep dimension declarations (and any user attrs)
+                    # visible to consolidated discovery after appends
+                    with open(zattrs) as f:
+                        entries[f"{name}/.zattrs"] = json.load(f)
             with open(zmeta, "w") as f:
                 json.dump(
                     {"zarr_consolidated_format": 1, "metadata": entries}, f
