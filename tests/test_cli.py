@@ -307,3 +307,23 @@ def test_repl_multiline_paste(monkeypatch, capsys, engine):
         ["SELECT t.x FROM (", "  SELECT 2 AS x", ") t;", "quit"],
     )
     assert "2" in out and "Error" not in out
+
+
+def test_needs_continuation_escapes_and_comments():
+    from zarr_datafusion_spark.cli import _needs_continuation as nc
+
+    assert not nc(r"SELECT 'O\'Brien'")      # backslash escape closes
+    assert nc(r"SELECT 'O\'Brien")            # genuinely open
+    assert not nc("SELECT 1 /* ( unbalanced in comment */")
+    assert nc("SELECT 1 /* unterminated comment")
+
+
+def test_repl_empty_line_force_submits(monkeypatch, capsys, engine):
+    """A stuck continuation (scanner/dialect disagreement) escapes via
+    an empty line: the buffer submits as-is and the error comes back
+    instead of an endless prompt."""
+    out = _run_repl(
+        monkeypatch, capsys, engine,
+        ["SELECT (1 + 1 AS x", "", "SELECT 7 AS ok;", "quit"],
+    )
+    assert "Error" in out and "7" in out

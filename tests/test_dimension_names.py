@@ -121,6 +121,9 @@ def test_sink_written_stores_declare_dims(spark, tmp_path):
         var = sm.data_vars[0]
         assert var.dimension_names == ("zz", "aa")
         assert "_ARRAY_DIMENSIONS" not in var.attrs
+        # xarray needs the declaration on EVERY array, coords included
+        for c in sm.coords:
+            assert c.dimension_names == (c.name,), (fmt, c.name)
         back = read_zarr(spark, store)
         assert back.schema["v"].metadata == {}
         got = {(r.zz, r.aa): r.v for r in back.collect()}

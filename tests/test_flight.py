@@ -125,3 +125,22 @@ def test_flight_error_surfaces(flight_server):
             client.get_flight_info(fl.FlightDescriptor.for_path("x"))
     finally:
         client.close()
+
+
+def test_advertised_location_follows_bind_host(engine):
+    """Endpoints must advertise the host the server was asked to serve
+    on — a hardcoded loopback sends remote clients to themselves (r11
+    review finding).  Wildcard binds fall back to loopback."""
+    pytest.importorskip("pyarrow.flight")
+    from zarr_datafusion_spark.flight import EngineFlightServer
+
+    srv = EngineFlightServer(engine, "grpc://localhost:0")
+    try:
+        assert srv.location.startswith("grpc://localhost:")
+    finally:
+        srv.shutdown()
+    srv = EngineFlightServer(engine, "grpc://0.0.0.0:0")
+    try:
+        assert srv.location.startswith("grpc://127.0.0.1:")
+    finally:
+        srv.shutdown()

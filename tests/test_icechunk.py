@@ -505,3 +505,73 @@ def test_append_snapshot_incremental(spark, tmp_path):
     assert got == want
     # parent snapshot unharmed (hardlink discipline): same rows as before
     assert read_zarr(spark, f"icechunk://{repo_path}@snap:{s1}").count() == v1_rows
+
+
+def test_unpinned_url_reads_real_data(spark, repo):
+    """Chunk reads through an UNPINNED icechunk:// URL must return the
+    head's real data — the r11 review caught the adapter stripping
+    only the pinned root, which made every key miss and every read
+    degrade silently to fill values."""
+    import numpy as np
+
+    from zarr_datafusion_spark.zarr.chunkio import read_chunk
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
+
+    path, _s1, _s2 = repo
+    unpinned = f"icechunk://{path}"
+    sm = discover_arrays(unpinned)
+    meta = {m.name: m for m in sm.data_vars}["temperature"]
+    arr = read_chunk(unpinned, meta, (0, 0, 0))
+    assert arr.shape == (1, 10, 10)
+    assert np.any(arr != 0)  # fill value is 0 — real data must differ
+
+
+def test_register_unpinned_branch_stats_are_correct(spark, tmp_path):
+    """The product-reachable shape of the same bug: register_zarr over
+    a BRANCH ref with data_filter_pushdown must compute the sidecar
+    from the pinned snapshot (correct sums), and the scan-free
+    aggregate must match the full plan."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import trending_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    repo_path = str(tmp_path / "reg.ic")
+    commit_store(trending_store(), repo_path, message="v1")
+    eng = Engine(spark)
+    eng.register_zarr("ic_reg", f"icechunk://{repo_path}",
+                      data_filter_pushdown=True)
+    got = eng.sql("SELECT SUM(pressure) AS s FROM ic_reg").first().s
+    assert eng.last_query_used_shortcut
+    want = (
+        read_zarr(spark, trending_store())
+        .agg(F.sum("pressure")).first()[0]
+    )
+    assert got == want != 0
+
+
+def test_ref_publication_is_atomic_and_tmp_ignored(repo, tmp_path):
+    """_publish_ref_exclusive: loses cleanly on an existing target,
+    never leaves its tmp behind, and an (artificial) leftover tmp in
+    the branch dir is never taken for a head."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+
+    path, _s1, s2 = repo
+    bdir = os.path.join(path, "refs", "branch.main")
+    head_name = sorted(
+        n for n in os.listdir(bdir)
+        if n.startswith("gen-") and n.endswith(".json")
+    )[0]
+    with pytest.raises(FileExistsError):
+        ic._publish_ref_exclusive(
+            os.path.join(bdir, head_name), {"snapshot": "xxx"}
+        )
+    assert not [n for n in os.listdir(bdir) if ".tmp" in n]
+
+    # a leftover publication tmp that would sort FIRST must be ignored
+    stray = os.path.join(bdir, f"{ic._gen_name(99)}.tmp999")
+    with open(stray, "w") as f:
+        f.write("")  # torn content
+    try:
+        assert resolve_ref(path, "branch:main") == s2
+    finally:
+        os.unlink(stray)

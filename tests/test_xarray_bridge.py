@@ -100,3 +100,16 @@ def test_plain_dict_and_ndarray_inputs(spark):
         },
     )
     assert from_xarray(spark, ds).count() == 6
+
+
+def test_extra_coords_are_refused(spark):
+    ds = FakeDataset(
+        data_vars={"v": FakeDataArray(np.zeros((2, 3), np.int64), ("a", "b"))},
+        coords={
+            "a": FakeDataArray(np.arange(2, dtype=np.int64), ("a",)),
+            "b": FakeDataArray(np.arange(3, dtype=np.int64), ("b",)),
+            "aux": FakeDataArray(np.arange(2, dtype=np.int64), ("a",)),
+        },
+    )
+    with pytest.raises(ValueError, match="non-dimension coordinates"):
+        from_xarray(spark, ds)

@@ -90,6 +90,9 @@ def _needs_continuation(sql: str) -> bool:
     while i < n:
         ch = sql[i]
         if quote is not None:
+            if ch == "\\":  # Spark SQL backslash escape: 'O\'Brien'
+                i += 2
+                continue
             if ch == quote:
                 if i + 1 < n and sql[i + 1] == quote:  # SQL '' escape
                     i += 1
@@ -100,6 +103,11 @@ def _needs_continuation(sql: str) -> bool:
         elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
             nl = sql.find("\n", i)
             i = n if nl < 0 else nl
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            end = sql.find("*/", i + 2)  # bracketed comment
+            if end < 0:
+                return True  # unterminated comment: keep buffering
+            i = end + 1
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -249,20 +257,27 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
                 print("usage: \\format [table|csv|json|parquet <path>]")
             continue
         if not line.strip():
-            continue
-        buffer.append(line)
-        # A trailing backslash continues the statement on the next line
-        # (the reference uses rustyline's multiline editing; '\' is the
-        # plain-stdin equivalent).
-        if line.rstrip().endswith("\\"):
-            buffer[-1] = line.rstrip()[:-1]
-            continue
-        # Multi-line query editing (reference roadmap README.md:303):
-        # an open parenthesis or an unterminated string keeps the
-        # statement buffering, so a formatted query (CTEs, IN lists)
-        # pastes straight in without per-line '\' markers.
-        if _needs_continuation("\n".join(buffer)):
-            continue
+            if not buffer:
+                continue
+            # escape hatch: an empty line FORCE-SUBMITS a buffering
+            # statement unconditionally (a parse error beats an
+            # inescapable prompt if the balance scanner and the
+            # dialect ever disagree)
+        else:
+            buffer.append(line)
+            # A trailing backslash continues the statement on the next
+            # line (the reference uses rustyline's multiline editing;
+            # '\' is the plain-stdin equivalent).
+            if line.rstrip().endswith("\\"):
+                buffer[-1] = line.rstrip()[:-1]
+                continue
+            # Multi-line query editing (reference roadmap
+            # README.md:303): an open parenthesis or an unterminated
+            # string keeps the statement buffering, so a formatted
+            # query (CTEs, IN lists) pastes straight in without
+            # per-line '\' markers.
+            if _needs_continuation("\n".join(buffer)):
+                continue
         sql = "\n".join(buffer).rstrip().rstrip(";")
         buffer = []
         if tty:

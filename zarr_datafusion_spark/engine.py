@@ -107,6 +107,15 @@ class Engine:
         from zarr_datafusion_spark.stats.zarr_stats import zarr_table_stats
         from zarr_datafusion_spark.zarr import read_zarr
 
+        if store_path.startswith("icechunk://"):
+            # pin a branch/tag ref ONCE so the view, the table stats,
+            # and the chunk-agg provider all answer from the SAME
+            # snapshot — otherwise a concurrent commit could make the
+            # stats shortcut and a plain SELECT disagree on one table
+            # (r11 review finding); re-register to follow new commits
+            from zarr_datafusion_spark.zarr.icechunk import pin_snapshot
+
+            store_path = pin_snapshot(store_path)
         df = read_zarr(
             self.spark,
             store_path,

@@ -61,7 +61,19 @@ class EngineFlightServer:
             def __init__(self, engine_, loc):
                 super().__init__(loc)
                 self.engine = engine_
-                self.location = f"grpc://127.0.0.1:{self.port}"
+                # advertise the HOST the server was asked to serve on,
+                # not a hardcoded loopback: a client following
+                # get_flight_info -> do_get(endpoint.locations[0])
+                # must reach THIS machine (r11 review finding).  A
+                # wildcard bind has no single advertisable address;
+                # fall back to loopback (the caller can still connect
+                # by whatever name resolves here).
+                host = "127.0.0.1"
+                rest = loc.split("://", 1)[-1]
+                bind_host = rest.rsplit(":", 1)[0] if rest else ""
+                if bind_host not in ("", "0.0.0.0", "[::]", "::"):
+                    host = bind_host
+                self.location = f"grpc://{host}:{self.port}"
 
             # -- query path ------------------------------------------------
             def get_flight_info(self, context, descriptor):

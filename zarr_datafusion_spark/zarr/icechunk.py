@@ -161,7 +161,13 @@ def _branch_head(fs, repo: str, branch: str) -> tuple[str, int] | None:
     """(snapshot_id, sequence) of the branch head, or None."""
     bdir = f"{repo}/refs/branch.{branch}"
     try:
-        names = [n for n in fs.listdir(bdir) if n.startswith("gen-")]
+        # exact gen-*.json only: in-flight ".tmp<pid>" publication
+        # files must never be taken for a head (their content may be
+        # mid-write)
+        names = [
+            n for n in fs.listdir(bdir)
+            if n.startswith("gen-") and n.endswith(".json")
+        ]
     except (FileNotFoundError, OSError):
         return None
     if not names:
@@ -216,17 +222,40 @@ def _load_snapshot(fs, repo: str, sid: str) -> dict:
     return json.loads(data.decode())
 
 
+def _publish_ref_exclusive(path: str, doc: dict) -> None:
+    """Create-exclusive ref publication with ATOMIC content: the
+    document is fully written (and flushed) to a private tmp file,
+    then ``os.link``ed into place — link both fails on an existing
+    target (the O_EXCL race semantics) and exposes the file only with
+    its complete bytes.  A bare ``O_EXCL`` open + buffered write has a
+    window where the ref exists empty: a concurrent resolve would see
+    a torn head, and a crash there would wedge the branch forever
+    (r11 review finding)."""
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def create_tag(repo: str, name: str, snapshot_id: str) -> None:
-    """Tags are write-once (immutable), enforced by ``O_EXCL``."""
+    """Tags are write-once (immutable), enforced by the exclusive
+    link publication."""
     repo = _require_local(repo, "tag")
     tdir = os.path.join(repo, "refs", f"tag.{name}")
     os.makedirs(tdir, exist_ok=True)
-    fd = os.open(
-        os.path.join(tdir, "ref.json"),
-        os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+    _publish_ref_exclusive(
+        os.path.join(tdir, "ref.json"), {"snapshot": snapshot_id}
     )
-    with os.fdopen(fd, "w") as f:
-        json.dump({"snapshot": snapshot_id}, f)
 
 
 def history(repo: str, ref: str | None = None) -> list[dict]:
@@ -341,17 +370,14 @@ def commit_store(
     bdir = os.path.join(repo, "refs", f"branch.{branch}")
     os.makedirs(bdir, exist_ok=True)
     try:
-        fd = os.open(
-            os.path.join(bdir, _gen_name(seq)),
-            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+        _publish_ref_exclusive(
+            os.path.join(bdir, _gen_name(seq)), {"snapshot": sid}
         )
     except FileExistsError:
         raise IcechunkConflictError(
             f"branch {branch!r}: generation {seq} was committed "
             "concurrently; rebase on the new head and retry"
         ) from None
-    with os.fdopen(fd, "w") as f:
-        json.dump({"snapshot": sid}, f)
     return sid
 
 
@@ -480,7 +506,9 @@ class IcechunkStoreFS:
     read_text / read_bytes / try_read_bytes), so metadata discovery,
     chunk I/O, pushdown, and caching run unmodified over it."""
 
-    def __init__(self, repo: str, ref: str | None = None):
+    def __init__(
+        self, repo: str, ref: str | None = None, requested: str | None = None
+    ):
         from zarr_datafusion_spark.zarr.storage import store_fs
 
         self._fs, self._repo = store_fs(repo)
@@ -488,6 +516,17 @@ class IcechunkStoreFS:
         snap = _load_snapshot(self._fs, self._repo, sid)
         self.snapshot_id = sid
         self.root = f"icechunk://{repo}@snap:{sid}"
+        # every base URL a caller may join keys onto: the pinned root,
+        # the URL this adapter was opened with (possibly a branch/tag
+        # ref), and the bare repo — longest first so ref'd forms strip
+        # before their bare-repo prefix.  Missing any spelling would
+        # make _key keep the base, no key would match, and reads would
+        # SILENTLY degrade to fill values (caught in the r11 review).
+        self._bases = sorted(
+            {self.root, requested or self.root, f"icechunk://{repo}"},
+            key=len,
+            reverse=True,
+        )
         self._meta: dict[str, dict] = snap["metadata"]
         man = self._fs.read_bytes(
             f"{self._repo}/manifests/{snap['manifest']}.json"
@@ -497,8 +536,10 @@ class IcechunkStoreFS:
     # -- key mapping --------------------------------------------------
     def _key(self, p: str) -> str:
         p = p.replace(os.sep, "/")
-        if p.startswith(self.root):
-            p = p[len(self.root) :]
+        for base in self._bases:
+            if p.startswith(base):
+                p = p[len(base) :]
+                break
         return p.lstrip("/")
 
     def _keys(self):

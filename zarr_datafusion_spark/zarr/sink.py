@@ -251,7 +251,10 @@ def _write_zarr_persisted(
     # 1-D coordinate arrays, one chunk each (the reference's layout)
     write_coord = write_v2_array if zarr_format == 2 else write_v3_array
     for c in coords:
-        write_coord(store_path, c, coord_values[c], (len(coord_values[c]),))
+        write_coord(
+            store_path, c, coord_values[c], (len(coord_values[c]),),
+            dims=(c,),
+        )
 
     var_dtypes = {}
     for v in data_vars:
@@ -773,7 +776,7 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
 
     combined = np.concatenate([old_outer, new_outer])
     write_coord = write_v2_array if zarr_format == 2 else write_v3_array
-    write_coord(store_path, outer, combined, (len(combined),))
+    write_coord(store_path, outer, combined, (len(combined),), dims=(outer,))
     meta_name = ".zarray" if zarr_format == 2 else "zarr.json"
     for v in data_vars:
         p = os.path.join(store_path, v, meta_name)

@@ -881,7 +881,7 @@ def store_fs(store_path: str):
         )
 
         repo, ref = parse_icechunk_url(store_path)
-        fs = IcechunkStoreFS(repo, ref)
+        fs = IcechunkStoreFS(repo, ref, requested=store_path)
         return fs, fs.root
     if loc.scheme in ("http", "https"):
         return HttpStoreFS(), loc.url()

@@ -102,6 +102,7 @@ def write_v2_array(
     compression: str | None = None,
     dimension_separator: str = ".",
     filters: tuple | None = None,
+    dims: tuple | None = None,
 ) -> None:
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
@@ -145,6 +146,11 @@ def write_v2_array(
     }
     with open(os.path.join(adir, ".zarray"), "w") as f:
         json.dump(meta, f)
+    if dims:
+        # xarray requires _ARRAY_DIMENSIONS on EVERY array to open a
+        # v2 store; our reader uses it for exact axis order
+        with open(os.path.join(adir, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": list(dims)}, f)
     for idx in _chunks_of(arr.shape, chunks):
         key = dimension_separator.join(str(i) for i in idx)
         path = os.path.join(adir, *key.split("/"))
@@ -192,6 +198,7 @@ def write_v3_array(
     chunks: tuple[int, ...],
     compression: str | None = None,
     inner_chunks: tuple[int, ...] | None = None,
+    dims: tuple | None = None,
 ) -> None:
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
@@ -248,6 +255,8 @@ def write_v3_array(
         "fill_value": 0,
         "attributes": {},
     }
+    if dims:
+        meta["dimension_names"] = list(dims)  # v3 core-spec field
     with open(os.path.join(adir, "zarr.json"), "w") as f:
         json.dump(meta, f)
     # v3 'bytes' codec is little-endian here

@@ -79,6 +79,16 @@ def from_xarray(spark, ds, store_path: str | None = None, **read_kwargs):
     coords = dict(_mapping_items(ds.coords))
 
     dims0 = _dims(data_vars[0][1])
+    extra = sorted(set(coords) - set(dims0))
+    if extra:
+        # refusing beats silently dropping columns the user can see in
+        # their Dataset (r11 review finding): auxiliary/scalar coords
+        # are not part of the hypercube contract this bridge stages
+        raise ValueError(
+            f"non-dimension coordinates {extra} are not supported by "
+            "the zarr staging bridge — drop them (ds.drop_vars) or "
+            "promote them to data variables before bridging"
+        )
     arrays: dict[str, tuple[np.ndarray, tuple[int, ...]]] = {}
     shape: dict[str, int] = {}
     for d in dims0:
