@@ -575,3 +575,28 @@ def test_ref_publication_is_atomic_and_tmp_ignored(repo, tmp_path):
         assert resolve_ref(path, "branch:main") == s2
     finally:
         os.unlink(stray)
+
+
+def test_distributed_ingest_matches_serial(spark, tmp_path):
+    """The executor-parallel ingest must produce a byte-identical
+    repository image (same snapshot id — ids are content-derived, so
+    equality proves manifest, metadata, and chunk objects all match)."""
+    import numpy as np
+
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    # enough chunk files to clear the distributed threshold (>= 64)
+    nt, ni = 80, 50
+    data = np.arange(nt * ni, dtype=np.int64).reshape(nt, ni)
+    store = str(tmp_path / "many.zarr")
+    write_store(store, {
+        "t": (np.arange(nt, dtype=np.int64), (nt,)),
+        "i": (np.arange(ni, dtype=np.int64), (ni,)),
+        "v": (data, (1, ni)),
+    })
+    serial = commit_store(store, str(tmp_path / "serial.ic"), message="m")
+    dist = commit_store(store, str(tmp_path / "dist.ic"), message="m",
+                        spark=spark)
+    assert serial == dist
+    assert (_chunk_objects(str(tmp_path / "serial.ic"))
+            == _chunk_objects(str(tmp_path / "dist.ic")))

@@ -278,12 +278,43 @@ def history(repo: str, ref: str | None = None) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+def _ingest_one(src_fs, src_norm: str, repo: str, key: str) -> dict:
+    """Read one chunk file, store it content-addressed, return its
+    manifest entry.  Safe under arbitrary concurrency: object writes
+    are tmp+rename of immutable content."""
+    payload = src_fs.read_bytes(f"{src_norm}/{key}")
+    d = _digest(payload)
+    _write_object(repo, _chunk_rel(d), payload)
+    return {"digest": d, "length": len(payload)}
+
+
+def _ingest_distributed(spark, store_dir: str, repo: str, keys: list[str]):
+    """Hash+stage chunk objects on the EXECUTORS — the ingest pass is
+    embarrassingly parallel per file, and at 100 TB it is the commit's
+    entire cost (the driver's share is metadata: manifest, snapshot,
+    one ref).  Requires the repo path to be reachable from executors
+    (always true on local[*]; a shared filesystem on a cluster).
+    Returns (key, entry) pairs; the collect is manifest-sized."""
+    sc = spark.sparkContext
+    nparts = max(1, min(len(keys) // 4 + 1, sc.defaultParallelism * 4))
+
+    def part(it):
+        from zarr_datafusion_spark.zarr.storage import store_fs
+
+        fs, norm = store_fs(store_dir)
+        for key in it:
+            yield key, _ingest_one(fs, norm, repo, key)
+
+    return sc.parallelize(list(keys), nparts).mapPartitions(part).collect()
+
+
 def commit_store(
     store_dir: str,
     repo: str,
     branch: str = "main",
     message: str = "",
     expected_snapshot: str | None | type(...) = ...,
+    spark=None,
 ) -> str:
     """Commit a materialized Zarr store directory as the branch's next
     snapshot; returns the new snapshot id.
@@ -293,6 +324,11 @@ def commit_store(
     already present from ANY earlier snapshot are not rewritten —
     structural sharing).  Only then does the branch ref advance, via a
     create-exclusive generation file: the commit is all-or-nothing.
+
+    ``spark``: when given (and the image has enough chunk files to pay
+    for tasks), the hash+stage pass runs DISTRIBUTED on the executors
+    (:func:`_ingest_distributed`) — commit cost then scales with the
+    cluster, and the driver handles only metadata-sized documents.
 
     ``expected_snapshot``: optimistic-concurrency check — the parent
     the caller based its changes on (``None`` = expects an empty
@@ -320,7 +356,7 @@ def commit_store(
             "commit a non-store directory"
         )
     metadata: dict[str, dict] = {}
-    manifest: dict[str, dict] = {}
+    chunk_keys: list[str] = []
 
     def walk(rel: str) -> None:
         abspath = f"{src_norm}/{rel}" if rel else src_norm
@@ -331,8 +367,8 @@ def commit_store(
             if src_fs.isdir(f"{src_norm}/{sub}"):
                 walk(sub)
                 continue
-            payload = src_fs.read_bytes(f"{src_norm}/{sub}")
             if name in _META_NAMES:
+                payload = src_fs.read_bytes(f"{src_norm}/{sub}")
                 try:
                     metadata[sub] = {"text": payload.decode("utf-8")}
                 except UnicodeDecodeError:
@@ -340,9 +376,7 @@ def commit_store(
                         "b64": base64.b64encode(payload).decode("ascii")
                     }
             else:
-                d = _digest(payload)
-                _write_object(repo, _chunk_rel(d), payload)
-                manifest[sub] = {"digest": d, "length": len(payload)}
+                chunk_keys.append(sub)
 
     walk("")
     if not metadata:
@@ -350,6 +384,15 @@ def commit_store(
             f"{store_dir!r} has no Zarr metadata documents; refusing to "
             "commit a non-store directory"
         )
+
+    manifest: dict[str, dict] = {}
+    if spark is not None and len(chunk_keys) >= 64:
+        manifest.update(
+            _ingest_distributed(spark, store_dir, repo, chunk_keys)
+        )
+    else:
+        for key in chunk_keys:
+            manifest[key] = _ingest_one(src_fs, src_norm, repo, key)
 
     man_bytes = _canon(manifest)
     mid = _digest(man_bytes)[:24]
@@ -406,7 +449,7 @@ def commit_zarr(
         write_zarr(df, store, coords=coords, **write_kwargs)
         return commit_store(
             store, repo, branch=branch, message=message,
-            expected_snapshot=expected_snapshot,
+            expected_snapshot=expected_snapshot, spark=df.sparkSession,
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -462,7 +505,7 @@ def append_snapshot(
         append_zarr(df, store)
         return commit_store(
             store, repo_local, branch=branch, message=message,
-            expected_snapshot=head_sid,
+            expected_snapshot=head_sid, spark=df.sparkSession,
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
