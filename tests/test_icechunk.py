@@ -600,3 +600,78 @@ def test_distributed_ingest_matches_serial(spark, tmp_path):
     assert serial == dist
     assert (_chunk_objects(str(tmp_path / "serial.ic"))
             == _chunk_objects(str(tmp_path / "dist.ic")))
+
+
+def test_property_commit_sequences_replay_exactly(tmp_path):
+    """Property: for ANY sequence of committed store images, every
+    snapshot replays its exact bytes forever (time travel), history
+    walks newest->oldest, and the object store holds exactly one
+    object per distinct payload ever committed (structural sharing,
+    no duplicates, no losses)."""
+    import hashlib
+
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    arrays_st = st.lists(
+        st.integers(min_value=-5, max_value=99), min_size=2, max_size=6
+    )
+    commit_st = st.lists(arrays_st, min_size=1, max_size=4)
+    counter = [0]
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(commits=commit_st)
+    def run(commits):
+        counter[0] += 1
+        repo_path = str(tmp_path / f"prop{counter[0]}.ic")
+        expected: list[dict[str, bytes]] = []
+        sids: list[str] = []
+        all_digests: set[str] = set()
+        for i, vals in enumerate(commits):
+            n = len(vals)
+            arr = np.array(vals, dtype=np.int64)
+            grid = (arr[:, None] * 10 + np.arange(2)).astype(np.int64)
+            store = str(tmp_path / f"stage{counter[0]}_{i}.zarr")
+            write_store(store, {
+                "x": (arr, (n,)),
+                "y": (np.arange(2, dtype=np.int64), (2,)),
+                "v": (grid, (1, 2)),
+            })
+            sid = commit_store(store, repo_path, message=f"c{i}")
+            sids.append(sid)
+            image: dict[str, bytes] = {}
+            for dirpath, _d, files in os.walk(store):
+                for name in files:
+                    if ".tmp" in name or name in (
+                        ".zgroup", ".zarray", ".zattrs", ".zmetadata",
+                        "zarr.json",
+                    ):
+                        continue
+                    p = os.path.join(dirpath, name)
+                    key = os.path.relpath(p, store).replace(os.sep, "/")
+                    with open(p, "rb") as f:
+                        image[key] = f.read()
+            expected.append(image)
+            all_digests |= {
+                hashlib.sha256(b).hexdigest() for b in image.values()
+            }
+
+        h = history(repo_path)
+        assert [s["id"] for s in h] == list(reversed(sids))
+        assert [s["sequence"] for s in h] == list(
+            range(len(sids), 0, -1)
+        )
+        for sid, image in zip(sids, expected):
+            fs = IcechunkStoreFS(repo_path, f"snap:{sid}")
+            assert set(fs._chunks) == set(image), sid
+            for key, payload in image.items():
+                assert fs.read_bytes(f"{fs.root}/{key}") == payload
+        assert _chunk_objects(repo_path) == all_digests
+
+    run()
