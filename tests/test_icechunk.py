@@ -675,3 +675,42 @@ def test_property_commit_sequences_replay_exactly(tmp_path):
         assert _chunk_objects(repo_path) == all_digests
 
     run()
+
+
+def test_branch_fork_and_ref_listing(spark, tmp_path):
+    """git-like surface: fork a branch at an old snapshot, commit
+    divergent work on it, main is untouched, ancestry (~N) walks
+    through the fork point, and list_refs shows everything."""
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.icechunk import create_branch, list_refs
+
+    repo_path = str(tmp_path / "fork.ic")
+    src = read_zarr(spark, fixture_store(2))
+    s1 = commit_zarr(src.filter(F.col("time") < 3), repo_path,
+                     coords=["time", "lat", "lon"], message="v1")
+    s2 = commit_zarr(src.filter(F.col("time") < 5), repo_path,
+                     coords=["time", "lat", "lon"], message="v2")
+
+    create_branch(repo_path, "dev", s1)
+    with pytest.raises(IcechunkConflictError, match="already exists"):
+        create_branch(repo_path, "dev", s2)
+    create_tag(repo_path, "base", s1)
+
+    s3 = commit_zarr(src, repo_path, branch="dev",
+                     coords=["time", "lat", "lon"], message="dev work")
+    # main untouched; dev diverged; ancestry crosses the fork point
+    assert resolve_ref(repo_path, "branch:main") == s2
+    assert resolve_ref(repo_path, "branch:dev") == s3
+    assert resolve_ref(repo_path, "branch:dev~1") == s1
+    assert [s["message"] for s in history(repo_path, "branch:dev")] == [
+        "dev work", "v1",
+    ]
+    assert read_zarr(spark, f"icechunk://{repo_path}@branch:dev").count() == 700
+    assert read_zarr(spark, f"icechunk://{repo_path}").count() == 500
+
+    refs = list_refs(repo_path)
+    assert refs["branches"] == {"main": s2, "dev": s3}
+    assert refs["tags"] == {"base": s1}
+    # everything reachable: gc removes nothing
+    assert gc_repo(repo_path) == {"snapshots": 0, "manifests": 0, "chunks": 0}

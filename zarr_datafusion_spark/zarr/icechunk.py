@@ -62,12 +62,15 @@ import os
 __all__ = [
     "IcechunkConflictError",
     "IcechunkStoreFS",
+    "append_snapshot",
     "commit_store",
     "commit_zarr",
+    "create_branch",
     "create_tag",
     "gc_repo",
     "history",
     "init_repo",
+    "list_refs",
     "parse_icechunk_url",
     "pin_snapshot",
     "resolve_ref",
@@ -245,6 +248,62 @@ def _publish_ref_exclusive(path: str, doc: dict) -> None:
             os.unlink(tmp)
         except OSError:
             pass
+
+
+def create_branch(repo: str, name: str, snapshot_id: str) -> None:
+    """Fork a new branch at an existing snapshot (``git branch``): the
+    branch's first generation file points at the snapshot, carrying
+    its ancestry depth, so later commits continue the chain with
+    correct ``~N`` time travel.  Create-exclusive: forking an existing
+    branch name conflicts."""
+    repo = _require_local(repo, "branch")
+    from zarr_datafusion_spark.zarr.storage import store_fs
+
+    fs, norm = store_fs(repo)
+    snap = _load_snapshot(fs, norm, snapshot_id)  # must exist
+    if _branch_head(fs, norm, name) is not None:
+        # any generation means the branch exists — different fork
+        # points would otherwise land on different gen filenames and
+        # silently coexist
+        raise IcechunkConflictError(
+            f"branch {name!r} already exists in {repo!r}"
+        )
+    bdir = os.path.join(repo, "refs", f"branch.{name}")
+    os.makedirs(bdir, exist_ok=True)
+    try:
+        _publish_ref_exclusive(
+            os.path.join(bdir, _gen_name(int(snap["sequence"]))),
+            {"snapshot": snapshot_id},
+        )
+    except FileExistsError:
+        raise IcechunkConflictError(
+            f"branch {name!r} already exists in {repo!r}"
+        ) from None
+
+
+def list_refs(repo: str) -> dict[str, dict[str, str]]:
+    """``{"branches": {name: head snapshot}, "tags": {name: snapshot}}``
+    — the ref listing (``git branch -a`` / ``git tag``)."""
+    from zarr_datafusion_spark.zarr.storage import store_fs
+
+    fs, norm = store_fs(repo)
+    out: dict[str, dict[str, str]] = {"branches": {}, "tags": {}}
+    try:
+        names = fs.listdir(f"{norm}/refs")
+    except (FileNotFoundError, OSError):
+        return out
+    for name in sorted(names):
+        if name.startswith("branch."):
+            head = _branch_head(fs, norm, name[len("branch.") :])
+            if head:
+                out["branches"][name[len("branch.") :]] = head[0]
+        elif name.startswith("tag."):
+            data = fs.try_read_bytes(f"{norm}/refs/{name}/ref.json")
+            if data is not None:
+                out["tags"][name[len("tag.") :]] = json.loads(
+                    data.decode()
+                )["snapshot"]
+    return out
 
 
 def create_tag(repo: str, name: str, snapshot_id: str) -> None:
