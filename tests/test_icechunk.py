@@ -714,3 +714,44 @@ def test_branch_fork_and_ref_listing(spark, tmp_path):
     assert refs["tags"] == {"base": s1}
     # everything reachable: gc removes nothing
     assert gc_repo(repo_path) == {"snapshots": 0, "manifests": 0, "chunks": 0}
+
+
+def test_copy_to_icechunk_sql(spark, tmp_path):
+    """COPY (query) TO 'icechunk://repo' STORED AS ZARR publishes the
+    result as the branch's next snapshot — the SQL front door to the
+    transactional sink, with the standard 1-row COPY count from the
+    validated grid (never a re-executed count)."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    eng = Engine(spark)
+    eng.register_zarr("w_src", fixture_store(2))
+    repo_path = str(tmp_path / "copy.ic")
+
+    n = eng.sql(
+        "COPY (SELECT time, lat, lon, temperature FROM w_src "
+        "WHERE time < 3) "
+        f"TO 'icechunk://{repo_path}' STORED AS ZARR "
+        "(COORDS 'time,lat,lon', MESSAGE 'first three')"
+    ).first()[0]
+    assert n == 300
+    assert read_zarr(spark, f"icechunk://{repo_path}").count() == 300
+    assert history(repo_path)[0]["message"] == "first three"
+
+    # a second COPY advances the branch transactionally
+    n2 = eng.sql(
+        "COPY (SELECT time, lat, lon, temperature FROM w_src) "
+        f"TO 'icechunk://{repo_path}' STORED AS ZARR "
+        "(COORDS 'time,lat,lon', FORMAT_VERSION '3')"
+    ).first()[0]
+    assert n2 == 700
+    assert read_zarr(spark, f"icechunk://{repo_path}").count() == 700
+    assert read_zarr(spark, f"icechunk://{repo_path}@branch:main~1").count() == 300
+
+    with pytest.raises(ValueError, match="bare repo URL"):
+        eng.sql(
+            "COPY (SELECT 1) "
+            f"TO 'icechunk://{repo_path}@branch:main' STORED AS ZARR "
+            "(COORDS 'time,lat')"
+        )

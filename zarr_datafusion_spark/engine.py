@@ -207,6 +207,40 @@ class Engine:
         zarr_format = int(opt("FORMAT_VERSION") or 2)
         shard = opt("SHARD_OUTER")
         df = self.spark.sql(inner)
+        if path.startswith("icechunk://"):
+            # transactional COPY: publish the result as the branch's
+            # next snapshot (atomic; readers never see a partial
+            # image) — the SQL front door to commit_zarr.  Optional
+            # BRANCH/MESSAGE options; COUNT comes from the staged
+            # sink's validated grid, same no-double-execution rule.
+            from zarr_datafusion_spark.zarr.icechunk import (
+                commit_zarr,
+                parse_icechunk_url,
+            )
+
+            repo, ref = parse_icechunk_url(path)
+            if ref is not None:
+                raise ValueError(
+                    "COPY TO an icechunk repo takes the bare repo URL "
+                    "(use the BRANCH 'name' option to target a branch); "
+                    f"got ref {ref!r}"
+                )
+            if shard:
+                raise ValueError(
+                    "SHARD_OUTER is not supported for icechunk targets"
+                )
+            counted: dict = {}
+            commit_zarr(
+                df, repo,
+                coords=coords,
+                branch=opt("BRANCH") or "main",
+                message=opt("MESSAGE") or "COPY",
+                zarr_format=zarr_format,
+                compression=opt("COMPRESSION"),
+                _sink_result=counted,
+            )
+            n = counted["rows"]
+            return self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS count")
         res = write_zarr(
             df,
             path,

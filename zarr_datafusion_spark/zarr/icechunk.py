@@ -490,13 +490,18 @@ def commit_zarr(
     branch: str = "main",
     message: str = "",
     expected_snapshot: str | None | type(...) = ...,
+    _sink_result: dict | None = None,
     **write_kwargs,
 ) -> str:
     """Distributed write + transactional publish: stage the DataFrame
     through the ordinary Zarr sink (executors own chunk slabs,
     ``sink.write_zarr``) into a private directory, then
     :func:`commit_store` it — the committed image becomes visible
-    atomically or not at all.  Returns the snapshot id."""
+    atomically or not at all.  Returns the snapshot id.
+
+    ``_sink_result``: optional dict the sink's result (validated cell
+    count, bytes) is copied into — lets SQL COPY report the count
+    without re-executing the query."""
     import shutil
     import tempfile
 
@@ -505,7 +510,9 @@ def commit_zarr(
     staging = tempfile.mkdtemp(prefix="zds_ic_stage_")
     try:
         store = os.path.join(staging, "stage.zarr")
-        write_zarr(df, store, coords=coords, **write_kwargs)
+        res = write_zarr(df, store, coords=coords, **write_kwargs)
+        if _sink_result is not None:
+            _sink_result.update(res)
         return commit_store(
             store, repo, branch=branch, message=message,
             expected_snapshot=expected_snapshot, spark=df.sparkSession,
