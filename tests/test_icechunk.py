@@ -755,3 +755,84 @@ def test_copy_to_icechunk_sql(spark, tmp_path):
             f"TO 'icechunk://{repo_path}@branch:main' STORED AS ZARR "
             "(COORDS 'time,lat')"
         )
+
+
+def test_ref_name_validation(spark, repo, tmp_path):
+    """Names that would escape the refs dir or collide with the ref
+    grammar are refused BEFORE anything is written."""
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.icechunk import create_branch
+
+    path, s1, _s2 = repo
+    for bad in ("v~1", "a/b", "../../x", ".hidden", "x:y", "a@b", ""):
+        with pytest.raises(ValueError, match="invalid"):
+            create_branch(path, bad, s1)
+        with pytest.raises(ValueError, match="invalid"):
+            create_tag(path, bad, s1)
+    src = read_zarr(spark, fixture_store(2)).limit(1)
+    with pytest.raises(ValueError, match="invalid branch"):
+        commit_zarr(src, str(tmp_path / "x.ic"), branch="v~1",
+                    coords=["time", "lat", "lon"])
+
+
+def test_branch_creation_race_conflicts(repo, monkeypatch):
+    """Two concurrent forks at DIFFERENT snapshots publish different
+    generation filenames, so only the branch-directory mkdir can close
+    the race: simulate the loser by pre-creating the directory while
+    the head check still sees nothing."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+
+    path, s1, s2 = repo
+    bdir = os.path.join(path, "refs", "branch.racefork")
+    os.mkdir(bdir)  # the concurrent winner's token (no gen yet)
+    try:
+        with pytest.raises(IcechunkConflictError, match="already exists"):
+            ic.create_branch(path, "racefork", s1)
+        # and a first COMMIT racing a fork loses the same way
+        from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+
+        monkeypatch.setattr(ic, "_branch_head", lambda *_a: None)
+        with pytest.raises(IcechunkConflictError, match="concurrently"):
+            ic.commit_store(fixture_store(2), path, branch="racefork")
+    finally:
+        os.rmdir(bdir)
+
+
+def test_copy_message_cannot_hijack_options(spark, tmp_path):
+    """A MESSAGE mentioning other option keywords must not change the
+    parse: options tokenize sequentially, values consumed."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.icechunk import list_refs
+
+    eng = Engine(spark)
+    eng.register_zarr("w_src2", fixture_store(2))
+    repo_path = str(tmp_path / "inj.ic")
+    n = eng.sql(
+        "COPY (SELECT time, lat, lon, temperature FROM w_src2 "
+        "WHERE time < 1) "
+        f"TO 'icechunk://{repo_path}' STORED AS ZARR "
+        "(MESSAGE 'please use BRANCH ', COORDS 'time,lat,lon')"
+    ).first()[0]
+    assert n == 100
+    refs = list_refs(repo_path)
+    assert list(refs["branches"]) == ["main"]  # not a garbage branch
+    assert history(repo_path)[0]["message"] == "please use BRANCH "
+
+
+def test_list_refs_raises_on_real_io_failure(repo, monkeypatch):
+    """An outage is not 'no refs': only FileNotFoundError means an
+    empty repo."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.zarr.storage import LocalStoreFS
+
+    path, _s1, _s2 = repo
+
+    def boom(self, p):
+        raise OSError("throttled")
+
+    monkeypatch.setattr(LocalStoreFS, "listdir", boom)
+    with pytest.raises(OSError, match="throttled"):
+        ic.list_refs(path)

@@ -193,9 +193,18 @@ class Engine:
 
         inner, path, opts_text = m.group(1), m.group(2), m.group(3) or ""
 
+        # Tokenize the options blob SEQUENTIALLY into KEY 'value'
+        # pairs: each quoted value is consumed before the next key is
+        # read, so free-prose values (MESSAGE) can mention other
+        # option keywords without hijacking the parse (r11 review
+        # finding: a MESSAGE containing "BRANCH '" used to capture the
+        # following text as the branch name and commit elsewhere).
+        parsed: dict[str, str] = {}
+        for om in re.finditer(r"(\w+)\s+'([^']*)'", opts_text):
+            parsed.setdefault(om.group(1).upper(), om.group(2))
+
         def opt(key: str) -> str | None:
-            om = re.search(rf"{key}\s+'([^']*)'", opts_text, re.IGNORECASE)
-            return om.group(1) if om else None
+            return parsed.get(key)
 
         coords_opt = opt("COORDS")
         if not coords_opt:
@@ -229,7 +238,7 @@ class Engine:
                 raise ValueError(
                     "SHARD_OUTER is not supported for icechunk targets"
                 )
-            counted: dict = {}
+            res: dict = {}
             commit_zarr(
                 df, repo,
                 coords=coords,
@@ -237,20 +246,20 @@ class Engine:
                 message=opt("MESSAGE") or "COPY",
                 zarr_format=zarr_format,
                 compression=opt("COMPRESSION"),
-                _sink_result=counted,
+                _sink_result=res,
             )
-            n = counted["rows"]
-            return self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS count")
-        res = write_zarr(
-            df,
-            path,
-            coords=coords,
-            zarr_format=zarr_format,
-            compression=opt("COMPRESSION"),
-            # ZEP-2 sharded output (v3): S outer slabs per shard file —
-            # the object-store layout knob, now reachable from SQL
-            shard_outer=int(shard) if shard else None,
-        )
+        else:
+            res = write_zarr(
+                df,
+                path,
+                coords=coords,
+                zarr_format=zarr_format,
+                compression=opt("COMPRESSION"),
+                # ZEP-2 sharded output (v3): S outer slabs per shard
+                # file — the object-store layout knob, reachable from
+                # SQL
+                shard_outer=int(shard) if shard else None,
+            )
         # rows written = the sink's validated dense-grid cell count —
         # never re-execute the inner query with a second count()
         # (double execution; non-deterministic queries could disagree

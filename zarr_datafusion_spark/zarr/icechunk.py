@@ -58,6 +58,7 @@ import base64
 import hashlib
 import json
 import os
+import re
 
 __all__ = [
     "IcechunkConflictError",
@@ -89,6 +90,24 @@ _META_NAMES = {".zgroup", ".zarray", ".zattrs", ".zmetadata", "zarr.json"}
 class IcechunkConflictError(RuntimeError):
     """A concurrent commit advanced the branch first (the optimistic-
     concurrency loss); retry by recommitting on the new head."""
+
+
+_REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _check_ref_name(kind: str, name: str) -> str:
+    """Branch/tag names must stay inside one refs-directory level and
+    outside the ref grammar: ``/`` or ``..`` would escape or nest the
+    refs dir, ``~`` collides with the ancestry operator, ``:``/``@``
+    with the URL ref syntax — any of which makes a committed snapshot
+    unreachable or worse (r11 review finding: BRANCH 'v~1' committed
+    fine but could never be resolved)."""
+    if not _REF_NAME_RE.match(name) or ".." in name:
+        raise ValueError(
+            f"invalid {kind} name {name!r}: use letters, digits, and "
+            "[._-] (no leading separator, no '/', '~', ':', '@')"
+        )
+    return name
 
 
 def _gen_name(seq: int) -> str:
@@ -257,28 +276,28 @@ def create_branch(repo: str, name: str, snapshot_id: str) -> None:
     correct ``~N`` time travel.  Create-exclusive: forking an existing
     branch name conflicts."""
     repo = _require_local(repo, "branch")
+    _check_ref_name("branch", name)
     from zarr_datafusion_spark.zarr.storage import store_fs
 
     fs, norm = store_fs(repo)
     snap = _load_snapshot(fs, norm, snapshot_id)  # must exist
-    if _branch_head(fs, norm, name) is not None:
-        # any generation means the branch exists — different fork
-        # points would otherwise land on different gen filenames and
-        # silently coexist
-        raise IcechunkConflictError(
-            f"branch {name!r} already exists in {repo!r}"
-        )
     bdir = os.path.join(repo, "refs", f"branch.{name}")
-    os.makedirs(bdir, exist_ok=True)
+    os.makedirs(os.path.dirname(bdir), exist_ok=True)
     try:
-        _publish_ref_exclusive(
-            os.path.join(bdir, _gen_name(int(snap["sequence"]))),
-            {"snapshot": snapshot_id},
-        )
+        # the branch DIRECTORY is the exclusive token: two concurrent
+        # forks (or a fork racing a first commit) publish at DIFFERENT
+        # generation filenames when their snapshots' sequences differ,
+        # so a head check + gen O_EXCL cannot close the race — mkdir
+        # can (r11 review finding)
+        os.mkdir(bdir)
     except FileExistsError:
         raise IcechunkConflictError(
             f"branch {name!r} already exists in {repo!r}"
         ) from None
+    _publish_ref_exclusive(
+        os.path.join(bdir, _gen_name(int(snap["sequence"]))),
+        {"snapshot": snapshot_id},
+    )
 
 
 def list_refs(repo: str) -> dict[str, dict[str, str]]:
@@ -290,8 +309,10 @@ def list_refs(repo: str) -> dict[str, dict[str, str]]:
     out: dict[str, dict[str, str]] = {"branches": {}, "tags": {}}
     try:
         names = fs.listdir(f"{norm}/refs")
-    except (FileNotFoundError, OSError):
-        return out
+    except FileNotFoundError:
+        return out  # empty/uninitialized repo — NOT an I/O failure;
+        # other OSErrors (throttle, network) must raise, an outage is
+        # not "no refs" (r11 review finding)
     for name in sorted(names):
         if name.startswith("branch."):
             head = _branch_head(fs, norm, name[len("branch.") :])
@@ -310,6 +331,7 @@ def create_tag(repo: str, name: str, snapshot_id: str) -> None:
     """Tags are write-once (immutable), enforced by the exclusive
     link publication."""
     repo = _require_local(repo, "tag")
+    _check_ref_name("tag", name)
     tdir = os.path.join(repo, "refs", f"tag.{name}")
     os.makedirs(tdir, exist_ok=True)
     _publish_ref_exclusive(
@@ -396,6 +418,7 @@ def commit_store(
     :class:`IcechunkConflictError`.
     """
     repo = init_repo(repo)
+    _check_ref_name("branch", branch)
     from zarr_datafusion_spark.zarr.storage import LocalStoreFS, store_fs
 
     head = _branch_head(LocalStoreFS(), repo, branch)
@@ -470,7 +493,19 @@ def commit_store(
     _write_object(repo, f"snapshots/{sid}.json", _canon(body))
 
     bdir = os.path.join(repo, "refs", f"branch.{branch}")
-    os.makedirs(bdir, exist_ok=True)
+    if head_sid is None:
+        # FIRST commit on this branch name: the branch directory is
+        # the exclusive creation token (same rule as create_branch —
+        # a racing fork would publish at a different generation
+        # filename, so only mkdir closes that race)
+        os.makedirs(os.path.dirname(bdir), exist_ok=True)
+        try:
+            os.mkdir(bdir)
+        except FileExistsError:
+            raise IcechunkConflictError(
+                f"branch {branch!r} was created concurrently; rebase "
+                "on its head and retry"
+            ) from None
     try:
         _publish_ref_exclusive(
             os.path.join(bdir, _gen_name(seq)), {"snapshot": sid}
