@@ -327,3 +327,27 @@ def test_repl_empty_line_force_submits(monkeypatch, capsys, engine):
         ["SELECT (1 + 1 AS x", "", "SELECT 7 AS ok;", "quit"],
     )
     assert "Error" in out and "7" in out
+
+
+def test_repl_icechunk_history_and_refs(monkeypatch, capsys, engine, tmp_path):
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.icechunk import commit_zarr, create_tag
+
+    repo = str(tmp_path / "cli.ic")
+    src = read_zarr(engine.spark, fixture_store(2))
+    s1 = commit_zarr(src.filter(F.col("time") < 2), repo,
+                     coords=["time", "lat", "lon"], message="first")
+    create_tag(repo, "v1", s1)
+    commit_zarr(src, repo, coords=["time", "lat", "lon"], message="second")
+
+    out = _run_repl(
+        monkeypatch, capsys, engine,
+        [f".history icechunk://{repo}", f".refs {repo}",
+         ".history /nonexistent", "quit"],
+    )
+    assert "second" in out and "first" in out
+    assert "branch main ->" in out and "tag    v1 ->" in out
+    assert "Error" in out  # the nonexistent repo reports, not crashes

@@ -212,6 +212,8 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
                 "  quit / exit / \\q     exit the CLI\n"
                 "  show tables / \\d     list all registered tables\n"
                 "  .schema <table>      quick schema view\n"
+                "  .history <repo>      icechunk commit log (newest first)\n"
+                "  .refs <repo>         icechunk branches and tags\n"
                 "  \\format [table|csv|json|parquet <path>]   result output format\n"
                 "  DESCRIBE <table>     show a table's schema\n"
                 "  EXPLAIN [ANALYZE|VERBOSE] <query>\n"
@@ -234,6 +236,33 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
                 for f in engine.spark.table(target[0].strip(" ;")).schema.fields:
                     nn = "" if f.nullable else " NOT NULL"
                     print(f"  {f.name}  {f.dataType.simpleString()}{nn}")
+            except Exception as e:
+                print(f"Error: {e}")
+            continue
+        if not buffer and stripped.lower().startswith((".history", ".refs")):
+            # transactional-repo inspection: the git-log/git-branch
+            # views over an icechunk repository (path or icechunk://)
+            from zarr_datafusion_spark.zarr.icechunk import history, list_refs
+
+            target = (stripped.split(None, 1)[1:] or [""])[0].strip(" ;")
+            repo = target[len("icechunk://") :] if target.startswith(
+                "icechunk://"
+            ) else target
+            try:
+                if stripped.lower().startswith(".history"):
+                    for s in history(repo):
+                        print(
+                            f"  {s['id']}  #{s['sequence']}  "
+                            f"{s.get('message') or '(no message)'}"
+                        )
+                else:
+                    refs = list_refs(repo)
+                    for b, sid in sorted(refs["branches"].items()):
+                        print(f"  branch {b} -> {sid}")
+                    for t, sid in sorted(refs["tags"].items()):
+                        print(f"  tag    {t} -> {sid}")
+                    if not refs["branches"] and not refs["tags"]:
+                        print("  (no refs)")
             except Exception as e:
                 print(f"Error: {e}")
             continue
