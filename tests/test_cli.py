@@ -351,3 +351,11 @@ def test_repl_icechunk_history_and_refs(monkeypatch, capsys, engine, tmp_path):
     assert "second" in out and "first" in out
     assert "branch main ->" in out and "tag    v1 ->" in out
     assert "Error" in out  # the nonexistent repo reports, not crashes
+
+    # ADVICE r11: a ref'd URL shows THAT ref's history (the ref used to
+    # pass through as part of the filesystem path and ENOENT)
+    out = _run_repl(
+        monkeypatch, capsys, engine,
+        [f".history icechunk://{repo}@tag:v1", "quit"],
+    )
+    assert "first" in out and "second" not in out and "Error" not in out

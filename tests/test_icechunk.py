@@ -777,26 +777,90 @@ def test_ref_name_validation(spark, repo, tmp_path):
 
 
 def test_branch_creation_race_conflicts(repo, monkeypatch):
-    """Two concurrent forks at DIFFERENT snapshots publish different
-    generation filenames, so only the branch-directory mkdir can close
-    the race: simulate the loser by pre-creating the directory while
-    the head check still sees nothing."""
+    """A fork racing an already-PUBLISHED branch loses: the existing
+    generation file makes the directory a real branch, and both the
+    head check and the gen ``O_EXCL`` refuse.  (An EMPTY directory is
+    crash debris and recovers instead — see
+    ``test_wedged_branch_dir_recovers``.)"""
+    import shutil
+
     import zarr_datafusion_spark.zarr.icechunk as ic
 
     path, s1, s2 = repo
+    ic.create_branch(path, "racefork", s1)  # the concurrent winner
     bdir = os.path.join(path, "refs", "branch.racefork")
-    os.mkdir(bdir)  # the concurrent winner's token (no gen yet)
     try:
         with pytest.raises(IcechunkConflictError, match="already exists"):
             ic.create_branch(path, "racefork", s1)
-        # and a first COMMIT racing a fork loses the same way
+        # a first COMMIT racing the fork loses the same way even when
+        # its head check predates the winner's publication
         from zarr_datafusion_spark.operators.zarr_queries import fixture_store
 
         monkeypatch.setattr(ic, "_branch_head", lambda *_a: None)
         with pytest.raises(IcechunkConflictError, match="concurrently"):
             ic.commit_store(fixture_store(2), path, branch="racefork")
     finally:
-        os.rmdir(bdir)
+        shutil.rmtree(bdir)
+
+
+def test_wedged_branch_dir_recovers(repo, tmp_path):
+    """ADVICE r11 (medium): a crash between ``os.mkdir`` of the branch
+    directory and the generation publication used to wedge the name
+    forever — every retry raised 'rebase on the head and retry' with no
+    head to rebase on.  An empty branch directory is crash debris:
+    fork and first-commit both publish generation 1 into it."""
+    import shutil
+
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+
+    path, s1, _s2 = repo
+    # fork path
+    os.mkdir(os.path.join(path, "refs", "branch.wedgedfork"))
+    ic.create_branch(path, "wedgedfork", s1)
+    assert resolve_ref(path, "branch:wedgedfork") == s1
+    shutil.rmtree(os.path.join(path, "refs", "branch.wedgedfork"))
+    # first-commit path
+    os.mkdir(os.path.join(path, "refs", "branch.wedgedcommit"))
+    sid = ic.commit_store(
+        fixture_store(2), path, branch="wedgedcommit", message="recovered"
+    )
+    assert resolve_ref(path, "branch:wedgedcommit") == sid
+    assert history(path, "branch:wedgedcommit")[0]["sequence"] == 1
+    shutil.rmtree(os.path.join(path, "refs", "branch.wedgedcommit"))
+
+
+def test_gc_tolerates_unpublished_tag_dir(spark, tmp_path):
+    """ADVICE r11: a create_tag that crashed after makedirs but before
+    the ref.json link used to crash gc_repo with FileNotFoundError; an
+    unpublished tag pins nothing and gc proceeds."""
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+
+    path = str(tmp_path / "gctag.ic")
+    commit_store(fixture_store(2), path, message="base")
+    os.makedirs(os.path.join(path, "refs", "tag.halfborn"))
+    removed = gc_repo(path)
+    assert removed["snapshots"] == 0  # the head stayed live
+    # and the debris tag is invisible to the ref listing
+    from zarr_datafusion_spark.zarr.icechunk import list_refs
+
+    assert "halfborn" not in list_refs(path)["tags"]
+
+
+def test_resolve_ref_raises_on_transient_io_failure(repo, monkeypatch):
+    """ADVICE r11: _branch_head must not misreport a throttle/network
+    failure as 'branch not found' — only a definitive not-found maps to
+    None."""
+    from zarr_datafusion_spark.zarr.storage import LocalStoreFS
+
+    path, _s1, _s2 = repo
+
+    def boom(self, p):
+        raise PermissionError("throttled")
+
+    monkeypatch.setattr(LocalStoreFS, "listdir", boom)
+    with pytest.raises(PermissionError, match="throttled"):
+        resolve_ref(path, "branch:main")
 
 
 def test_copy_message_cannot_hijack_options(spark, tmp_path):
@@ -822,6 +886,29 @@ def test_copy_message_cannot_hijack_options(spark, tmp_path):
     assert history(repo_path)[0]["message"] == "please use BRANCH "
 
 
+def test_copy_options_doubled_quote_escape(spark, tmp_path):
+    """ADVICE r11: the SQL doubled-quote escape ('' -> ') inside an
+    option value must neither truncate the value nor re-expose its tail
+    to key matching (MESSAGE 'it''s BRANCH x' used to parse MESSAGE as
+    'it' and then bind BRANCH to 'x')."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr.icechunk import list_refs
+
+    eng = Engine(spark)
+    eng.register_zarr("w_src3", fixture_store(2))
+    repo_path = str(tmp_path / "esc.ic")
+    eng.sql(
+        "COPY (SELECT time, lat, lon, temperature FROM w_src3 "
+        "WHERE time < 1) "
+        f"TO 'icechunk://{repo_path}' STORED AS ZARR "
+        "(MESSAGE 'it''s BRANCH x', COORDS 'time,lat,lon')"
+    ).collect()
+    refs = list_refs(repo_path)
+    assert list(refs["branches"]) == ["main"]  # BRANCH was not hijacked
+    assert history(repo_path)[0]["message"] == "it's BRANCH x"
+
+
 def test_list_refs_raises_on_real_io_failure(repo, monkeypatch):
     """An outage is not 'no refs': only FileNotFoundError means an
     empty repo."""
@@ -836,3 +923,252 @@ def test_list_refs_raises_on_real_io_failure(repo, monkeypatch):
     monkeypatch.setattr(LocalStoreFS, "listdir", boom)
     with pytest.raises(OSError, match="throttled"):
         ic.list_refs(path)
+
+
+# ---------------------------------------------------------------------------
+# remote transactional commits (VERDICT r11 item 4): object-store repos
+# via conditional PUT — live-socket, same server pattern as
+# test_zarr_source.s3_store but WRITABLE
+# ---------------------------------------------------------------------------
+
+
+def _writable_s3_server(
+    bucket: str, honor_condition: bool = True, sock=None
+):
+    """Minimal live WRITABLE S3-compatible server backed by a locked
+    dict: path-style GET/HEAD objects, ListObjectsV2 XML listings, PUT
+    (with ``If-None-Match: *`` conditional-create -> 412 when honored),
+    DELETE.  ``honor_condition=False`` models the S3-compatibles that
+    silently ignore write preconditions — the case the capability probe
+    must refuse.  ``sock``: serve on a pre-bound socket (the conftest
+    ``S3_TEST_SOCK`` whose port the JVM's env snapshot already carries,
+    so EXECUTOR-side reads resolve this server too).  Returns
+    (server, objects, endpoint_url)."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    objects: dict[str, bytes] = {}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _respond(self, code, body=b"", ctype="application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if self.command != "HEAD":
+                self.wfile.write(body)
+
+        def _key(self, parsed) -> str | None:
+            segs = parsed.path.lstrip("/").split("/", 1)
+            if segs[0] != bucket:
+                return None
+            return urllib.parse.unquote(segs[1]) if len(segs) > 1 else ""
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            key = self._key(parsed)
+            if key is None:
+                return self._respond(404, b"NoSuchBucket")
+            if key == "" or parsed.query:
+                qs = urllib.parse.parse_qs(parsed.query)
+                prefix = qs.get("prefix", [""])[0]
+                delim = qs.get("delimiter", [""])[0]
+                with lock:
+                    keys = sorted(k for k in objects if k.startswith(prefix))
+                contents, prefixes, seen = [], [], set()
+                for k in keys:
+                    rest = k[len(prefix):]
+                    if delim and delim in rest:
+                        pref = prefix + rest.split(delim, 1)[0] + delim
+                        if pref not in seen:
+                            seen.add(pref)
+                            prefixes.append(pref)
+                    else:
+                        contents.append(k)
+                xml = [
+                    '<?xml version="1.0" encoding="UTF-8"?>',
+                    '<ListBucketResult xmlns='
+                    '"http://s3.amazonaws.com/doc/2006-03-01/">',
+                    "<IsTruncated>false</IsTruncated>",
+                ]
+                xml += [f"<Contents><Key>{k}</Key></Contents>" for k in contents]
+                xml += [
+                    f"<CommonPrefixes><Prefix>{p}</Prefix></CommonPrefixes>"
+                    for p in prefixes
+                ]
+                xml.append("</ListBucketResult>")
+                return self._respond(200, "".join(xml).encode(), "application/xml")
+            with lock:
+                body = objects.get(key)
+            if body is None:
+                return self._respond(404, b"NoSuchKey")
+            return self._respond(200, body)
+
+        do_HEAD = do_GET
+
+        def do_PUT(self):
+            parsed = urllib.parse.urlparse(self.path)
+            key = self._key(parsed)
+            if not key:
+                return self._respond(404, b"NoSuchBucket")
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length)
+            conditional = honor_condition and (
+                self.headers.get("If-None-Match") == "*"
+            )
+            with lock:
+                if conditional and key in objects:
+                    return self._respond(412, b"PreconditionFailed")
+                objects[key] = body
+            return self._respond(200)
+
+        def do_DELETE(self):
+            parsed = urllib.parse.urlparse(self.path)
+            key = self._key(parsed)
+            with lock:
+                objects.pop(key or "", None)
+            return self._respond(204)
+
+    if sock is not None:
+        srv = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), Handler, bind_and_activate=False
+        )
+        srv.socket = sock
+        srv.server_address = sock.getsockname()
+    else:
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    ep = f"http://127.0.0.1:{srv.server_address[1]}"
+    return srv, objects, ep
+
+
+@pytest.fixture()
+def s3_repo():
+    """Writable live S3 endpoint (on the port conftest exported to the
+    JVM as ``$AWS_ENDPOINT_URL_S3`` — executor-side reads resolve it
+    too) + an s3:// repo URL routed to it."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from tests.conftest import S3_TEST_SOCK
+
+    srv, objects, _ep = _writable_s3_server("icbucket", sock=S3_TEST_SOCK)
+    ic._WRITER_CACHE.clear()
+    ic._COND_PUT_OK.clear()
+    try:
+        yield "s3://icbucket/repo.ic", objects
+    finally:
+        # shutdown only — the socket stays bound for later fixtures
+        srv.shutdown()
+        ic._WRITER_CACHE.clear()
+        ic._COND_PUT_OK.clear()
+
+
+def test_remote_commit_and_read_over_live_s3(spark, s3_repo, tmp_path):
+    """End-to-end transactional layer on a REMOTE object store
+    (VERDICT r11 item 4): two commits + a tag over live sockets, reads
+    resolve refs and time-travel, and the snapshot ids are
+    BIT-IDENTICAL to committing the same store images into a local
+    repo — the content addressing is storage-independent."""
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.icechunk import create_branch, list_refs
+
+    url, objects = s3_repo
+    src = read_zarr(spark, fixture_store(2))
+
+    import shutil
+    import tempfile
+
+    from zarr_datafusion_spark.zarr.sink import write_zarr
+
+    stage = tempfile.mkdtemp(prefix="zds_rc_")
+    try:
+        v1_store = os.path.join(stage, "v1.zarr")
+        write_zarr(
+            src.filter(F.col("time") < 5), v1_store,
+            coords=["time", "lat", "lon"],
+        )
+        s1 = commit_store(v1_store, url, message="first five")
+        create_tag(url, "v1", s1)
+        s2 = commit_store(
+            fixture_store(2), url, message="full", expected_snapshot=s1
+        )
+        # bit-identical snapshot ids vs a local repo of the same images
+        local = str(tmp_path / "local.ic")
+        l1 = commit_store(v1_store, local, message="first five")
+        l2 = commit_store(
+            fixture_store(2), local, message="full", expected_snapshot=l1
+        )
+        assert (s1, s2) == (l1, l2)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    # reads: head, tag, time travel — all over live sockets
+    assert read_zarr(spark, f"icechunk://{url}").count() == 700
+    assert read_zarr(spark, f"icechunk://{url}@tag:v1").count() == 500
+    assert read_zarr(spark, f"icechunk://{url}@branch:main~1").count() == 500
+    refs = list_refs(url)
+    assert refs["branches"]["main"] == s2 and refs["tags"]["v1"] == s1
+    # fork a branch remotely and see it in the listing
+    create_branch(url, "dev", s1)
+    assert list_refs(url)["branches"]["dev"] == s1
+    # the conditional-create marker and generation files live remotely
+    assert any(k.endswith(".created") for k in objects)
+    assert sum(1 for k in objects if "refs/branch.main/gen-" in k) == 2
+
+
+def test_remote_commit_race_one_winner(spark, s3_repo, monkeypatch):
+    """Two writers committing the same first generation on the remote
+    repo: simulate the race by blinding the loser's head check (both
+    saw an empty branch), and the conditional PUT makes exactly one
+    win — the loser gets IcechunkConflictError, never a silent
+    overwrite."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+
+    url, objects = s3_repo
+    sid = commit_store(fixture_store(2), url, message="winner")
+    # the loser: head check predates the winner's publication
+    monkeypatch.setattr(ic, "_branch_head", lambda *_a: None)
+    with pytest.raises(IcechunkConflictError, match="rebase"):
+        commit_store(fixture_store(2), url, message="loser")
+    monkeypatch.undo()
+    assert resolve_ref(url, "branch:main") == sid
+    assert history(url)[0]["message"] == "winner"
+
+
+def test_remote_commit_refuses_precondition_ignoring_store(monkeypatch, spark):
+    """A backend that IGNORES If-None-Match (silent last-writer-wins)
+    must be refused at the capability probe — an unserialized ref
+    publication is not transactional."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+
+    srv, _objects, ep = _writable_s3_server("badbucket", honor_condition=False)
+    monkeypatch.setenv("AWS_ENDPOINT_URL_S3", ep)
+    ic._WRITER_CACHE.clear()
+    ic._COND_PUT_OK.clear()
+    try:
+        with pytest.raises(NotImplementedError, match="conditional"):
+            commit_store(
+                fixture_store(2), "s3://badbucket/repo.ic", message="x"
+            )
+    finally:
+        srv.shutdown()
+        ic._WRITER_CACHE.clear()
+        ic._COND_PUT_OK.clear()
+
+
+def test_remote_commit_refuses_http_backend(monkeypatch):
+    """Plain http(s):// has no atomic create — the writer resolution
+    must refuse loudly, not fall back to last-writer-wins."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+
+    ic._WRITER_CACHE.clear()
+    with pytest.raises(NotImplementedError, match="atomic conditional"):
+        ic._repo_writer("http://127.0.0.1:1/repo.ic")

@@ -242,15 +242,25 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
         if not buffer and stripped.lower().startswith((".history", ".refs")):
             # transactional-repo inspection: the git-log/git-branch
             # views over an icechunk repository (path or icechunk://)
-            from zarr_datafusion_spark.zarr.icechunk import history, list_refs
+            from zarr_datafusion_spark.zarr.icechunk import (
+                history,
+                list_refs,
+                parse_icechunk_url,
+            )
 
             target = (stripped.split(None, 1)[1:] or [""])[0].strip(" ;")
-            repo = target[len("icechunk://") :] if target.startswith(
-                "icechunk://"
-            ) else target
+            # a ref'd URL (icechunk://repo@tag:v1) shows that ref's
+            # history; bare paths and bare icechunk:// URLs show main
+            # (ADVICE r11: the ref used to be passed through as part of
+            # the filesystem path and fail with a confusing ENOENT)
+            ref = None
+            if target.startswith("icechunk://"):
+                repo, ref = parse_icechunk_url(target)
+            else:
+                repo = target
             try:
                 if stripped.lower().startswith(".history"):
-                    for s in history(repo):
+                    for s in history(repo, ref):
                         print(
                             f"  {s['id']}  #{s['sequence']}  "
                             f"{s.get('message') or '(no message)'}"

@@ -199,9 +199,12 @@ class Engine:
         # option keywords without hijacking the parse (r11 review
         # finding: a MESSAGE containing "BRANCH '" used to capture the
         # following text as the branch name and commit elsewhere).
+        # Values honor the SQL doubled-quote escape ('' → ') so an
+        # escaped apostrophe neither truncates the value nor re-exposes
+        # its tail to key matching (ADVICE r11).
         parsed: dict[str, str] = {}
-        for om in re.finditer(r"(\w+)\s+'([^']*)'", opts_text):
-            parsed.setdefault(om.group(1).upper(), om.group(2))
+        for om in re.finditer(r"(\w+)\s+'((?:[^']|'')*)'", opts_text):
+            parsed.setdefault(om.group(1).upper(), om.group(2).replace("''", "'"))
 
         def opt(key: str) -> str | None:
             return parsed.get(key)

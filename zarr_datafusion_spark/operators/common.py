@@ -73,13 +73,20 @@ def source_staleness_key(src: str, tag: str) -> str:
     ).hexdigest()[:10]
 
 
-def prune_stale_siblings(parent: str, prefix: str, keep: str) -> None:
-    """Remove superseded artifact directories ``parent/prefix*`` other
-    than ``keep`` (same source, older staleness key) so regenerated
-    testdata doesn't accumulate dead directories forever (ADVICE r8).
+def prune_stale_siblings(
+    parent: str, prefix: str, keep: str | set[str]
+) -> None:
+    """Remove superseded artifacts ``parent/prefix*`` other than the
+    ``keep`` name(s) — same source, older staleness key — so
+    regenerated testdata doesn't accumulate dead artifacts forever
+    (ADVICE r8).  Pass a SET when one staleness key owns several
+    extensions (the kerchunk .json + .bin pair): pruning them one
+    keep-at-a-time would delete each other.  Removes files as well as
+    directories (single-file artifacts like a keyed parquet mirror).
     Best-effort; builds are idempotent anyway."""
     import shutil
 
+    keeps = {keep} if isinstance(keep, str) else set(keep)
     try:
         names = os.listdir(parent)
     except OSError:
@@ -87,8 +94,15 @@ def prune_stale_siblings(parent: str, prefix: str, keep: str) -> None:
     for name in names:
         # never remove in-flight atomic-publish tmp dirs (another
         # process may be building under the same key right now)
-        if name.startswith(prefix) and name != keep and ".tmp" not in name:
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        if name.startswith(prefix) and name not in keeps and ".tmp" not in name:
+            path = os.path.join(parent, name)
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
 
 
 def publish_dir_atomically(build_fn, final_dir: str, is_complete=None) -> str:

@@ -803,10 +803,11 @@ def kerchunk_refs() -> str:
             archive_path=os.path.join(parent, f"weather_refs-{key}.bin"),
             inline_threshold=0,  # chunks are 800 B; force the range path
         )
-    for ext in (".json", ".bin"):
-        prune_stale_siblings(
-            parent, "weather_refs-", f"weather_refs-{key}{ext}"
-        )
+    prune_stale_siblings(
+        parent,
+        "weather_refs-",
+        {f"weather_refs-{key}.json", f"weather_refs-{key}.bin"},
+    )
     return refs
 
 
@@ -935,63 +936,101 @@ def zarr_time_travel(spark, sf_dir):
     return df.orderBy("time", "lat", "lon")
 
 
+def _trc_arrays():
+    """ONE generator feeding BOTH TRC artifacts (ADVICE r11: the store
+    and its parquet mirror used to duplicate this RNG code, so a future
+    edit could leave one artifact stale and the oracle comparison would
+    fail — or pass — spuriously).  Per-station climate mean in
+    [-30C, 35C] + reading noise, all in integer tenths (the 1BRC
+    convention, exact in integer arithmetic)."""
+    import numpy as np
+
+    ns, no = 400, 250
+    rng = np.random.RandomState(1)
+    station = np.arange(ns, dtype=np.int64)
+    obs = np.arange(no, dtype=np.int64)
+    base = rng.randint(-300, 351, ns)[:, None]
+    temp = (base + rng.randint(-150, 151, (ns, no))).astype(np.int64)
+    return station, obs, temp
+
+
+def _trc_key() -> str:
+    """Staleness key for the TRC artifacts.  The fixtures are purely
+    synthetic (no source file to stat), so the key digests the shared
+    generator's SOURCE: any edit to the generation logic rebuilds both
+    artifacts — the same discipline ``source_staleness_key`` gives
+    file-derived fixtures."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(_trc_arrays)
+    return hashlib.md5(f"{src}:trc1".encode()).hexdigest()[:10]
+
+
 def trc_store() -> str:
     """One-Trillion-Row-Challenge-shaped fixture (reference roadmap
     ``README.md:337``: "Tackle the One Trillion Row Challenge with
     Zarr + DataFusion"): per-station temperature measurements as a
     Zarr grid — ``station`` ids as the sorted outer coordinate,
-    ``obs`` index inner, ``temp_x10`` tenths-of-a-degree readings as
-    int64 (the 1BRC convention, exact in integer arithmetic).  Outer
-    chunks of 1 station, so every station's min/mean/max is
-    chunk-statistics material.  400 stations x 250 obs here; the same
-    layout at challenge scale is what ``scripts/trc_demo.py``
-    measures."""
-    import numpy as np
-
+    ``obs`` index inner, ``temp_x10`` int64 tenths.  Outer chunks of 1
+    station, so every station's min/mean/max is chunk-statistics
+    material.  400 stations x 250 obs here; the same layout at
+    challenge scale is what ``scripts/trc_demo.py`` measures.
+    Staleness-keyed to the shared generator and atomically published
+    (the ADVICE r8/r9/r11 disciplines)."""
+    from zarr_datafusion_spark.operators.common import (
+        prune_stale_siblings,
+        publish_dir_atomically,
+    )
     from zarr_datafusion_spark.zarr.writer import write_store
 
-    path = os.path.join(_REPO_ROOT, "data", "trc_temps.zarr")
-    if not os.path.exists(os.path.join(path, ".zgroup")):
-        ns, no = 400, 250
-        rng = np.random.RandomState(1)
-        station = np.arange(ns, dtype=np.int64)
-        obs = np.arange(no, dtype=np.int64)
-        # per-station climate mean in [-30C, 35C] + reading noise,
-        # all in integer tenths
-        base = rng.randint(-300, 351, ns)[:, None]
-        temp = (base + rng.randint(-150, 151, (ns, no))).astype(np.int64)
+    key = _trc_key()
+    parent = os.path.join(_REPO_ROOT, "data")
+    path = os.path.join(parent, f"trc_temps-{key}.zarr")
+
+    def build(tmp: str) -> None:
+        station, obs, temp = _trc_arrays()
         write_store(
-            path,
+            tmp,
             {
-                "station": (station, (ns,)),
-                "obs": (obs, (no,)),
-                "temp_x10": (temp, (1, no)),
+                "station": (station, (len(station),)),
+                "obs": (obs, (len(obs),)),
+                "temp_x10": (temp, (1, len(obs))),
             },
         )
+
+    if not os.path.exists(os.path.join(path, ".zgroup")):
+        publish_dir_atomically(build, path)
+    prune_stale_siblings(parent, "trc_temps-", f"trc_temps-{key}.zarr")
     return path
 
 
 def trc_mirror_parquet() -> str:
-    """Independent row-major parquet mirror of :func:`trc_store`."""
+    """Independent row-major parquet mirror of :func:`trc_store`, built
+    from the SAME generator and under the SAME staleness key."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(_REPO_ROOT, "data", "trc_mirror.parquet")
+    from zarr_datafusion_spark.operators.common import prune_stale_siblings
+
+    key = _trc_key()
+    parent = os.path.join(_REPO_ROOT, "data")
+    path = os.path.join(parent, f"trc_mirror-{key}.parquet")
     if not os.path.exists(path):
-        ns, no = 400, 250
-        rng = np.random.RandomState(1)
-        base = rng.randint(-300, 351, ns)[:, None]
-        temp = (base + rng.randint(-150, 151, (ns, no))).astype(np.int64)
+        station, obs, temp = _trc_arrays()
         tbl = pa.table(
             {
-                "station": np.repeat(np.arange(ns, dtype=np.int64), no),
-                "obs": np.tile(np.arange(no, dtype=np.int64), ns),
+                "station": np.repeat(station, len(obs)),
+                "obs": np.tile(obs, len(station)),
                 "temp_x10": temp.reshape(-1),
             }
         )
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(tbl, path)
+        os.makedirs(parent, exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    prune_stale_siblings(parent, "trc_mirror-", f"trc_mirror-{key}.parquet")
     return path
 
 

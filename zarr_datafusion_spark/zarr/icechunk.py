@@ -43,7 +43,17 @@ projection/filter/limit pushdown, chunk-statistics pruning, the LRU
 chunk cache, and the SQL engine all run UNCHANGED over a snapshot.
 The repository itself may live on any supported backend (local, s3,
 gs, http) — reads go through :func:`~zarr_datafusion_spark.zarr.
-storage.store_fs`; commits require a local repo path.
+storage.store_fs`.  COMMITS work on local, ``s3://``, and ``gs://``
+repos: content-addressed objects are plain PUTs (immutable keys), and
+the generation-ref create-exclusive maps to the stores' conditional
+PUT (``If-None-Match: *`` / ``x-goog-if-generation-match: 0``),
+verified live per endpoint by :func:`_verify_conditional_put` —
+backends without an atomic conditional create refuse loudly
+(``http://``, plain fsspec), because an unserialized ref publication
+is not transactional.  This is the 100 TB posture item: the
+transactional layer's value is highest exactly where stores are
+remote.  ``gc_repo``/``append_snapshot`` stay local-only (deletion
+sweeps and hardlink staging).
 
 Scale posture: resolving a ref costs one small LIST + two small GETs
 (ref file, snapshot doc) on the driver; each executor task then reads
@@ -59,6 +69,7 @@ import hashlib
 import json
 import os
 import re
+import urllib.error
 
 __all__ = [
     "IcechunkConflictError",
@@ -130,44 +141,136 @@ def _chunk_rel(digest: str) -> str:
 def _require_local(repo: str, op: str) -> str:
     if "://" in repo and not repo.startswith("file://"):
         raise NotImplementedError(
-            f"icechunk {op} requires a local repository path (reads may "
-            f"be remote, commits are local-only); got {repo!r}"
+            f"icechunk {op} requires a local repository path; got {repo!r}"
         )
     return repo[len("file://") :] if repo.startswith("file://") else repo
 
 
+def _is_local(repo: str) -> bool:
+    return "://" not in repo or repo.startswith("file://")
+
+
+#: per-process writer-adapter cache: one (fs, norm) per repo URL so the
+#: per-chunk ingest writes on executors don't re-dispatch store_fs (and
+#: re-read env credentials) for every object
+_WRITER_CACHE: dict[str, tuple] = {}
+
+
+def _repo_writer(repo: str):
+    """(fs, norm) with a WRITE-capable adapter for the repo, or a loud
+    refusal.  Local paths use :class:`LocalStoreFS`; ``s3://``/``gs://``
+    use the stdlib adapters, whose conditional PUT is what makes remote
+    commits atomic.  Backends without an atomic conditional create
+    (plain http, fsspec without one wired) refuse — a commit whose ref
+    publication can silently last-writer-win is not transactional."""
+    cached = _WRITER_CACHE.get(repo)
+    if cached is not None:
+        return cached
+    from zarr_datafusion_spark.zarr.storage import store_fs
+
+    if _is_local(repo):
+        from zarr_datafusion_spark.zarr.storage import LocalStoreFS
+
+        norm = repo[len("file://") :] if repo.startswith("file://") else repo
+        out = (LocalStoreFS(), norm)
+    else:
+        fs, norm = store_fs(repo)
+        if not hasattr(fs, "write_bytes"):
+            raise NotImplementedError(
+                f"icechunk commit to {repo!r}: the {type(fs).__name__} "
+                "backend has no atomic conditional-create (If-None-Match) "
+                "write path; commits require local, s3://, or gs:// repos"
+            )
+        out = (fs, norm)
+    _WRITER_CACHE[repo] = out
+    return out
+
+
+#: endpoint-level conditional-PUT verification cache: None = unprobed,
+#: True = verified, False = the backend IGNORES the precondition (the
+#: silent-last-writer-wins failure mode some S3-compatibles have) —
+#: refuse loudly rather than publish unserialized refs.
+_COND_PUT_OK: dict[str, bool] = {}
+
+
+def _verify_conditional_put(fs, norm: str) -> None:
+    """One-time-per-endpoint live probe: create-exclusive the same key
+    twice; the second create MUST fail with FileExistsError or the
+    backend ignored the precondition and cannot host transactional
+    refs.  Costs two PUTs + one DELETE per process per endpoint."""
+    import uuid
+
+    key = getattr(fs, "endpoint", None) or norm
+    ok = _COND_PUT_OK.get(key)
+    if ok is None:
+        probe = f"{norm}/refs/.condprobe-{uuid.uuid4().hex}"
+        fs.write_bytes(probe, b"{}", if_none_match=True)
+        try:
+            fs.write_bytes(probe, b"{}", if_none_match=True)
+            ok = False
+        except FileExistsError:
+            ok = True
+        finally:
+            try:
+                fs.delete_object(probe)
+            except Exception:
+                pass  # a stranded 2-byte probe object is harmless
+        _COND_PUT_OK[key] = ok
+    if not ok:
+        raise NotImplementedError(
+            f"object store at {key!r} ignores conditional-create "
+            "preconditions (If-None-Match); refusing non-atomic ref "
+            "publication"
+        )
+
+
 def init_repo(repo: str) -> str:
-    """Create an empty repository (idempotent)."""
-    repo = _require_local(repo, "init")
-    os.makedirs(os.path.join(repo, "refs"), exist_ok=True)
-    for d in ("snapshots", "manifests", "chunks"):
-        os.makedirs(os.path.join(repo, d), exist_ok=True)
-    marker = os.path.join(repo, _MARKER)
-    if not os.path.exists(marker):
-        tmp = marker + f".tmp{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(_FORMAT, f)
-        os.replace(tmp, marker)
+    """Create an empty repository (idempotent).  Remote object-store
+    repos have no directories to create — only the format marker."""
+    if _is_local(repo):
+        repo = _require_local(repo, "init")
+        os.makedirs(os.path.join(repo, "refs"), exist_ok=True)
+        for d in ("snapshots", "manifests", "chunks"):
+            os.makedirs(os.path.join(repo, d), exist_ok=True)
+        marker = os.path.join(repo, _MARKER)
+        if not os.path.exists(marker):
+            tmp = marker + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(_FORMAT, f)
+            os.replace(tmp, marker)
+        return repo
+    fs, norm = _repo_writer(repo)
+    _verify_conditional_put(fs, norm)
+    if fs.try_read_bytes(f"{norm}/{_MARKER}") is None:
+        fs.write_bytes(f"{norm}/{_MARKER}", _canon(_FORMAT))
     return repo
 
 
 def _write_object(repo: str, rel: str, payload: bytes) -> None:
     """Immutable-object write: content under ``rel`` never changes, so
-    an existing file is already correct and a concurrent writer racing
-    us produces identical bytes (atomic tmp+rename either way)."""
-    path = os.path.join(repo, rel)
-    if os.path.exists(path):
+    an existing object is already correct and a concurrent writer
+    racing us produces identical bytes (atomic tmp+rename locally; a
+    HEAD-then-PUT on object stores, where per-key PUTs are atomic)."""
+    if _is_local(repo):
+        path = os.path.join(repo, rel)
+        if os.path.exists(path):
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            if not os.path.exists(path):
+                raise
+            os.unlink(tmp)
         return
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(payload)
-    try:
-        os.replace(tmp, path)
-    except OSError:
-        if not os.path.exists(path):
-            raise
-        os.unlink(tmp)
+    fs, norm = _repo_writer(repo)
+    p = f"{norm}/{rel}"
+    if fs.obj_exists(p):  # structural sharing: one HEAD beats a re-PUT
+        return
+    fs.write_bytes(p, payload)
 
 
 def _canon(doc: dict) -> bytes:
@@ -177,6 +280,26 @@ def _canon(doc: dict) -> bytes:
 # ---------------------------------------------------------------------------
 # refs
 # ---------------------------------------------------------------------------
+
+
+def _has_generation(fs, bdir: str) -> bool:
+    """True when a branch directory/prefix holds a published generation
+    file.  One without is crash debris — a writer died between the
+    creation token and the generation publication — and must be
+    treated as 'no branch' or the name is wedged forever: every later
+    commit/fork would report a conflict whose 'rebase on the head'
+    advice can never succeed (ADVICE r11)."""
+    try:
+        names = fs.listdir(bdir)
+    except (FileNotFoundError, NotADirectoryError):
+        return False
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            return False
+        raise
+    return any(
+        n.startswith("gen-") and n.endswith(".json") for n in names
+    )
 
 
 def _branch_head(fs, repo: str, branch: str) -> tuple[str, int] | None:
@@ -190,8 +313,15 @@ def _branch_head(fs, repo: str, branch: str) -> tuple[str, int] | None:
             n for n in fs.listdir(bdir)
             if n.startswith("gen-") and n.endswith(".json")
         ]
-    except (FileNotFoundError, OSError):
+    except (FileNotFoundError, NotADirectoryError):
+        # definitive not-found ONLY: a transient I/O failure (throttle,
+        # network) must raise, not masquerade as 'branch not found' and
+        # silently drop branches from resolve_ref/list_refs (ADVICE r11)
         return None
+    except urllib.error.HTTPError as e:
+        if e.code == 404:  # the http adapter's definitive not-found
+            return None
+        raise
     if not names:
         return None
     head = sorted(names)[0]  # latest-first naming
@@ -269,35 +399,78 @@ def _publish_ref_exclusive(path: str, doc: dict) -> None:
             pass
 
 
+def _publish_ref(repo: str, rel: str, doc: dict) -> None:
+    """Create-exclusive ref publication: fsync'd-tmp + ``os.link``
+    locally; conditional PUT (``If-None-Match: *``) on object stores —
+    both are the same contract: the ref appears atomically with its
+    complete bytes and exactly one concurrent creator wins."""
+    if _is_local(repo):
+        _publish_ref_exclusive(os.path.join(repo, *rel.split("/")), doc)
+        return
+    fs, norm = _repo_writer(repo)
+    fs.write_bytes(f"{norm}/{rel}", _canon(doc), if_none_match=True)
+
+
+def _acquire_branch_token(repo: str, branch: str) -> bool:
+    """Exclusive branch-CREATION token — True to proceed publishing the
+    first generation, False when the branch already exists.  Two
+    concurrent forks (or a fork racing a first commit) publish at
+    DIFFERENT generation filenames when their snapshots' sequences
+    differ, so a head check + gen O_EXCL cannot close the race — an
+    exclusive creation token can (r11 review finding).  Local repos use
+    the branch-directory mkdir; object stores (no directories) a
+    conditional PUT of a ``.created`` marker.  A token that exists with
+    NO published generation is crash debris and recovers as 'no branch'
+    (ADVICE r11) — the gen publication still arbitrates same-sequence
+    races."""
+    if _is_local(repo):
+        from zarr_datafusion_spark.zarr.storage import LocalStoreFS
+
+        bdir = os.path.join(repo, "refs", f"branch.{branch}")
+        os.makedirs(os.path.dirname(bdir), exist_ok=True)
+        try:
+            os.mkdir(bdir)
+            return True
+        except FileExistsError:
+            return not _has_generation(LocalStoreFS(), bdir)
+    fs, norm = _repo_writer(repo)
+    try:
+        fs.write_bytes(
+            f"{norm}/refs/branch.{branch}/.created", b"{}",
+            if_none_match=True,
+        )
+        return True
+    except FileExistsError:
+        return not _has_generation(fs, f"{norm}/refs/branch.{branch}")
+
+
 def create_branch(repo: str, name: str, snapshot_id: str) -> None:
     """Fork a new branch at an existing snapshot (``git branch``): the
     branch's first generation file points at the snapshot, carrying
     its ancestry depth, so later commits continue the chain with
     correct ``~N`` time travel.  Create-exclusive: forking an existing
-    branch name conflicts."""
-    repo = _require_local(repo, "branch")
+    branch name conflicts.  Works on local and object-store repos."""
     _check_ref_name("branch", name)
+    if not _is_local(repo):
+        init_repo(repo)  # capability probe before any publication
     from zarr_datafusion_spark.zarr.storage import store_fs
 
     fs, norm = store_fs(repo)
     snap = _load_snapshot(fs, norm, snapshot_id)  # must exist
-    bdir = os.path.join(repo, "refs", f"branch.{name}")
-    os.makedirs(os.path.dirname(bdir), exist_ok=True)
+    if not _acquire_branch_token(repo, name):
+        raise IcechunkConflictError(
+            f"branch {name!r} already exists in {repo!r}"
+        )
     try:
-        # the branch DIRECTORY is the exclusive token: two concurrent
-        # forks (or a fork racing a first commit) publish at DIFFERENT
-        # generation filenames when their snapshots' sequences differ,
-        # so a head check + gen O_EXCL cannot close the race — mkdir
-        # can (r11 review finding)
-        os.mkdir(bdir)
+        _publish_ref(
+            repo,
+            f"refs/branch.{name}/{_gen_name(int(snap['sequence']))}",
+            {"snapshot": snapshot_id},
+        )
     except FileExistsError:
         raise IcechunkConflictError(
             f"branch {name!r} already exists in {repo!r}"
         ) from None
-    _publish_ref_exclusive(
-        os.path.join(bdir, _gen_name(int(snap["sequence"]))),
-        {"snapshot": snapshot_id},
-    )
 
 
 def list_refs(repo: str) -> dict[str, dict[str, str]]:
@@ -329,14 +502,14 @@ def list_refs(repo: str) -> dict[str, dict[str, str]]:
 
 def create_tag(repo: str, name: str, snapshot_id: str) -> None:
     """Tags are write-once (immutable), enforced by the exclusive
-    link publication."""
-    repo = _require_local(repo, "tag")
+    publication (link locally, conditional PUT on object stores)."""
     _check_ref_name("tag", name)
-    tdir = os.path.join(repo, "refs", f"tag.{name}")
-    os.makedirs(tdir, exist_ok=True)
-    _publish_ref_exclusive(
-        os.path.join(tdir, "ref.json"), {"snapshot": snapshot_id}
-    )
+    if _is_local(repo):
+        repo = _require_local(repo, "tag")
+        os.makedirs(os.path.join(repo, "refs", f"tag.{name}"), exist_ok=True)
+    else:
+        init_repo(repo)  # capability probe before any publication
+    _publish_ref(repo, f"refs/tag.{name}/ref.json", {"snapshot": snapshot_id})
 
 
 def history(repo: str, ref: str | None = None) -> list[dict]:
@@ -419,9 +592,10 @@ def commit_store(
     """
     repo = init_repo(repo)
     _check_ref_name("branch", branch)
-    from zarr_datafusion_spark.zarr.storage import LocalStoreFS, store_fs
+    from zarr_datafusion_spark.zarr.storage import store_fs
 
-    head = _branch_head(LocalStoreFS(), repo, branch)
+    rfs, rnorm = _repo_writer(repo)
+    head = _branch_head(rfs, rnorm, branch)
     head_sid, head_seq = head if head else (None, 0)
     if expected_snapshot is not ... and expected_snapshot != head_sid:
         raise IcechunkConflictError(
@@ -492,23 +666,20 @@ def commit_store(
     body["id"] = sid
     _write_object(repo, f"snapshots/{sid}.json", _canon(body))
 
-    bdir = os.path.join(repo, "refs", f"branch.{branch}")
     if head_sid is None:
-        # FIRST commit on this branch name: the branch directory is
-        # the exclusive creation token (same rule as create_branch —
-        # a racing fork would publish at a different generation
-        # filename, so only mkdir closes that race)
-        os.makedirs(os.path.dirname(bdir), exist_ok=True)
-        try:
-            os.mkdir(bdir)
-        except FileExistsError:
+        # FIRST commit on this branch name: take the exclusive creation
+        # token (a racing fork would publish at a different generation
+        # filename, so only the token closes that race); crash debris
+        # (token survived, generation never published) recovers as 'no
+        # branch' (ADVICE r11)
+        if not _acquire_branch_token(repo, branch):
             raise IcechunkConflictError(
                 f"branch {branch!r} was created concurrently; rebase "
                 "on its head and retry"
-            ) from None
+            )
     try:
-        _publish_ref_exclusive(
-            os.path.join(bdir, _gen_name(seq)), {"snapshot": sid}
+        _publish_ref(
+            repo, f"refs/branch.{branch}/{_gen_name(seq)}", {"snapshot": sid}
         )
     except FileExistsError:
         raise IcechunkConflictError(
@@ -769,8 +940,13 @@ def gc_repo(repo: str) -> dict[str, int]:
             if head:
                 live_snaps.add(head[0])
         elif name.startswith("tag."):
-            with open(os.path.join(refdir, name, "ref.json")) as f:
-                live_snaps.add(json.load(f)["snapshot"])
+            try:
+                with open(os.path.join(refdir, name, "ref.json")) as f:
+                    live_snaps.add(json.load(f)["snapshot"])
+            except FileNotFoundError:
+                # crash debris: makedirs survived, ref.json never linked
+                # — an unpublished tag pins nothing (ADVICE r11)
+                continue
 
     # expand ancestry; collect live manifests and chunk digests
     live_mans: set[str] = set()

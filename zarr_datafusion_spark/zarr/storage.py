@@ -145,6 +145,51 @@ class LocalStoreFS:
         except NotADirectoryError:
             return None  # a path component is a file: definitively absent
 
+    # -- write surface (transactional commits) ------------------------
+    def obj_exists(self, p: str) -> bool:
+        """Object-granular existence (no directory semantics) — the
+        cheap skip probe for immutable content-addressed writes."""
+        import os
+
+        return os.path.isfile(p)
+
+    def write_bytes(
+        self, p: str, payload: bytes, *, if_none_match: bool = False
+    ) -> None:
+        """Atomic object write.  ``if_none_match`` is the conditional
+        CREATE (HTTP ``If-None-Match: *`` semantics): the write
+        succeeds only if no object exists at ``p``, else
+        ``FileExistsError`` — fsync'd-tmp + ``os.link`` locally, so the
+        object appears only with its complete bytes and exactly one
+        concurrent creator wins."""
+        import os
+
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        tmp = f"{p}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            if if_none_match:
+                os.link(tmp, p)  # O_EXCL race semantics, atomic content
+            else:
+                os.replace(tmp, p)
+                return
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def delete_object(self, p: str) -> None:
+        import os
+
+        try:
+            os.unlink(p)
+        except FileNotFoundError:
+            pass
+
 
 class FsspecStoreFS:
     """Filesystem adapter over an fsspec filesystem (S3/GCS) — each
@@ -277,9 +322,13 @@ def _sigv4_headers(
     session_token: str | None,
     region: str,
     amzdate: str | None = None,
+    payload: bytes = b"",
 ) -> dict[str, str]:
-    """AWS Signature Version 4 request headers for a bodyless S3
-    request — pure stdlib (``hmac``/``hashlib``), implementing the
+    """AWS Signature Version 4 request headers for an S3 request —
+    ``payload`` is the request body (empty for GET/HEAD; the PUT body
+    for writes — its SHA256 rides in ``x-amz-content-sha256`` and the
+    canonical request, so a tampered body fails verification).
+    Pure stdlib (``hmac``/``hashlib``), implementing the
     public SigV4 algorithm (canonical request → string-to-sign → HMAC
     key derivation chain), the credentialed request path the reference
     builds through the AWS SDK credential chain (``storage.rs:134-151``).
@@ -317,7 +366,7 @@ def _sigv4_headers(
             for k, v in parse_qsl(parts.query, keep_blank_values=True)
         )
     )
-    payload_hash = hashlib.sha256(b"").hexdigest()
+    payload_hash = hashlib.sha256(payload).hexdigest()
     headers = {
         "host": parts.netloc,
         "x-amz-content-sha256": payload_hash,
@@ -548,6 +597,51 @@ class S3HttpStoreFS:
 
     def read_text(self, p: str) -> str:
         return self.read_bytes(p).decode()
+
+    # -- write surface (transactional commits) ------------------------
+    def obj_exists(self, p: str) -> bool:
+        """One HEAD — object-granular, no prefix-listing fallback."""
+        return self._ok(self._obj_url(p), method="HEAD")
+
+    def write_bytes(
+        self, p: str, payload: bytes, *, if_none_match: bool = False
+    ) -> None:
+        """PUT an object (SigV4-signed over the body hash when
+        credentialed).  ``if_none_match`` sends ``If-None-Match: *`` —
+        S3's conditional-write CREATE: the store answers 412 (or 409
+        for an in-flight concurrent create) when the key exists, which
+        maps to ``FileExistsError``.  S3 PUTs are atomic per key, so a
+        reader never sees partial bytes."""
+        import urllib.error
+        import urllib.request
+
+        url = self._obj_url(p)
+        req = urllib.request.Request(url, data=payload, method="PUT")
+        if if_none_match:
+            req.add_header("If-None-Match", "*")
+        if self.credentials:
+            ak, sk, token, region = self.credentials
+            for h, v in _sigv4_headers(
+                "PUT", url, ak, sk, token, region, payload=payload
+            ).items():
+                req.add_header(h, v)
+        try:
+            with urllib.request.urlopen(req, timeout=self._TIMEOUT):
+                pass
+        except urllib.error.HTTPError as e:
+            if if_none_match and e.code in (409, 412):
+                raise FileExistsError(p) from None
+            raise
+
+    def delete_object(self, p: str) -> None:
+        import urllib.error
+
+        try:
+            with self._open(self._obj_url(p), method="DELETE"):
+                pass
+        except urllib.error.HTTPError as e:
+            if e.code != 404:
+                raise
 
 
 def _b64url(b: bytes) -> str:
@@ -859,6 +953,68 @@ class GcsHttpStoreFS:
 
     def read_text(self, p: str) -> str:
         return self.read_bytes(p).decode()
+
+    # -- write surface (transactional commits) ------------------------
+    def obj_exists(self, p: str) -> bool:
+        return self._ok(self._obj_url(p), method="HEAD")
+
+    def write_bytes(
+        self, p: str, payload: bytes, *, if_none_match: bool = False
+    ) -> None:
+        """XML-API PUT; ``if_none_match`` sends
+        ``x-goog-if-generation-match: 0`` — GCS's conditional CREATE
+        (generation 0 = "no live object"), 412 when the object exists
+        → ``FileExistsError``.  Anonymous-first with the same one-shot
+        bearer retry as reads."""
+        import urllib.error
+        import urllib.request
+
+        url = self._obj_url(p)
+        base_headers: dict[str, str] = {}
+        if if_none_match:
+            base_headers["x-goog-if-generation-match"] = "0"
+
+        def attempt(headers: dict[str, str]):
+            req = urllib.request.Request(
+                url, data=payload, method="PUT", headers=headers
+            )
+            return urllib.request.urlopen(req, timeout=self._TIMEOUT)
+
+        try:
+            try:
+                with attempt(base_headers):
+                    return
+            except urllib.error.HTTPError as e:
+                if e.code not in (401, 403) or not self.credentials_path:
+                    raise
+                tok = _gcs_access_token(self.credentials_path)
+                try:
+                    with attempt(
+                        {**base_headers, "Authorization": f"Bearer {tok}"}
+                    ):
+                        return
+                except urllib.error.HTTPError as e2:
+                    if e2.code not in (401, 403):
+                        raise
+                    tok = _gcs_access_token(self.credentials_path, force=True)
+                    with attempt(
+                        {**base_headers, "Authorization": f"Bearer {tok}"}
+                    ):
+                        return
+        except urllib.error.HTTPError as e:
+            if if_none_match and e.code in (409, 412):
+                raise FileExistsError(p) from None
+            raise
+
+    def delete_object(self, p: str) -> None:
+        import urllib.error
+
+        try:
+            with self._open(self._obj_url(p), method="DELETE"):
+                pass
+        except urllib.error.HTTPError as e:
+            if e.code != 404:
+                raise
 
 
 def store_fs(store_path: str):
