@@ -50,36 +50,57 @@ WINDOW = 50
 #: carries human-readable reasons (and covers rounds predating the
 #: snapshot).  Reset the contents every round.
 RE_RECORD: dict[str, str] = {
-    # r11: reset at round start — the r10 reasons all re-recorded green
-    # in CORRECTNESS_r10.json.  The reasons below mirror what the
-    # MECHANICAL fingerprint check flags this round (same membership;
-    # the dict carries the human why), and the remaining slots rotate
-    # the r6 green cohort stalest-first.
+    # r12: reset at round start — the r11 reasons all re-recorded green
+    # in CORRECTNESS_r11.json.  This round's ADVICE fixes drifted three
+    # call-graph families (the mechanical fingerprint check flags the
+    # same membership; this dict carries the human why).  NOTE: this
+    # round the window is dominated by the freshness floor (the r6/r7
+    # cohort, 42 entries, must refresh before CORRECTNESS_r12 lands),
+    # so most of these re-record NEXT round via their standing
+    # fingerprint mismatch — the documented deferral path.
     #
-    # ADVICE r10 fixes in stats/agg_pushdown.py (min/max-only queries
-    # over overflow-withheld sums no longer fold None sums or compute
-    # an unasked boundary SUM; grouped-rollup AVG defers to the full
-    # plan past 2^63) — in the pushdown entries' call graphs:
-    "zarr_agg_pushdown": "r11: ADVICE fixes in agg_pushdown assembly",
-    "zarr_agg_rollup": "r11: ADVICE fixes in agg_pushdown rollup",
-    "zarr_topk_tail": "r11: agg_pushdown module in engine rewrite graph",
-    "zarr_stats_shortcut": "r11: agg_pushdown module in engine rewrite graph",
-    # store_fs gained the reference:// (kerchunk) dispatch — in every
-    # zarr entry's call graph (values unchanged; the adapter is a new
-    # branch), so the whole family re-records:
-    "zarr_scan_flatten": "r11: reference:// dispatch in store_fs graph",
-    "zarr_filter_pushdown": "r11: reference:// dispatch in store_fs graph",
-    "zarr_range_pushdown": "r11: reference:// dispatch in store_fs graph",
-    "zarr_agg": "r11: reference:// dispatch in store_fs graph",
-    "zarr_limit_pushdown": "r11: reference:// dispatch in store_fs graph",
-    "zarr_coarsen": "r11: reference:// dispatch in store_fs graph",
-    "zarr_sink_roundtrip": "r11: reference:// guard + store_fs graph",
-    "zarr_append_roundtrip": "r11: reference:// guard + store_fs graph",
-    "zarr_update_roundtrip": "r11: reference:// guard + store_fs graph",
-    "zarr_stream_tail": "r11: reference:// dispatch in store_fs graph",
-    "zarr_stream_agg": "r11: reference:// dispatch in store_fs graph",
-    "zarr_data_filter_pushdown": "r11: reference:// dispatch in store_fs graph",
-    "zarr_gap_nulls": "r11: reference:// dispatch in store_fs graph",
+    # icechunk.py ADVICE fixes (wedged-branch recovery, strict
+    # _branch_head errors) + engine.py COPY '' escape — in every zarr
+    # entry's call graph:
+    "zarr_scan_flatten": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_filter_pushdown": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_range_pushdown": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_agg": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_limit_pushdown": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_coarsen": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_sink_roundtrip": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_append_roundtrip": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_update_roundtrip": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_stream_tail": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_stream_agg": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_data_filter_pushdown": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_gap_nulls": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_agg_pushdown": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_agg_rollup": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_topk_tail": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_stats_shortcut": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_kerchunk_scan": "r12: icechunk/engine ADVICE fixes in graph",
+    "zarr_icechunk_scan": "r12: icechunk ADVICE fixes in graph",
+    "zarr_icechunk_stream": "r12: icechunk ADVICE fixes in graph",
+    "zarr_time_travel": "r12: icechunk ADVICE fixes in graph",
+    # trc fixtures unified under one generator + staleness key (ADVICE
+    # r11); the oracle SQL now embeds the keyed mirror path:
+    "trc_station_rollup": "r12: shared TRC generator + keyed mirror path",
+    # common.prune_stale_siblings learned single-file artifacts — in
+    # the persisted-index entries' call graphs:
+    "search_bm25_indexed": "r12: prune_stale_siblings file support",
+    "search_boolean_and": "r12: prune_stale_siblings file support",
+    "search_eval_metrics": "r12: prune_stale_siblings file support",
+    "search_phrase_indexed": "r12: prune_stale_siblings file support",
+    "search_prf_expansion": "r12: prune_stale_siblings file support",
+    "search_proximity": "r12: prune_stale_siblings file support",
+    "search_qlm_topk": "r12: prune_stale_siblings file support",
+    "search_rrf_hybrid": "r12: prune_stale_siblings file support",
+    "search_snippets": "r12: prune_stale_siblings file support",
+    "sim_ann_indexed": "r12: prune_stale_siblings file support",
+    "streaming_index_compacted": "r12: prune_stale_siblings file support",
+    "streaming_index_update": "r12: prune_stale_siblings file support",
+    "streaming_lsh_dedup": "r12: prune_stale_siblings file support",
 }
 
 
@@ -218,11 +239,23 @@ def _registries() -> tuple[dict, dict]:
             "window; stage new entries across rounds"
         )
     idx = {n: i for i, n in enumerate(oracle_names)}
+    # Freshness floor (VERDICT r11 item 1): any green entry whose record
+    # would become "ancient" once the driver writes THIS round's file
+    # (round < (latest+1) - ceil(n_green/WINDOW)) must re-record now —
+    # it outranks RE_RECORD/fingerprint-stale entries, whose records are
+    # by construction fresher.  Ranking stalest-first realizes exactly
+    # that priority, because urgent entries hold the smallest rounds.
+    import math
+
+    recorded = [n for n in oracle_names if n in green]
+    latest = max((green[n] for n in recorded), default=0)
+    cycle = math.ceil(len(recorded) / WINDOW) if recorded else 1
+    urgent = {n for n in recorded if green[n] < (latest + 1) - cycle}
     stale = sorted(
         (
             n
-            for n in oracle_names
-            if n in green and (n in RE_RECORD or n in changed)
+            for n in recorded
+            if n in RE_RECORD or n in changed or n in urgent
         ),
         key=lambda n: (green[n], idx[n]),  # stalest record first
     )
@@ -230,6 +263,12 @@ def _registries() -> tuple[dict, dict]:
     # stale entries beyond the window keep their fingerprint mismatch,
     # so they are re-derived and lead the rotation next round.
     need = (firsts + stale)[:WINDOW]
+    dropped = urgent - set(need)
+    if dropped:
+        raise ValueError(
+            f"freshness floor unsatisfiable: {len(firsts)} first-record "
+            f"entries crowd out about-to-be-ancient entries {sorted(dropped)}"
+        )
     standing = sorted(
         (n for n in oracle_names if n not in set(need)),
         key=lambda n: (green.get(n, 0), idx[n]),  # stalest record first

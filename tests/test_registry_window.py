@@ -35,26 +35,76 @@ def test_every_oracle_entry_recorded_or_in_window():
 
 
 def test_re_record_entries_inside_window():
-    """Entries declared code-changed this round must re-record."""
-    qs, _ = E._registries()
-    window = set(list(qs)[: E.WINDOW])
-    assert set(E.RE_RECORD) <= window, set(E.RE_RECORD) - window
+    """Entries declared code-changed this round re-record — unless the
+    window is saturated by strictly-more-urgent entries (first records,
+    the freshness floor, staler stale entries).  A deferred entry keeps
+    its fingerprint mismatch, so it re-derives and leads the rotation
+    next round; what may NEVER happen is a standing (fresh-fingerprint,
+    green) entry holding a slot while a declared-stale entry waits."""
+    import math
+
+    from zarr_datafusion_spark import fingerprints as FP
+
+    qs, oracles = E._registries()
+    green = E._latest_green_round()
+    window = list(qs)[: E.WINDOW]
+    deferred = set(E.RE_RECORD) - set(window)
+    if not deferred:
+        return
+    changed = FP.changed_since_record(
+        green, FP.compute_fingerprints(qs, E.oracle_sql())
+    )
+    recorded = [n for n in qs if n in oracles and n in green]
+    latest = max((green[n] for n in recorded), default=0)
+    cycle = math.ceil(len(recorded) / E.WINDOW) if recorded else 1
+    urgent = {n for n in recorded if green[n] < (latest + 1) - cycle}
+    standing_in_window = [
+        n
+        for n in window
+        if n in green
+        and n not in E.RE_RECORD
+        and n not in changed
+        and n not in urgent
+    ]
+    assert not standing_in_window, (
+        f"RE_RECORD entries {sorted(deferred)} deferred while standing "
+        f"entries hold window slots: {standing_in_window}"
+    )
 
 
 def test_need_entries_lead_the_window():
-    """First-record entries and stale (RE_RECORD) entries occupy the
-    FRONT of the registry — a driver that checks fewer than WINDOW
-    slots still records the entries that need it most."""
+    """First-record entries, stale entries (RE_RECORD + mechanically
+    fingerprint-flagged), and about-to-become-ancient entries (VERDICT
+    r11 item 1) occupy the FRONT of the registry — a driver that checks
+    fewer than WINDOW slots still records the entries that need it
+    most."""
+    import math
+
+    from zarr_datafusion_spark import fingerprints as FP
+
     qs, oracles = E._registries()
     green = E._latest_green_round()
-    names = list(qs)
-    n_need = sum(
-        1
-        for n in names
-        if n in oracles and (n not in green or n in E.RE_RECORD)
+    changed = FP.changed_since_record(
+        green, FP.compute_fingerprints(qs, E.oracle_sql())
     )
-    head = names[:n_need]
-    assert all(n not in green or n in E.RE_RECORD for n in head), head
+    names = list(qs)
+    recorded = [n for n in names if n in oracles and n in green]
+    latest = max((green[n] for n in recorded), default=0)
+    cycle = math.ceil(len(recorded) / E.WINDOW) if recorded else 1
+    urgent = {n for n in recorded if green[n] < (latest + 1) - cycle}
+    need = {
+        n
+        for n in names
+        if n in oracles
+        and (
+            n not in green
+            or n in E.RE_RECORD
+            or n in changed
+            or n in urgent
+        )
+    }
+    head = names[: min(len(need), E.WINDOW)]
+    assert all(n in need for n in head), [n for n in head if n not in need]
 
 
 def test_standing_entries_fill_window_stalest_first():
@@ -271,12 +321,14 @@ def test_no_function_local_relative_imports():
 
 
 def test_refresh_floor_no_ancient_green_records():
-    """Standing rotation invariant (VERDICT r7 item 6): with the window
-    filled stalest-first, every green oracle-backed entry refreshes at
-    least every ceil(n_green / WINDOW) rounds — so no entry's latest
-    green record may lag the newest record by more than that cycle
-    length.  Pins that the histogram floor keeps moving (r8 expected
-    floor: the r5 cohort + oldest r6 entries rotate in)."""
+    """Standing rotation invariant (VERDICT r7 item 6, re-cut per
+    VERDICT r11 item 1): every green oracle-backed entry refreshes at
+    least every ceil(n_green / WINDOW) rounds.  Asserted against
+    ``latest + 1`` — the round the driver is ABOUT to write — so the
+    builder sees a would-be violation DURING the round that creates it,
+    not after the driver file lands: any entry whose record would be
+    ancient at latest+1 must sit inside the checked window now (it will
+    then refresh in this round's CORRECTNESS file)."""
     import math
 
     green = E._latest_green_round()
@@ -284,10 +336,15 @@ def test_refresh_floor_no_ancient_green_records():
     rounds = {n: r for n, r in green.items() if n in oracles and n in qs}
     latest = max(rounds.values())
     cycle = math.ceil(len(rounds) / E.WINDOW)
-    ancient = sorted(n for n, r in rounds.items() if r < latest - cycle)
-    assert not ancient, (
-        f"green records older than {cycle} rounds behind r{latest} — "
-        f"the stalest-first rotation stalled: {ancient}"
+    window = set(list(qs)[: E.WINDOW])
+    stranded = sorted(
+        n
+        for n, r in rounds.items()
+        if r < (latest + 1) - cycle and n not in window
+    )
+    assert not stranded, (
+        f"records that become ancient at r{latest + 1} are outside the "
+        f"checked window — the stalest-first rotation stalled: {stranded}"
     )
 
 
