@@ -41,6 +41,7 @@ if not hasattr(_REG, "s3_sock"):
     for _name, _env in (
         ("s3_sock", "AWS_ENDPOINT_URL_S3"),
         ("gcs_sock", "STORAGE_EMULATOR_HOST"),
+        ("az_sock", "AZURE_STORAGE_ENDPOINT"),
     ):
         _s = _socket.socket()
         _s.bind(("127.0.0.1", 0))
@@ -65,6 +66,7 @@ S3_TEST_CREDS = (
 
 S3_TEST_SOCK = _REG.s3_sock
 GCS_TEST_SOCK = _REG.gcs_sock
+AZ_TEST_SOCK = _REG.az_sock
 
 # Deterministic RSA service-account key for the credentialed-gs://
 # tests (VERDICT r8 item 4) — generated once per process (same

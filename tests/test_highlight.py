@@ -77,3 +77,27 @@ def test_completer_keywords_tables_history():
     assert matches("line") == ["lineitem"]
     assert "select" in matches("sel")  # lower stays lower
     assert matches("zzz") == []
+
+
+def test_completer_columns_live(monkeypatch):
+    """Column names complete alongside tables/keywords (reference
+    roadmap README.md:301: tables/columns/keywords), read LIVE so
+    in-REPL DDL surfaces new columns; a failing provider degrades to
+    no column candidates instead of breaking completion."""
+    cols = ["l_orderkey", "l_quantity"]
+    comp = SqlCompleter(tables=["lineitem"], columns_fn=lambda: list(cols))
+    comp._buffer = lambda text: "SELECT " + text  # mid-statement
+
+    def matches(text):
+        out, i = [], 0
+        while (m := comp(text, i)) is not None:
+            out.append(m)
+            i += 1
+        return out
+
+    assert matches("l_or") == ["l_orderkey"]
+    cols.append("l_extendedprice")  # live provider: new column appears
+    assert "l_extendedprice" in matches("l_ex")
+    comp.columns_fn = lambda: (_ for _ in ()).throw(RuntimeError("down"))
+    assert matches("l_or") == []  # degraded, not broken
+    assert matches("line") == ["lineitem"]

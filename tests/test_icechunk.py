@@ -473,12 +473,12 @@ def test_ddl_external_table_over_snapshot(spark, repo):
 
 
 def test_append_snapshot_incremental(spark, tmp_path):
-    """Transactional append: head materialized by HARDLINK (no chunk
-    bytes copied), new slabs written by the distributed append path,
-    and the commit stages only the new slabs' chunks + the grown
-    coordinate — cost proportional to the append.  The parent snapshot
-    must remain byte-stable (the hardlinked objects are never
-    truncated in place)."""
+    """Transactional append over SPARSE staging (only metadata + the
+    coordinate chunks materialized; the parent manifest merges in the
+    untouched data chunks): the commit stages only the new slabs'
+    chunks + the grown coordinate — cost proportional to the append —
+    and the resulting snapshot id is BIT-IDENTICAL to a full
+    re-ingest of the equivalent materialized image."""
     from zarr_datafusion_spark.operators.zarr_queries import fixture_store
     from zarr_datafusion_spark.zarr import read_zarr
     from zarr_datafusion_spark.zarr.icechunk import append_snapshot
@@ -503,8 +503,64 @@ def test_append_snapshot_incremental(spark, tmp_path):
     got = sorted(map(tuple, head.collect()))
     want = sorted(map(tuple, src.collect()))
     assert got == want
-    # parent snapshot unharmed (hardlink discipline): same rows as before
+    # parent snapshot unharmed: same rows as before
     assert read_zarr(spark, f"icechunk://{repo_path}@snap:{s1}").count() == v1_rows
+
+    # bit-identity: replaying base + full-image commit in a second repo
+    # produces the SAME snapshot id the sparse merge-append published —
+    # the merged manifest is key-for-key what a full re-ingest builds
+    import shutil
+    import tempfile
+
+    from zarr_datafusion_spark.zarr.sink import write_zarr
+
+    other = str(tmp_path / "full.ic")
+    stage = tempfile.mkdtemp(prefix="zds_app_eq_")
+    try:
+        base_store = os.path.join(stage, "base.zarr")
+        write_zarr(src.filter(F.col("time") < 5), base_store,
+                   coords=["time", "lat", "lon"])
+        o1 = commit_store(base_store, other, message="base")
+        assert o1 == s1
+        full_store = os.path.join(stage, "full.zarr")
+        write_zarr(src, full_store, coords=["time", "lat", "lon"])
+        o2 = commit_store(
+            full_store, other, message="append 2 slabs",
+            expected_snapshot=o1,
+        )
+        assert o2 == s2
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_append_snapshot_remote(spark, s3_repo):
+    """append_snapshot on an OBJECT-STORE repo (the shape the sparse
+    staging exists for — the old hardlink materialization was
+    impossible remotely): base commit + transactional append over live
+    sockets, the head reads back as the full image, and only the new
+    slabs' objects were PUT."""
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.icechunk import append_snapshot
+
+    url, objects = s3_repo
+    src = read_zarr(spark, fixture_store(2))
+    commit_zarr(src.filter(F.col("time") < 5), url,
+                coords=["time", "lat", "lon"], message="base")
+    chunks_before = {k for k in objects if k.startswith("repo.ic/chunks/")}
+    s2 = append_snapshot(
+        src.filter(F.col("time") >= 5), url, message="append 2 slabs"
+    )
+    chunks_added = {
+        k for k in objects if k.startswith("repo.ic/chunks/")
+    } - chunks_before
+    assert len(chunks_added) == 5  # 2 slabs x 2 vars + grown coordinate
+    assert resolve_ref(url, "branch:main") == s2
+    head = read_zarr(spark, f"icechunk://{url}")
+    assert head.count() == 700
+    got = sorted(map(tuple, head.collect()))
+    want = sorted(map(tuple, src.collect()))
+    assert got == want
 
 
 def test_unpinned_url_reads_real_data(spark, repo):
@@ -1172,3 +1228,35 @@ def test_remote_commit_refuses_http_backend(monkeypatch):
     ic._WRITER_CACHE.clear()
     with pytest.raises(NotImplementedError, match="atomic conditional"):
         ic._repo_writer("http://127.0.0.1:1/repo.ic")
+
+
+def test_remote_gc_collects_lost_race_debris(spark, s3_repo, monkeypatch, tmp_path):
+    """gc on an OBJECT-STORE repo: a loser commit's staged objects (its
+    ref never landed) are unreachable debris; the remote sweep removes
+    exactly them and the winner's image stays intact."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.sink import write_zarr
+
+    url, objects = s3_repo
+    src = read_zarr(spark, fixture_store(2))
+    sid = commit_store(fixture_store(2), url, message="winner")
+    n_before = len(objects)
+
+    # the loser: different image, head check blinded, ref publish loses
+    loser_store = str(tmp_path / "loser.zarr")
+    write_zarr(src.filter(F.col("time") < 1), loser_store,
+               coords=["time", "lat", "lon"])
+    with monkeypatch.context() as m:
+        m.setattr(ic, "_branch_head", lambda *_a: None)
+        with pytest.raises(IcechunkConflictError):
+            commit_store(loser_store, url, message="loser")
+    assert len(objects) > n_before  # staged debris exists remotely
+
+    removed = gc_repo(url)
+    assert removed["snapshots"] == 1 and removed["manifests"] == 1
+    assert removed["chunks"] > 0
+    assert len(objects) == n_before  # back to exactly the winner's image
+    assert resolve_ref(url, "branch:main") == sid
+    assert read_zarr(spark, f"icechunk://{url}").count() == 700

@@ -3109,3 +3109,230 @@ def test_sink_datetime_append_and_update(spark, tmp_path):
 
     with _pt.raises(ValueError, match="monotonic"):
         append_zarr(block(3, 4), store)
+
+
+# ---------------------------------------------------------------------------
+# az:// — Azure Blob adapter (the roadmap's third scheme, README.md:322,
+# which the reference's storage.rs never implemented)
+# ---------------------------------------------------------------------------
+
+
+def _azure_server(container: str, preload: dict[str, bytes] | None = None):
+    """Minimal live Azure-Blob-compatible server backed by a locked
+    dict: path-style GET/HEAD blobs, the List Blobs XML API
+    (restype=container&comp=list with prefix/delimiter), PUT BlockBlob
+    (with ``If-None-Match: *`` conditional-create -> 409
+    BlobAlreadyExists), DELETE.  Returns (server, blobs dict)."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    blobs: dict[str, bytes] = dict(preload or {})
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _respond(self, code, body=b"", ctype="application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if self.command != "HEAD":
+                self.wfile.write(body)
+
+        def _key(self, parsed) -> str | None:
+            segs = parsed.path.lstrip("/").split("/", 1)
+            if segs[0] != container:
+                return None
+            return urllib.parse.unquote(segs[1]) if len(segs) > 1 else ""
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            key = self._key(parsed)
+            if key is None:
+                return self._respond(404, b"ContainerNotFound")
+            qs = urllib.parse.parse_qs(parsed.query)
+            if qs.get("comp") == ["list"]:
+                prefix = qs.get("prefix", [""])[0]
+                delim = qs.get("delimiter", [""])[0]
+                with lock:
+                    keys = sorted(k for k in blobs if k.startswith(prefix))
+                out_blobs, out_prefixes, seen = [], [], set()
+                for k in keys:
+                    rest = k[len(prefix):]
+                    if delim and delim in rest:
+                        pref = prefix + rest.split(delim, 1)[0] + delim
+                        if pref not in seen:
+                            seen.add(pref)
+                            out_prefixes.append(pref)
+                    else:
+                        out_blobs.append(k)
+                xml = [
+                    '<?xml version="1.0" encoding="utf-8"?>',
+                    "<EnumerationResults><Blobs>",
+                ]
+                xml += [f"<Blob><Name>{k}</Name></Blob>" for k in out_blobs]
+                xml += [
+                    f"<BlobPrefix><Name>{p}</Name></BlobPrefix>"
+                    for p in out_prefixes
+                ]
+                xml.append("</Blobs><NextMarker/></EnumerationResults>")
+                return self._respond(
+                    200, "".join(xml).encode(), "application/xml"
+                )
+            with lock:
+                body = blobs.get(key)
+            if body is None:
+                return self._respond(404, b"BlobNotFound")
+            return self._respond(200, body)
+
+        do_HEAD = do_GET
+
+        def do_PUT(self):
+            parsed = urllib.parse.urlparse(self.path)
+            key = self._key(parsed)
+            if not key:
+                return self._respond(404, b"ContainerNotFound")
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length)
+            with lock:
+                if self.headers.get("If-None-Match") == "*" and key in blobs:
+                    return self._respond(409, b"BlobAlreadyExists")
+                blobs[key] = body
+            return self._respond(201)
+
+        def do_DELETE(self):
+            parsed = urllib.parse.urlparse(self.path)
+            key = self._key(parsed)
+            with lock:
+                blobs.pop(key or "", None)
+            return self._respond(202)
+
+    import http.server as _hs
+
+    from tests.conftest import AZ_TEST_SOCK
+
+    srv = _hs.ThreadingHTTPServer(
+        ("127.0.0.1", 0), Handler, bind_and_activate=False
+    )
+    srv.socket = AZ_TEST_SOCK  # the port the JVM env already carries
+    srv.server_address = AZ_TEST_SOCK.getsockname()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, blobs
+
+
+def _dir_as_blobs(store_path: str) -> dict[str, bytes]:
+    import os as _os
+
+    name = _os.path.basename(store_path)
+    out = {}
+    for dirpath, _dirs, files in _os.walk(store_path):
+        for fn in files:
+            fp = _os.path.join(dirpath, fn)
+            rel = _os.path.relpath(fp, _os.path.dirname(store_path))
+            with open(fp, "rb") as f:
+                out[rel.replace(_os.sep, "/")] = f.read()
+    assert all(k.startswith(name + "/") or k == name for k in out)
+    return out
+
+
+@pytest.fixture()
+def az_store(stores):
+    """The v2_plain fixture served from a live Azure-compatible server;
+    yields its az:// URL."""
+    import os as _os
+
+    store_path = stores["v2_plain"]
+    srv, _blobs = _azure_server(
+        "testcontainer", preload=_dir_as_blobs(store_path)
+    )
+    try:
+        yield f"az://testcontainer/{_os.path.basename(store_path)}"
+    finally:
+        srv.shutdown()  # socket stays bound for later fixtures
+
+
+def test_az_store_adapter_live(az_store, stores):
+    """The stdlib Azure adapter answers the full store-fs surface
+    against a live List-Blobs-speaking server."""
+    import os as _os
+
+    from zarr_datafusion_spark.zarr.storage import AzureHttpStoreFS, store_fs
+
+    fs, root = store_fs(az_store)
+    assert isinstance(fs, AzureHttpStoreFS)
+    assert root == az_store
+    assert fs.isdir(root)
+    assert not fs.isdir(root + "/.zgroup")
+    assert fs.exists(root + "/.zgroup")
+    assert not fs.exists(root + "/nope")
+    assert fs.try_read_bytes(root + "/nope") is None
+    listing = fs.listdir(root)
+    assert {"time", "lat", "lon", "temperature", "humidity"} <= set(listing)
+    local = stores["v2_plain"]
+    assert fs.read_text(root + "/.zgroup") == open(
+        _os.path.join(local, ".zgroup")
+    ).read()
+    assert fs.read_bytes(root + "/temperature/0.0.0") == open(
+        _os.path.join(local, "temperature", "0.0.0"), "rb"
+    ).read()
+
+
+def test_az_store_schema_and_scan(spark, az_store):
+    """End-to-end over live az://: schema inference AND the
+    chunk-parallel Spark scan (executors resolve the endpoint from the
+    env the JVM inherited) equal the independent row-major expansion."""
+    from zarr_datafusion_spark.zarr import discover_arrays, read_zarr
+
+    meta = discover_arrays(az_store)
+    assert [c.name for c in meta.coords] == ["time", "lat", "lon"]
+    assert meta.total_rows == 700
+
+    df = read_zarr(spark, az_store)
+    rows = df.orderBy("time", "lat", "lon").collect()
+    exp = expected_flat()
+    assert len(rows) == 700
+    assert [r.temperature for r in rows] == list(exp["temperature"])
+    assert [r.time for r in rows] == list(exp["time"])
+
+
+def test_az_icechunk_commit_and_read(spark, stores, tmp_path):
+    """Transactional commits on an az:// repo: the conditional-create
+    capability probe passes against the live server (409
+    BlobAlreadyExists honored), two commits publish atomically with
+    snapshot ids bit-identical to a local repo, and a simulated
+    same-generation race has exactly one winner."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.icechunk import (
+        IcechunkConflictError,
+        commit_store,
+        resolve_ref,
+    )
+
+    srv, blobs = _azure_server("iccontainer")
+    ic._WRITER_CACHE.clear()
+    ic._COND_PUT_OK.clear()
+    url = "az://iccontainer/repo.ic"
+    try:
+        s1 = commit_store(stores["v2_plain"], url, message="full")
+        local = str(tmp_path / "local.ic")
+        l1 = commit_store(stores["v2_plain"], local, message="full")
+        assert s1 == l1  # content addressing is storage-independent
+        assert read_zarr(spark, f"icechunk://{url}").count() == 700
+        assert resolve_ref(url, "branch:main") == s1
+        # loser race: head check predates the winner's publication
+        import unittest.mock as mock
+
+        with mock.patch.object(ic, "_branch_head", lambda *_a: None):
+            with pytest.raises(IcechunkConflictError):
+                commit_store(stores["v2_plain"], url, message="loser")
+        assert resolve_ref(url, "branch:main") == s1
+        assert any(k.endswith(".created") for k in blobs)
+    finally:
+        srv.shutdown()
+        ic._WRITER_CACHE.clear()
+        ic._COND_PUT_OK.clear()

@@ -26,14 +26,17 @@ import time
 HISTORY_FILE = os.path.expanduser("~/.zds_cli_history")
 
 
-def _setup_readline(tables: list[str] | None = None, tables_fn=None) -> None:
+def _setup_readline(
+    tables: list[str] | None = None, tables_fn=None, columns_fn=None
+) -> None:
     """History persistence like the reference's ~/.zarr_cli_history
     (``main.rs:83-95``), plus tab-completion over SQL keywords, table
-    names, and history continuations (the plain-readline analog of the
-    reference's Hinter, ``highlight.rs:29-59``).  History and table
-    candidates are read LIVE at completion time — statements typed this
-    session and tables created via in-REPL DDL complete immediately,
-    matching the reference Hinter's live-history behavior."""
+    names, COLUMN names (roadmap ``README.md:301``), and history
+    continuations (the plain-readline analog of the reference's
+    Hinter, ``highlight.rs:29-59``).  History/table/column candidates
+    are read LIVE at completion time — statements typed this session
+    and tables created via in-REPL DDL complete immediately, matching
+    the reference Hinter's live-history behavior."""
     try:
         import readline
     except ImportError:  # non-readline platform: plain input()
@@ -55,7 +58,12 @@ def _setup_readline(tables: list[str] | None = None, tables_fn=None) -> None:
         ]
 
     readline.set_completer(
-        SqlCompleter(tables or [], tables_fn=tables_fn, history_fn=history_fn)
+        SqlCompleter(
+            tables or [],
+            tables_fn=tables_fn,
+            history_fn=history_fn,
+            columns_fn=columns_fn,
+        )
     )
     readline.set_completer_delims(" \t\n,;()")
     readline.parse_and_bind("tab: complete")
@@ -183,9 +191,19 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
     from zarr_datafusion_spark.highlight import highlight_sql
     from zarr_datafusion_spark.stats.io_stats import plan_scan_stats
 
+    def _catalog_columns() -> list[str]:
+        cols: list[str] = []
+        for t in engine.spark.catalog.listTables():
+            try:
+                cols += [c.name for c in engine.spark.catalog.listColumns(t.name)]
+            except Exception:
+                continue  # a view whose source vanished mid-session
+        return cols
+
     _setup_readline(
         list(zarr_tables),
         tables_fn=lambda: [t.name for t in engine.spark.catalog.listTables()],
+        columns_fn=_catalog_columns,
     )
     tty = getattr(sys.stdout, "isatty", lambda: False)()
     fmt = "table"  # \format table|csv|json (reference README.md:305)

@@ -117,8 +117,9 @@ def history_hint(line: str, history: list[str]) -> str | None:
 
 class SqlCompleter:
     """readline tab-completer: SQL keywords, registered table names,
-    and whole-line history continuations (the tab-key stand-in for the
-    reference's inline ghost hint)."""
+    their COLUMN names (reference roadmap ``README.md:301`` asks for
+    tables/columns/keywords), and whole-line history continuations
+    (the tab-key stand-in for the reference's inline ghost hint)."""
 
     def __init__(
         self,
@@ -126,6 +127,7 @@ class SqlCompleter:
         history: list[str] | None = None,
         tables_fn=None,
         history_fn=None,
+        columns_fn=None,
     ):
         #: static seeds plus optional live providers — the REPL passes
         #: callables so statements typed THIS session and tables created
@@ -135,6 +137,7 @@ class SqlCompleter:
         self.history = history if history is not None else []
         self.tables_fn = tables_fn
         self.history_fn = history_fn
+        self.columns_fn = columns_fn
         self._matches: list[str] = []
 
     def _live_tables(self) -> list[str]:
@@ -154,6 +157,14 @@ class SqlCompleter:
             except Exception:
                 pass
         return self.history + [h for h in extra if h not in self.history]
+
+    def _live_columns(self) -> list[str]:
+        if self.columns_fn is None:
+            return []
+        try:
+            return list(self.columns_fn())
+        except Exception:
+            return []
 
     def _buffer(self, text: str) -> str:
         try:
@@ -176,7 +187,11 @@ class SqlCompleter:
                     if hint is not None:
                         matches.append(text + hint)
                         seen.add(text + hint)
-                for cand in self._live_tables() + sorted(KEYWORDS):
+                for cand in (
+                    self._live_tables()
+                    + self._live_columns()
+                    + sorted(KEYWORDS)
+                ):
                     if cand.lower().startswith(low) and cand not in seen:
                         seen.add(cand)
                         matches.append(

@@ -52,8 +52,10 @@ backends without an atomic conditional create refuse loudly
 (``http://``, plain fsspec), because an unserialized ref publication
 is not transactional.  This is the 100 TB posture item: the
 transactional layer's value is highest exactly where stores are
-remote.  ``gc_repo``/``append_snapshot`` stay local-only (deletion
-sweeps and hardlink staging).
+remote.  ``append_snapshot`` works remotely too (sparse staging + a
+parent-manifest merge — cost ∝ the append), and ``gc_repo`` sweeps
+remote repos through the same adapters (listings + per-object
+DELETEs) — the whole transactional surface is storage-independent.
 
 Scale posture: resolving a ref costs one small LIST + two small GETs
 (ref file, snapshot doc) on the driver; each executor task then reads
@@ -569,6 +571,7 @@ def commit_store(
     message: str = "",
     expected_snapshot: str | None | type(...) = ...,
     spark=None,
+    _base_manifest: dict | None = None,
 ) -> str:
     """Commit a materialized Zarr store directory as the branch's next
     snapshot; returns the new snapshot id.
@@ -589,6 +592,13 @@ def commit_store(
     branch).  Left at the default, the current head is used (last
     writer wins, still atomic).  On mismatch or a lost ref race,
     :class:`IcechunkConflictError`.
+
+    ``_base_manifest``: internal (``append_snapshot``) — start the new
+    manifest from these entries and let the staged image's own chunks
+    override per key, so a SPARSE staging (only the changed chunks
+    materialized) commits without re-ingesting the untouched rest.
+    Merge-only: a key absent from the staged image stays in the
+    manifest, so this is for grow/update images, never deletions.
     """
     repo = init_repo(repo)
     _check_ref_name("branch", branch)
@@ -641,7 +651,7 @@ def commit_store(
             "commit a non-store directory"
         )
 
-    manifest: dict[str, dict] = {}
+    manifest: dict[str, dict] = dict(_base_manifest or {})
     if spark is not None and len(chunk_keys) >= 64:
         manifest.update(
             _ingest_distributed(spark, store_dir, repo, chunk_keys)
@@ -736,24 +746,34 @@ def append_snapshot(
     """Transactional APPEND: add the DataFrame's outer slabs on top of
     the branch head and publish the grown image as the next snapshot.
 
-    The head is materialized into a private staging store by
-    HARDLINKING its chunk payloads out of the content-addressed object
-    store (no bytes copied — the payloads are immutable either way),
-    ``sink.append_zarr`` writes the new slabs (monotonic-outer rules
-    enforced there), and :func:`commit_store` re-ingests: unchanged
-    chunks hash to their existing objects, so the commit stages ONLY
-    the new slabs' chunks plus the grown coordinate.  Cost is
-    proportional to the APPEND at any store size.  Optimistic
+    The staging store is SPARSE: only the head's metadata documents and
+    its COORDINATE-array chunks (axis-bounded, tiny) are materialized —
+    ``sink.append_zarr`` reads nothing else (it validates the grid from
+    the coordinate arrays and, with the sink's (1, inner...) chunk
+    layout, never read-modify-writes an existing data chunk).  The
+    commit then merges the staged image over the PARENT's manifest
+    (``_base_manifest``), so existing data chunks are neither
+    downloaded, hardlinked, hashed, nor re-PUT: append cost is
+    O(new slabs + coordinate axis + metadata) at ANY store size, and
+    the same path works on local and object-store (s3/gs/az) repos —
+    the previous implementation hardlinked the ENTIRE head image into
+    staging, which is 10^6 syscalls on a million-chunk store and
+    impossible remotely.  The merged manifest is key-for-key identical
+    to what a full re-ingest would produce (content addressing), so
+    snapshot ids stay bit-equal — pinned by test.  Optimistic
     concurrency: the commit expects the head this append was built on
     and conflicts if the branch moved."""
     import shutil
     import tempfile
 
+    from zarr_datafusion_spark.zarr.metadata import discover_arrays
     from zarr_datafusion_spark.zarr.sink import append_zarr
 
-    repo_local = _require_local(repo, "append")
-    head_sid = resolve_ref(repo_local, f"branch:{branch}")
-    fs = IcechunkStoreFS(repo_local, f"snap:{head_sid}")
+    head_sid = resolve_ref(repo, f"branch:{branch}")
+    fs = IcechunkStoreFS(repo, f"snap:{head_sid}")
+    coord_names = {
+        c.name for c in discover_arrays(f"icechunk://{repo}@snap:{head_sid}").coords
+    }
     staging = tempfile.mkdtemp(prefix="zds_ic_append_")
     try:
         store = os.path.join(staging, "head.zarr")
@@ -766,18 +786,18 @@ def append_snapshot(
                     if "text" in doc
                     else base64.b64decode(doc["b64"])
                 )
-        for key, ent in fs._chunks.items():
-            src = os.path.join(repo_local, _chunk_rel(ent["digest"]))
+        for key in fs._chunks:
+            if key.split("/", 1)[0] not in coord_names:
+                continue  # data chunks stay in the object store
             dst = os.path.join(store, *key.split("/"))
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copyfile(src, dst)  # cross-device fallback
+            with open(dst, "wb") as f:
+                f.write(fs.read_bytes(f"{fs.root}/{key}"))
         append_zarr(df, store)
         return commit_store(
-            store, repo_local, branch=branch, message=message,
+            store, repo, branch=branch, message=message,
             expected_snapshot=head_sid, spark=df.sparkSession,
+            _base_manifest=fs._chunks,
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -922,31 +942,46 @@ class IcechunkStoreFS:
 # ---------------------------------------------------------------------------
 
 
+def _listdir_or_empty(fs, p: str) -> list[str]:
+    """Adapter-generic listing that maps ONLY definitive not-found to
+    empty (a missing prefix on an object store lists as [] already);
+    transient failures raise — a gc that mistakes an outage for an
+    empty listing would compute an empty live set and delete
+    everything."""
+    try:
+        return fs.listdir(p)
+    except (FileNotFoundError, NotADirectoryError):
+        return []
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            return []
+        raise
+
+
 def gc_repo(repo: str) -> dict[str, int]:
     """Delete snapshots/manifests/chunk objects unreachable from any
     branch head's ancestry or tag (the debris of lost commit races and
-    expired branches).  Returns removal counts per object kind.  Only
-    run when no commit is in flight: a commit stages objects BEFORE
-    its ref appears, and gc would collect that staging window."""
-    repo = _require_local(repo, "gc")
-    from zarr_datafusion_spark.zarr.storage import LocalStoreFS
+    expired branches).  Works on local AND object-store (s3/gs/az)
+    repos — the sweep is listings + per-object DELETEs through the
+    same adapters commits write through.  Returns removal counts per
+    object kind.  Only run when no commit is in flight: a commit
+    stages objects BEFORE its ref appears, and gc would collect that
+    staging window."""
+    fs, norm = _repo_writer(repo)
 
-    fs = LocalStoreFS()
     live_snaps: set[str] = set()
-    refdir = os.path.join(repo, "refs")
-    for name in sorted(os.listdir(refdir)) if os.path.isdir(refdir) else []:
+    for name in sorted(_listdir_or_empty(fs, f"{norm}/refs")):
         if name.startswith("branch."):
-            head = _branch_head(fs, repo, name[len("branch.") :])
+            head = _branch_head(fs, norm, name[len("branch.") :])
             if head:
                 live_snaps.add(head[0])
         elif name.startswith("tag."):
-            try:
-                with open(os.path.join(refdir, name, "ref.json")) as f:
-                    live_snaps.add(json.load(f)["snapshot"])
-            except FileNotFoundError:
-                # crash debris: makedirs survived, ref.json never linked
-                # — an unpublished tag pins nothing (ADVICE r11)
+            data = fs.try_read_bytes(f"{norm}/refs/{name}/ref.json")
+            if data is None:
+                # crash debris: the tag dir/marker survived, ref.json
+                # never published — pins nothing (ADVICE r11)
                 continue
+            live_snaps.add(json.loads(data.decode())["snapshot"])
 
     # expand ancestry; collect live manifests and chunk digests
     live_mans: set[str] = set()
@@ -954,29 +989,42 @@ def gc_repo(repo: str) -> dict[str, int]:
     stack = list(live_snaps)
     while stack:
         sid = stack.pop()
-        snap = _load_snapshot(fs, repo, sid)
+        snap = _load_snapshot(fs, norm, sid)
         live_snaps.add(sid)
         mid = snap["manifest"]
         if mid not in live_mans:
             live_mans.add(mid)
-            with open(os.path.join(repo, "manifests", f"{mid}.json")) as f:
-                live_digests.update(e["digest"] for e in json.load(f).values())
+            man = json.loads(
+                fs.read_bytes(f"{norm}/manifests/{mid}.json").decode()
+            )
+            live_digests.update(e["digest"] for e in man.values())
         parent = snap.get("parent")
         if parent and parent not in live_snaps:
             stack.append(parent)
 
     removed = {"snapshots": 0, "manifests": 0, "chunks": 0}
 
-    def sweep(subdir: str, live: set[str], strip: str, counter: str) -> None:
-        base = os.path.join(repo, subdir)
-        for dirpath, _dirs, files in os.walk(base):
-            for name in files:
-                stem = name[: -len(strip)] if strip and name.endswith(strip) else name
-                if stem not in live and ".tmp" not in name:
-                    os.unlink(os.path.join(dirpath, name))
-                    removed[counter] += 1
+    def sweep(rels: list[str], live: set[str], strip: str, counter: str):
+        for rel in rels:
+            name = rel.rsplit("/", 1)[-1]
+            stem = name[: -len(strip)] if strip and name.endswith(strip) else name
+            if stem not in live and ".tmp" not in name:
+                fs.delete_object(f"{norm}/{rel}")
+                removed[counter] += 1
 
-    sweep("snapshots", live_snaps, ".json", "snapshots")
-    sweep("manifests", live_mans, ".json", "manifests")
-    sweep("chunks", live_digests, "", "chunks")
+    sweep(
+        [f"snapshots/{n}" for n in _listdir_or_empty(fs, f"{norm}/snapshots")],
+        live_snaps, ".json", "snapshots",
+    )
+    sweep(
+        [f"manifests/{n}" for n in _listdir_or_empty(fs, f"{norm}/manifests")],
+        live_mans, ".json", "manifests",
+    )
+    chunk_rels = [
+        f"chunks/{fan}/{n}"
+        for fan in _listdir_or_empty(fs, f"{norm}/chunks")
+        if "." not in fan  # two-hex fanout dirs only, never stray files
+        for n in _listdir_or_empty(fs, f"{norm}/chunks/{fan}")
+    ]
+    sweep(chunk_rels, live_digests, "", "chunks")
     return removed

@@ -54,7 +54,7 @@ class StorageLocation:
     """Parsed store location (reference ``StorageLocation::parse``,
     ``storage.rs:63-89``)."""
 
-    scheme: str  # 'file' | 's3' | 'gs' | 'http' | 'https'
+    scheme: str  # 'file' | 's3' | 'gs' | 'az' | 'http' | 'https'
     bucket: str  # empty for local; host[:port] for http(s)
     path: str  # local path, or key prefix within the bucket/host
 
@@ -80,7 +80,7 @@ class StorageLocation:
             if not rest:
                 raise ValueError(f"missing repository path in {location!r}")
             return cls("icechunk", "", rest)
-        for scheme in ("s3", "gs", "http", "https"):
+        for scheme in ("s3", "gs", "az", "http", "https"):
             prefix = f"{scheme}://"
             if location.startswith(prefix):
                 rest = location[len(prefix) :]
@@ -91,7 +91,7 @@ class StorageLocation:
         if "://" in location:
             raise ValueError(
                 f"unsupported storage scheme in {location!r} "
-                "(supported: local paths, file://, s3://, gs://, "
+                "(supported: local paths, file://, s3://, gs://, az://, "
                 "http://, https://)"
             )
         return cls("file", "", location)
@@ -1017,6 +1017,190 @@ class GcsHttpStoreFS:
                 raise
 
 
+class AzureHttpStoreFS:
+    """Azure Blob Storage adapter over stdlib urllib — the one storage
+    scheme on the reference's roadmap (``README.md:322`` names
+    S3/GCS/Azure) its code never implemented (``storage.rs:63-89`` has
+    only local/s3/gs).  Public-container (anonymous) reads plus
+    optional SAS-token auth: a SAS rides as a query string on every
+    request (the standard delegation mechanism Azure tooling emits),
+    from ``$AZURE_STORAGE_SAS_TOKEN``.  Shared-key signing is
+    deliberately not implemented — SAS covers the credentialed cases
+    without key custody.
+
+    Objects are path-style ``{endpoint}/{container}/{key}``; listings
+    use the List Blobs XML API (``?restype=container&comp=list&
+    prefix=...&delimiter=/``) with ``NextMarker`` pagination.  The
+    endpoint comes from ``$AZURE_STORAGE_ENDPOINT`` (Azurite/emulator
+    or a custom domain) or ``https://{$AZURE_STORAGE_ACCOUNT}.blob.
+    core.windows.net``.  The write surface matches the other object
+    stores: atomic per-blob PUTs (``x-ms-blob-type: BlockBlob``), and
+    ``If-None-Match: *`` is Azure's conditional CREATE (409
+    BlobAlreadyExists / 412 both map to ``FileExistsError``) — so
+    icechunk transactional commits work on ``az://`` repos through the
+    same capability probe.  Per-task construction fans reads across
+    executors like the other stdlib adapters."""
+
+    _TIMEOUT = 10.0
+
+    def __init__(self, endpoint: str | None = None, sas: str | None = "auto"):
+        import os
+
+        ep = endpoint or os.environ.get("AZURE_STORAGE_ENDPOINT")
+        if not ep:
+            account = os.environ.get("AZURE_STORAGE_ACCOUNT")
+            if not account:
+                raise ValueError(
+                    "az:// stores need $AZURE_STORAGE_ENDPOINT or "
+                    "$AZURE_STORAGE_ACCOUNT"
+                )
+            ep = f"https://{account}.blob.core.windows.net"
+        if "://" not in ep:
+            ep = f"http://{ep}"  # emulator convention: bare host:port
+        self.endpoint = ep.rstrip("/")
+        self.sas = (
+            os.environ.get("AZURE_STORAGE_SAS_TOKEN") if sas == "auto" else sas
+        )
+        if self.sas:
+            self.sas = self.sas.lstrip("?")
+
+    @staticmethod
+    def _split(p: str) -> tuple[str, str]:
+        loc = StorageLocation.parse(p)
+        return loc.bucket, loc.path.strip("/")
+
+    def _url(self, base: str, query: str = "") -> str:
+        parts = [q for q in (query, self.sas) if q]
+        return f"{base}?{'&'.join(parts)}" if parts else base
+
+    def _obj_url(self, p: str) -> str:
+        from urllib.parse import quote
+
+        container, key = self._split(p)
+        return self._url(f"{self.endpoint}/{container}/{quote(key)}")
+
+    def _open(self, url: str, method: str = "GET"):
+        import urllib.request
+
+        req = urllib.request.Request(url, method=method)
+        return urllib.request.urlopen(req, timeout=self._TIMEOUT)
+
+    def _ok(self, url: str, method: str = "GET") -> bool:
+        return _probe_404(self._open, url, method)
+
+    def _list(self, p: str) -> tuple[list[str], list[str]]:
+        """List Blobs under ``key/`` with ``delimiter=/`` → (direct
+        child blob names, child prefixes), following NextMarker."""
+        import urllib.parse
+        import xml.etree.ElementTree as ET
+
+        container, key = self._split(p)
+        prefix = f"{key}/" if key else ""
+        blobs: list[str] = []
+        prefixes: list[str] = []
+        marker: str | None = None
+        while True:
+            q = {
+                "restype": "container",
+                "comp": "list",
+                "prefix": prefix,
+                "delimiter": "/",
+            }
+            if marker:
+                q["marker"] = marker
+            url = self._url(
+                f"{self.endpoint}/{container}", urllib.parse.urlencode(q)
+            )
+            with self._open(url) as resp:
+                doc = ET.fromstring(resp.read())
+            for el in doc.iter():
+                tag = el.tag.rsplit("}", 1)[-1]
+                if tag == "Blob":
+                    name = el.find("Name")
+                    if name is not None and name.text:
+                        blobs.append(name.text)
+                elif tag == "BlobPrefix":
+                    name = el.find("Name")
+                    if name is not None and name.text:
+                        prefixes.append(name.text)
+            nm = doc.find("NextMarker")
+            marker = nm.text.strip() if nm is not None and nm.text else None
+            if not marker:
+                break
+        return blobs, prefixes
+
+    def exists(self, p: str) -> bool:
+        if self._ok(self._obj_url(p), method="HEAD"):
+            return True
+        return self.isdir(p)
+
+    def isdir(self, p: str) -> bool:
+        blobs, prefixes = self._list(p)
+        return bool(blobs or prefixes)
+
+    def listdir(self, p: str) -> list[str]:
+        _, key = self._split(p)
+        plen = len(f"{key}/" if key else "")
+        blobs, prefixes = self._list(p)
+        names = {b[plen:] for b in blobs}
+        names |= {x[plen:].rstrip("/") for x in prefixes}
+        return sorted(n for n in names if n)
+
+    def read_bytes(self, p: str) -> bytes:
+        with self._open(self._obj_url(p)) as resp:
+            return resp.read()
+
+    def try_read_bytes(self, p: str) -> bytes | None:
+        """One GET per chunk; None only on the definitive 404."""
+        import urllib.error
+
+        try:
+            with self._open(self._obj_url(p)) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+
+    def read_text(self, p: str) -> str:
+        return self.read_bytes(p).decode()
+
+    # -- write surface (transactional commits) ------------------------
+    def obj_exists(self, p: str) -> bool:
+        return self._ok(self._obj_url(p), method="HEAD")
+
+    def write_bytes(
+        self, p: str, payload: bytes, *, if_none_match: bool = False
+    ) -> None:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._obj_url(p), data=payload, method="PUT"
+        )
+        req.add_header("x-ms-blob-type", "BlockBlob")
+        if if_none_match:
+            req.add_header("If-None-Match", "*")
+        try:
+            with urllib.request.urlopen(req, timeout=self._TIMEOUT):
+                pass
+        except urllib.error.HTTPError as e:
+            # Azure answers 409 BlobAlreadyExists or 412 per API version
+            if if_none_match and e.code in (409, 412):
+                raise FileExistsError(p) from None
+            raise
+
+    def delete_object(self, p: str) -> None:
+        import urllib.error
+
+        try:
+            with self._open(self._obj_url(p), method="DELETE"):
+                pass
+        except urllib.error.HTTPError as e:
+            if e.code != 404:
+                raise
+
+
 def store_fs(store_path: str):
     """(adapter, normalized path) for a store location — the dispatch
     point between local, HTTP, and object-store reads.  ``s3://`` and
@@ -1051,6 +1235,8 @@ def store_fs(store_path: str):
             return FsspecStoreFS(open_filesystem(loc)), loc.url()
         except (NotImplementedError, ImportError):
             return GcsHttpStoreFS(), loc.url()
+    if loc.scheme == "az":
+        return AzureHttpStoreFS(), loc.url()
     if loc.is_remote:
         return FsspecStoreFS(open_filesystem(loc)), loc.url()
     return LocalStoreFS(), loc.path
