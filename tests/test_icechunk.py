@@ -1113,14 +1113,14 @@ def s3_repo():
     from tests.conftest import S3_TEST_SOCK
 
     srv, objects, _ep = _writable_s3_server("icbucket", sock=S3_TEST_SOCK)
-    ic._WRITER_CACHE.clear()
+    ic._writer_cache().clear()
     ic._COND_PUT_OK.clear()
     try:
         yield "s3://icbucket/repo.ic", objects
     finally:
         # shutdown only — the socket stays bound for later fixtures
         srv.shutdown()
-        ic._WRITER_CACHE.clear()
+        ic._writer_cache().clear()
         ic._COND_PUT_OK.clear()
 
 
@@ -1207,7 +1207,7 @@ def test_remote_commit_refuses_precondition_ignoring_store(monkeypatch, spark):
 
     srv, _objects, ep = _writable_s3_server("badbucket", honor_condition=False)
     monkeypatch.setenv("AWS_ENDPOINT_URL_S3", ep)
-    ic._WRITER_CACHE.clear()
+    ic._writer_cache().clear()
     ic._COND_PUT_OK.clear()
     try:
         with pytest.raises(NotImplementedError, match="conditional"):
@@ -1216,7 +1216,7 @@ def test_remote_commit_refuses_precondition_ignoring_store(monkeypatch, spark):
             )
     finally:
         srv.shutdown()
-        ic._WRITER_CACHE.clear()
+        ic._writer_cache().clear()
         ic._COND_PUT_OK.clear()
 
 
@@ -1225,7 +1225,7 @@ def test_remote_commit_refuses_http_backend(monkeypatch):
     must refuse loudly, not fall back to last-writer-wins."""
     import zarr_datafusion_spark.zarr.icechunk as ic
 
-    ic._WRITER_CACHE.clear()
+    ic._writer_cache().clear()
     with pytest.raises(NotImplementedError, match="atomic conditional"):
         ic._repo_writer("http://127.0.0.1:1/repo.ic")
 

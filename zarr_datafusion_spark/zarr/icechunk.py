@@ -152,40 +152,23 @@ def _is_local(repo: str) -> bool:
     return "://" not in repo or repo.startswith("file://")
 
 
-#: per-process writer-adapter cache: one (fs, norm) per repo URL so the
-#: per-chunk ingest writes on executors don't re-dispatch store_fs (and
-#: re-read env credentials) for every object
-_WRITER_CACHE: dict[str, tuple] = {}
-
-
 def _repo_writer(repo: str):
     """(fs, norm) with a WRITE-capable adapter for the repo, or a loud
-    refusal.  Local paths use :class:`LocalStoreFS`; ``s3://``/``gs://``
-    use the stdlib adapters, whose conditional PUT is what makes remote
-    commits atomic.  Backends without an atomic conditional create
-    (plain http, fsspec without one wired) refuse — a commit whose ref
-    publication can silently last-writer-win is not transactional."""
-    cached = _WRITER_CACHE.get(repo)
-    if cached is not None:
-        return cached
-    from zarr_datafusion_spark.zarr.storage import store_fs
+    refusal — a commit whose ref publication can silently
+    last-writer-win is not transactional.  Shared resolution (and
+    per-process cache) with the distributed sink:
+    :func:`~zarr_datafusion_spark.zarr.storage.writable_store_fs`."""
+    from zarr_datafusion_spark.zarr.storage import writable_store_fs
 
-    if _is_local(repo):
-        from zarr_datafusion_spark.zarr.storage import LocalStoreFS
+    return writable_store_fs(repo)
 
-        norm = repo[len("file://") :] if repo.startswith("file://") else repo
-        out = (LocalStoreFS(), norm)
-    else:
-        fs, norm = store_fs(repo)
-        if not hasattr(fs, "write_bytes"):
-            raise NotImplementedError(
-                f"icechunk commit to {repo!r}: the {type(fs).__name__} "
-                "backend has no atomic conditional-create (If-None-Match) "
-                "write path; commits require local, s3://, or gs:// repos"
-            )
-        out = (fs, norm)
-    _WRITER_CACHE[repo] = out
-    return out
+
+def _writer_cache() -> dict:
+    """The shared writer-adapter cache (tests clear it when re-pointing
+    an endpoint env var at a fresh fixture server)."""
+    from zarr_datafusion_spark.zarr.storage import _WRITABLE_CACHE
+
+    return _WRITABLE_CACHE
 
 
 #: endpoint-level conditional-PUT verification cache: None = unprobed,

@@ -134,6 +134,15 @@ def write_zarr(
     before any metadata or chunk is written — a column that large is
     data-sized, not a dense-grid axis.  Data cells never pass through
     the driver at any size.
+
+    ``store_path`` may be an OBJECT-STORE URL (``s3://``, ``gs://``,
+    ``az://``): executor tasks PUT their chunk/shard objects directly
+    (no local staging of data anywhere), the driver uploads only the
+    bytes-tiny metadata/coordinate objects, and the consolidated
+    metadata document uploads LAST as the completion marker.  For an
+    ATOMIC publish under concurrent readers, commit through
+    ``icechunk.commit_zarr`` instead; backends without a write path
+    (plain ``http://``) refuse loudly before any work.
     """
     _reject_readonly_store(store_path, "write")
     if len(coords) < 2:
@@ -241,18 +250,43 @@ def _write_zarr_persisted(
             f"{n_cells} = {' x '.join(map(str, shape))} cells"
         )
 
-    os.makedirs(store_path, exist_ok=True)
     import json
+    import shutil
+    import tempfile
+
+    # Remote targets (s3://, gs://, az://): driver-side metadata and
+    # coordinate arrays build in a local MIRROR and upload as objects
+    # (they are bytes-tiny), while executor tasks PUT their chunk slabs
+    # straight to the object store — no local staging of data anywhere.
+    # The consolidated metadata document uploads LAST as the store's
+    # completion marker (object stores have no rename, so a reader
+    # polling the consolidated doc sees the store only once complete;
+    # for an ATOMIC publish with readers present, commit through
+    # icechunk instead).
+    remote = _is_remote_store(store_path)
+    meta_root = store_path
+    if remote:
+        from zarr_datafusion_spark.zarr.storage import writable_store_fs
+
+        writable_store_fs(store_path)  # refuse unwritable backends NOW
+        meta_root = tempfile.mkdtemp(prefix="zds_sink_meta_")
+    else:
+        os.makedirs(store_path, exist_ok=True)
+
+    def _upload_meta(*rels: str) -> None:
+        for rel in rels:
+            with open(os.path.join(meta_root, *rel.split("/")), "rb") as f:
+                _put_object(store_path, rel, f.read())
 
     if zarr_format == 2:
-        with open(os.path.join(store_path, ".zgroup"), "w") as f:
+        with open(os.path.join(meta_root, ".zgroup"), "w") as f:
             json.dump({"zarr_format": 2}, f)
 
     # 1-D coordinate arrays, one chunk each (the reference's layout)
     write_coord = write_v2_array if zarr_format == 2 else write_v3_array
     for c in coords:
         write_coord(
-            store_path, c, coord_values[c], (len(coord_values[c]),),
+            meta_root, c, coord_values[c], (len(coord_values[c]),),
             dims=(c,),
         )
 
@@ -272,16 +306,27 @@ def _write_zarr_persisted(
     for v in data_vars:
         if zarr_format == 2:
             _write_v2_metadata_only(
-                store_path, v, var_dtypes[v], shape, chunks, compression,
+                meta_root, v, var_dtypes[v], shape, chunks, compression,
                 dims=tuple(coords),
             )
         else:
             _write_v3_metadata_only(
-                store_path, v, var_dtypes[v], shape, top_chunks,
+                meta_root, v, var_dtypes[v], shape, top_chunks,
                 inner_chunks=chunks if shard_outer else None,
                 compression=compression,
                 dims=tuple(coords),
             )
+
+    if remote:
+        # phase 1: everything in the mirror so far (per-array metadata,
+        # coordinate arrays, v2 .zgroup) — the consolidated doc is NOT
+        # written yet, so the completion marker cannot precede the data
+        for dirpath, _dirs, files in os.walk(meta_root):
+            for fn in files:
+                rel = os.path.relpath(
+                    os.path.join(dirpath, fn), meta_root
+                ).replace(os.sep, "/")
+                _upload_meta(rel)
 
     # --- executor side: one task per outer index writes its chunk files
     outer = coords[0]
@@ -366,13 +411,8 @@ def _write_zarr_persisted(
                 (1,) + inner_shape,
                 compression,
             )
-            adir = os.path.join(store_path, v)
-            path = os.path.join(adir, "c", str(shard), *["0"] * len(inner))
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = f"{path}.tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(payload)
-            os.replace(tmp, path)
+            key = "/".join([v, "c", str(shard)] + ["0"] * len(inner))
+            _put_object(store_path, key, payload)
             files += 1
             nbytes += len(payload)
         return pd.DataFrame(
@@ -414,20 +454,20 @@ def _write_zarr_persisted(
     if zarr_format == 2:
         entries = {}
         for name in list(coords) + list(data_vars):
-            with open(os.path.join(store_path, name, ".zarray")) as f:
+            with open(os.path.join(meta_root, name, ".zarray")) as f:
                 entries[f"{name}/.zarray"] = json.load(f)
-            zattrs = os.path.join(store_path, name, ".zattrs")
+            zattrs = os.path.join(meta_root, name, ".zattrs")
             if os.path.exists(zattrs):
                 with open(zattrs) as f:
                     entries[f"{name}/.zattrs"] = json.load(f)
-        with open(os.path.join(store_path, ".zmetadata"), "w") as f:
+        with open(os.path.join(meta_root, ".zmetadata"), "w") as f:
             json.dump({"zarr_consolidated_format": 1, "metadata": entries}, f)
     else:
         nodes = {}
         for name in list(coords) + list(data_vars):
-            with open(os.path.join(store_path, name, "zarr.json")) as f:
+            with open(os.path.join(meta_root, name, "zarr.json")) as f:
                 nodes[name] = json.load(f)
-        with open(os.path.join(store_path, "zarr.json"), "w") as f:
+        with open(os.path.join(meta_root, "zarr.json"), "w") as f:
             json.dump(
                 {
                     "zarr_format": 3,
@@ -436,6 +476,12 @@ def _write_zarr_persisted(
                 },
                 f,
             )
+
+    if remote:
+        # phase 2: the consolidated document — the completion marker —
+        # uploads only after every chunk PUT succeeded
+        _upload_meta(".zmetadata" if zarr_format == 2 else "zarr.json")
+        shutil.rmtree(meta_root, ignore_errors=True)
 
     return {
         "arrays": len(coords) + len(data_vars),
@@ -565,6 +611,32 @@ def _write_v3_metadata_only(
         json.dump(meta, f)
 
 
+def _is_remote_store(store_path: str) -> bool:
+    return "://" in store_path and not store_path.startswith("file://")
+
+
+def _put_object(store_path: str, rel_key: str, payload: bytes) -> None:
+    """One store object write, local or remote.  Local: atomic
+    tmp+replace, never truncate-in-place — a concurrent reader (or a
+    zero-copy mmap of the old chunk) keeps the old inode's bytes, and a
+    crash mid-write can never leave a torn chunk file.  Remote: one PUT
+    through the write-capable adapter (object stores make per-key PUTs
+    atomic already); executors construct their own adapter from the env
+    they inherited, same as the read path."""
+    if _is_remote_store(store_path):
+        from zarr_datafusion_spark.zarr.storage import writable_store_fs
+
+        fs, norm = writable_store_fs(store_path)
+        fs.write_bytes(f"{norm}/{rel_key}", payload)
+        return
+    path = os.path.join(store_path, *rel_key.split("/"))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+
 def _write_chunk_file(
     store: str,
     name: str,
@@ -577,19 +649,11 @@ def _write_chunk_file(
     v3 ``c/<outer>/0/...``.  ``rank`` is passed by the caller (1 +
     inner dims) so executor tasks never need to read back
     driver-written metadata."""
-    adir = os.path.join(store, name)
     if zarr_format == 3:
-        path = os.path.join(adir, "c", str(outer_idx), *["0"] * (rank - 1))
+        key = "/".join([name, "c", str(outer_idx)] + ["0"] * (rank - 1))
     else:
-        path = os.path.join(adir, ".".join([str(outer_idx)] + ["0"] * (rank - 1)))
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    # atomic replace, never truncate-in-place: a concurrent reader (or
-    # a zero-copy mmap of the old chunk) keeps the old inode's bytes,
-    # and a crash mid-write can never leave a torn chunk file
-    tmp = f"{path}.tmp{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(payload)
-    os.replace(tmp, path)
+        key = f"{name}/" + ".".join([str(outer_idx)] + ["0"] * (rank - 1))
+    _put_object(store, key, payload)
 
 
 def _compression_token(meta_arr) -> str | None:
@@ -657,6 +721,13 @@ def append_zarr(df: DataFrame, store_path: str) -> dict[str, int]:
     the driver handles only coordinate values (axis-bounded).
     """
     _reject_readonly_store(store_path, "append")
+    if _is_remote_store(store_path):
+        raise NotImplementedError(
+            "in-place append to an object-store path is non-transactional "
+            "(a reader can observe the grown metadata before the new "
+            "slabs land); append through the transactional layer instead: "
+            "zarr_datafusion_spark.zarr.icechunk.append_snapshot"
+        )
     from zarr_datafusion_spark.zarr.metadata import discover_arrays
 
     meta = discover_arrays(store_path)
@@ -850,6 +921,13 @@ def update_zarr_region(df: DataFrame, store_path: str) -> dict[str, int]:
     Returns ``{"updated_slabs", "outer_size", "bytes_written"}``.
     """
     _reject_readonly_store(store_path, "update")
+    if _is_remote_store(store_path):
+        raise NotImplementedError(
+            "in-place update of an object-store path is non-transactional "
+            "(a multi-chunk update is not atomic for concurrent readers); "
+            "publish a corrected snapshot through the transactional layer "
+            "instead: zarr_datafusion_spark.zarr.icechunk.commit_zarr"
+        )
     import json  # noqa: F401 — parity with append_zarr's tail imports
 
     from zarr_datafusion_spark.zarr.metadata import discover_arrays

@@ -1201,6 +1201,39 @@ class AzureHttpStoreFS:
                 raise
 
 
+#: per-process writer-adapter cache: one (fs, norm) per location so
+#: per-chunk writes on executors don't re-dispatch (and re-read env
+#: credentials) for every object
+_WRITABLE_CACHE: dict[str, tuple] = {}
+
+
+def writable_store_fs(path: str):
+    """(adapter, normalized path) with a WRITE-capable adapter — the
+    write-side twin of :func:`store_fs`, shared by the transactional
+    layer (icechunk commits) and the distributed sink.  Local paths use
+    :class:`LocalStoreFS`; ``s3://``/``gs://``/``az://`` the stdlib
+    adapters, whose atomic per-key PUT and conditional create
+    (``If-None-Match``) are what make remote writes safe.  Backends
+    without that path (plain http, fsspec) refuse loudly."""
+    cached = _WRITABLE_CACHE.get(path)
+    if cached is not None:
+        return cached
+    if "://" not in path or path.startswith("file://"):
+        norm = path[len("file://") :] if path.startswith("file://") else path
+        out = (LocalStoreFS(), norm)
+    else:
+        fs, norm = store_fs(path)
+        if not hasattr(fs, "write_bytes"):
+            raise NotImplementedError(
+                f"writes to {path!r}: the {type(fs).__name__} backend has "
+                "no atomic conditional-create (If-None-Match) write path; "
+                "writable stores are local paths, s3://, gs://, and az://"
+            )
+        out = (fs, norm)
+    _WRITABLE_CACHE[path] = out
+    return out
+
+
 def store_fs(store_path: str):
     """(adapter, normalized path) for a store location — the dispatch
     point between local, HTTP, and object-store reads.  ``s3://`` and
