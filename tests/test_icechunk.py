@@ -1260,3 +1260,88 @@ def test_remote_gc_collects_lost_race_debris(spark, s3_repo, monkeypatch, tmp_pa
     assert len(objects) == n_before  # back to exactly the winner's image
     assert resolve_ref(url, "branch:main") == sid
     assert read_zarr(spark, f"icechunk://{url}").count() == 700
+
+
+def test_branch_token_recovery_is_exclusive(repo, monkeypatch):
+    """Debris recovery RETAKES the token (delete + exclusive recreate)
+    instead of merely proceeding (r12 review finding): once a racing
+    publisher's generation lands, the rmdir refuses (non-empty) and the
+    recoverer loses; and a recoverer that loses the retake mkdir itself
+    reports a conflict instead of proceeding."""
+    import shutil
+
+    import zarr_datafusion_spark.zarr.icechunk as ic
+
+    path, _s1, _s2 = repo
+    bdir = os.path.join(path, "refs", "branch.recov")
+    os.mkdir(bdir)  # crash debris: token without a generation
+    try:
+        # a racing publisher's generation lands between the has-gen
+        # check and the retake: rmdir must refuse and the recoverer lose
+        real_rmdir = os.rmdir
+
+        def gen_lands_then_rmdir(p):
+            ic._publish_ref(
+                path, f"refs/branch.recov/{ic._gen_name(1)}",
+                {"snapshot": "x"},
+            )
+            real_rmdir(p)  # now non-empty -> OSError(ENOTEMPTY)
+
+        monkeypatch.setattr(os, "rmdir", gen_lands_then_rmdir)
+        assert ic._acquire_branch_token(path, "recov") is False
+        monkeypatch.undo()
+        # with the gen present it is simply a real branch
+        assert ic._acquire_branch_token(path, "recov") is False
+    finally:
+        shutil.rmtree(bdir, ignore_errors=True)
+
+
+def test_list_refs_maps_http_404_to_empty(repo, monkeypatch):
+    """An uninitialized repo behind an http-family adapter 404s its
+    refs listing — that is 'no refs', not an error (r12 review: the
+    sibling helpers mapped 404, list_refs did not)."""
+    import io
+    import urllib.error
+
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.zarr.storage import LocalStoreFS
+
+    path, _s1, _s2 = repo
+
+    def boom(self, p):
+        raise urllib.error.HTTPError(p, 404, "Not Found", {}, io.BytesIO())
+
+    monkeypatch.setattr(LocalStoreFS, "listdir", boom)
+    assert ic.list_refs(path) == {"branches": {}, "tags": {}}
+
+    def throttle(self, p):
+        raise urllib.error.HTTPError(p, 503, "Slow Down", {}, io.BytesIO())
+
+    monkeypatch.setattr(LocalStoreFS, "listdir", throttle)
+    with pytest.raises(urllib.error.HTTPError):
+        ic.list_refs(path)
+
+
+def test_path_literals_honor_doubled_quote_escape(spark, tmp_path):
+    """The LOCATION/TO path literal accepts the SQL '' escape, matching
+    the OPTIONS values (r12 review: an escaped path used to fall
+    through to Spark's parser and die with an unrelated error)."""
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    eng = Engine(spark)
+    eng.register_zarr("w_esc", fixture_store(2))
+    odd = str(tmp_path / "it's.zarr")
+    sql_path = odd.replace("'", "''")
+    n = eng.sql(
+        f"COPY (SELECT time, lat, lon, temperature FROM w_esc "
+        f"WHERE time < 1) TO '{sql_path}' STORED AS ZARR "
+        "(COORDS 'time,lat,lon')"
+    ).first()[0]
+    assert n == 100
+    assert read_zarr(spark, odd).count() == 100
+    eng.sql(
+        f"CREATE EXTERNAL TABLE esc_t STORED AS ZARR LOCATION '{sql_path}'"
+    )
+    assert spark.table("esc_t").count() == 100

@@ -3442,3 +3442,53 @@ def test_sink_remote_refusals(spark):
         append_zarr(df, "s3://sinkbucket/whatever.zarr")
     with pytest.raises(NotImplementedError, match="commit_zarr"):
         update_zarr_region(df, "s3://sinkbucket/whatever.zarr")
+
+
+def test_writable_fs_bypasses_fsspec_preference(monkeypatch):
+    """With s3fs/gcsfs installed the READ path prefers a credentialed
+    fsspec client — the WRITE path must still dispatch to the stdlib
+    adapters (fsspec has no atomic conditional create), or remote
+    commits/sinks refuse in exactly the environments the read path
+    prefers (r12 review finding)."""
+    import zarr_datafusion_spark.zarr.storage as st
+
+    class FakeFsspecFS:
+        def exists(self, p):
+            return False
+
+    monkeypatch.setattr(st, "open_filesystem", lambda loc: FakeFsspecFS())
+    st._WRITABLE_CACHE.clear()
+    try:
+        rfs, _ = st.store_fs("s3://b/k")
+        assert isinstance(rfs, st.FsspecStoreFS)  # read side prefers fsspec
+        wfs, norm = st.writable_store_fs("s3://b/k")
+        assert isinstance(wfs, st.S3HttpStoreFS)  # write side does not
+        assert norm == "s3://b/k"
+        wfs, _ = st.writable_store_fs("gs://b/k")
+        assert isinstance(wfs, st.GcsHttpStoreFS)
+    finally:
+        st._WRITABLE_CACHE.clear()
+
+
+def test_remote_sink_failure_leaves_no_meta_mirror(spark, s3_sink_bucket):
+    """A failing remote write (non-dense grid) must remove its local
+    metadata-mirror tempdir — the success-path-only cleanup used to
+    leak one zds_sink_meta_* dir per failed COPY (r12 review)."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zarr_datafusion_spark.zarr.sink import write_zarr
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "zds_sink_meta_*")))
+    df = spark.range(6).select(
+        (F.col("id") % 2).alias("t"),  # 2x2 grid but 6 rows: not dense
+        (F.col("id") % 2).alias("x"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(ValueError, match="dense"):
+        write_zarr(df, "s3://sinkbucket/fail.zarr", coords=["t", "x"])
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "zds_sink_meta_*")))
+    assert after <= before  # nothing new leaked

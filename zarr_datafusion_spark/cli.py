@@ -191,14 +191,28 @@ def repl(engine, zarr_tables: dict[str, str]) -> None:
     from zarr_datafusion_spark.highlight import highlight_sql
     from zarr_datafusion_spark.stats.io_stats import plan_scan_stats
 
+    # memoized on the table-name set: N listColumns RPCs run only when
+    # the catalog actually changed, not on every Tab keypress (r12
+    # review finding — tens of tables made each Tab block noticeably)
+    _cols_cache: dict = {"key": None, "cols": []}
+
     def _catalog_columns() -> list[str]:
-        cols: list[str] = []
-        for t in engine.spark.catalog.listTables():
-            try:
-                cols += [c.name for c in engine.spark.catalog.listColumns(t.name)]
-            except Exception:
-                continue  # a view whose source vanished mid-session
-        return cols
+        names = tuple(
+            sorted(t.name for t in engine.spark.catalog.listTables())
+        )
+        if _cols_cache["key"] != names:
+            cols: list[str] = []
+            for name in names:
+                try:
+                    cols += [
+                        c.name
+                        for c in engine.spark.catalog.listColumns(name)
+                    ]
+                except Exception:
+                    continue  # a view whose source vanished mid-session
+            _cols_cache["key"] = names
+            _cols_cache["cols"] = cols
+        return _cols_cache["cols"]
 
     _setup_readline(
         list(zarr_tables),

@@ -168,9 +168,13 @@ class Engine:
     #: ``'chunk_cache_mb' 'N'`` / ``'prefetch' 'N'`` — decoded-chunk
     #: LRU budget and intra-task concurrent fetch width for queries
     #: through the view (roadmap ``README.md:326-327``).
+    #: path literals honor the SQL doubled-quote escape ('' -> '),
+    #: same as the OPTIONS values (r12 review finding: the option
+    #: values learned the escape but the LOCATION/TO literal in the
+    #: same grammar rejected it, falling through to Spark's parser)
     _ZARR_DDL = re.compile(
         r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s+STORED\s+AS\s+ZARR\s+"
-        r"LOCATION\s+'([^']+)'\s*(?:OPTIONS\s*\(([^)]*)\))?\s*;?\s*$",
+        r"LOCATION\s+'((?:[^']|'')+)'\s*(?:OPTIONS\s*\(([^)]*)\))?\s*;?\s*$",
         re.IGNORECASE,
     )
 
@@ -180,7 +184,7 @@ class Engine:
     #: Options: COORDS 'c1,c2,...' (required, outermost first),
     #: FORMAT_VERSION '2'|'3', COMPRESSION 'zlib'|'gzip'|'blosc-lz4'.
     _ZARR_COPY = re.compile(
-        r"^\s*COPY\s*\((.*)\)\s*TO\s*'([^']+)'\s*STORED\s+AS\s+ZARR"
+        r"^\s*COPY\s*\((.*)\)\s*TO\s*'((?:[^']|'')+)'\s*STORED\s+AS\s+ZARR"
         r"(?:\s*\(([^)]*)\))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -191,7 +195,11 @@ class Engine:
         DataFusion's 1-row COPY result (count of rows written)."""
         from zarr_datafusion_spark.zarr.sink import write_zarr
 
-        inner, path, opts_text = m.group(1), m.group(2), m.group(3) or ""
+        inner, path, opts_text = (
+            m.group(1),
+            m.group(2).replace("''", "'"),
+            m.group(3) or "",
+        )
 
         # Tokenize the options blob SEQUENTIALLY into KEY 'value'
         # pairs: each quoted value is consumed before the next key is
@@ -288,7 +296,11 @@ class Engine:
         )
         m = self._ZARR_DDL.match(query)
         if m:
-            name, location, opts = m.group(1), m.group(2), m.group(3) or ""
+            name, location, opts = (
+                m.group(1),
+                m.group(2).replace("''", "'"),
+                m.group(3) or "",
+            )
             chunk_stats = bool(
                 re.search(r"'chunk_stats'\s+'true'", opts, re.IGNORECASE)
             )

@@ -967,6 +967,20 @@ def _trc_key() -> str:
     return hashlib.md5(f"{src}:trc1".encode()).hexdigest()[:10]
 
 
+def _trc_drop_legacy(parent: str) -> None:
+    """One-time removal of the pre-r12 UNKEYED artifact names — the
+    keyed prune prefixes (``trc_temps-``/``trc_mirror-``) never match
+    them, so without this they would linger as dead testdata forever
+    (r12 review finding)."""
+    import shutil
+
+    shutil.rmtree(os.path.join(parent, "trc_temps.zarr"), ignore_errors=True)
+    try:
+        os.unlink(os.path.join(parent, "trc_mirror.parquet"))
+    except OSError:
+        pass
+
+
 def trc_store() -> str:
     """One-Trillion-Row-Challenge-shaped fixture (reference roadmap
     ``README.md:337``: "Tackle the One Trillion Row Challenge with
@@ -1001,6 +1015,7 @@ def trc_store() -> str:
 
     if not os.path.exists(os.path.join(path, ".zgroup")):
         publish_dir_atomically(build, path)
+    _trc_drop_legacy(parent)
     prune_stale_siblings(parent, "trc_temps-", f"trc_temps-{key}.zarr")
     return path
 
@@ -1030,6 +1045,7 @@ def trc_mirror_parquet() -> str:
         tmp = f"{path}.tmp{os.getpid()}"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
+    _trc_drop_legacy(parent)
     prune_stale_siblings(parent, "trc_mirror-", f"trc_mirror-{key}.parquet")
     return path
 

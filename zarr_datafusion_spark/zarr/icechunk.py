@@ -398,16 +398,29 @@ def _publish_ref(repo: str, rel: str, doc: dict) -> None:
 
 def _acquire_branch_token(repo: str, branch: str) -> bool:
     """Exclusive branch-CREATION token — True to proceed publishing the
-    first generation, False when the branch already exists.  Two
-    concurrent forks (or a fork racing a first commit) publish at
-    DIFFERENT generation filenames when their snapshots' sequences
-    differ, so a head check + gen O_EXCL cannot close the race — an
-    exclusive creation token can (r11 review finding).  Local repos use
-    the branch-directory mkdir; object stores (no directories) a
-    conditional PUT of a ``.created`` marker.  A token that exists with
-    NO published generation is crash debris and recovers as 'no branch'
-    (ADVICE r11) — the gen publication still arbitrates same-sequence
-    races."""
+    first generation, False when the branch already exists (or another
+    writer holds the creation right).  Two concurrent forks (or a fork
+    racing a first commit) publish at DIFFERENT generation filenames
+    when their snapshots' sequences differ, so a head check + gen
+    O_EXCL cannot close the race — an exclusive creation token can
+    (r11 review finding).  Local repos use the branch-directory mkdir;
+    object stores (no directories) a conditional PUT of a ``.created``
+    marker.
+
+    A token that exists with NO published generation is crash debris
+    (ADVICE r11) — but recovery must itself be EXCLUSIVE, or two
+    recoverers forking at different sequences would both proceed and
+    both publish (the race the token closes).  So the debris token is
+    REMOVED and retaken: locally ``os.rmdir`` (fails on a non-empty
+    dir, i.e. a racing publisher's generation landed) + a fresh mkdir;
+    remotely a DELETE + a fresh conditional PUT.  Exactly one recoverer
+    wins the retake; losers report a conflict and a later retry finds
+    either a real branch or the debris again.  Residual (documented)
+    window: a LIVE creator between its token and its generation publish
+    is indistinguishable from debris, so a recoverer in exactly those
+    microseconds can retake it — the two back-to-back driver writes
+    make the window tiny, and the alternative (treating every
+    gen-less token as live) wedges the name forever after any crash."""
     if _is_local(repo):
         from zarr_datafusion_spark.zarr.storage import LocalStoreFS
 
@@ -417,16 +430,41 @@ def _acquire_branch_token(repo: str, branch: str) -> bool:
             os.mkdir(bdir)
             return True
         except FileExistsError:
-            return not _has_generation(LocalStoreFS(), bdir)
+            if _has_generation(LocalStoreFS(), bdir):
+                return False
+            # crash leftovers of the dead publisher's atomic write can
+            # hold rmdir open; removing a LIVE publisher's tmp makes its
+            # os.link fail loudly (ENOENT -> its commit errors and
+            # retries) — never silently wrong, and debris is rare
+            for name in _listdir_or_empty(LocalStoreFS(), bdir):
+                if ".tmp" in name:
+                    try:
+                        os.unlink(os.path.join(bdir, name))
+                    except OSError:
+                        pass
+            try:
+                os.rmdir(bdir)  # refuses (ENOTEMPTY) if a gen landed
+            except OSError:
+                pass
+            try:
+                os.mkdir(bdir)
+                return True
+            except FileExistsError:
+                return False  # lost the recovery race
     fs, norm = _repo_writer(repo)
+    marker = f"{norm}/refs/branch.{branch}/.created"
     try:
-        fs.write_bytes(
-            f"{norm}/refs/branch.{branch}/.created", b"{}",
-            if_none_match=True,
-        )
+        fs.write_bytes(marker, b"{}", if_none_match=True)
         return True
     except FileExistsError:
-        return not _has_generation(fs, f"{norm}/refs/branch.{branch}")
+        if _has_generation(fs, f"{norm}/refs/branch.{branch}"):
+            return False
+        fs.delete_object(marker)
+        try:
+            fs.write_bytes(marker, b"{}", if_none_match=True)
+            return True
+        except FileExistsError:
+            return False  # lost the recovery race
 
 
 def create_branch(repo: str, name: str, snapshot_id: str) -> None:
@@ -467,10 +505,14 @@ def list_refs(repo: str) -> dict[str, dict[str, str]]:
     out: dict[str, dict[str, str]] = {"branches": {}, "tags": {}}
     try:
         names = fs.listdir(f"{norm}/refs")
-    except FileNotFoundError:
+    except (FileNotFoundError, NotADirectoryError):
         return out  # empty/uninitialized repo — NOT an I/O failure;
         # other OSErrors (throttle, network) must raise, an outage is
         # not "no refs" (r11 review finding)
+    except urllib.error.HTTPError as e:
+        if e.code == 404:  # the http-family adapters' definitive miss
+            return out
+        raise
     for name in sorted(names):
         if name.startswith("branch."):
             head = _branch_head(fs, norm, name[len("branch.") :])
@@ -749,14 +791,30 @@ def append_snapshot(
     import shutil
     import tempfile
 
-    from zarr_datafusion_spark.zarr.metadata import discover_arrays
     from zarr_datafusion_spark.zarr.sink import append_zarr
 
     head_sid = resolve_ref(repo, f"branch:{branch}")
     fs = IcechunkStoreFS(repo, f"snap:{head_sid}")
-    coord_names = {
-        c.name for c in discover_arrays(f"icechunk://{repo}@snap:{head_sid}").coords
-    }
+    # coordinates = the 1-D arrays (the reference's own classification,
+    # schema_inference.rs:90-93), read straight from the snapshot's
+    # inline metadata docs — a discover_arrays() here would construct a
+    # second adapter and re-download the manifest, the LARGE document
+    # on a million-chunk store (r12 review finding)
+    coord_names: set[str] = set()
+    for key, doc in fs._meta.items():
+        if not (key.endswith("/.zarray") or key.endswith("/zarr.json")):
+            continue
+        body = json.loads(
+            doc["text"] if "text" in doc
+            else base64.b64decode(doc["b64"]).decode()
+        )
+        shape = body.get("shape")
+        if (
+            isinstance(shape, list)
+            and len(shape) == 1
+            and body.get("node_type", "array") == "array"
+        ):
+            coord_names.add(key.split("/", 1)[0])
     staging = tempfile.mkdtemp(prefix="zds_ic_append_")
     try:
         store = os.path.join(staging, "head.zarr")

@@ -176,16 +176,32 @@ def write_zarr(
             f"got {compression!r}"
         )
 
+    # Remote targets build driver-side metadata in a local mirror;
+    # owned HERE so any failure path (validation, a slab task, a PUT)
+    # still removes it (r12 review finding: the success-path-only
+    # cleanup leaked a mirror per failed write).
+    meta_root = None
+    if _is_remote_store(store_path):
+        import shutil
+        import tempfile
+
+        from zarr_datafusion_spark.zarr.storage import writable_store_fs
+
+        writable_store_fs(store_path)  # refuse unwritable backends NOW
+        meta_root = tempfile.mkdtemp(prefix="zds_sink_meta_")
+
     # One materialization for the coord/count/write passes (the input
     # may be an expensive upstream plan).
     df = df.select(*coords, *data_vars).persist()
     try:
         return _write_zarr_persisted(
             df, spark, store_path, coords, data_vars, spark_to_np,
-            zarr_format, shard_outer, compression,
+            zarr_format, shard_outer, compression, meta_root=meta_root,
         )
     finally:
         df.unpersist()
+        if meta_root is not None:
+            shutil.rmtree(meta_root, ignore_errors=True)
 
 
 #: Per-axis cap on driver-collected coordinate values.  Coordinates
@@ -200,7 +216,7 @@ MAX_COORD_VALUES_PER_AXIS = 10_000_000
 
 def _write_zarr_persisted(
     df, spark, store_path, coords, data_vars, spark_to_np, zarr_format=2,
-    shard_outer=None, compression=None,
+    shard_outer=None, compression=None, meta_root=None,
 ):
     # --- driver side: coordinate values (tiny), grid validation, metadata
     coord_values: dict[str, np.ndarray] = {}
@@ -251,11 +267,10 @@ def _write_zarr_persisted(
         )
 
     import json
-    import shutil
-    import tempfile
 
     # Remote targets (s3://, gs://, az://): driver-side metadata and
-    # coordinate arrays build in a local MIRROR and upload as objects
+    # coordinate arrays build in a local MIRROR (``meta_root``, created
+    # and cleaned by the ``write_zarr`` caller) and upload as objects
     # (they are bytes-tiny), while executor tasks PUT their chunk slabs
     # straight to the object store — no local staging of data anywhere.
     # The consolidated metadata document uploads LAST as the store's
@@ -263,14 +278,9 @@ def _write_zarr_persisted(
     # polling the consolidated doc sees the store only once complete;
     # for an ATOMIC publish with readers present, commit through
     # icechunk instead).
-    remote = _is_remote_store(store_path)
-    meta_root = store_path
-    if remote:
-        from zarr_datafusion_spark.zarr.storage import writable_store_fs
-
-        writable_store_fs(store_path)  # refuse unwritable backends NOW
-        meta_root = tempfile.mkdtemp(prefix="zds_sink_meta_")
-    else:
+    remote = meta_root is not None
+    if not remote:
+        meta_root = store_path
         os.makedirs(store_path, exist_ok=True)
 
     def _upload_meta(*rels: str) -> None:
@@ -479,9 +489,9 @@ def _write_zarr_persisted(
 
     if remote:
         # phase 2: the consolidated document — the completion marker —
-        # uploads only after every chunk PUT succeeded
+        # uploads only after every chunk PUT succeeded (the mirror dir
+        # itself is removed by the write_zarr caller's finally)
         _upload_meta(".zmetadata" if zarr_format == 2 else "zarr.json")
-        shutil.rmtree(meta_root, ignore_errors=True)
 
     return {
         "arrays": len(coords) + len(data_vars),

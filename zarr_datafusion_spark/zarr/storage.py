@@ -1211,25 +1211,33 @@ def writable_store_fs(path: str):
     """(adapter, normalized path) with a WRITE-capable adapter — the
     write-side twin of :func:`store_fs`, shared by the transactional
     layer (icechunk commits) and the distributed sink.  Local paths use
-    :class:`LocalStoreFS`; ``s3://``/``gs://``/``az://`` the stdlib
-    adapters, whose atomic per-key PUT and conditional create
-    (``If-None-Match``) are what make remote writes safe.  Backends
-    without that path (plain http, fsspec) refuse loudly."""
+    :class:`LocalStoreFS`; ``s3://``/``gs://``/``az://`` dispatch
+    DIRECTLY to the stdlib adapters, whose atomic per-key PUT and
+    conditional create (``If-None-Match``) are what make remote writes
+    safe — deliberately NOT through :func:`store_fs`, whose read-side
+    preference for a credentialed fsspec client (when s3fs/gcsfs are
+    installed) would hand back an adapter with no write path and refuse
+    writes in exactly the environments the read path prefers.  Backends
+    without an atomic write path (plain http, fsspec) refuse loudly."""
     cached = _WRITABLE_CACHE.get(path)
     if cached is not None:
         return cached
-    if "://" not in path or path.startswith("file://"):
-        norm = path[len("file://") :] if path.startswith("file://") else path
-        out = (LocalStoreFS(), norm)
+    loc = StorageLocation.parse(path)
+    if loc.scheme == "file":
+        out = (LocalStoreFS(), loc.path)
+    elif loc.scheme == "s3":
+        out = (S3HttpStoreFS(), loc.url())
+    elif loc.scheme == "gs":
+        out = (GcsHttpStoreFS(), loc.url())
+    elif loc.scheme == "az":
+        out = (AzureHttpStoreFS(), loc.url())
     else:
-        fs, norm = store_fs(path)
-        if not hasattr(fs, "write_bytes"):
-            raise NotImplementedError(
-                f"writes to {path!r}: the {type(fs).__name__} backend has "
-                "no atomic conditional-create (If-None-Match) write path; "
-                "writable stores are local paths, s3://, gs://, and az://"
-            )
-        out = (fs, norm)
+        fs, _norm = store_fs(path)
+        raise NotImplementedError(
+            f"writes to {path!r}: the {type(fs).__name__} backend has "
+            "no atomic conditional-create (If-None-Match) write path; "
+            "writable stores are local paths, s3://, gs://, and az://"
+        )
     _WRITABLE_CACHE[path] = out
     return out
 
