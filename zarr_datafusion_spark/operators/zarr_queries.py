@@ -1141,3 +1141,44 @@ def zarr_icechunk_stream(spark, sf_dir):
     return spark.read.parquet(out).select(
         "time", "lat", "lon", "temperature", "humidity"
     )
+
+
+@_q(
+    "zarr_icechunk_append",
+    f"""SELECT time, lat, lon, temperature, humidity
+        FROM read_parquet('{_MIRROR}')""",
+)
+def zarr_icechunk_append(spark, sf_dir):
+    """Transactional APPEND via SPARSE staging (r12): commit the first
+    five time slabs, then ``append_snapshot`` the remaining two — only
+    the head's metadata and coordinate chunks materialize in staging
+    (``append_zarr`` reads nothing else), and the commit merges the
+    staged image over the PARENT's manifest, so the untouched data
+    chunks are never downloaded, hardlinked, hashed, or re-PUT: append
+    cost is O(new slabs + coordinate axis) at any store size, the same
+    path local and remote.  The head must read back as the FULL image
+    (the parquet mirror): a manifest merge that dropped, duplicated, or
+    mis-keyed a chunk hash-mismatches here.  Beyond-reference: the
+    reference has no sink, no appends, and no transactional layer
+    (roadmap ``README.md:330``)."""
+    import tempfile
+
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.icechunk import (
+        append_snapshot,
+        commit_zarr,
+    )
+
+    src = read_zarr(spark, fixture_store(2))
+    times = sorted(r[0] for r in src.select("time").distinct().collect())
+    repo = os.path.join(tempfile.mkdtemp(prefix="zds_ic_append_q_"), "a.ic")
+    commit_zarr(
+        src.filter(F.col("time").isin(times[:5])), repo,
+        coords=["time", "lat", "lon"], message="first five slabs",
+    )
+    append_snapshot(
+        src.filter(F.col("time").isin(times[5:])), repo,
+        message="append two slabs",
+    )
+    df = read_zarr(spark, f"icechunk://{repo}")
+    return df.orderBy("time", "lat", "lon")
