@@ -1345,3 +1345,187 @@ def test_path_literals_honor_doubled_quote_escape(spark, tmp_path):
         f"CREATE EXTERNAL TABLE esc_t STORED AS ZARR LOCATION '{sql_path}'"
     )
     assert spark.table("esc_t").count() == 100
+
+
+# ---------------------------------------------------------------------------
+# branch-creation fence (ADVICE r12)
+# ---------------------------------------------------------------------------
+
+
+def test_branch_creation_fence_raises_on_shadowed_rival(repo, monkeypatch):
+    """The ADVICE-r12 silent lost update: a token recoverer retakes a
+    LIVE creator's token and both publish first generations at
+    different filenames — both conditional PUTs succeed and one
+    snapshot is silently shadowed.  The post-publish fence re-lists
+    the generations and raises on a coexisting NON-descendant
+    generation, turning the race loud."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+
+    path, s1, s2 = repo
+    real_publish = ic._publish_ref
+
+    def ours_then_rival(repo_, rel, doc):
+        real_publish(repo_, rel, doc)
+        if "/branch.raced/" in rel:
+            # the shadowed rival: a fork of s1 (sequence 1) landing in
+            # the recovery window — LOWER sequence than our s2 fork,
+            # so _branch_head keeps ours and the rival vanishes
+            real_publish(
+                repo_,
+                f"refs/branch.raced/{ic._gen_name(1)}",
+                {"snapshot": s1},
+            )
+
+    monkeypatch.setattr(ic, "_publish_ref", ours_then_rival)
+    with pytest.raises(IcechunkConflictError, match="raced"):
+        ic.create_branch(path, "raced", s2)
+
+
+def test_branch_creation_fence_raises_on_foreign_higher_generation(
+    repo, tmp_path
+):
+    """A rival generation with a HIGHER sequence whose snapshot chain
+    does not pass through our snapshot is the same creation race seen
+    from the loser's side; the fence walks the rival's ancestry and
+    raises instead of silently losing our head."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+
+    path, s1, _s2 = repo
+    # handcraft a rootless snapshot at sequence 2 (parent None): no
+    # chain through our seq-1 fork is possible
+    body = {
+        "parent": None,
+        "sequence": 2,
+        "message": "foreign",
+        "metadata": {},
+        "manifest": "nope",
+        "id": "f" * 24,
+    }
+    os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+    with open(os.path.join(path, "snapshots", body["id"] + ".json"), "w") as f:
+        json.dump(body, f)
+    bdir = os.path.join(path, "refs", "branch.foreign")
+    os.makedirs(bdir, exist_ok=True)
+    ic._publish_ref(
+        path, f"refs/branch.foreign/{ic._gen_name(2)}", {"snapshot": body["id"]}
+    )
+    with pytest.raises(IcechunkConflictError, match="raced"):
+        ic._fence_branch_creation(path, "foreign", 1, s1)
+
+
+def test_branch_creation_fence_allows_immediate_successor(repo):
+    """A commit made on top of our just-published head before the fence
+    lists is NOT a race: its snapshot ancestry passes through ours at
+    exactly our sequence, and the fence stays silent."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+
+    path, s1, s2 = repo
+    ic.create_branch(path, "succ", s1)
+    # ordinary advance: s2's parent is s1 at the next sequence
+    ic._publish_ref(
+        path, f"refs/branch.succ/{ic._gen_name(2)}", {"snapshot": s2}
+    )
+    # creator's fence re-run after the successor landed: no raise
+    ic._fence_branch_creation(path, "succ", 1, s1)
+
+
+# ---------------------------------------------------------------------------
+# append scale probe (VERDICT r12 item 5)
+# ---------------------------------------------------------------------------
+
+
+def _probe_base_arrays(n_slabs: int):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return {
+        "time": (np.arange(n_slabs, dtype=np.int64), (n_slabs,)),
+        "lat": (np.arange(10, dtype=np.int64), (10,)),
+        "lon": (np.arange(14, dtype=np.int64), (14,)),
+        "temperature": (
+            rng.randn(n_slabs, 10, 14).astype(np.float64), (1, 10, 14)
+        ),
+        "humidity": (
+            rng.rand(n_slabs, 10, 14).astype(np.float64), (1, 10, 14)
+        ),
+    }
+
+
+def _probe_slab_df(spark, t: int):
+    import numpy as np
+    import pandas as pd
+
+    lat, lon = np.meshgrid(
+        np.arange(10, dtype=np.int64),
+        np.arange(14, dtype=np.int64),
+        indexing="ij",
+    )
+    rng = np.random.RandomState(1000 + t)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "time": np.full(140, t, dtype=np.int64),
+                "lat": lat.ravel(),
+                "lon": lon.ravel(),
+                "temperature": rng.randn(140),
+                "humidity": rng.rand(140),
+            }
+        )
+    )
+
+
+def test_append_staging_is_sparse_at_any_store_size(spark, tmp_path):
+    """A one-slab ``append_snapshot`` adds the SAME number of new chunk
+    objects — the slab's data chunks plus the grown outer-coordinate
+    chunk — whether the base repo holds 13, 103, or 303 chunk objects:
+    the sparse staging + ``_base_manifest`` merge never touches (or
+    re-stages) existing data chunks (VERDICT r12 item 5; wall-time
+    table: scripts/append_scale_probe.py + BASELINE.md r13)."""
+    from zarr_datafusion_spark.zarr.icechunk import append_snapshot
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    new_counts = {}
+    for n in (5, 50, 150):
+        store = str(tmp_path / f"base_{n}.zarr")
+        write_store(store, _probe_base_arrays(n), zarr_format=2)
+        repo = str(tmp_path / f"repo_{n}.ic")
+        commit_store(store, repo, message=f"base {n}")
+        before = _chunk_objects(repo)
+        append_snapshot(_probe_slab_df(spark, n), repo, message="+1")
+        new_counts[n] = len(_chunk_objects(repo) - before)
+    # 2 data-var chunks for the new slab + 1 grown time chunk; lat/lon
+    # chunks are content-identical and dedup by address
+    assert new_counts == {5: 3, 50: 3, 150: 3}, new_counts
+    # and the appended head reads back as the full grown image
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    grown = read_zarr(spark, f"icechunk://{tmp_path}/repo_5.ic")
+    assert grown.count() == 6 * 140
+
+
+def test_remote_append_stages_only_new_objects(spark, s3_repo, tmp_path):
+    """The same sparse-append shape over the live-socket s3 fixture:
+    the append PUTs exactly the new chunk objects (3) plus the commit
+    documents (snapshot, manifest, branch generation) — existing data
+    chunks are never re-PUT (conditional-create skip) or downloaded
+    into staging."""
+    from zarr_datafusion_spark.zarr.icechunk import append_snapshot
+
+    url, objects = s3_repo
+    store = str(tmp_path / "base.zarr")
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    write_store(store, _probe_base_arrays(8), zarr_format=2)
+    commit_store(store, url, message="base 8")
+    before = set(objects)
+    append_snapshot(_probe_slab_df(spark, 8), url, message="+1")
+    new = {k for k in objects if k not in before}
+    new_chunks = {k for k in new if "/chunks/" in k}
+    assert len(new_chunks) == 3, sorted(new)
+    docs = new - new_chunks
+    kinds = sorted(k.split("/")[2] if len(k.split("/")) > 2 else k for k in docs)
+    # one snapshot + one manifest + one branch generation, nothing else
+    assert len(docs) == 3, sorted(docs)
+    assert {d.split("repo.ic/")[1].split("/")[0] for d in docs} == {
+        "snapshots", "manifests", "refs"
+    }, sorted(docs)

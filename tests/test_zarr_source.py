@@ -3492,3 +3492,107 @@ def test_remote_sink_failure_leaves_no_meta_mirror(spark, s3_sink_bucket):
         write_zarr(df, "s3://sinkbucket/fail.zarr", coords=["t", "x"])
     after = set(glob.glob(os.path.join(tempfile.gettempdir(), "zds_sink_meta_*")))
     assert after <= before  # nothing new leaked
+
+
+def test_az_list_follows_namespaced_next_marker(monkeypatch):
+    """Azure's List Blobs XML may carry a namespace on every element;
+    ``NextMarker`` must be matched namespace-agnostically like
+    Blob/BlobPrefix or pagination silently stops after one 5000-blob
+    page — and gc_repo, whose live set is built from these listings,
+    would delete live snapshots (ADVICE r12)."""
+    import io
+    import urllib.parse
+
+    from zarr_datafusion_spark.zarr.storage import AzureHttpStoreFS
+
+    ns = 'xmlns="http://schemas.microsoft.com/windowsazure"'
+    pages = {
+        "": (
+            f'<?xml version="1.0"?><EnumerationResults {ns}>'
+            "<Blobs><Blob><Name>st/a</Name></Blob>"
+            "<BlobPrefix><Name>st/d1/</Name></BlobPrefix></Blobs>"
+            "<NextMarker>tok1</NextMarker></EnumerationResults>"
+        ),
+        "tok1": (
+            f'<?xml version="1.0"?><EnumerationResults {ns}>'
+            "<Blobs><Blob><Name>st/b</Name></Blob></Blobs>"
+            "<NextMarker/></EnumerationResults>"
+        ),
+    }
+    seen = []
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fs = AzureHttpStoreFS(endpoint="http://example.invalid", sas=None)
+
+    def fake_open(url, method="GET"):
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(url).query)
+        marker = q.get("marker", [""])[0]
+        seen.append(marker)
+        return _Resp(pages[marker].encode())
+
+    monkeypatch.setattr(fs, "_open", fake_open)
+    assert fs.listdir("az://c/st") == ["a", "b", "d1"]
+    assert seen == ["", "tok1"]  # pagination followed the marker
+
+
+def test_local_write_bytes_thread_unique_tmp(tmp_path):
+    """Two THREADS of one process racing the same conditional create
+    must not share a pid-keyed tmp file: exactly one wins, the loser
+    sees FileExistsError, and the winner's bytes land complete
+    (ADVICE r12 — cross-process exclusivity held, cross-thread did
+    not)."""
+    import threading
+
+    from zarr_datafusion_spark.zarr.storage import LocalStoreFS
+
+    fs = LocalStoreFS()
+    target = str(tmp_path / "ref.json")
+    payloads = [b"A" * 65536, b"B" * 65536]
+    wins, losses = [], []
+    barrier = threading.Barrier(2)
+
+    def writer(payload):
+        barrier.wait()
+        try:
+            fs.write_bytes(target, payload, if_none_match=True)
+            wins.append(payload)
+        except FileExistsError:
+            losses.append(payload)
+
+    threads = [
+        threading.Thread(target=writer, args=(p,)) for p in payloads
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1 and len(losses) == 1
+    with open(target, "rb") as f:
+        body = f.read()
+    assert body == wins[0]  # complete, single-writer bytes
+    assert [p.name for p in tmp_path.iterdir()] == ["ref.json"]  # no debris
+
+
+def test_writable_store_fs_cache_expires(tmp_path):
+    """The writer-adapter cache re-dispatches after its TTL so
+    credentials captured at construction (STS session tokens, SAS) are
+    re-read from the environment within minutes instead of 403-ing
+    until process restart (ADVICE r12)."""
+    import zarr_datafusion_spark.zarr.storage as st
+
+    p = str(tmp_path)
+    st._WRITABLE_CACHE.pop(p, None)
+    out1 = st.writable_store_fs(p)
+    assert st.writable_store_fs(p) is out1  # fresh entry served cached
+    stamp, val = st._WRITABLE_CACHE[p]
+    st._WRITABLE_CACHE[p] = (stamp - st._WRITABLE_TTL_S - 1, val)
+    out2 = st.writable_store_fs(p)
+    assert out2 is not out1  # expired entry rebuilt
+    assert type(out2[0]) is type(out1[0])
+    st._WRITABLE_CACHE.pop(p, None)

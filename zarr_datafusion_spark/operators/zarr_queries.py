@@ -1107,6 +1107,7 @@ def zarr_icechunk_stream(spark, sf_dir):
     head, or a wrong offset all hash-mismatch).  Beyond-reference
     twice over: the reference is batch-only AND has no transactional
     layer (roadmap README.md:330)."""
+    import shutil
     import tempfile
 
     from zarr_datafusion_spark.zarr import read_zarr, read_zarr_stream
@@ -1117,27 +1118,41 @@ def zarr_icechunk_stream(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="zds_ic_stream_")
     repo = os.path.join(base, "grow.ic")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
-    commit_zarr(
-        src.filter(F.col("time").isin(times[:5])), repo,
-        coords=["time", "lat", "lon"], message="first five slabs",
-    )
-
-    def tail_once():
-        q = (
-            read_zarr_stream(spark, f"icechunk://{repo}", target_partitions=4)
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    try:
+        commit_zarr(
+            src.filter(F.col("time").isin(times[:5])), repo,
+            coords=["time", "lat", "lon"], message="first five slabs",
         )
-        q.awaitTermination()
 
-    tail_once()
-    commit_zarr(
-        src, repo, coords=["time", "lat", "lon"], message="full image",
-    )
-    tail_once()
+        def tail_once():
+            q = (
+                read_zarr_stream(
+                    spark, f"icechunk://{repo}", target_partitions=4
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        tail_once()
+        commit_zarr(
+            src, repo, coords=["time", "lat", "lon"], message="full image",
+        )
+        tail_once()
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    # the result reads ONLY the parquet sink: the repo (chunks
+    # included) and the stream checkpoint are dead weight once both
+    # tails have run — drop them instead of leaking a full icechunk
+    # repo per driver-check run (ADVICE r12 flagged the append twin;
+    # only the small parquet sink must outlive this call for the
+    # driver's lazy collect)
+    shutil.rmtree(repo, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out).select(
         "time", "lat", "lon", "temperature", "humidity"
     )
@@ -1158,27 +1173,50 @@ def zarr_icechunk_append(spark, sf_dir):
     cost is O(new slabs + coordinate axis) at any store size, the same
     path local and remote.  The head must read back as the FULL image
     (the parquet mirror): a manifest merge that dropped, duplicated, or
-    mis-keyed a chunk hash-mismatches here.  Beyond-reference: the
+    mis-keyed a chunk hash-mismatches here.  The repo is a KEYED
+    fixture (ADVICE r12 — a per-run ``mkdtemp`` leaked a full repo per
+    driver check): keyed on the source fixture AND the append call
+    graph's fingerprint, so an ``append_snapshot`` code change rebuilds
+    the repo and re-exercises the sparse append, while unchanged code
+    reuses it; stale siblings are pruned.  Beyond-reference: the
     reference has no sink, no appends, and no transactional layer
     (roadmap ``README.md:330``)."""
-    import tempfile
-
+    from zarr_datafusion_spark import fingerprints
+    from zarr_datafusion_spark.operators.common import (
+        prune_stale_siblings,
+        publish_dir_atomically,
+        source_staleness_key,
+    )
     from zarr_datafusion_spark.zarr import read_zarr
     from zarr_datafusion_spark.zarr.icechunk import (
         append_snapshot,
         commit_zarr,
     )
 
-    src = read_zarr(spark, fixture_store(2))
-    times = sorted(r[0] for r in src.select("time").distinct().collect())
-    repo = os.path.join(tempfile.mkdtemp(prefix="zds_ic_append_q_"), "a.ic")
-    commit_zarr(
-        src.filter(F.col("time").isin(times[:5])), repo,
-        coords=["time", "lat", "lon"], message="first five slabs",
+    store = fixture_store(2)
+    code_key = fingerprints.entry_fingerprint(append_snapshot)[:10]
+    key = source_staleness_key(
+        os.path.join(store, ".zgroup"), f"ic_append1:{code_key}"
     )
-    append_snapshot(
-        src.filter(F.col("time").isin(times[5:])), repo,
-        message="append two slabs",
-    )
+    parent = os.path.join(_REPO_ROOT, "data")
+    repo = os.path.join(parent, f"ic_append-{key}")
+
+    def build(tmp: str) -> None:
+        src = read_zarr(spark, store)
+        times = sorted(
+            r[0] for r in src.select("time").distinct().collect()
+        )
+        commit_zarr(
+            src.filter(F.col("time").isin(times[:5])), tmp,
+            coords=["time", "lat", "lon"], message="first five slabs",
+        )
+        append_snapshot(
+            src.filter(F.col("time").isin(times[5:])), tmp,
+            message="append two slabs",
+        )
+
+    if not os.path.exists(os.path.join(repo, "icechunk.json")):
+        publish_dir_atomically(build, repo)
+    prune_stale_siblings(parent, "ic_append-", f"ic_append-{key}")
     df = read_zarr(spark, f"icechunk://{repo}")
     return df.orderBy("time", "lat", "lon")

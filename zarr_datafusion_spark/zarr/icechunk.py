@@ -72,6 +72,7 @@ import json
 import os
 import re
 import urllib.error
+import uuid
 
 __all__ = [
     "IcechunkConflictError",
@@ -219,7 +220,7 @@ def init_repo(repo: str) -> str:
             os.makedirs(os.path.join(repo, d), exist_ok=True)
         marker = os.path.join(repo, _MARKER)
         if not os.path.exists(marker):
-            tmp = marker + f".tmp{os.getpid()}"
+            tmp = marker + f".tmp{os.getpid()}-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
                 json.dump(_FORMAT, f)
             os.replace(tmp, marker)
@@ -241,7 +242,7 @@ def _write_object(repo: str, rel: str, payload: bytes) -> None:
         if os.path.exists(path):
             return
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp{os.getpid()}"
+        tmp = path + f".tmp{os.getpid()}-{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as f:
             f.write(payload)
         try:
@@ -367,8 +368,10 @@ def _publish_ref_exclusive(path: str, doc: dict) -> None:
     its complete bytes.  A bare ``O_EXCL`` open + buffered write has a
     window where the ref exists empty: a concurrent resolve would see
     a torn head, and a crash there would wedge the branch forever
-    (r11 review finding)."""
-    tmp = f"{path}.tmp{os.getpid()}"
+    (r11 review finding).  The tmp name carries a per-call uuid
+    besides the pid: two THREADS of one process racing the same ref
+    must not share a tmp file (ADVICE r12)."""
+    tmp = f"{path}.tmp{os.getpid()}-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(doc, f)
         f.flush()
@@ -396,6 +399,61 @@ def _publish_ref(repo: str, rel: str, doc: dict) -> None:
     fs.write_bytes(f"{norm}/{rel}", _canon(doc), if_none_match=True)
 
 
+def _fence_branch_creation(
+    repo: str, branch: str, seq: int, sid: str
+) -> None:
+    """Post-publish fence for branch CREATION (ADVICE r12).
+
+    A debris recoverer that retook a LIVE creator's token makes two
+    writers publish first generations at DIFFERENT filenames (their
+    sequences differ), each create-exclusive publish succeeding — a
+    silent lost update, since ``_branch_head`` keeps only the highest
+    sequence.  Listing the generations AFTER publishing turns that
+    silence into a loud :class:`IcechunkConflictError` on both sides.
+
+    A coexisting generation is benign only when it is a legitimate
+    SUCCESSOR of ours — a commit made on top of our just-published
+    head, whose snapshot ancestry therefore contains our snapshot id
+    at exactly our sequence.  Anything else (lower sequence, or higher
+    sequence whose chain bypasses us) is the creation race.  Callers
+    must treat the raise as a LOST creation: the branch exists with a
+    head that may not be theirs — rebase on that head and retry, or
+    pick another name.  Cost: one LIST per branch creation (and a
+    snapshot read only in the already-raced case)."""
+    from zarr_datafusion_spark.zarr.storage import store_fs
+
+    fs, norm = store_fs(repo)
+    bdir = f"{norm}/refs/branch.{branch}"
+    others = sorted(
+        n
+        for n in _listdir_or_empty(fs, bdir)
+        if n.startswith("gen-")
+        and n.endswith(".json")
+        and _gen_seq(n) != seq
+    )
+    for name in others:
+        oseq = _gen_seq(name)
+        raced = True
+        if oseq > seq:
+            # walk the other head's ancestry down to our sequence: a
+            # legitimate successor passes through our snapshot exactly
+            cur = json.loads(fs.read_text(f"{bdir}/{name}"))["snapshot"]
+            while cur is not None:
+                snap = _load_snapshot(fs, norm, cur)
+                s = int(snap["sequence"])
+                if s <= seq:
+                    raced = not (s == seq and cur == sid)
+                    break
+                cur = snap.get("parent")
+        if raced:
+            raise IcechunkConflictError(
+                f"branch {branch!r} creation raced another writer: "
+                f"generation {name!r} coexists with ours (seq {seq}) "
+                "and does not descend from it; treat this creation as "
+                "lost — rebase on the branch head and retry"
+            )
+
+
 def _acquire_branch_token(repo: str, branch: str) -> bool:
     """Exclusive branch-CREATION token — True to proceed publishing the
     first generation, False when the branch already exists (or another
@@ -415,12 +473,16 @@ def _acquire_branch_token(repo: str, branch: str) -> bool:
     dir, i.e. a racing publisher's generation landed) + a fresh mkdir;
     remotely a DELETE + a fresh conditional PUT.  Exactly one recoverer
     wins the retake; losers report a conflict and a later retry finds
-    either a real branch or the debris again.  Residual (documented)
-    window: a LIVE creator between its token and its generation publish
-    is indistinguishable from debris, so a recoverer in exactly those
-    microseconds can retake it — the two back-to-back driver writes
-    make the window tiny, and the alternative (treating every
-    gen-less token as live) wedges the name forever after any crash."""
+    either a real branch or the debris again.  Residual window: a LIVE
+    creator between its token and its generation publish is
+    indistinguishable from debris, so a recoverer in exactly those
+    microseconds can retake it and BOTH writers then publish different
+    generation files, each conditional PUT succeeding at its own name —
+    without a second check that is a silent lost update (ADVICE r12).
+    :func:`_fence_branch_creation` closes it: every branch-creating
+    publish re-lists the generations afterwards and raises
+    ``IcechunkConflictError`` on BOTH sides when a non-descendant
+    generation coexists, so the race is loud, never silent."""
     if _is_local(repo):
         from zarr_datafusion_spark.zarr.storage import LocalStoreFS
 
@@ -494,6 +556,7 @@ def create_branch(repo: str, name: str, snapshot_id: str) -> None:
         raise IcechunkConflictError(
             f"branch {name!r} already exists in {repo!r}"
         ) from None
+    _fence_branch_creation(repo, name, int(snap["sequence"]), snapshot_id)
 
 
 def list_refs(repo: str) -> dict[str, dict[str, str]]:
@@ -721,6 +784,10 @@ def commit_store(
             f"branch {branch!r}: generation {seq} was committed "
             "concurrently; rebase on the new head and retry"
         ) from None
+    if head_sid is None:
+        # branch creation (not an ordinary advance): fence the
+        # token-recovery race (ADVICE r12, _fence_branch_creation)
+        _fence_branch_creation(repo, branch, seq, sid)
     return sid
 
 

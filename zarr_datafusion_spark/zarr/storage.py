@@ -163,9 +163,15 @@ class LocalStoreFS:
         object appears only with its complete bytes and exactly one
         concurrent creator wins."""
         import os
+        import uuid
 
         os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
-        tmp = f"{p}.tmp{os.getpid()}"
+        # pid alone is not unique across THREADS of one process: two
+        # threads racing the same ref would share the tmp name and
+        # could link torn/foreign bytes (ADVICE r12) — a per-call
+        # uuid component restores the uniqueness the remote
+        # conditional-PUT path gets for free
+        tmp = f"{p}.tmp{os.getpid()}-{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as f:
             f.write(payload)
             f.flush()
@@ -1113,18 +1119,31 @@ class AzureHttpStoreFS:
             )
             with self._open(url) as resp:
                 doc = ET.fromstring(resp.read())
+            # every child lookup strips namespaces the same way the
+            # Blob/BlobPrefix dispatch does: a namespaced response must
+            # not silently stop pagination after one 5000-blob page —
+            # gc_repo's live set is built from these listings, and a
+            # truncated refs listing would delete live snapshots
+            # (ADVICE r12)
+            def _child_text(el, want: str) -> str | None:
+                for c in el:
+                    if c.tag.rsplit("}", 1)[-1] == want:
+                        return c.text
+                return None
+
+            marker = None
             for el in doc.iter():
                 tag = el.tag.rsplit("}", 1)[-1]
                 if tag == "Blob":
-                    name = el.find("Name")
-                    if name is not None and name.text:
-                        blobs.append(name.text)
+                    name = _child_text(el, "Name")
+                    if name:
+                        blobs.append(name)
                 elif tag == "BlobPrefix":
-                    name = el.find("Name")
-                    if name is not None and name.text:
-                        prefixes.append(name.text)
-            nm = doc.find("NextMarker")
-            marker = nm.text.strip() if nm is not None and nm.text else None
+                    name = _child_text(el, "Name")
+                    if name:
+                        prefixes.append(name)
+                elif tag == "NextMarker" and el.text:
+                    marker = el.text.strip() or None
             if not marker:
                 break
         return blobs, prefixes
@@ -1203,7 +1222,13 @@ class AzureHttpStoreFS:
 
 #: per-process writer-adapter cache: one (fs, norm) per location so
 #: per-chunk writes on executors don't re-dispatch (and re-read env
-#: credentials) for every object
+#: credentials) for every object.  Entries expire after
+#: ``_WRITABLE_TTL_S`` so expiring credentials (STS session tokens,
+#: short-lived SAS) captured at construction are re-read from the
+#: environment within minutes instead of 403-ing until process
+#: restart (ADVICE r12); 4 minutes amortizes construction over many
+#: chunk writes while staying far inside any token lifetime.
+_WRITABLE_TTL_S = 240.0
 _WRITABLE_CACHE: dict[str, tuple] = {}
 
 
@@ -1219,9 +1244,14 @@ def writable_store_fs(path: str):
     installed) would hand back an adapter with no write path and refuse
     writes in exactly the environments the read path prefers.  Backends
     without an atomic write path (plain http, fsspec) refuse loudly."""
+    import time
+
     cached = _WRITABLE_CACHE.get(path)
     if cached is not None:
-        return cached
+        stamp, out = cached
+        if time.monotonic() - stamp < _WRITABLE_TTL_S:
+            return out
+        del _WRITABLE_CACHE[path]
     loc = StorageLocation.parse(path)
     if loc.scheme == "file":
         out = (LocalStoreFS(), loc.path)
@@ -1238,7 +1268,7 @@ def writable_store_fs(path: str):
             "no atomic conditional-create (If-None-Match) write path; "
             "writable stores are local paths, s3://, gs://, and az://"
         )
-    _WRITABLE_CACHE[path] = out
+    _WRITABLE_CACHE[path] = (time.monotonic(), out)
     return out
 
 
