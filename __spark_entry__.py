@@ -50,57 +50,16 @@ WINDOW = 50
 #: carries human-readable reasons (and covers rounds predating the
 #: snapshot).  Reset the contents every round.
 RE_RECORD: dict[str, str] = {
-    # r12: reset at round start — the r11 reasons all re-recorded green
-    # in CORRECTNESS_r11.json.  This round's ADVICE fixes drifted three
-    # call-graph families (the mechanical fingerprint check flags the
-    # same membership; this dict carries the human why).  NOTE: this
-    # round the window is dominated by the freshness floor (the r6/r7
-    # cohort, 42 entries, must refresh before CORRECTNESS_r12 lands),
-    # so most of these re-record NEXT round via their standing
-    # fingerprint mismatch — the documented deferral path.
-    #
-    # icechunk.py ADVICE fixes (wedged-branch recovery, strict
-    # _branch_head errors) + engine.py COPY '' escape — in every zarr
-    # entry's call graph:
-    "zarr_scan_flatten": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_filter_pushdown": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_range_pushdown": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_agg": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_limit_pushdown": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_coarsen": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_sink_roundtrip": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_append_roundtrip": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_update_roundtrip": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_stream_tail": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_stream_agg": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_data_filter_pushdown": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_gap_nulls": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_agg_pushdown": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_agg_rollup": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_topk_tail": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_stats_shortcut": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_kerchunk_scan": "r12: icechunk/engine ADVICE fixes in graph",
-    "zarr_icechunk_scan": "r12: icechunk ADVICE fixes in graph",
-    "zarr_icechunk_stream": "r12: icechunk ADVICE fixes in graph",
-    "zarr_time_travel": "r12: icechunk ADVICE fixes in graph",
-    # trc fixtures unified under one generator + staleness key (ADVICE
-    # r11); the oracle SQL now embeds the keyed mirror path:
-    "trc_station_rollup": "r12: shared TRC generator + keyed mirror path",
-    # common.prune_stale_siblings learned single-file artifacts — in
-    # the persisted-index entries' call graphs:
-    "search_bm25_indexed": "r12: prune_stale_siblings file support",
-    "search_boolean_and": "r12: prune_stale_siblings file support",
-    "search_eval_metrics": "r12: prune_stale_siblings file support",
-    "search_phrase_indexed": "r12: prune_stale_siblings file support",
-    "search_prf_expansion": "r12: prune_stale_siblings file support",
-    "search_proximity": "r12: prune_stale_siblings file support",
-    "search_qlm_topk": "r12: prune_stale_siblings file support",
-    "search_rrf_hybrid": "r12: prune_stale_siblings file support",
-    "search_snippets": "r12: prune_stale_siblings file support",
-    "sim_ann_indexed": "r12: prune_stale_siblings file support",
-    "streaming_index_compacted": "r12: prune_stale_siblings file support",
-    "streaming_index_update": "r12: prune_stale_siblings file support",
-    "streaming_lsh_dedup": "r12: prune_stale_siblings file support",
+    # r13: reset at round start.  The r12 reasons either re-recorded
+    # green in CORRECTNESS_r12.json or (the 21 zarr entries +
+    # trc_station_rollup + 6 search entries deferred by the r12
+    # freshness-floor rotation) still carry their MECHANICAL
+    # fingerprint mismatch and lead this round's window automatically
+    # — VERDICT r12 item 1.  This round's code changes (icechunk
+    # branch-creation fence, storage tmp/TTL/NextMarker fixes, the
+    # keyed ic_append fixture, the sim_kmeans_train oracle rebuild)
+    # are all caught by the same fingerprint check; no hand
+    # declarations needed.
 }
 
 

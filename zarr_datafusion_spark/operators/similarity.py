@@ -744,28 +744,152 @@ def kmeans_fit(
     return C
 
 
-@_q("sim_kmeans_train")
+#: fixed Lloyd iteration count for the ORACLE-BACKED trainer entry: a
+#: tolerance-based early exit is not SQL-replayable (DuckDB cannot
+#: branch on a float mid-chain), so the driver-checked trainer runs
+#: exactly this many unrolled iterations in both engines.
+KM_TRAIN_ITERS = 4
+
+
+def _kmeans_train_oracle(
+    k: int = K_CLUSTERS, iters: int = KM_TRAIN_ITERS, dim: int = 64
+) -> str:
+    """Chained-CTE DuckDB twin of the fixed-iteration Lloyd trainer:
+    cent_0 = first-k seeds, then per iteration an argmin assignment
+    (the ``sim_kmeans_step``-proven sequential fold, ties to the
+    smaller cid) and a centroid update (EXACT decimal per-dim sums —
+    order-independent, so GROUP BY evaluation order cannot perturb
+    them — divided in double and rounded to 6 decimals, the common
+    HALF-AWAY-FROM-ZERO rule of Spark's ``F.round`` and DuckDB's
+    ``round``).  Rounding the centroids BETWEEN iterations is what
+    makes the chain replayable: both engines re-enter every iteration
+    from identical doubles, so assignments can never diverge."""
+    parts = [
+        f"""cent_0 AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+      FROM embeddings WHERE vec_id < {k})"""
+    ]
+    prev = "cent_0"
+    for t in range(1, iters + 1):
+        parts.append(f"""assign_{t} AS (
+      SELECT e.vec_id, e.embedding, c.cid
+      FROM embeddings e, {prev} c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_sum(list_transform(range(1, {dim + 1}),
+          i -> (e.embedding[i]::DOUBLE - c.ce[i])
+             * (e.embedding[i]::DOUBLE - c.ce[i]))) ASC, c.cid ASC) = 1)""")
+        parts.append(f"""cent_{t} AS (
+      SELECT p.cid, COALESCE(u.ce, p.ce) AS ce
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(m ORDER BY dim) AS ce FROM (
+          SELECT cid, r.range AS dim,
+                 round(CAST(SUM(CAST(embedding[r.range] AS DECIMAL(38,12)))
+                            AS DOUBLE) / COUNT(*), 6) AS m
+          FROM assign_{t}, range(1, {dim + 1}) r GROUP BY cid, r.range)
+        GROUP BY cid) u USING (cid))""")
+        prev = f"cent_{t}"
+    return f"""WITH {','.join(parts)},
+    final AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> (e.embedding[i]::DOUBLE - c.ce[i])
+                  * (e.embedding[i]::DOUBLE - c.ce[i]))) AS d2
+      FROM embeddings e, {prev} c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY d2 ASC, c.cid ASC) = 1)
+    SELECT cid AS cluster, COUNT(*) AS n_vectors,
+           round(CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS inertia
+    FROM final GROUP BY cid"""
+
+
+@_q("sim_kmeans_train", _kmeans_train_oracle())
 def sim_kmeans_train(spark, sf_dir):
-    """Train k=8 means over the corpus, then report per-cluster size
-    and inertia (sum of squared distances to the final centroid).
-    Rows-only entry: iterative float means are engine-specific (DuckDB
-    has no iteration), so correctness is pinned by property tests —
-    monotone inertia, exact nearest-centroid agreement with numpy, and
-    full-corpus coverage — instead of a SQL twin."""
-    emb = _emb(spark, sf_dir)
-    C = kmeans_fit(emb)
+    """Train k={K_CLUSTERS} means ({KM_TRAIN_ITERS} fixed Lloyd
+    iterations from the first-k seed), then report per-cluster size
+    and inertia — now FULLY oracle-backed (VERDICT r12 item 2 closed;
+    the r10 rows-only decision was about ``kmeans_fit``'s numpy-matmul
+    distances and tolerance early-exit, neither of which DuckDB can
+    replay).  This entry instead runs the trainer on the
+    ``sim_kmeans_step``-proven replayable algebra end to end:
+
+    * assignment: map-side argmin over centroid LITERALS (one
+      interpreted-once ``array_min(transform(...))`` expression, the
+      sequential double fold both engines evaluate bit-identically) —
+      no numpy, no UDF, no shuffle;
+    * update: per-(cluster, dim) EXACT ``decimal(38,12)`` sums (order-
+      independent under any partitioning), mean in double, rounded to
+      6 decimals INSIDE Spark so the collected model equals DuckDB's
+      ``round(s::DOUBLE / n, 6)`` value for value — rounding between
+      iterations is what keeps a 4-deep chain from diverging;
+    * inertia: the chosen centroid's fold distance, decimal-summed.
+
+    ``kmeans_fit`` (the IVF trainer, numpy + tolerance stop) is
+    deliberately untouched — the IVF index constants cannot drift.
+
+    100 TB posture: per iteration ONE corpus scan and ONE bounded-key
+    shuffle (map-side hash partials over k×dim = {K_CLUSTERS}×64
+    groups); the driver sees exactly the k×dim rounded model
+    parameters per iteration, never data.  Parity measured bit-exact
+    at sf0.001 and sf0.01 before landing."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    k, iters = K_CLUSTERS, KM_TRAIN_ITERS
+    first = (
+        emb.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = {int(r.vec_id): [float(x) for x in r.embedding] for r in first}
+
+    def cent_col():
+        return F.array(*[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(v) for v in vec]).alias("ce"),
+            )
+            for cid, vec in sorted(cents.items())
+        ])
+
+    argmin = (
+        "array_min(transform(cents, c -> struct("
+        "aggregate(zip_with(embedding, c.ce, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0D, (acc, v) -> acc + v) AS d2, c.cid AS cid)))"
+    )
+    for _ in range(iters):
+        assigned = emb.withColumn("cents", cent_col()).select(
+            "embedding", F.expr(argmin + ".cid").alias("cluster")
+        )
+        upd = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,12)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cluster",
+                "dim",
+                F.round(F.col("s").cast("double") / F.col("n"), 6).alias("m"),
+            )
+            .collect()
+        )
+        for r in upd:  # an emptied cluster keeps its previous centroid
+            cents[int(r.cluster)][int(r.dim)] = float(r.m)
     return (
-        emb.withColumn("cluster", _assign_udf(C)("embedding"))
-        .withColumn("dist2", _dist2_udf(C)("embedding"))
+        emb.withColumn("cents", cent_col())
+        .select(
+            F.expr(argmin + ".cid").alias("cluster"),
+            F.expr(argmin + ".d2").alias("d2"),
+        )
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_vectors"),
-            # decimal accumulation: order-independent exact sum of the
-            # (deterministic per-row) squared distances, so the entry's
-            # output is bit-stable across runs and partitionings
-            F.sum(F.col("dist2").cast("decimal(38,12)"))
-            .cast("double")
-            .alias("inertia"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("inertia"),
         )
         .orderBy("cluster")
     )
