@@ -319,6 +319,77 @@ def _warm_page_cache(*paths: str) -> None:
                 pass
 
 
+def _prev_round_artifact() -> dict | None:
+    """The per-query record of the PREVIOUS round: the checked-in
+    ``scripts/bench_local_latest.json`` as of the last ``round N:
+    verdict`` driver commit (the round boundary).  Reading from git —
+    not from the working tree — means mid-round bench runs that
+    refresh the artifact can't make the comparison self-referential.
+    Returns None (normalization skipped) when git or the file is
+    unavailable; never raises."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        commit = subprocess.run(
+            ["git", "log", "--format=%H", "-E",
+             "--grep=round [0-9]+: verdict", "-1"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not commit:
+            return None
+        out = subprocess.run(
+            ["git", "show", f"{commit}:scripts/bench_local_latest.json"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        )
+        if out.returncode != 0:
+            return None
+        return json.loads(out.stdout)
+    except (OSError, subprocess.SubprocessError, ValueError):
+        return None
+
+
+def _normalized_regressions(
+    timings: dict[str, float], probes: dict, prev: dict | None
+) -> tuple[list[dict], float | None]:
+    """Probe-normalized per-query regression flags (VERDICT r12 item
+    3): every round burned judge/builder cycles re-adjudicating
+    machine drift (the r5 reboot, the r11/r12 GFLOPS swings), so the
+    bench now does the arithmetic itself.
+
+    ``probe_factor`` = prev matmul GFLOPS / current matmul GFLOPS —
+    how much SLOWER this box is than the previous round's — clamped to
+    [0.5, 2.0] because the shared-tenancy probe itself swings 2-3x
+    between runs and an unbounded correction would mask real
+    regressions.  A query is flagged when
+    ``(cur / prev) / probe_factor > 1.3`` AND cur >= 0.2 s (absolute
+    floor: the r12 adjudication showed 0.02 s entries "regressing"
+    1.5x on pure noise).  The flagged list is what the judge reads
+    INSTEAD of eyeballing ratios; an empty list means nothing
+    normalized-regressed."""
+    if not prev or not isinstance(prev.get("queries"), dict):
+        return [], None
+    prev_q = prev["queries"]
+    pg = (prev.get("probes") or {}).get("matmul_gflops")
+    cg = probes.get("matmul_gflops")
+    factor = 1.0
+    if pg and cg:
+        factor = max(0.5, min(2.0, float(pg) / float(cg)))
+    flagged = []
+    for name, cur in timings.items():
+        p = prev_q.get(name)
+        if not p or cur < 0.2:
+            continue
+        ratio = round((cur / p) / factor, 3)
+        if ratio > 1.3:
+            flagged.append(
+                {"query": name, "ratio": ratio,
+                 "prev": p, "cur": cur}
+            )
+    flagged.sort(key=lambda d: -d["ratio"])
+    return flagged, round(factor, 3)
+
+
 def main() -> None:
     from zarr_datafusion_spark.operators import (
         dedup,
@@ -427,6 +498,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     probes = _machine_probes()
+    nreg, probe_factor = _normalized_regressions(
+        timings, probes, _prev_round_artifact()
+    )
     full = {
         "metric": "headline_queries_wall",
         "value": total,
@@ -441,6 +515,10 @@ def main() -> None:
         "eager_construction": sorted(
             n for n in timings if n in EAGER_CONSTRUCTION
         ),
+        # probe-normalized drift flags vs the previous round's
+        # checked-in artifact (VERDICT r12 item 3; rule in BASELINE.md)
+        "probe_factor_vs_prev": probe_factor,
+        "normalized_regressions": nreg,
     }
     print(json.dumps(full))
 
@@ -476,6 +554,14 @@ def main() -> None:
                     q: timings[q] for q in WATCHLIST if q in timings
                 },
                 "probes": probes,
+                # normalized drift (rule: BASELINE.md r13) — capped at
+                # the worst 8 to keep this line under the driver's
+                # tail-capture budget
+                "probe_factor_vs_prev": probe_factor,
+                "normalized_regressions": [
+                    {"query": d["query"], "ratio": d["ratio"]}
+                    for d in nreg[:8]
+                ],
             }
         )
     )

@@ -847,3 +847,223 @@ def test_fill_value_nulls_any_gap_set(
             continue
         for x in range(nx):
             assert kept[(t, x)] == data[t, x]
+
+
+# ---------------------------------------------------------------------------
+# Engine.sql rewrite-chain fuzz (VERDICT r12 item 4): two rounds
+# running found literal-handling bugs in the regex-driven SQL
+# interception (the r11 MESSAGE hijack, the r12 COPY '' escape).
+# These properties pin every rewrite entry point: keyword-like tokens
+# INSIDE string literals must never trigger an interception, and the
+# intercepted shapes must extract options correctly whatever hostile
+# text rides in their values.
+# ---------------------------------------------------------------------------
+
+
+class _FakeSpark:
+    """Records every query delegated to spark.sql; Engine.__init__
+    only stores the session, and the non-intercepted path touches
+    nothing else, so no JVM is needed to observe pass-through."""
+
+    def __init__(self):
+        self.calls: list[str] = []
+
+    def sql(self, q):
+        self.calls.append(q)
+        return ("sql-result", q)
+
+
+def _esc(s: str) -> str:
+    """Embed arbitrary text as a SQL single-quoted literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+#: tokens that LOOK like every interception trigger the engine has
+_KEYWORDY = st.sampled_from([
+    "COPY (SELECT 1) TO 'x' STORED AS ZARR",
+    "CREATE EXTERNAL TABLE t STORED AS ZARR LOCATION 'y'",
+    "information_schema.columns",
+    "information_schema.tables",
+    "information_schema.views",
+    "EXPLAIN VERBOSE",
+    "STORED AS ZARR",
+    "LOCATION 'z'",
+    "OPTIONS ('chunk_stats' 'true')",
+    "BRANCH 'dev'",
+    "MESSAGE 'hi'",
+    "COORDS 'time,lat'",
+    "SELECT COUNT(*) FROM weather",
+    "TO 'p' STORED AS ZARR (COORDS 'a')",
+])
+
+_TEXTY = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x00"
+    ),
+    max_size=16,
+)
+
+_LITERAL = st.lists(
+    st.one_of(_KEYWORDY, _TEXTY), min_size=1, max_size=3
+).map(" ".join)
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,9}", fullmatch=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lit=_LITERAL,
+    lit2=_LITERAL,
+    ident=_IDENT,
+    shape=st.integers(0, 3),
+)
+def test_engine_sql_passthrough_is_byte_identical(lit, lit2, ident, shape):
+    """Any statement that is not an intercepted shape — whatever
+    keyword soup its string literals contain — reaches spark.sql
+    BYTE-IDENTICAL, exactly once, with no rewrite applied."""
+    from zarr_datafusion_spark.engine import Engine
+
+    stmts = [
+        f"SELECT {_esc(lit)} AS c1, {_esc(lit2)} AS c2",
+        f"SELECT * FROM {ident} WHERE note = {_esc(lit)}",
+        f"INSERT INTO {ident} VALUES ({_esc(lit)}, 1)",
+        f"UPDATE {ident} SET msg = {_esc(lit)} WHERE k = {_esc(lit2)}",
+    ]
+    stmt = stmts[shape]
+    fake = _FakeSpark()
+    eng = Engine(spark=fake)
+    out = eng.sql(stmt)
+    assert fake.calls == [stmt], (
+        "pass-through altered or duplicated the statement"
+    )
+    assert out == ("sql-result", stmt)
+    assert not eng.last_query_used_shortcut
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    coords=st.lists(_IDENT, min_size=1, max_size=3, unique=True),
+    message=_LITERAL,
+    fv=st.sampled_from([None, "2", "3"]),
+    pathbit=_LITERAL,
+)
+def test_engine_copy_option_extraction(coords, message, fv, pathbit):
+    """COPY ... STORED AS ZARR must extract COORDS/FORMAT_VERSION and
+    the target path correctly however hostile the MESSAGE value or the
+    path literal (embedded quotes, other option keywords): the r11
+    MESSAGE hijack and the r12 '' escape, generalized.  The sink is
+    mocked — nothing is written, the path needn't exist."""
+    from unittest import mock
+
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.zarr import sink as sink_mod
+
+    path = "/tmp/zds_fuzz/" + ("out " + pathbit.replace("\n", " "))[:80]
+    opts = [f"COORDS '{','.join(coords)}'", f"MESSAGE {_esc(message)}"]
+    if fv:
+        opts.append(f"FORMAT_VERSION '{fv}'")
+    stmt = (
+        f"COPY (SELECT 17 AS v) TO {_esc(path)} "
+        f"STORED AS ZARR ({', '.join(opts)})"
+    )
+    fake = _FakeSpark()
+    eng = Engine(spark=fake)
+    seen: dict = {}
+
+    def fake_write_zarr(df, p, **kw):
+        seen["path"] = p
+        seen.update(kw)
+        return {"rows": 7}
+
+    with mock.patch.object(sink_mod, "write_zarr", fake_write_zarr):
+        eng.sql(stmt)
+    assert seen["path"] == path  # '' unescaped exactly once
+    assert seen["coords"] == coords
+    assert seen["zarr_format"] == int(fv or 2)
+    # inner query executed once, COPY result built once
+    assert fake.calls[0] == "SELECT 17 AS v"
+    assert fake.calls[1].startswith("SELECT CAST(7 AS BIGINT)")
+
+
+@settings(max_examples=100, deadline=None)
+@given(message=_LITERAL, branch=_IDENT)
+def test_engine_copy_icechunk_branch_not_hijacked(message, branch):
+    """A MESSAGE value mentioning BRANCH '...' must stay message text:
+    the sequential option tokenizer consumes each quoted value before
+    reading the next key (r11 review finding, fuzzed)."""
+    from unittest import mock
+
+    from zarr_datafusion_spark.engine import Engine
+    from zarr_datafusion_spark.zarr import icechunk as ic_mod
+
+    stmt = (
+        "COPY (SELECT 1 AS v) TO 'icechunk:///tmp/zds_fuzz_repo' "
+        f"STORED AS ZARR (COORDS 'v', BRANCH '{branch}', "
+        f"MESSAGE {_esc(message)})"
+    )
+    fake = _FakeSpark()
+    eng = Engine(spark=fake)
+    seen: dict = {}
+
+    def fake_commit_zarr(df, repo, **kw):
+        seen["repo"] = repo
+        seen.update(kw)
+        kw["_sink_result"]["rows"] = 3
+        return "snapid"
+
+    with mock.patch.object(ic_mod, "commit_zarr", fake_commit_zarr):
+        eng.sql(stmt)
+    assert seen["repo"] == "/tmp/zds_fuzz_repo"
+    assert seen["branch"] == branch
+    # hostile content round-trips; an EMPTY message takes the
+    # documented default
+    assert seen["message"] == (message or "COPY")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    name=_IDENT,
+    locbit=_LITERAL,
+    chunk_stats=st.booleans(),
+    cache_mb=st.integers(0, 999),
+    prefetch=st.integers(0, 64),
+)
+def test_engine_ddl_option_extraction(
+    name, locbit, chunk_stats, cache_mb, prefetch
+):
+    """CREATE EXTERNAL TABLE ... STORED AS ZARR extracts the unescaped
+    location and every OPTIONS key for any hostile location text."""
+    from unittest import mock
+
+    from zarr_datafusion_spark.engine import Engine
+
+    location = ("/stores/" + locbit.replace("\n", " "))[:80]
+    opts = []
+    if chunk_stats:
+        opts.append("'chunk_stats' 'true'")
+    if cache_mb:
+        opts.append(f"'chunk_cache_mb' '{cache_mb}'")
+    if prefetch:
+        opts.append(f"'prefetch' '{prefetch}'")
+    stmt = (
+        f"CREATE EXTERNAL TABLE {name} STORED AS ZARR "
+        f"LOCATION {_esc(location)}"
+        + (f" OPTIONS ({', '.join(opts)})" if opts else "")
+    )
+    fake = _FakeSpark()
+    eng = Engine(spark=fake)
+    seen: dict = {}
+
+    def fake_register(nm, loc, **kw):
+        seen["name"] = nm
+        seen["loc"] = loc
+        seen.update(kw)
+
+    with mock.patch.object(eng, "register_zarr", fake_register):
+        eng.sql(stmt)
+    assert seen["name"] == name
+    assert seen["loc"] == location
+    assert seen["data_filter_pushdown"] == chunk_stats
+    assert seen["chunk_cache_mb"] == cache_mb
+    assert seen["prefetch"] == prefetch
+    assert fake.calls == [f"SELECT * FROM {name} WHERE 1=0"]

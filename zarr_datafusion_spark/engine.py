@@ -172,9 +172,16 @@ class Engine:
     #: same as the OPTIONS values (r12 review finding: the option
     #: values learned the escape but the LOCATION/TO literal in the
     #: same grammar rejected it, falling through to Spark's parser)
+    #: options blob = anything but ) or ', OR a complete quoted literal
+    #: (which MAY contain parens — r13 fuzz finding: a MESSAGE value
+    #: with "(...)" used to truncate the [^)]* group and dump the whole
+    #: COPY statement on Spark's parser)
+    _OPTS_BLOB = r"((?:[^)']|'(?:[^']|'')*')*)"
+
     _ZARR_DDL = re.compile(
         r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s+STORED\s+AS\s+ZARR\s+"
-        r"LOCATION\s+'((?:[^']|'')+)'\s*(?:OPTIONS\s*\(([^)]*)\))?\s*;?\s*$",
+        r"LOCATION\s+'((?:[^']|'')+)'\s*(?:OPTIONS\s*\(" + _OPTS_BLOB
+        + r"\))?\s*;?\s*$",
         re.IGNORECASE,
     )
 
@@ -185,7 +192,7 @@ class Engine:
     #: FORMAT_VERSION '2'|'3', COMPRESSION 'zlib'|'gzip'|'blosc-lz4'.
     _ZARR_COPY = re.compile(
         r"^\s*COPY\s*\((.*)\)\s*TO\s*'((?:[^']|'')+)'\s*STORED\s+AS\s+ZARR"
-        r"(?:\s*\(([^)]*)\))?\s*;?\s*$",
+        r"(?:\s*\(" + _OPTS_BLOB + r"\))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
 
