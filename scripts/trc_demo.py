@@ -55,6 +55,14 @@ def main() -> None:
     rows = ns * no
 
     base_dir = tempfile.mkdtemp(prefix="trc_demo_")
+    # cleanup must survive any exit path (an exception, or a harness
+    # SIGTERM landing between the final print and the old tail-of-main
+    # rmtree — two leaked stores observed in r13): register it at
+    # creation time instead of after spark.stop()
+    import atexit
+
+    if not args.keep:
+        atexit.register(shutil.rmtree, base_dir, ignore_errors=True)
     store = os.path.join(base_dir, "trc.zarr")
     print(f"[build] {ns} stations x {no} obs = {rows:,} rows", file=sys.stderr)
 
@@ -129,7 +137,7 @@ def main() -> None:
     print(json.dumps(out))
     spark.stop()
     if not args.keep:
-        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.rmtree(base_dir, ignore_errors=True)  # atexit no-ops after
 
 
 if __name__ == "__main__":
