@@ -359,9 +359,12 @@ def _normalized_regressions(
 
     ``probe_factor`` = prev matmul GFLOPS / current matmul GFLOPS —
     how much SLOWER this box is than the previous round's — clamped to
-    [0.5, 2.0] because the shared-tenancy probe itself swings 2-3x
-    between runs and an unbounded correction would mask real
-    regressions.  A query is flagged when
+    [1.0, 2.0]: the factor only EXCUSES slowdowns on a provably slower
+    box, it never DEMANDS speedups on a faster one (first r13 run: the
+    probe read 1.74x faster while pyloop was unchanged, and a
+    symmetric factor flagged eight merely-equal queries; the probe
+    itself swings 2-3x under shared tenancy, so >2.0 corrections are
+    capped too).  A query is flagged when
     ``(cur / prev) / probe_factor > 1.3`` AND cur >= 0.2 s (absolute
     floor: the r12 adjudication showed 0.02 s entries "regressing"
     1.5x on pure noise).  The flagged list is what the judge reads
@@ -374,7 +377,7 @@ def _normalized_regressions(
     cg = probes.get("matmul_gflops")
     factor = 1.0
     if pg and cg:
-        factor = max(0.5, min(2.0, float(pg) / float(cg)))
+        factor = max(1.0, min(2.0, float(pg) / float(cg)))
     flagged = []
     for name, cur in timings.items():
         p = prev_q.get(name)
