@@ -327,25 +327,14 @@ def _prev_round_artifact() -> dict | None:
     refresh the artifact can't make the comparison self-referential.
     Returns None (normalization skipped) when git or the file is
     unavailable; never raises."""
-    import subprocess
+    from zarr_datafusion_spark.fingerprints import file_at_round_commit
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    text = file_at_round_commit("scripts/bench_local_latest.json")
+    if text is None:
+        return None
     try:
-        commit = subprocess.run(
-            ["git", "log", "--format=%H", "-E",
-             "--grep=round [0-9]+: verdict", "-1"],
-            cwd=here, capture_output=True, text=True, timeout=30,
-        ).stdout.strip()
-        if not commit:
-            return None
-        out = subprocess.run(
-            ["git", "show", f"{commit}:scripts/bench_local_latest.json"],
-            cwd=here, capture_output=True, text=True, timeout=30,
-        )
-        if out.returncode != 0:
-            return None
-        return json.loads(out.stdout)
-    except (OSError, subprocess.SubprocessError, ValueError):
+        return json.loads(text)
+    except ValueError:
         return None
 
 

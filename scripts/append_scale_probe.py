@@ -33,12 +33,13 @@ import pandas as pd
 NLAT, NLON = 10, 14  # distinct sizes: dimension-order inference needs them
 
 
-def build_repo(spark, parent: str, n_slabs: int) -> str:
-    from zarr_datafusion_spark.zarr.icechunk import commit_store
-    from zarr_datafusion_spark.zarr.writer import write_store
-
+def probe_base_arrays(n_slabs: int) -> dict:
+    """The probe's base-store arrays — shared with the pinning tests in
+    tests/test_icechunk.py (they import THIS module), so the measured
+    table and the `== 3 new objects` assertion can never drift apart
+    (r13 review)."""
     rng = np.random.RandomState(7)
-    arrays = {
+    return {
         "time": (np.arange(n_slabs, dtype=np.int64), (n_slabs,)),
         "lat": (np.arange(NLAT, dtype=np.int64), (NLAT,)),
         "lon": (np.arange(NLON, dtype=np.int64), (NLON,)),
@@ -51,8 +52,14 @@ def build_repo(spark, parent: str, n_slabs: int) -> str:
             (1, NLAT, NLON),
         ),
     }
+
+
+def build_repo(parent: str, n_slabs: int) -> str:
+    from zarr_datafusion_spark.zarr.icechunk import commit_store
+    from zarr_datafusion_spark.zarr.writer import write_store
+
     store = os.path.join(parent, f"base_{n_slabs}.zarr")
-    write_store(store, arrays, zarr_format=2)
+    write_store(store, probe_base_arrays(n_slabs), zarr_format=2)
     repo = os.path.join(parent, f"repo_{n_slabs}.ic")
     commit_store(store, repo, message=f"base {n_slabs} slabs")
     return repo
@@ -96,10 +103,10 @@ def main() -> None:
         # warmup: first Spark job + python-worker spawn must not be
         # billed to the smallest store's append (it made 13 objects
         # read 5.2 s vs 1003 objects 0.9 s on the first run)
-        wrepo = build_repo(spark, parent, 2)
+        wrepo = build_repo(parent, 2)
         append_snapshot(one_slab_df(spark, 2), wrepo, message="warmup")
         for n in sizes:
-            repo = build_repo(spark, parent, n)
+            repo = build_repo(parent, n)
             before = chunk_objects(repo)
             df = one_slab_df(spark, n)
             t0 = time.perf_counter()

@@ -57,12 +57,18 @@ def main() -> None:
     base_dir = tempfile.mkdtemp(prefix="trc_demo_")
     # cleanup must survive any exit path (an exception, or a harness
     # SIGTERM landing between the final print and the old tail-of-main
-    # rmtree — two leaked stores observed in r13): register it at
-    # creation time instead of after spark.stop()
+    # rmtree — two leaked stores observed in r13): register at
+    # creation time, and route SIGTERM through sys.exit because
+    # Python's default SIGTERM disposition terminates WITHOUT running
+    # atexit handlers (r13 review)
     import atexit
+    import signal
 
     if not args.keep:
         atexit.register(shutil.rmtree, base_dir, ignore_errors=True)
+        signal.signal(
+            signal.SIGTERM, lambda *_: sys.exit(128 + signal.SIGTERM)
+        )
     store = os.path.join(base_dir, "trc.zarr")
     print(f"[build] {ns} stations x {no} obs = {rows:,} rows", file=sys.stderr)
 

@@ -1434,44 +1434,27 @@ def test_branch_creation_fence_allows_immediate_successor(repo):
 # ---------------------------------------------------------------------------
 
 
-def _probe_base_arrays(n_slabs: int):
-    import numpy as np
+def _probe_mod():
+    """The probe script IS the single source of the base arrays and
+    slab builder — importing it here keeps the BASELINE.md table and
+    these assertions in lockstep (r13 review: the helpers had been
+    duplicated)."""
+    import importlib.util
 
-    rng = np.random.RandomState(7)
-    return {
-        "time": (np.arange(n_slabs, dtype=np.int64), (n_slabs,)),
-        "lat": (np.arange(10, dtype=np.int64), (10,)),
-        "lon": (np.arange(14, dtype=np.int64), (14,)),
-        "temperature": (
-            rng.randn(n_slabs, 10, 14).astype(np.float64), (1, 10, 14)
-        ),
-        "humidity": (
-            rng.rand(n_slabs, 10, 14).astype(np.float64), (1, 10, 14)
-        ),
-    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "scripts", "append_scale_probe.py")
+    spec = importlib.util.spec_from_file_location("append_scale_probe", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _probe_base_arrays(n_slabs: int):
+    return _probe_mod().probe_base_arrays(n_slabs)
 
 
 def _probe_slab_df(spark, t: int):
-    import numpy as np
-    import pandas as pd
-
-    lat, lon = np.meshgrid(
-        np.arange(10, dtype=np.int64),
-        np.arange(14, dtype=np.int64),
-        indexing="ij",
-    )
-    rng = np.random.RandomState(1000 + t)
-    return spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "time": np.full(140, t, dtype=np.int64),
-                "lat": lat.ravel(),
-                "lon": lon.ravel(),
-                "temperature": rng.randn(140),
-                "humidity": rng.rand(140),
-            }
-        )
-    )
+    return _probe_mod().one_slab_df(spark, t)
 
 
 def test_append_staging_is_sparse_at_any_store_size(spark, tmp_path):

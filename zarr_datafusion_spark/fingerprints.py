@@ -152,19 +152,17 @@ def compute_fingerprints(queries: dict, oracles: dict) -> dict[str, str]:
     }
 
 
-def _round_commit(round_no: int) -> str | None:
+def _round_commit(round_no: int | None) -> str | None:
     """Hash of the driver's ``round N: verdict/...`` commit — the code
-    state round N's correctness records were taken against."""
+    state round N's correctness records were taken against.  ``None``
+    finds the LATEST round commit (the previous round boundary)."""
+    if round_no is None:
+        grep = ["-E", "--grep=round [0-9]+: verdict"]
+    else:
+        grep = ["-F", f"--grep=round {round_no}: verdict"]
     try:
         out = subprocess.run(
-            [
-                "git",
-                "log",
-                "--format=%H",
-                "-F",
-                f"--grep=round {round_no}: verdict",
-                "-1",
-            ],
+            ["git", "log", "--format=%H", *grep, "-1"],
             cwd=_REPO_ROOT,
             capture_output=True,
             text=True,
@@ -174,6 +172,30 @@ def _round_commit(round_no: int) -> str | None:
         return None
     h = out.stdout.strip()
     return h or None
+
+
+def file_at_round_commit(
+    rel_path: str, round_no: int | None = None
+) -> str | None:
+    """Contents of ``rel_path`` as committed at a round boundary
+    (latest boundary when ``round_no`` is None), or None when git, the
+    commit, or the file is unavailable — never raises.  bench.py's
+    probe-normalization reads its previous-round artifact through this
+    (r13 review: it had re-implemented the plumbing)."""
+    commit = _round_commit(round_no)
+    if not commit:
+        return None
+    try:
+        out = subprocess.run(
+            ["git", "show", f"{commit}:{rel_path}"],
+            cwd=_REPO_ROOT,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return out.stdout if out.returncode == 0 else None
 
 
 _recorded_cache: dict[int, dict | None] = {}

@@ -826,11 +826,19 @@ def sim_kmeans_train(spark, sf_dir):
     ``kmeans_fit`` (the IVF trainer, numpy + tolerance stop) is
     deliberately untouched — the IVF index constants cannot drift.
 
-    100 TB posture: per iteration ONE corpus scan and ONE bounded-key
-    shuffle (map-side hash partials over k×dim = {K_CLUSTERS}×64
-    groups); the driver sees exactly the k×dim rounded model
-    parameters per iteration, never data.  Parity measured bit-exact
-    at sf0.001 and sf0.01 before landing."""
+    100 TB posture: per iteration ONE corpus scan and ONE k-key
+    shuffle (the wide 64-mean-column aggregate — map-side partials of
+    k×(dim+1) values per partition, the ``kmeans_fit`` shape); the
+    driver sees exactly the k×dim rounded model parameters per
+    iteration, never data.  Parity measured bit-exact at sf0.001 and
+    sf0.01 before landing; residual cross-engine risk is a rounded
+    mean landing within ~1 ulp of a .5e-6 boundary (Spark rounds the
+    exact BigDecimal, DuckDB the scaled double — ~10^-6 probability
+    per value, amplified by the iteration feedback), which a testdata
+    regeneration could in principle surface: the suite's parametrized
+    parity canary (``test_oracle_checked_ops[sim_kmeans_train]``,
+    which picks up every similarity.ORACLE entry automatically)
+    catches it before the driver does."""
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     k, iters = K_CLUSTERS, KM_TRAIN_ITERS
     first = (
@@ -856,28 +864,32 @@ def sim_kmeans_train(spark, sf_dir):
         "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         "0D, (acc, v) -> acc + v) AS d2, c.cid AS cid)))"
     )
+    # WIDE update aggregate (the kmeans_fit shape, r13 review): one
+    # rounded-mean column per dimension instead of a posexplode — the
+    # same exact decimal sums without 64x-ing the rows map-side, and
+    # map-side partial aggregation shuffles only k x (dim+1) partials
+    # per partition.  F.round on the double mean matches DuckDB's
+    # round(s::DOUBLE / n, 6) (both half away from zero).
+    dim = 64
+    mean_cols = [
+        F.round(
+            F.sum(
+                F.element_at("embedding", i + 1).cast("decimal(38,12)")
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias(f"m{i}")
+        for i in range(dim)
+    ]
     for _ in range(iters):
         assigned = emb.withColumn("cents", cent_col()).select(
             "embedding", F.expr(argmin + ".cid").alias("cluster")
         )
-        upd = (
-            assigned.select(
-                "cluster", F.posexplode("embedding").alias("dim", "v")
-            )
-            .groupBy("cluster", "dim")
-            .agg(
-                F.sum(F.col("v").cast("decimal(38,12)")).alias("s"),
-                F.count("*").alias("n"),
-            )
-            .select(
-                "cluster",
-                "dim",
-                F.round(F.col("s").cast("double") / F.col("n"), 6).alias("m"),
-            )
-            .collect()
-        )
+        upd = assigned.groupBy("cluster").agg(*mean_cols).collect()
         for r in upd:  # an emptied cluster keeps its previous centroid
-            cents[int(r.cluster)][int(r.dim)] = float(r.m)
+            cents[int(r["cluster"])] = [
+                float(r[f"m{i}"]) for i in range(dim)
+            ]
     return (
         emb.withColumn("cents", cent_col())
         .select(

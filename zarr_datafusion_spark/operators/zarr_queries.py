@@ -1194,7 +1194,15 @@ def zarr_icechunk_append(spark, sf_dir):
     )
 
     store = fixture_store(2)
-    code_key = fingerprints.entry_fingerprint(append_snapshot)[:10]
+    # BOTH builders key the fixture: commit_zarr (the base image's
+    # writer — its graph reaches write_zarr/commit_store) and
+    # append_snapshot (the sparse append).  Keying on append_snapshot
+    # alone let a sink change silently reuse a repo whose base image
+    # the OLD sink wrote (r13 review).
+    code_key = (
+        fingerprints.entry_fingerprint(append_snapshot)[:10]
+        + fingerprints.entry_fingerprint(commit_zarr)[:10]
+    )
     key = source_staleness_key(
         os.path.join(store, ".zgroup"), f"ic_append1:{code_key}"
     )

@@ -72,7 +72,8 @@ import json
 import os
 import re
 import urllib.error
-import uuid
+
+from zarr_datafusion_spark.zarr.storage import tmp_name as _tmp_name
 
 __all__ = [
     "IcechunkConflictError",
@@ -220,7 +221,7 @@ def init_repo(repo: str) -> str:
             os.makedirs(os.path.join(repo, d), exist_ok=True)
         marker = os.path.join(repo, _MARKER)
         if not os.path.exists(marker):
-            tmp = marker + f".tmp{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            tmp = _tmp_name(marker)
             with open(tmp, "w") as f:
                 json.dump(_FORMAT, f)
             os.replace(tmp, marker)
@@ -242,7 +243,7 @@ def _write_object(repo: str, rel: str, payload: bytes) -> None:
         if os.path.exists(path):
             return
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        tmp = _tmp_name(path)
         with open(tmp, "wb") as f:
             f.write(payload)
         try:
@@ -371,7 +372,7 @@ def _publish_ref_exclusive(path: str, doc: dict) -> None:
     (r11 review finding).  The tmp name carries a per-call uuid
     besides the pid: two THREADS of one process racing the same ref
     must not share a tmp file (ADVICE r12)."""
-    tmp = f"{path}.tmp{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    tmp = _tmp_name(path)
     with open(tmp, "w") as f:
         json.dump(doc, f)
         f.flush()

@@ -49,6 +49,22 @@ def _probe_404(open_fn, url: str, method: str = "GET") -> bool:
         raise
 
 
+def tmp_name(path: str) -> str:
+    """Private tmp filename for an atomic write targeting ``path``.
+
+    The pid component keeps cross-PROCESS writers apart; the per-call
+    uuid keeps two THREADS of one process apart (ADVICE r12: pid-only
+    names let racing threads link torn/foreign bytes).  The ``.tmp``
+    substring is a CONTRACT: debris recovery, ``prune_stale_siblings``,
+    and the chunk walks all filter on it — one helper so the next
+    change to tmp-name semantics happens in exactly one place
+    (r13 review: the pattern had been copy-pasted four times)."""
+    import os
+    import uuid
+
+    return f"{path}.tmp{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+
 @dataclass(frozen=True)
 class StorageLocation:
     """Parsed store location (reference ``StorageLocation::parse``,
@@ -163,15 +179,11 @@ class LocalStoreFS:
         object appears only with its complete bytes and exactly one
         concurrent creator wins."""
         import os
-        import uuid
 
         os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
-        # pid alone is not unique across THREADS of one process: two
-        # threads racing the same ref would share the tmp name and
-        # could link torn/foreign bytes (ADVICE r12) — a per-call
-        # uuid component restores the uniqueness the remote
-        # conditional-PUT path gets for free
-        tmp = f"{p}.tmp{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        # pid+uuid tmp (tmp_name): two threads racing the same ref must
+        # never share a tmp file (ADVICE r12)
+        tmp = tmp_name(p)
         with open(tmp, "wb") as f:
             f.write(payload)
             f.flush()
@@ -1251,7 +1263,9 @@ def writable_store_fs(path: str):
         stamp, out = cached
         if time.monotonic() - stamp < _WRITABLE_TTL_S:
             return out
-        del _WRITABLE_CACHE[path]
+        # pop, not del: two threads racing the same expired entry must
+        # both fall through to a rebuild, not KeyError (r13 review)
+        _WRITABLE_CACHE.pop(path, None)
     loc = StorageLocation.parse(path)
     if loc.scheme == "file":
         out = (LocalStoreFS(), loc.path)
