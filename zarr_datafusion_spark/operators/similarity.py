@@ -833,12 +833,15 @@ def sim_kmeans_train(spark, sf_dir):
     iteration, never data.  Parity measured bit-exact at sf0.001 and
     sf0.01 before landing; residual cross-engine risk is a rounded
     mean landing within ~1 ulp of a .5e-6 boundary (Spark rounds the
-    exact BigDecimal, DuckDB the scaled double — ~10^-6 probability
-    per value, amplified by the iteration feedback), which a testdata
-    regeneration could in principle surface: the suite's parametrized
-    parity canary (``test_oracle_checked_ops[sim_kmeans_train]``,
-    which picks up every similarity.ORACLE entry automatically)
-    catches it before the driver does."""
+    exact BigDecimal, DuckDB the scaled double).  Measured margin at
+    sf0.01: the CLOSEST of the 2048 per-iteration scaled means sits
+    4.4e-5 from a boundary — five orders of magnitude wider than the
+    ~1e-10 ulp-disagreement window — so current data cannot flip.  A
+    testdata regeneration re-rolls that dice (~1e-6/value); the
+    suite's parametrized parity canary
+    (``test_oracle_checked_ops[sim_kmeans_train]``, picked up from
+    similarity.ORACLE automatically) catches it before the driver
+    does."""
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     k, iters = K_CLUSTERS, KM_TRAIN_ITERS
     first = (
