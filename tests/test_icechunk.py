@@ -1512,3 +1512,39 @@ def test_remote_append_stages_only_new_objects(spark, s3_repo, tmp_path):
     assert {d.split("repo.ic/")[1].split("/")[0] for d in docs} == {
         "snapshots", "manifests", "refs"
     }, sorted(docs)
+
+
+def test_branch_creation_fence_raises_over_live_s3(spark, s3_repo, tmp_path):
+    """The ADVICE-r12 medium was specifically the REMOTE race (both
+    writers' conditional PUTs succeed at different generation names,
+    silently shadowing one snapshot): run the shadowed-rival scenario
+    end-to-end over the live-socket s3 store — the fence lists the
+    branch prefix through the object-store adapter and raises."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    url, _objects = s3_repo
+    store = str(tmp_path / "base.zarr")
+    write_store(store, _probe_base_arrays(4), zarr_format=2)
+    s1 = commit_store(store, url, message="base")
+    store2 = str(tmp_path / "grown.zarr")
+    write_store(store2, _probe_base_arrays(6), zarr_format=2)
+    s2 = commit_store(store2, url, message="grown", expected_snapshot=s1)
+
+    real_publish = ic._publish_ref
+
+    def ours_then_rival(repo_, rel, doc):
+        real_publish(repo_, rel, doc)
+        if "/branch.raced/" in rel:
+            real_publish(
+                repo_,
+                f"refs/branch.raced/{ic._gen_name(1)}",
+                {"snapshot": s1},
+            )
+
+    import pytest as _pytest
+    from unittest import mock
+
+    with mock.patch.object(ic, "_publish_ref", ours_then_rival):
+        with _pytest.raises(IcechunkConflictError, match="raced"):
+            ic.create_branch(url, "raced", s2)
