@@ -826,11 +826,12 @@ def sim_kmeans_train(spark, sf_dir):
     ``kmeans_fit`` (the IVF trainer, numpy + tolerance stop) is
     deliberately untouched — the IVF index constants cannot drift.
 
-    100 TB posture: per iteration ONE corpus scan and ONE k-key
-    shuffle (the wide 64-mean-column aggregate — map-side partials of
-    k×(dim+1) values per partition, the ``kmeans_fit`` shape); the
-    driver sees exactly the k×dim rounded model parameters per
-    iteration, never data.  Parity measured bit-exact at sf0.001 and
+    100 TB posture: per iteration ONE corpus scan and ONE bounded-key
+    shuffle (map-side hash partials combine to k×dim rows per
+    partition before the exchange; the posexplode is transient and
+    codegen'd — chosen over the wide 64-column form on an sf1 A/B,
+    see the in-body comment); the driver sees exactly the k×dim
+    rounded model parameters per iteration, never data.  Parity measured bit-exact at sf0.001 and
     sf0.01 before landing; residual cross-engine risk is a rounded
     mean landing within ~1 ulp of a .5e-6 boundary (Spark rounds the
     exact BigDecimal, DuckDB the scaled double).  Measured margin at
@@ -867,32 +868,40 @@ def sim_kmeans_train(spark, sf_dir):
         "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         "0D, (acc, v) -> acc + v) AS d2, c.cid AS cid)))"
     )
-    # WIDE update aggregate (the kmeans_fit shape, r13 review): one
-    # rounded-mean column per dimension instead of a posexplode — the
-    # same exact decimal sums without 64x-ing the rows map-side, and
-    # map-side partial aggregation shuffles only k x (dim+1) partials
-    # per partition.  F.round on the double mean matches DuckDB's
-    # round(s::DOUBLE / n, 6) (both half away from zero).
-    dim = 64
-    mean_cols = [
-        F.round(
-            F.sum(
-                F.element_at("embedding", i + 1).cast("decimal(38,12)")
-            ).cast("double")
-            / F.count("*"),
-            6,
-        ).alias(f"m{i}")
-        for i in range(dim)
-    ]
+    # Update aggregate: BOTH physical shapes were measured at sf1
+    # (r13): the codegen'd posexplode + (cluster, dim) hash agg runs
+    # 3.4 s/iteration vs 5.6 s for the wide 64-decimal-column form
+    # (64 interpreted element_at+decimal states per row lose to one
+    # exploded codegen'd sum — the r7 winnowing lesson again), so the
+    # explode form ships.  Shuffle volume is identical either way:
+    # map-side partial aggregation combines to k x dim partials per
+    # partition before the exchange; the 64x row expansion is
+    # transient, inside whole-stage codegen.  F.round on the double
+    # mean matches DuckDB's round(s::DOUBLE / n, 6) (both half away
+    # from zero), and the decimal sums are exact, so the two shapes
+    # produce bit-identical centroids.
     for _ in range(iters):
         assigned = emb.withColumn("cents", cent_col()).select(
             "embedding", F.expr(argmin + ".cid").alias("cluster")
         )
-        upd = assigned.groupBy("cluster").agg(*mean_cols).collect()
+        upd = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,12)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cluster",
+                "dim",
+                F.round(F.col("s").cast("double") / F.col("n"), 6).alias("m"),
+            )
+            .collect()
+        )
         for r in upd:  # an emptied cluster keeps its previous centroid
-            cents[int(r["cluster"])] = [
-                float(r[f"m{i}"]) for i in range(dim)
-            ]
+            cents[int(r.cluster)][int(r.dim)] = float(r.m)
     return (
         emb.withColumn("cents", cent_col())
         .select(
