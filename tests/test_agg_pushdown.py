@@ -278,6 +278,11 @@ def test_bail_shapes_fall_through(agg_engine, spark):
         ("SELECT time, SUM(pressure) AS s FROM tc GROUP BY time", 12),
         ("SELECT SUM(pressure) AS s FROM tc WHERE time >= 2 OR time <= 1", 1),
         ("SELECT SUM(pressure) AS s FROM tc WHERE (time >= 2)", 1),
+        # QUOTED literal: every rewrite's conjunct grammar is numeric-
+        # only, so a string literal must decline to Spark (which casts
+        # '2' and answers identically) — the literal-safety twin of the
+        # r13 Engine.sql fuzz, applied to the pruning rewrites
+        ("SELECT SUM(pressure) AS s FROM tc WHERE time = '2'", 1),
     ]:
         df = agg_engine.sql(sql)
         assert not agg_engine.last_query_used_shortcut, sql
