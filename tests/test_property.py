@@ -1067,3 +1067,63 @@ def test_engine_ddl_option_extraction(
     assert seen["chunk_cache_mb"] == cache_mb
     assert seen["prefetch"] == prefetch
     assert fake.calls == [f"SELECT * FROM {name} WHERE 1=0"]
+
+
+# ---------------------------------------------------------------------------
+# OPTIONS-blob grammar: linear time + same language as the r13 spelling
+# (ADVICE r13: the ambiguous literal branch '(?:[^']|'')*' backtracked
+# exponentially on doubled-quote runs with one unbalanced quote — ~2.4 s
+# at 24 pairs, doubling per pair, wedging every Engine.sql call).
+# ---------------------------------------------------------------------------
+
+#: the r13 ambiguous spelling, kept ONLY as the differential oracle for
+#: the language-equivalence fuzz below (safe on short inputs).
+_OPTS_BLOB_R13 = r"((?:[^)']|'(?:[^']|'')*')*)"
+
+
+def test_opts_blob_adversarial_input_is_linear():
+    """A malformed OPTIONS tail of 5000 doubled-quote pairs with one
+    unbalanced quote must fail the DDL/COPY match in well under a
+    second (the r13 pattern needed ~3 s for 24 pairs) and fall through
+    to Spark's parser untouched."""
+    import time
+
+    from zarr_datafusion_spark.engine import Engine
+
+    tail = "''" * 5000 + "'"
+    stmts = [
+        f"CREATE EXTERNAL TABLE t STORED AS ZARR LOCATION '/x' OPTIONS ({tail}",
+        f"COPY (SELECT 1) TO '/x' STORED AS ZARR ({tail}",
+    ]
+    fake = _FakeSpark()
+    eng = Engine(spark=fake)
+    t0 = time.time()
+    for s in stmts:
+        eng.sql(s)
+    assert time.time() - t0 < 1.0, "OPTIONS-blob match is not linear"
+    assert fake.calls == stmts  # fell through byte-identical
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    blob=st.text(alphabet=st.sampled_from(list("'() ,kv")), max_size=18)
+)
+def test_opts_blob_matches_same_language_as_r13_pattern(blob):
+    """The maximal-munch literal branch accepts EXACTLY the same
+    OPTIONS blobs as the r13 ambiguous spelling (which defined the
+    documented grammar), differentially fuzzed over short quote/paren
+    soup where the old pattern is still safe to run."""
+    import re
+
+    from zarr_datafusion_spark.engine import Engine
+
+    old = re.compile(r"^\(" + _OPTS_BLOB_R13 + r"\)$")
+    new = re.compile(r"^\(" + Engine._OPTS_BLOB + r"\)$")
+    s = f"({blob})"
+    mo, mn = old.match(s), new.match(s)
+    assert (mo is None) == (mn is None), (
+        f"grammar drift on {blob!r}: r13={'match' if mo else 'no'} "
+        f"new={'match' if mn else 'no'}"
+    )
+    if mo is not None:
+        assert mo.group(1) == mn.group(1), f"different blob capture on {blob!r}"

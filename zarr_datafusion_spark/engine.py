@@ -175,8 +175,17 @@ class Engine:
     #: options blob = anything but ) or ', OR a complete quoted literal
     #: (which MAY contain parens — r13 fuzz finding: a MESSAGE value
     #: with "(...)" used to truncate the [^)]* group and dump the whole
-    #: COPY statement on Spark's parser)
-    _OPTS_BLOB = r"((?:[^)']|'(?:[^']|'')*')*)"
+    #: COPY statement on Spark's parser).  The literal branch is
+    #: maximal-munch — non-quote run, then ('' + non-quote run)*, then
+    #: a close quote NOT followed by another quote — so a '' run can
+    #: only parse one way.  The r13 spelling '(?:[^']|'')*' let every
+    #: '' match either as an escape or as close-then-open, and a
+    #: malformed tail of ~24 doubled-quote pairs with one unbalanced
+    #: quote backtracked for seconds, doubling per pair, wedging every
+    #: Engine.sql call instead of falling through to Spark's parser
+    #: (ADVICE r13).  Linearity + old/new language agreement pinned in
+    #: tests/test_property.py (adversarial timing + differential fuzz).
+    _OPTS_BLOB = r"((?:[^)']|'[^']*(?:''[^']*)*'(?!'))*)"
 
     _ZARR_DDL = re.compile(
         r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s+STORED\s+AS\s+ZARR\s+"
