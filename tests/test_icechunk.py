@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -256,7 +257,8 @@ def test_gc_collects_unreachable(spark, tmp_path):
                 coords=["time", "lat", "lon"])
     assert len(_chunk_objects(path)) > len(live)
     shutil.rmtree(os.path.join(path, "refs", "branch.scratch"))
-    removed = gc_repo(path)
+    # grace 0: the repo is quiesced and the debris is seconds old
+    removed = gc_repo(path, grace_seconds=0.0)
     assert removed["snapshots"] == 1 and removed["manifests"] == 1
     assert removed["chunks"] > 0
     assert _chunk_objects(path) == live
@@ -269,9 +271,11 @@ def test_gc_noop_when_all_reachable(repo):
     # first pass may sweep the debris earlier conflict-loser tests
     # staged (their chunk payloads were all shared, so chunks stay);
     # a second pass over a fully-reachable repo removes nothing.
-    first = gc_repo(path)
+    first = gc_repo(path, grace_seconds=0.0)
     assert first["chunks"] == 0
-    assert gc_repo(path) == {"snapshots": 0, "manifests": 0, "chunks": 0}
+    assert gc_repo(path, grace_seconds=0.0) == {
+        "snapshots": 0, "manifests": 0, "chunks": 0, "skipped_young": 0,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -733,6 +737,186 @@ def test_property_commit_sequences_replay_exactly(tmp_path):
     run()
 
 
+def test_property_branch_creation_interleavings(tmp_path):
+    """Property (VERDICT r13 item 5): for ANY main history and ANY
+    rival interleaved into a branch creation — a fork of an earlier
+    snapshot (the shadowing race), a fork of a later main snapshot (a
+    legitimate descendant), the same snapshot (duplicate create), an
+    immediate successor commit, a foreign rootless head, or crash
+    debris recovered mid-create — the fence's successor-ancestry walk
+    raises exactly on the non-descendant coexisting generations, the
+    surviving head is always the max-sequence generation, and the
+    branch stays committable afterwards (the documented
+    rebase-and-retry recovery)."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.zarr.writer import write_store
+
+    counter = [0]
+
+    def _mk_store(tag: str, val: int) -> str:
+        store = str(tmp_path / f"bci_{tag}.zarr")
+        arr = np.arange(val, val + 3, dtype=np.int64)
+        write_store(store, {
+            "x": (arr, (3,)),
+            "v": ((arr[:, None] * 7).astype(np.int64), (1, 1)),
+        })
+        return store
+
+    @settings(
+        max_examples=20, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        n=st.integers(2, 4),
+        i_raw=st.integers(0, 3),
+        kind=st.sampled_from(
+            ["none", "lower", "later", "same", "successor", "foreign",
+             "debris"]
+        ),
+        j_raw=st.integers(0, 3),
+        k=st.integers(1, 6),
+    )
+    def run(n, i_raw, kind, j_raw, k):
+        counter[0] += 1
+        repo_path = str(tmp_path / f"bci{counter[0]}.ic")
+        sids = []
+        for c in range(n):
+            sids.append(commit_store(
+                _mk_store(f"{counter[0]}_{c}", 100 * c), repo_path,
+                message=f"c{c}",
+            ))
+        i = i_raw % n
+        # pick the rival's fork point consistent with the kind
+        if kind == "lower" and i == 0:
+            kind = "none"
+        if kind in ("later", "successor") and i == n - 1:
+            kind = "none"
+        j = (j_raw % i) if kind == "lower" else (
+            i + 1 + j_raw % (n - 1 - i) if kind == "later" else i
+        )
+        if kind == "foreign" and k == i + 1:
+            k = i + 2  # a foreign head at OUR seq would collide filenames
+
+        real_publish = ic._publish_ref
+        fired = {"done": False}
+
+        def rival_then_ours(repo_, rel, doc):
+            if f"/branch.b/" in rel and not fired["done"]:
+                fired["done"] = True
+                if kind in ("lower", "later", "same"):
+                    real_publish(
+                        repo_,
+                        f"refs/branch.b/{ic._gen_name(j + 1)}",
+                        {"snapshot": sids[j]},
+                    )
+                elif kind == "successor":
+                    real_publish(
+                        repo_,
+                        f"refs/branch.b/{ic._gen_name(i + 2)}",
+                        {"snapshot": sids[i + 1]},
+                    )
+                elif kind == "foreign":
+                    body = {
+                        "parent": None, "sequence": k, "message": "f",
+                        "metadata": {}, "manifest": "nope", "id": "e" * 24,
+                    }
+                    os.makedirs(
+                        os.path.join(repo_path, "snapshots"), exist_ok=True
+                    )
+                    with open(os.path.join(
+                        repo_path, "snapshots", body["id"] + ".json"
+                    ), "w") as f:
+                        json.dump(body, f)
+                    real_publish(
+                        repo_,
+                        f"refs/branch.b/{ic._gen_name(k)}",
+                        {"snapshot": body["id"]},
+                    )
+            real_publish(repo_, rel, doc)
+
+        if kind == "debris":
+            os.makedirs(os.path.join(repo_path, "refs", "branch.b"))
+        ic._publish_ref = rival_then_ours
+        try:
+            raised = False
+            try:
+                ic.create_branch(repo_path, "b", sids[i])
+            except IcechunkConflictError:
+                raised = True
+        finally:
+            ic._publish_ref = real_publish
+
+        expect_raise = kind in ("lower", "same") or (
+            kind == "foreign"
+        )
+        assert raised == expect_raise, (
+            f"kind={kind} n={n} i={i} j={j} k={k}: "
+            f"raised={raised}, expected {expect_raise}"
+        )
+        head = resolve_ref(repo_path, "branch:b")
+        expected_head = {
+            "none": sids[i], "debris": sids[i], "lower": sids[i],
+            "same": sids[i], "later": sids[j],
+            "successor": sids[i + 1] if kind == "successor" else None,
+            "foreign": sids[i] if i + 1 > k else "e" * 24,
+        }[kind]
+        assert head == expected_head, f"kind={kind}: wrong surviving head"
+        # rebase-and-retry: the branch stays committable on its head
+        # (skip the foreign-head case — its snapshot is deliberately
+        # rootless debris with no manifest)
+        if head != "e" * 24:
+            sid = commit_store(
+                _mk_store(f"{counter[0]}_post", 999), repo_path,
+                branch="b", message="post", expected_snapshot=head,
+            )
+            assert resolve_ref(repo_path, "branch:b") == sid
+            assert history(repo_path, "branch:b")[1]["id"] == head
+
+    run()
+
+
+def test_remote_branch_creation_fence_over_live_s3(spark, s3_repo):
+    """The branch-creation fence end-to-end through the conditional-PUT
+    object-store adapter (VERDICT r13 item 5's remote leg): a rival
+    generation landing during create_branch on a LIVE s3 repo raises
+    the same loud conflict as locally, and the max-sequence head
+    survives."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+
+    url, _objects = s3_repo
+    s1 = commit_store(fixture_store(2), url, message="base")
+    s2 = commit_store(fixture_store(3), url, message="second",
+                      expected_snapshot=s1)
+
+    real_publish = ic._publish_ref
+    fired = {"done": False}
+
+    def rival_then_ours(repo_, rel, doc):
+        if "/branch.rraced/" in rel and not fired["done"]:
+            fired["done"] = True
+            # the shadowing race: a fork of the OLDER snapshot lands
+            # first, at a lower sequence
+            real_publish(
+                repo_, f"refs/branch.rraced/{ic._gen_name(1)}",
+                {"snapshot": s1},
+            )
+        real_publish(repo_, rel, doc)
+
+    ic._publish_ref = rival_then_ours
+    try:
+        with pytest.raises(IcechunkConflictError, match="raced"):
+            ic.create_branch(url, "rraced", s2)
+    finally:
+        ic._publish_ref = real_publish
+    # the max-sequence generation survives and resolves remotely
+    assert resolve_ref(url, "branch:rraced") == s2
+
+
 def test_branch_fork_and_ref_listing(spark, tmp_path):
     """git-like surface: fork a branch at an old snapshot, commit
     divergent work on it, main is untouched, ancestry (~N) walks
@@ -768,8 +952,11 @@ def test_branch_fork_and_ref_listing(spark, tmp_path):
     refs = list_refs(repo_path)
     assert refs["branches"] == {"main": s2, "dev": s3}
     assert refs["tags"] == {"base": s1}
-    # everything reachable: gc removes nothing
-    assert gc_repo(repo_path) == {"snapshots": 0, "manifests": 0, "chunks": 0}
+    # everything reachable: gc removes nothing (and, everything being
+    # reachable, the default grace window has nothing to skip either)
+    assert gc_repo(repo_path) == {
+        "snapshots": 0, "manifests": 0, "chunks": 0, "skipped_young": 0,
+    }
 
 
 def test_copy_to_icechunk_sql(spark, tmp_path):
@@ -901,6 +1088,83 @@ def test_gc_tolerates_unpublished_tag_dir(spark, tmp_path):
     from zarr_datafusion_spark.zarr.icechunk import list_refs
 
     assert "halfborn" not in list_refs(path)["tags"]
+
+
+def test_gc_concurrent_with_commit_spares_staging_window(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 item 3: a gc that runs while a commit is mid-flight
+    (objects staged, ref not yet published) must NOT collect the
+    commit's staging window.  The grace window guarantees it: staged
+    objects are seconds old, far inside the 15-minute default floor.
+    Interleaving: gc_repo fires inside the committer, immediately
+    before its ref publish — the worst moment."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    path = str(tmp_path / "gcrace.ic")
+    s1 = commit_store(fixture_store(2), path, message="base")
+
+    real_publish = ic._publish_ref
+    seen: dict = {}
+
+    def gc_then_publish(repo_, rel, doc):
+        if "/branch.main/" in rel and "gc" not in seen:
+            seen["gc"] = gc_repo(repo_)  # default grace window
+        real_publish(repo_, rel, doc)
+
+    monkeypatch.setattr(ic, "_publish_ref", gc_then_publish)
+    sid = commit_store(fixture_store(3), path, message="second",
+                       expected_snapshot=s1)
+    # gc really ran mid-commit, saw the staged objects, and spared them
+    assert seen["gc"]["skipped_young"] > 0
+    assert seen["gc"]["snapshots"] == 0 and seen["gc"]["chunks"] == 0
+    # the staged commit survived intact: head readable, full image
+    assert resolve_ref(path, "branch:main") == sid
+    assert read_zarr(spark, f"icechunk://{path}").count() == 700
+
+
+def test_gc_grace_collects_old_debris_and_spares_young(spark, tmp_path):
+    """The grace window is an age floor, not a no-op: debris BACKDATED
+    past the floor is collected in the same pass that spares
+    seconds-old debris."""
+    import shutil
+
+    from zarr_datafusion_spark.operators.zarr_queries import fixture_store
+    from zarr_datafusion_spark.zarr import read_zarr
+
+    path = str(tmp_path / "gcage.ic")
+    src = read_zarr(spark, fixture_store(2))
+    commit_zarr(src.filter(F.col("time") < 1), path,
+                coords=["time", "lat", "lon"])
+    # old debris: an expired scratch branch, objects backdated 2 hours
+    commit_zarr(src.filter(F.col("time") == 5), path, branch="old",
+                coords=["time", "lat", "lon"])
+    old_objs = {
+        os.path.join(dp, n)
+        for d in ("snapshots", "manifests", "chunks")
+        for dp, _dns, fns in os.walk(os.path.join(path, d))
+        for n in fns
+    }
+    shutil.rmtree(os.path.join(path, "refs", "branch.old"))
+    past = time.time() - 7200
+    for f in old_objs:
+        os.utime(f, (past, past))
+    # young debris: a just-expired scratch branch, mtimes untouched
+    commit_zarr(src.filter(F.col("time") == 6), path, branch="young",
+                coords=["time", "lat", "lon"])
+    shutil.rmtree(os.path.join(path, "refs", "branch.young"))
+
+    removed = gc_repo(path)  # default grace
+    assert removed["snapshots"] == 1  # the old branch's snapshot only
+    assert removed["chunks"] > 0
+    assert removed["skipped_young"] > 0  # the young branch's debris
+    # survivors: the main head still reads
+    assert read_zarr(spark, f"icechunk://{path}").count() == 100
+    # a later quiesced pass reclaims the young debris too
+    later = gc_repo(path, grace_seconds=0.0)
+    assert later["snapshots"] == 1 and later["skipped_young"] == 0
 
 
 def test_resolve_ref_raises_on_transient_io_failure(repo, monkeypatch):
@@ -1254,7 +1518,7 @@ def test_remote_gc_collects_lost_race_debris(spark, s3_repo, monkeypatch, tmp_pa
             commit_store(loser_store, url, message="loser")
     assert len(objects) > n_before  # staged debris exists remotely
 
-    removed = gc_repo(url)
+    removed = gc_repo(url, grace_seconds=0.0)
     assert removed["snapshots"] == 1 and removed["manifests"] == 1
     assert removed["chunks"] > 0
     assert len(objects) == n_before  # back to exactly the winner's image
@@ -1427,6 +1691,50 @@ def test_branch_creation_fence_allows_immediate_successor(repo):
     )
     # creator's fence re-run after the successor landed: no raise
     ic._fence_branch_creation(path, "succ", 1, s1)
+
+
+def test_branch_creation_fence_tolerates_vanished_rival(repo, monkeypatch):
+    """A rival generation that a concurrent ``gc_repo``/debris prune
+    removes between the fence's list and its read is no-longer-
+    coexisting: the fence re-lists once, sees it gone, and stays
+    silent instead of crashing with a raw FileNotFoundError
+    (ADVICE r13)."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+
+    path, s1, _s2 = repo
+    ic.create_branch(path, "vanish", s1)
+    phantom = ic._gen_name(2)  # listed but never written to disk
+    real_list = ic._listdir_or_empty
+    calls = {"n": 0}
+
+    def list_with_phantom(fs, p):
+        names = real_list(fs, p)
+        calls["n"] += 1
+        if calls["n"] == 1 and "/branch.vanish" in p.replace(os.sep, "/"):
+            return names + [phantom]
+        return names
+
+    monkeypatch.setattr(ic, "_listdir_or_empty", list_with_phantom)
+    ic._fence_branch_creation(path, "vanish", 1, s1)  # no raise
+    assert calls["n"] >= 2, "fence did not re-list after the vanished read"
+
+
+def test_branch_creation_fence_raises_when_rival_snapshot_gced(repo):
+    """A rival generation that still lists but whose snapshot chain was
+    collected underneath the walk has UNPROVABLE ancestry: the fence
+    must keep the conservative conflict raise (possibly-lost creation),
+    not leak FileNotFoundError."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+
+    path, s1, _s2 = repo
+    ic.create_branch(path, "gced", s1)
+    # a rival at a higher sequence pointing at a snapshot that no
+    # longer exists (gc collected it after the rival lost some race)
+    ic._publish_ref(
+        path, f"refs/branch.gced/{ic._gen_name(2)}", {"snapshot": "9" * 24}
+    )
+    with pytest.raises(IcechunkConflictError, match="raced"):
+        ic._fence_branch_creation(path, "gced", 1, s1)
 
 
 # ---------------------------------------------------------------------------

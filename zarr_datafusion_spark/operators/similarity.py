@@ -804,8 +804,8 @@ def _kmeans_train_oracle(
 
 @_q("sim_kmeans_train", _kmeans_train_oracle())
 def sim_kmeans_train(spark, sf_dir):
-    """Train k={K_CLUSTERS} means ({KM_TRAIN_ITERS} fixed Lloyd
-    iterations from the first-k seed), then report per-cluster size
+    """Train k=K_CLUSTERS (8) means over KM_TRAIN_ITERS (4) fixed
+    Lloyd iterations from the first-k seed, then report per-cluster size
     and inertia — now FULLY oracle-backed (VERDICT r12 item 2 closed;
     the r10 rows-only decision was about ``kmeans_fit``'s numpy-matmul
     distances and tolerance early-exit, neither of which DuckDB can

@@ -1107,6 +1107,7 @@ def zarr_icechunk_stream(spark, sf_dir):
     head, or a wrong offset all hash-mismatch).  Beyond-reference
     twice over: the reference is batch-only AND has no transactional
     layer (roadmap README.md:330)."""
+    import atexit
     import shutil
     import tempfile
 
@@ -1116,6 +1117,11 @@ def zarr_icechunk_stream(spark, sf_dir):
     src = read_zarr(spark, fixture_store(2))
     times = sorted(r[0] for r in src.select("time").distinct().collect())
     base = tempfile.mkdtemp(prefix="zds_ic_stream_")
+    # the parquet sink must outlive this call (the driver collects the
+    # returned DataFrame lazily), so it cannot be dropped inline like
+    # the repo/checkpoint below — reclaim it at interpreter exit
+    # instead of leaking one base dir per run (ADVICE r13)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     repo = os.path.join(base, "grow.ic")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     try:

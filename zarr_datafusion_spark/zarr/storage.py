@@ -49,6 +49,31 @@ def _probe_404(open_fn, url: str, method: str = "GET") -> bool:
         raise
 
 
+def _head_last_modified(open_fn, url: str) -> float | None:
+    """Epoch seconds from one HEAD's ``Last-Modified`` header, or
+    ``None`` when the object is definitively absent (404) or the
+    server sends no stamp.  The age probe behind ``gc_repo``'s grace
+    window — real object stores (S3/GCS/Azure) always stamp objects;
+    ``None`` therefore means "age unknown" and the caller decides
+    (gc treats it as old, documented there)."""
+    import urllib.error
+    from email.utils import parsedate_to_datetime
+
+    try:
+        with open_fn(url, method="HEAD") as resp:
+            stamp = resp.headers.get("Last-Modified")
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            return None
+        raise
+    if not stamp:
+        return None
+    try:
+        return parsedate_to_datetime(stamp).timestamp()
+    except (TypeError, ValueError):
+        return None
+
+
 def tmp_name(path: str) -> str:
     """Private tmp filename for an atomic write targeting ``path``.
 
@@ -207,6 +232,15 @@ class LocalStoreFS:
             os.unlink(p)
         except FileNotFoundError:
             pass
+
+    def mtime(self, p: str) -> float | None:
+        """Object age for gc's grace window; None on absence."""
+        import os
+
+        try:
+            return os.path.getmtime(p)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
 
 
 class FsspecStoreFS:
@@ -661,6 +695,9 @@ class S3HttpStoreFS:
             if e.code != 404:
                 raise
 
+    def mtime(self, p: str) -> float | None:
+        return _head_last_modified(self._open, self._obj_url(p))
+
 
 def _b64url(b: bytes) -> str:
     import base64
@@ -1034,6 +1071,9 @@ class GcsHttpStoreFS:
             if e.code != 404:
                 raise
 
+    def mtime(self, p: str) -> float | None:
+        return _head_last_modified(self._open, self._obj_url(p))
+
 
 class AzureHttpStoreFS:
     """Azure Blob Storage adapter over stdlib urllib — the one storage
@@ -1230,6 +1270,9 @@ class AzureHttpStoreFS:
         except urllib.error.HTTPError as e:
             if e.code != 404:
                 raise
+
+    def mtime(self, p: str) -> float | None:
+        return _head_last_modified(self._open, self._obj_url(p))
 
 
 #: per-process writer-adapter cache: one (fs, norm) per location so
