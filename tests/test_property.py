@@ -1127,3 +1127,105 @@ def test_opts_blob_matches_same_language_as_r13_pattern(blob):
     )
     if mo is not None:
         assert mo.group(1) == mn.group(1), f"different blob capture on {blob!r}"
+
+
+# ---------------------------------------------------------------------------
+# Pruning-rewrite conjunct grammar fuzz (VERDICT r13 item 6): any
+# generated WHERE — numeric conjuncts, string literals with hostile
+# content, other columns, parens, OR — must answer IDENTICALLY with
+# the Engine's rewrite chain on vs the plain Spark plan.  The r13
+# quoted-literal declines were pinned example-based in
+# test_agg_pushdown.py; this is the generalized differential.
+# ---------------------------------------------------------------------------
+
+#: lazily-built module singleton: hypothesis re-enters the test body
+#: hundreds of times and the chunk-stats registration must happen once
+_PRUNE_ENGINE: dict = {}
+
+
+def _prune_engine(spark):
+    if "e" not in _PRUNE_ENGINE:
+        from zarr_datafusion_spark.engine import Engine
+        from zarr_datafusion_spark.operators.zarr_queries import (
+            trending_chunked_store,
+        )
+
+        e = Engine(spark)
+        e.register_zarr(
+            "tcp", trending_chunked_store(), data_filter_pushdown=True
+        )
+        _PRUNE_ENGINE["e"] = e
+    return _PRUNE_ENGINE["e"]
+
+
+#: string-literal payloads that LOOK like conjunct grammar — the
+#: misparse class the rewrites must decline on, not reinterpret
+_HOSTILE_TEXT = st.one_of(
+    st.sampled_from([
+        "3 AND time > 100",
+        "time <= 2",
+        ") OR time > 0",
+        "it's got a quote",
+        "BETWEEN 0 AND 99",
+        "2",
+        "' OR time = 0 OR '",
+        "time BETWEEN 1 AND 2 AND lat = 3",
+    ]),
+    st.text(alphabet=list("'()<>=- ANDORtime0123"), max_size=14),
+)
+
+
+@st.composite
+def _prune_conjuncts(draw):
+    parts = []
+    for _ in range(draw(st.integers(1, 4))):
+        kind = draw(st.integers(0, 6))
+        n = draw(st.integers(-2, 14))
+        m = draw(st.integers(-2, 14))
+        if kind == 0:
+            op = draw(st.sampled_from([">=", "<=", "<", ">", "="]))
+            parts.append(f"time {op} {n}")
+        elif kind == 1:
+            parts.append(f"time BETWEEN {min(n, m)} AND {max(n, m)}")
+        elif kind == 2:
+            parts.append(f"lat >= {n}")
+        elif kind == 3:
+            parts.append(f"pressure < {1000 + n * 10}")
+        elif kind == 4:
+            parts.append(
+                f"CAST(time AS STRING) = {_esc(draw(_HOSTILE_TEXT))}"
+            )
+        elif kind == 5:
+            s = _esc(draw(_HOSTILE_TEXT))
+            parts.append(f"{s} = {s}")
+        else:
+            parts.append(f"(time >= {min(n, m)} OR time <= {max(n, m)})")
+    return " AND ".join(parts)
+
+
+@settings(
+    max_examples=500,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=_prune_conjuncts())
+def test_pruning_rewrites_match_full_plan_on_any_where(spark, where):
+    """Differential contract of the WHOLE rewrite chain (stats
+    shortcut, chunk-agg assembly, filtered-SELECT, pruned-agg): for
+    any WHERE this grammar generates, Engine.sql must return the same
+    rows and schema as the untouched Spark plan — a rewrite either
+    fires correctly or declines; it never reinterprets."""
+    eng = _prune_engine(spark)
+    sql = (
+        "SELECT COUNT(*) AS n, SUM(pressure) AS s, MIN(time) AS lo, "
+        f"MAX(pressure) AS hi FROM tcp WHERE {where}"
+    )
+    fast = eng.sql(sql)
+    full = spark.sql(sql)
+    assert [f.name for f in fast.schema.fields] == [
+        f.name for f in full.schema.fields
+    ]
+    assert fast.collect() == full.collect(), (
+        f"rewrite drift on WHERE {where!r} "
+        f"(shortcut={eng.last_shortcut_kind!r})"
+    )

@@ -3117,27 +3117,47 @@ def test_sink_datetime_append_and_update(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _azure_server(container: str, preload: dict[str, bytes] | None = None):
+def _azure_server(
+    container: str,
+    preload: dict[str, bytes] | None = None,
+    *,
+    page_size: int | None = None,
+    namespaced: bool = False,
+):
     """Minimal live Azure-Blob-compatible server backed by a locked
     dict: path-style GET/HEAD blobs, the List Blobs XML API
     (restype=container&comp=list with prefix/delimiter), PUT BlockBlob
     (with ``If-None-Match: *`` conditional-create -> 409
-    BlobAlreadyExists), DELETE.  Returns (server, blobs dict)."""
+    BlobAlreadyExists), DELETE.  Returns (server, blobs dict, stats).
+
+    ``page_size`` paginates listings Azure-style: at most that many
+    Blob+BlobPrefix entries per response with a ``NextMarker``
+    continuation (marker = last emitted name); ``namespaced`` wraps
+    the XML in the windowsazure default namespace so every element
+    tag is namespace-qualified — the r13 NextMarker regression shape
+    (VERDICT r13 item 7).  ``stats["list_pages"]`` counts list
+    requests, ``stats["marker_pages"]`` the continuations served."""
     import http.server
     import threading
     import urllib.parse
 
     blobs: dict[str, bytes] = dict(preload or {})
     lock = threading.Lock()
+    stats = {"list_pages": 0, "marker_pages": 0}
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
 
-        def _respond(self, code, body=b"", ctype="application/octet-stream"):
+        def _respond(self, code, body=b"", ctype="application/octet-stream",
+                     stamped=False):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            if stamped:  # blob responses carry Last-Modified, like Azure
+                self.send_header(
+                    "Last-Modified", "Sat, 15 Aug 2026 12:00:00 GMT"
+                )
             self.end_headers()
             if self.command != "HEAD":
                 self.wfile.write(body)
@@ -3157,28 +3177,50 @@ def _azure_server(container: str, preload: dict[str, bytes] | None = None):
             if qs.get("comp") == ["list"]:
                 prefix = qs.get("prefix", [""])[0]
                 delim = qs.get("delimiter", [""])[0]
+                marker = qs.get("marker", [""])[0]
+                stats["list_pages"] += 1
+                if marker:
+                    stats["marker_pages"] += 1
                 with lock:
                     keys = sorted(k for k in blobs if k.startswith(prefix))
-                out_blobs, out_prefixes, seen = [], [], set()
+                entries, seen = [], set()  # ('b'|'p', name), sorted
                 for k in keys:
                     rest = k[len(prefix):]
                     if delim and delim in rest:
                         pref = prefix + rest.split(delim, 1)[0] + delim
                         if pref not in seen:
                             seen.add(pref)
-                            out_prefixes.append(pref)
+                            entries.append(("p", pref))
                     else:
-                        out_blobs.append(k)
+                        entries.append(("b", k))
+                # Azure continuation: marker = last name of the prior
+                # page; resume strictly after it
+                if marker:
+                    entries = [e for e in entries if e[1] > marker]
+                next_marker = ""
+                if page_size is not None and len(entries) > page_size:
+                    entries = entries[:page_size]
+                    next_marker = entries[-1][1]
+                ns = (
+                    ' xmlns="http://schemas.microsoft.com/windowsazure"'
+                    if namespaced else ""
+                )
                 xml = [
                     '<?xml version="1.0" encoding="utf-8"?>',
-                    "<EnumerationResults><Blobs>",
+                    f"<EnumerationResults{ns}><Blobs>",
                 ]
-                xml += [f"<Blob><Name>{k}</Name></Blob>" for k in out_blobs]
                 xml += [
-                    f"<BlobPrefix><Name>{p}</Name></BlobPrefix>"
-                    for p in out_prefixes
+                    f"<Blob><Name>{name}</Name></Blob>"
+                    if kind == "b"
+                    else f"<BlobPrefix><Name>{name}</Name></BlobPrefix>"
+                    for kind, name in entries
                 ]
-                xml.append("</Blobs><NextMarker/></EnumerationResults>")
+                xml.append(
+                    f"</Blobs><NextMarker>{next_marker}</NextMarker>"
+                    "</EnumerationResults>"
+                    if next_marker
+                    else "</Blobs><NextMarker/></EnumerationResults>"
+                )
                 return self._respond(
                     200, "".join(xml).encode(), "application/xml"
                 )
@@ -3186,7 +3228,7 @@ def _azure_server(container: str, preload: dict[str, bytes] | None = None):
                 body = blobs.get(key)
             if body is None:
                 return self._respond(404, b"BlobNotFound")
-            return self._respond(200, body)
+            return self._respond(200, body, stamped=True)
 
         do_HEAD = do_GET
 
@@ -3221,7 +3263,7 @@ def _azure_server(container: str, preload: dict[str, bytes] | None = None):
     srv.server_address = AZ_TEST_SOCK.getsockname()
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    return srv, blobs
+    return srv, blobs, stats
 
 
 def _dir_as_blobs(store_path: str) -> dict[str, bytes]:
@@ -3246,7 +3288,7 @@ def az_store(stores):
     import os as _os
 
     store_path = stores["v2_plain"]
-    srv, _blobs = _azure_server(
+    srv, _blobs, _stats = _azure_server(
         "testcontainer", preload=_dir_as_blobs(store_path)
     )
     try:
@@ -3313,7 +3355,7 @@ def test_az_icechunk_commit_and_read(spark, stores, tmp_path):
         resolve_ref,
     )
 
-    srv, blobs = _azure_server("iccontainer")
+    srv, blobs, _stats = _azure_server("iccontainer")
     ic._writer_cache().clear()
     ic._COND_PUT_OK.clear()
     url = "az://iccontainer/repo.ic"
@@ -3332,6 +3374,64 @@ def test_az_icechunk_commit_and_read(spark, stores, tmp_path):
                 commit_store(stores["v2_plain"], url, message="loser")
         assert resolve_ref(url, "branch:main") == s1
         assert any(k.endswith(".created") for k in blobs)
+    finally:
+        srv.shutdown()
+        ic._writer_cache().clear()
+        ic._COND_PUT_OK.clear()
+
+
+def test_az_gc_live_set_spans_paginated_namespaced_listings(
+    spark, stores, tmp_path
+):
+    """The r13 NextMarker fix, live (VERDICT r13 item 7): an az://
+    repo whose List Blobs responses page at 2 entries with NAMESPACED
+    XML.  The refs listing spans multiple pages and a later page pins
+    a snapshot nothing on page one reaches — a pagination bug that
+    stopped after one page (the r13 regression: namespaced
+    ``<NextMarker>`` never matched) would misread that branch as
+    unreachable and gc would delete its live snapshot."""
+    import zarr_datafusion_spark.zarr.icechunk as ic
+    from zarr_datafusion_spark.zarr import read_zarr
+    from zarr_datafusion_spark.zarr.icechunk import (
+        commit_store,
+        create_tag,
+        gc_repo,
+        resolve_ref,
+    )
+
+    srv, _blobs, stats = _azure_server(
+        "pgcontainer", page_size=2, namespaced=True
+    )
+    ic._writer_cache().clear()
+    ic._COND_PUT_OK.clear()
+    url = "az://pgcontainer/pg.ic"
+    try:
+        s1 = commit_store(stores["v2_plain"], url, message="base")
+        create_tag(url, "base", s1)
+        # refs sort as branch.main < branch.zz < tag.base: branch.zz
+        # lands on page TWO of the refs listing, and its head's chunks
+        # (a differently-compressed image) are pinned by nothing else
+        s2 = commit_store(stores["v2_zlib"], url, branch="zz",
+                          message="only ref to this image")
+        stats["marker_pages"] = 0
+        removed = gc_repo(url, grace_seconds=0.0)
+        assert stats["marker_pages"] >= 1, "listings never paginated"
+        assert removed == {
+            "snapshots": 0, "manifests": 0, "chunks": 0, "skipped_young": 0,
+        }
+        assert resolve_ref(url, "branch:zz") == s2
+        assert read_zarr(spark, f"icechunk://{url}@branch:zz").count() == 700
+        assert read_zarr(spark, f"icechunk://{url}").count() == 700
+        # the grace window's age probe, live: HEAD Last-Modified parses
+        # to epoch seconds on an existing object, None on an absent one
+        from zarr_datafusion_spark.zarr.storage import AzureHttpStoreFS
+
+        fs = AzureHttpStoreFS()
+        import calendar
+
+        want = calendar.timegm((2026, 8, 15, 12, 0, 0))
+        assert fs.mtime(f"{url}/refs/tag.base/ref.json") == want
+        assert fs.mtime(f"{url}/refs/tag.base/nope.json") is None
     finally:
         srv.shutdown()
         ic._writer_cache().clear()
