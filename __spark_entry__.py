@@ -50,16 +50,15 @@ WINDOW = 50
 #: carries human-readable reasons (and covers rounds predating the
 #: snapshot).  Reset the contents every round.
 RE_RECORD: dict[str, str] = {
-    # r13: reset at round start.  The r12 reasons either re-recorded
-    # green in CORRECTNESS_r12.json or (the 21 zarr entries +
-    # trc_station_rollup + 6 search entries deferred by the r12
-    # freshness-floor rotation) still carry their MECHANICAL
-    # fingerprint mismatch and lead this round's window automatically
-    # — VERDICT r12 item 1.  This round's code changes (icechunk
-    # branch-creation fence, storage tmp/TTL/NextMarker fixes, the
-    # keyed ic_append fixture, the sim_kmeans_train oracle rebuild)
-    # are all caught by the same fingerprint check; no hand
-    # declarations needed.
+    # r14: reset at round start.  The freshness floor puts the whole
+    # 23-entry r9 cohort at the head of this round's window
+    # mechanically (latest=13, cycle=4 → urgent = green < 10), then
+    # the r10 cohort fills the rest stalest-first — VERDICT r13
+    # item 1, verified at round start.  This round's code changes
+    # (gc_repo grace window, the branch-creation fence's vanished-
+    # rival tolerance, zarr_icechunk_stream's atexit sink cleanup,
+    # the sim_kmeans_train docstring) are caught by the mechanical
+    # fingerprint check; no hand declarations needed.
 }
 
 
