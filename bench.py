@@ -179,6 +179,7 @@ WATCHLIST = [
     "zarr_scan_era5_6m",    # flagship source throughput
     "dedup_minhash_lsh",
     "tpch_q3_shipping_priority",
+    "tpch_q19_discounted_revenue",  # r14 bar ≤0.45 s (box-sensitive sub-0.4s query)
 ]
 
 #: Entries that do data-proportional work at CONSTRUCTION time
