@@ -1270,15 +1270,21 @@ def _writable_s3_server(
 
     objects: dict[str, bytes] = {}
     lock = threading.Lock()
+    import email.utils as _eut
+
+    born = _eut.formatdate(usegmt=True)  # objects stamp "recent"
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
 
-        def _respond(self, code, body=b"", ctype="application/octet-stream"):
+        def _respond(self, code, body=b"", ctype="application/octet-stream",
+                     stamped=False):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            if stamped:  # object responses carry Last-Modified, like S3
+                self.send_header("Last-Modified", born)
             self.end_headers()
             if self.command != "HEAD":
                 self.wfile.write(body)
@@ -1327,7 +1333,7 @@ def _writable_s3_server(
                 body = objects.get(key)
             if body is None:
                 return self._respond(404, b"NoSuchKey")
-            return self._respond(200, body)
+            return self._respond(200, body, stamped=True)
 
         do_HEAD = do_GET
 
@@ -1517,6 +1523,15 @@ def test_remote_gc_collects_lost_race_debris(spark, s3_repo, monkeypatch, tmp_pa
         with pytest.raises(IcechunkConflictError):
             commit_store(loser_store, url, message="loser")
     assert len(objects) > n_before  # staged debris exists remotely
+
+    # grace window, live on the object store: the debris is seconds
+    # old by its Last-Modified (one HEAD per doomed object), so a
+    # default-grace gc SPARES it — the remote leg of the
+    # concurrent-commit staging-window guarantee
+    spared = gc_repo(url)
+    assert spared["snapshots"] == 0 and spared["chunks"] == 0
+    assert spared["skipped_young"] > 0
+    assert len(objects) > n_before  # nothing deleted
 
     removed = gc_repo(url, grace_seconds=0.0)
     assert removed["snapshots"] == 1 and removed["manifests"] == 1
