@@ -65,8 +65,20 @@ def main() -> None:
         except Exception as e:
             print(f"[prebuild] {label}: ERROR {type(e).__name__}: {e}")
 
+    # SPARK_GRAFT_SWEEP_QUERIES="a,b,c" sweeps a named subset in order
+    # (fresh-session re-measures of single entries, e.g. the r14
+    # sim_kmeans_train bar check) — same spelling as bench.py's knob.
+    entries = E.queries()
+    subset = os.environ.get("SPARK_GRAFT_SWEEP_QUERIES")
+    if subset:
+        wanted = [q.strip() for q in subset.split(",") if q.strip()]
+        unknown = [q for q in wanted if q not in entries]
+        if unknown:
+            raise SystemExit(f"unknown sweep entries: {unknown}")
+        entries = {q: entries[q] for q in wanted}
+
     times: dict[str, object] = {}
-    for name, fn in E.queries().items():
+    for name, fn in entries.items():
         t0 = time.perf_counter()
         try:
             fn(spark, sf).write.format("noop").mode("overwrite").save()
