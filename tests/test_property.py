@@ -1229,3 +1229,184 @@ def test_pruning_rewrites_match_full_plan_on_any_where(spark, where):
         f"rewrite drift on WHERE {where!r} "
         f"(shortcut={eng.last_shortcut_kind!r})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Differential SELECT fuzz (round 14): the registry's fixed-oracle
+# model generalized into a property.  ANY query this ANSI-core grammar
+# generates — filters over every column class, global and grouped
+# aggregates under the repo's exact-decimal SUM policy, projection
+# arithmetic, top-k over a unique sort key — must return IDENTICAL
+# rows, columns, and value types from Engine.sql (the full rewrite
+# chain + Spark) and DuckDB over the same parquet tables.  This is
+# the same differential contract the driver checks with 178 fixed
+# query/oracle pairs, but over an open grammar: a Spark/DuckDB
+# semantics divergence, an Engine.sql rewrite misfire, or a policy
+# hole (float SUM ordering, HUGEINT promotion, dtype drift) surfaces
+# here without anyone having thought to write that exact query.
+# ---------------------------------------------------------------------------
+
+_LI_INT = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+_LI_DBL = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_LI_STR = {"l_returnflag": ["A", "N", "R", "Z"], "l_linestatus": ["O", "F", "X"]}
+_LI_CMP = ["<", "<=", ">", ">=", "=", "<>"]
+#: literal pools straddle each column's real range (min..max plus
+#: out-of-range values) so filters hit empty, partial, and full selects
+_LI_LIT = {
+    "l_orderkey": [0, 1, 750, 1499, 2000],
+    "l_partkey": [0, 42, 199, 500],
+    "l_suppkey": [0, 5, 9, 30],
+    "l_linenumber": [1, 2, 4, 7, 9],
+    "l_quantity": ["0.0", "1.0", "17.5", "25.0", "50.0", "99.0"],
+    "l_extendedprice": ["900.0", "5000.0", "36000.17", "104998.18"],
+    "l_discount": ["0.0", "0.02", "0.05", "0.09", "0.1"],
+    "l_tax": ["0.0", "0.03", "0.08"],
+}
+_LI_TS = [
+    "1995-01-02 00:00:00",
+    "1996-06-17 00:00:00",
+    "1998-11-30 12:00:00",
+    "2001-11-04 00:00:00",
+]
+
+
+@st.composite
+def _li_predicate(draw, depth=0):
+    kind = draw(st.integers(0, 7 if depth == 0 else 5))
+    if kind <= 1:
+        col = draw(st.sampled_from(_LI_INT + _LI_DBL))
+        op = draw(st.sampled_from(_LI_CMP))
+        return f"{col} {op} {draw(st.sampled_from(_LI_LIT[col]))}"
+    if kind == 2:
+        col = draw(st.sampled_from(_LI_INT + _LI_DBL))
+        lo = draw(st.sampled_from(_LI_LIT[col]))
+        hi = draw(st.sampled_from(_LI_LIT[col]))
+        return f"{col} BETWEEN {lo} AND {hi}"
+    if kind == 3:
+        col = draw(st.sampled_from(list(_LI_STR)))
+        vals = draw(
+            st.lists(
+                st.sampled_from(_LI_STR[col]), min_size=1, max_size=3,
+                unique=True,
+            )
+        )
+        if len(vals) == 1:
+            op = draw(st.sampled_from(["=", "<>"]))
+            return f"{col} {op} '{vals[0]}'"
+        neg = draw(st.sampled_from(["", "NOT "]))
+        return f"{col} {neg}IN ({', '.join(repr(v) for v in vals)})"
+    if kind == 4:
+        op = draw(st.sampled_from(_LI_CMP))
+        ts = draw(st.sampled_from(_LI_TS))
+        return f"l_shipdate {op} TIMESTAMP '{ts}'"
+    if kind == 5:
+        a = draw(st.sampled_from(_LI_DBL))
+        b = draw(st.sampled_from(_LI_INT))
+        op = draw(st.sampled_from(["<", ">="]))
+        # cross-column compare (double vs int promotes identically)
+        return f"{a} * 100 {op} {b}"
+    if kind == 6:
+        return f"NOT ({draw(_li_predicate(depth=depth + 1))})"
+    left = draw(_li_predicate(depth=depth + 1))
+    right = draw(_li_predicate(depth=depth + 1))
+    return f"({left} OR {right})"
+
+
+@st.composite
+def _li_where(draw):
+    n = draw(st.integers(0, 3))
+    if n == 0:
+        return ""
+    parts = [draw(_li_predicate()) for _ in range(n)]
+    return " WHERE " + " AND ".join(parts)
+
+
+@st.composite
+def _li_agg_query(draw):
+    gcols = draw(
+        st.lists(
+            st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+            min_size=0, max_size=2, unique=True,
+        )
+    )
+    dcol = draw(st.sampled_from(_LI_DBL))
+    icol = draw(st.sampled_from(_LI_INT))
+    mcol = draw(st.sampled_from(_LI_INT + _LI_DBL + list(_LI_STR) + ["l_shipdate"]))
+    items = list(gcols) + [
+        "COUNT(*) AS cnt",
+        # exact-decimal SUM policy (the suite's float-determinism rule)
+        f"CAST(SUM(CAST({dcol} AS DECIMAL(18,2))) AS DOUBLE) AS sum_d",
+        # CAST pins BIGINT on both engines (DuckDB SUM(int) is HUGEINT,
+        # which the driver hashes as float — the round-2 lesson)
+        f"CAST(SUM({icol}) AS BIGINT) AS sum_i",
+        f"MIN({mcol}) AS mn",
+        f"MAX({mcol}) AS mx",
+    ]
+    sql = f"SELECT {', '.join(items)} FROM lineitem{draw(_li_where())}"
+    if gcols:
+        sql += f" GROUP BY {', '.join(gcols)}"
+    return sql
+
+
+@st.composite
+def _li_select_query(draw):
+    d1, d2 = (draw(st.sampled_from(_LI_DBL)) for _ in range(2))
+    i1, i2 = (draw(st.sampled_from(_LI_INT)) for _ in range(2))
+    pool = [
+        f"{d1} * (1 - {d2}) AS revenue",
+        f"{i1} + 10 * {i2} AS ikey",
+        f"CAST(FLOOR({d1}) AS BIGINT) AS fl",
+        f"CASE WHEN {draw(_li_predicate())} THEN {d1} ELSE -{d2} END AS pick",
+        f"{draw(st.sampled_from(list(_LI_STR)))} AS tag",
+        f"l_shipdate AS ship",
+    ]
+    exprs = draw(st.lists(st.sampled_from(pool), min_size=1, max_size=3, unique=True))
+    sql = (
+        "SELECT l_orderkey, l_linenumber, "
+        + ", ".join(exprs)
+        + f" FROM lineitem{draw(_li_where())}"
+    )
+    if draw(st.booleans()):
+        # unique sort key -> the top-k SET is deterministic on both
+        # engines even though the row-order compare is set-based
+        da = draw(st.sampled_from(["", " DESC"]))
+        db = draw(st.sampled_from(["", " DESC"]))
+        k = draw(st.sampled_from([1, 7, 100, 6001]))
+        sql += f" ORDER BY l_orderkey{da}, l_linenumber{db} LIMIT {k}"
+    return sql
+
+
+@st.composite
+def _li_join_query(draw):
+    join = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    gcol = draw(st.sampled_from(["o_orderstatus", "o_orderpriority"]))
+    dcol = draw(st.sampled_from(_LI_DBL))
+    conds = []
+    if draw(st.booleans()):
+        op = draw(st.sampled_from(_LI_CMP))
+        conds.append(f"o_totalprice {op} {draw(st.sampled_from(['5000.0', '120000.0', '499705.05']))}")
+    if draw(st.booleans()):
+        conds.append(f"o_orderstatus = '{draw(st.sampled_from(['P', 'O', 'F']))}'")
+    where = f" WHERE {' AND '.join(conds)}" if conds else ""
+    # LEFT JOIN keyed orders->lineitem: unmatched orders contribute
+    # NULL lineitem values, so COUNT(col) vs COUNT(*) and NULL-skipping
+    # SUM/MIN/MAX differentials are exercised on both engines
+    return (
+        f"SELECT {gcol}, COUNT(*) AS cnt, COUNT(l_orderkey) AS cnt_l, "
+        f"CAST(SUM(CAST({dcol} AS DECIMAL(18,2))) AS DOUBLE) AS sum_d, "
+        f"MIN(l_shipdate) AS mn, CAST(MAX(l_linenumber) AS INT) AS mx "
+        f"FROM orders {join} lineitem ON o_orderkey = l_orderkey"
+        f"{where} GROUP BY {gcol}"
+    )
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=st.one_of(_li_agg_query(), _li_select_query(), _li_join_query()))
+def test_differential_select_fuzz(engine, duck, sql):
+    from tests.conftest import assert_frames_match
+
+    assert_frames_match(engine.sql(sql), duck.sql(sql))
