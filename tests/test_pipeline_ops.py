@@ -393,3 +393,75 @@ def test_gram_oracle_short_doc_fallback(spark, tmp_path):
         assert (5, 6, 0) in sh_spark
     finally:
         con.close()
+
+
+def test_gopher_rules_trip_on_crafted_docs(spark, tmp_path):
+    """Each Gopher rule must trip on a document crafted to violate
+    exactly it (the synthetic corpus never exercises the bullet /
+    ellipsis / symbol / long-doc paths — see the entry docstring), and
+    the differential contract must hold on this adversarial corpus
+    too, not just the driver's tables."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    good_words = (
+        "the quick brown fox jumps over that lazy dog and we have "
+        "fun with words of every kind to be sure "
+    ) * 3  # 66 words, all rules pass
+    docs = [
+        (0, good_words),
+        (1, "too short to have the fifty words that be needed of it"),
+        (2, "ab " * 60 + "the of and that have with to be"),  # mwl < 3
+        (3, good_words.replace("fox", "fox #### ## #")),  # symbols
+        (4, "\n".join("- " + good_words[i : i + 40] for i in range(0, 400, 40))
+            + "\nthe of and that have with to be"),  # >90% bullet lines
+        (5, "\n".join(good_words[i : i + 40] + "..." for i in range(0, 400, 40))
+            + "\n" + good_words),  # >30% ellipsis lines
+        (6, "12 34 " * 40 + "the of and that have with to be"),  # alpha<0.8
+        (7, "zig zag zip zap " * 20),  # no stopwords
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "crafted"
+    pdf["n_chars"] = pdf["text"].str.len()
+    path = str(tmp_path / "crafted")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(path)
+    import glob as _glob
+
+    pq = _glob.glob(path + "/*.parquet")[0]
+    dst = str(tmp_path / "documents.parquet")
+    os.replace(pq, dst)
+
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.QUERIES["text_quality_gopher"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0]["keep"] == 1 and out[0]["n_rules_passed"] == 7
+    failures = {
+        1: "ok_word_count",
+        2: "ok_mean_word_len",
+        3: "ok_symbol_ratio",
+        4: "ok_bullet_lines",
+        5: "ok_ellipsis_lines",
+        6: "ok_alpha_words",
+        7: "ok_stopwords",
+    }
+    for doc_id, flag in failures.items():
+        assert out[doc_id]["keep"] == 0, (doc_id, out[doc_id])
+        assert not out[doc_id][flag], (doc_id, flag, out[doc_id])
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{dst}')"
+        )
+        assert_frames_match(
+            textstats.QUERIES["text_quality_gopher"](spark, str(tmp_path)),
+            con.sql(textstats.ORACLE["text_quality_gopher"]),
+        )
+    finally:
+        con.close()

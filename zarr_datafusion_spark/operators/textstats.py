@@ -389,3 +389,148 @@ def text_token_entropy(spark, sf_dir):
             F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
         ).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rule document filter (round 14)
+# ---------------------------------------------------------------------------
+
+#: Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+#: Models: ... Gopher", appendix A1.1 — the public rule set most
+#: modern pipelines start from).  ``text_quality_score`` reports raw
+#: SIGNALS; this entry makes the DECISIONS: one flag per rule plus the
+#: conjunction, so a curation pass can both filter and attribute every
+#: drop to the rule that caused it.
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.1
+_GOPHER_MAX_BULLET_RATIO = 0.9
+_GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+_GOPHER_MIN_ALPHA_RATIO = 0.8
+_GOPHER_MIN_STOPWORD_HITS = 2
+#: Gopher's own 8-word list (distinct from the module STOPWORDS used
+#: by the ratio signals)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_RULES_SQL = f"""
+       n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS ok_word_count,
+       mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL} AS ok_mean_word_len,
+       symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+       bullet_line_ratio <= {_GOPHER_MAX_BULLET_RATIO} AS ok_bullet_lines,
+       ellipsis_line_ratio <= {_GOPHER_MAX_ELLIPSIS_RATIO} AS ok_ellipsis_lines,
+       alpha_word_ratio >= {_GOPHER_MIN_ALPHA_RATIO} AS ok_alpha_words,
+       stopword_hits >= {_GOPHER_MIN_STOPWORD_HITS} AS ok_stopwords
+"""
+
+_GOPHER_KEEP_EXPR = (
+    "CAST(ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND "
+    "ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words AND "
+    "ok_stopwords AS INT) AS keep"
+)
+#: graded companion to the binary keep: how many of the 7 rules passed
+_GOPHER_PASSED_EXPR = (
+    "CAST(ok_word_count AS INT) + CAST(ok_mean_word_len AS INT) + "
+    "CAST(ok_symbol_ratio AS INT) + CAST(ok_bullet_lines AS INT) + "
+    "CAST(ok_ellipsis_lines AS INT) + CAST(ok_alpha_words AS INT) + "
+    "CAST(ok_stopwords AS INT) AS n_rules_passed"
+)
+
+_GOPHER_STOPWORD_SUM_DUCK = " + ".join(
+    "CAST(list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    f"'{w}') AS INT)"
+    for w in _GOPHER_STOPWORDS
+)
+
+_GOPHER_ORACLE = rf"""
+    WITH sig AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) / 3
+                  AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS symbol_ratio,
+             CAST(len(list_filter(string_split(text, chr(10)),
+                                  l -> substr(trim(l), 1, 1) IN ('-', '*', '•')))
+                  AS DOUBLE)
+               / len(string_split(text, chr(10))) AS bullet_line_ratio,
+             CAST(len(list_filter(string_split(text, chr(10)),
+                                  l -> right(rtrim(l), 3) = '...')) AS DOUBLE)
+               / len(string_split(text, chr(10))) AS ellipsis_line_ratio,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS alpha_word_ratio,
+             {_GOPHER_STOPWORD_SUM_DUCK} AS stopword_hits
+      FROM documents),
+    flags AS (SELECT *, {_GOPHER_RULES_SQL} FROM sig)
+    SELECT *, {_GOPHER_KEEP_EXPR}, {_GOPHER_PASSED_EXPR} FROM flags
+"""
+
+
+@_q("text_quality_gopher", _GOPHER_ORACLE)
+def text_quality_gopher(spark, sf_dir):
+    """Gopher-rule quality filter: the published decision thresholds
+    as one flag per rule plus the ``keep`` conjunction.
+
+    Scale shape: entirely map-side — every signal is one expression
+    over the row's own text (array folds inside whole-stage codegen,
+    no UDF, no shuffle, no corpus-wide state), so the filter costs one
+    scan at any corpus size and composes with ``pipeline_curate``'s
+    keep-list joins.  Boolean flags are emitted as BOOLEAN and the
+    final ``keep`` as INT (the driver's value hash is type-sensitive;
+    INT keeps the keep-rate SUM-able downstream).
+
+    On the synthetic word-soup corpus the stopword rule rejects every
+    document (at most one of Gopher's 8 stopwords ever appears) —
+    exactly what an English-quality filter should do to word soup, and
+    why ``n_rules_passed`` and the per-rule flags carry the graded
+    signal here; the crafted-document unit test exercises each rule's
+    trip path (bullets, ellipses, symbols, short/long docs)."""
+    lines = "split(text, '\\n')"
+    words = "split(trim(text), '\\\\s+')"
+    lower_words = "split(lower(trim(text)), '\\\\s+')"
+    sig = _docs_cpu(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"size({words})").alias("n_words"),
+        F.expr(
+            f"CAST(length(regexp_replace(text, '\\\\s+', '')) AS DOUBLE)"
+            f" / size({words})"
+        ).alias("mean_word_len"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, '#', ''))"
+            " + (length(text) - length(replace(text, '...', ''))) / 3"
+            f" AS DOUBLE) / size({words})"
+        ).alias("symbol_ratio"),
+        F.expr(
+            f"CAST(size(filter({lines},"
+            " l -> substr(trim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)"
+            f" / size({lines})"
+        ).alias("bullet_line_ratio"),
+        F.expr(
+            f"CAST(size(filter({lines},"
+            " l -> right(rtrim(l), 3) = '...')) AS DOUBLE)"
+            f" / size({lines})"
+        ).alias("ellipsis_line_ratio"),
+        F.expr(
+            f"CAST(size(filter({lower_words}, w -> w rlike '[a-z]'))"
+            f" AS DOUBLE) / size({words})"
+        ).alias("alpha_word_ratio"),
+        F.expr(
+            " + ".join(
+                f"CAST(array_contains({lower_words}, '{w}') AS INT)"
+                for w in _GOPHER_STOPWORDS
+            )
+        ).alias("stopword_hits"),
+    )
+    flags = sig.selectExpr(
+        "*",
+        f"n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS ok_word_count",
+        f"mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL} AS ok_mean_word_len",
+        f"symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio",
+        f"bullet_line_ratio <= {_GOPHER_MAX_BULLET_RATIO} AS ok_bullet_lines",
+        f"ellipsis_line_ratio <= {_GOPHER_MAX_ELLIPSIS_RATIO} AS ok_ellipsis_lines",
+        f"alpha_word_ratio >= {_GOPHER_MIN_ALPHA_RATIO} AS ok_alpha_words",
+        f"stopword_hits >= {_GOPHER_MIN_STOPWORD_HITS} AS ok_stopwords",
+    )
+    return flags.selectExpr("*", _GOPHER_KEEP_EXPR, _GOPHER_PASSED_EXPR)
