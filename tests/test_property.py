@@ -1410,3 +1410,76 @@ def test_differential_select_fuzz(engine, duck, sql):
     from tests.conftest import assert_frames_match
 
     assert_frames_match(engine.sql(sql), duck.sql(sql))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-flag differential fuzz (round 14): the rule signals lean on
+# dialect-shared string semantics (regex split of empty/whitespace
+# strings, literal '...' replace, character-based substr over
+# multibyte bullets, rtrim before right()) — this pins the Spark ==
+# DuckDB contract over an open adversarial input space instead of the
+# two fixed corpora (driver tables + crafted docs).
+# ---------------------------------------------------------------------------
+
+_GOPHER_ATOMS = st.sampled_from([
+    "the", "of", "and", "that", "have", "with", "to", "be",
+    "zig", "zag", "supercalifragilistic", "ab", "x",
+    "12", "#", "##", "...", "#...", "•", "- ", "* ",
+    " ", "  ", "\n", "\n\n", "- item\n", "fox...\n", "'", "''",
+])
+
+
+@st.composite
+def _gopher_texts(draw):
+    n_docs = draw(st.integers(1, 6))
+    return [
+        "".join(draw(st.lists(_GOPHER_ATOMS, min_size=1, max_size=60)))
+        for _ in range(n_docs)
+    ]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_gopher_texts())
+def test_gopher_flags_cross_engine_any_text(spark, tmp_path_factory, texts):
+    import glob
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import assert_frames_match
+    from zarr_datafusion_spark.operators import textstats
+
+    # documents whose text is pure whitespace stress the [''] token
+    # convention; completely empty text stresses length(text)=0 paths
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "lang": "xx",
+        "source": "fuzz",
+        "n_chars": [len(t) for t in texts],
+    })
+    base = tmp_path_factory.mktemp("gfuzz")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(base / "stage")
+    )
+    os.replace(
+        glob.glob(str(base / "stage" / "*.parquet"))[0],
+        str(base / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{base / 'documents.parquet'}')"
+        )
+        assert_frames_match(
+            textstats.QUERIES["text_quality_gopher"](spark, str(base)),
+            con.sql(textstats.ORACLE["text_quality_gopher"]),
+        )
+    finally:
+        con.close()

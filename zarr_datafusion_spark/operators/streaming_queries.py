@@ -142,3 +142,29 @@ ORACLE["sessionize_stateful_stream"] = f"""
     FROM sess
     QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
 """
+
+
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality filter on the documents file stream (r14):
+    map-side rule flags + a bounded-key complete-mode keep-rate
+    aggregate — see
+    :func:`zarr_datafusion_spark.streaming.demo.streaming_gopher_gate`.
+    Oracle: the same GROUP BY over the batch gopher frame."""
+    from zarr_datafusion_spark.streaming.demo import streaming_gopher_gate
+
+    return streaming_gopher_gate(spark, sf_dir)
+
+
+QUERIES["streaming_quality_gate"] = streaming_quality_gate
+from zarr_datafusion_spark.operators.textstats import (  # noqa: E402
+    _GOPHER_ORACLE,
+)
+
+ORACLE["streaming_quality_gate"] = f"""
+    SELECT d.lang, d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(g.keep) AS BIGINT) AS n_keep,
+           CAST(SUM(g.n_rules_passed) AS BIGINT) AS sum_rules_passed
+    FROM ({_GOPHER_ORACLE}) g JOIN documents d USING (doc_id)
+    GROUP BY d.lang, d.source
+"""

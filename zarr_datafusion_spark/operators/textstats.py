@@ -468,30 +468,21 @@ _GOPHER_ORACLE = rf"""
 """
 
 
-@_q("text_quality_gopher", _GOPHER_ORACLE)
-def text_quality_gopher(spark, sf_dir):
-    """Gopher-rule quality filter: the published decision thresholds
-    as one flag per rule plus the ``keep`` conjunction.
-
-    Scale shape: entirely map-side — every signal is one expression
-    over the row's own text (array folds inside whole-stage codegen,
-    no UDF, no shuffle, no corpus-wide state), so the filter costs one
-    scan at any corpus size and composes with ``pipeline_curate``'s
-    keep-list joins.  Boolean flags are emitted as BOOLEAN and the
-    final ``keep`` as INT (the driver's value hash is type-sensitive;
-    INT keeps the keep-rate SUM-able downstream).
-
-    On the synthetic word-soup corpus the stopword rule rejects every
-    document (at most one of Gopher's 8 stopwords ever appears) —
-    exactly what an English-quality filter should do to word soup, and
-    why ``n_rules_passed`` and the per-rule flags carry the graded
-    signal here; the crafted-document unit test exercises each rule's
-    trip path (bullets, ellipses, symbols, short/long docs)."""
+def gopher_flags(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Gopher rule signals + flags + keep/n_rules_passed over any
+    ``(doc_id, text, ...)`` frame — batch OR streaming: every signal
+    is a map-side expression over the row's own text (array folds
+    inside whole-stage codegen, no UDF, no shuffle, no corpus-wide
+    state), so the same code path attaches to a file stream unchanged
+    (:func:`zarr_datafusion_spark.streaming.demo.streaming_gopher_gate`).
+    ``extra`` names pass-through columns (e.g. lang/source for
+    downstream grouping)."""
     lines = "split(text, '\\n')"
     words = "split(trim(text), '\\\\s+')"
     lower_words = "split(lower(trim(text)), '\\\\s+')"
-    sig = _docs_cpu(spark, sf_dir).select(
+    sig = docs.select(
         "doc_id",
+        *extra,
         F.expr(f"size({words})").alias("n_words"),
         F.expr(
             f"CAST(length(regexp_replace(text, '\\\\s+', '')) AS DOUBLE)"
@@ -534,3 +525,24 @@ def text_quality_gopher(spark, sf_dir):
         f"stopword_hits >= {_GOPHER_MIN_STOPWORD_HITS} AS ok_stopwords",
     )
     return flags.selectExpr("*", _GOPHER_KEEP_EXPR, _GOPHER_PASSED_EXPR)
+
+
+@_q("text_quality_gopher", _GOPHER_ORACLE)
+def text_quality_gopher(spark, sf_dir):
+    """Gopher-rule quality filter: the published decision thresholds
+    as one flag per rule plus the ``keep`` conjunction (core in
+    :func:`gopher_flags`).
+
+    Scale shape: entirely map-side, so the filter costs one scan at
+    any corpus size and composes with ``pipeline_curate``'s keep-list
+    joins.  Boolean flags are emitted as BOOLEAN and the final
+    ``keep`` as INT (the driver's value hash is type-sensitive; INT
+    keeps the keep-rate SUM-able downstream).
+
+    On the synthetic word-soup corpus the stopword rule rejects every
+    document (at most one of Gopher's 8 stopwords ever appears) —
+    exactly what an English-quality filter should do to word soup, and
+    why ``n_rules_passed`` and the per-rule flags carry the graded
+    signal here; the crafted-document unit test exercises each rule's
+    trip path (bullets, ellipses, symbols, short/long docs)."""
+    return gopher_flags(_docs_cpu(spark, sf_dir))

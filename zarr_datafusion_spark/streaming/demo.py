@@ -183,3 +183,37 @@ def sliding_window_rates(
         F.col("w.end").alias("window_end"),
         "n_events",
     )
+
+
+def streaming_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time quality gate: the Gopher rule flags applied to a
+    DOCUMENTS file stream, keep-rates aggregated per (lang, source) in
+    complete mode.
+
+    This is how a 100 TB pipeline actually deploys a quality filter —
+    at ingest, on the stream, not as a later batch pass — and it works
+    here because :func:`...operators.textstats.gopher_flags` is pure
+    map-side expression work (the minhash-signature rule from round 5:
+    per-row folds attach to a stream unchanged; per-doc groupBys would
+    be an unsupported unwatermarked aggregation).  The only stateful
+    operator is the final bounded-key (lang × source) aggregate.
+    Oracle: the identical batch GROUP BY over the batch gopher frame."""
+    from zarr_datafusion_spark.operators.textstats import gopher_flags
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        gopher_flags(stream, extra=("lang", "source"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+            F.sum("n_rules_passed").cast("bigint").alias("sum_rules_passed"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
