@@ -1367,12 +1367,19 @@ def _li_select_query(draw):
         + f" FROM lineitem{draw(_li_where())}"
     )
     if draw(st.booleans()):
-        # unique sort key -> the top-k SET is deterministic on both
-        # engines even though the row-order compare is set-based
+        # total-order sort key -> the top-k SET is deterministic on
+        # both engines even though the row-order compare is set-based.
+        # (l_orderkey, l_linenumber) alone is NOT unique in the
+        # synthetic data (6000 rows, 4599 distinct pairs — measured);
+        # adding l_extendedprice makes the triple unique at both test
+        # scales, so ties can never straddle the LIMIT boundary.
         da = draw(st.sampled_from(["", " DESC"]))
         db = draw(st.sampled_from(["", " DESC"]))
         k = draw(st.sampled_from([1, 7, 100, 6001]))
-        sql += f" ORDER BY l_orderkey{da}, l_linenumber{db} LIMIT {k}"
+        sql += (
+            f" ORDER BY l_orderkey{da}, l_linenumber{db}, "
+            f"l_extendedprice{da} LIMIT {k}"
+        )
     return sql
 
 
