@@ -10,6 +10,7 @@ formats, through the real Spark scan.
 from __future__ import annotations
 
 import itertools
+import os
 
 import numpy as np
 import pytest
@@ -1345,7 +1346,30 @@ def _li_agg_query(draw):
     sql = f"SELECT {', '.join(items)} FROM lineitem{draw(_li_where())}"
     if gcols:
         sql += f" GROUP BY {', '.join(gcols)}"
+        if draw(st.booleans()):
+            sql += f" HAVING COUNT(*) > {draw(st.sampled_from([0, 5, 400, 3000]))}"
     return sql
+
+
+@st.composite
+def _li_distinct_or_setop_query(draw):
+    cols = draw(
+        st.lists(
+            st.sampled_from(
+                ["l_returnflag", "l_linestatus", "l_linenumber", "l_suppkey"]
+            ),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    if draw(st.booleans()):
+        return (
+            f"SELECT DISTINCT {', '.join(cols)} FROM lineitem"
+            f"{draw(_li_where())}"
+        )
+    op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+    left = f"SELECT {', '.join(cols)} FROM lineitem{draw(_li_where())}"
+    right = f"SELECT {', '.join(cols)} FROM lineitem{draw(_li_where())}"
+    return f"{left} {op} {right}"
 
 
 @st.composite
@@ -1408,11 +1432,16 @@ def _li_join_query(draw):
 
 
 @settings(
-    max_examples=50,
+    # SPARK_GRAFT_FUZZ_EXAMPLES scales the suite default up for soak
+    # runs (r14 soaked 300 examples clean on an idle box)
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "50")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(sql=st.one_of(_li_agg_query(), _li_select_query(), _li_join_query()))
+@given(sql=st.one_of(
+    _li_agg_query(), _li_select_query(), _li_join_query(),
+    _li_distinct_or_setop_query(),
+))
 def test_differential_select_fuzz(engine, duck, sql):
     from tests.conftest import assert_frames_match
 
@@ -1446,7 +1475,7 @@ def _gopher_texts(draw):
 
 
 @settings(
-    max_examples=15,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "15")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
