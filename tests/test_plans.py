@@ -284,3 +284,25 @@ def test_q19_disjunction_single_join(spark):
     assert final.count("Scan parquet") <= 2, "disjunction re-scanned a table"
     assert "Union" not in final
     assert "NestedLoop" not in final and "CartesianProduct" not in final
+
+
+def test_gopher_filter_plan_is_map_only(spark):
+    """The Gopher filter's whole scale story is that it is ONE map-side
+    pass: no hash-partitioned exchange (no aggregate, no join), no
+    UDF/Python evaluation, everything inside whole-stage codegen.  The
+    single permitted exchange is cpu_rebalance's round-robin
+    repartition (small-corpus parallelization, a no-op at real scale)."""
+    from zarr_datafusion_spark.operators.textstats import QUERIES
+
+    df = QUERIES["text_quality_gopher"](spark, SF_DIR)
+    # collect() executes THIS DataFrame's queryExecution so its AQE
+    # plan prints the Final Plan (count() would execute a different one)
+    df.collect()
+    plan = plan_text(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "hashpartitioning" not in final, "unexpected keyed shuffle"
+    assert "SortMergeJoin" not in final and "BroadcastHashJoin" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+    # whole-stage codegen prints as the "*(n)" node prefix here
+    assert "*(" in final, "signal projection fell out of codegen"
+    assert final.count("Exchange") <= 1, "more than the rebalance exchange"
