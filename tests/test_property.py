@@ -1433,7 +1433,8 @@ def _li_join_query(draw):
 
 @settings(
     # SPARK_GRAFT_FUZZ_EXAMPLES scales the suite default up for soak
-    # runs (r14 soaked 300 examples clean on an idle box)
+    # runs (r14 soaked 300 then 2000 examples clean on an idle box,
+    # ~7 min at 2000)
     max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "50")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
