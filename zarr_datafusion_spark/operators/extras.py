@@ -1931,7 +1931,12 @@ def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from zarr_datafusion_spark.scale import ranked_two_pass
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # r14: the tokenize explode feeds two consumers (vocab counts and
+    # the encode join) and the small parquet plans 1-2 scan partitions
+    # — rebalance so both map stages use every core (guide §2.5).
+    docs = cpu_rebalance(
+        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
@@ -2593,6 +2598,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     same keys at web scale; the final per-doc aggregate shuffles on
     doc_id once.  ln() ulp + per-doc sum order absorbed by round(6).
     """
+    # r14 optimization round: a docs cpu_rebalance was A/B'd here and
+    # REGRESSED (1.01 -> 1.36 s at sf0.1, alternating best-of-3): the
+    # three downstream consumers each shuffle right away, so widening
+    # the scan only adds an exchange (the Q3/Q5 precedent).  Left alone.
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     # bind-once bigram structs: transform(array(split(..)), w -> ..)[1]
     bg_expr = (
@@ -2869,8 +2878,12 @@ def exact_substring_report(docs: DataFrame, length: int = _SUBSTR_L) -> DataFram
         "n",
         "p",
         # substring(col, col, lit): plain column refs inside the call —
-        # no lambda, no rebuild-per-element hazard
-        F.md5(F.expr(f"substring(t, p, {length})")).alias("h"),
+        # no lambda, no rebuild-per-element hazard.  unhex: the shingle
+        # key crosses the h-window exchange as BINARY(16), not the
+        # 32-char hex string — same equality classes (hex<->bytes is
+        # bijective), ~half the shuffle bytes (guide §2.3 narrower
+        # types; r14 A/B 1.54 -> 1.43 s at sf0.1).
+        F.unhex(F.md5(F.expr(f"substring(t, p, {length})"))).alias("h"),
     )
     wh = W.partitionBy("h")
     dup_pos = sh.withColumn(
@@ -3007,7 +3020,12 @@ def substring_winnowed_report(
         ).select(
             "doc_id",
             "p",
-            F.md5(F.expr(f"substring(t, p, {length})")).alias("h"),
+            # BINARY(16) fingerprints: unhex is order-preserving over
+            # hex strings (per-nibble monotone encoding), so the
+            # rolling MIN selects the SAME positions' hashes and the
+            # fp exchange carries 16 bytes instead of 32+ (guide §2.3;
+            # r14 A/B 1.53 -> 1.21 s at sf0.1).
+            F.unhex(F.md5(F.expr(f"substring(t, p, {length})"))).alias("h"),
         )
         wdw = (
             W.partitionBy("doc_id")
@@ -3023,8 +3041,13 @@ def substring_winnowed_report(
         hs = d.select(
             "doc_id",
             "n",
+            # unhex for the same reason as the explode_window shape:
+            # both shapes must select identical fingerprints
+            # (test_winnowed_shapes_equivalent), and binary mins are
+            # order-isomorphic to hex-string mins.
             F.expr(
-                f"transform(sequence(1, n), p -> md5(substring(t, p, {length})))"
+                f"transform(sequence(1, n), "
+                f"p -> unhex(md5(substring(t, p, {length}))))"
             ).alias("hs"),
         )
         fps = hs.select(
@@ -3173,7 +3196,10 @@ def cut_duplicate_spans(docs: DataFrame, length: int = _SUBSTR_L) -> DataFrame:
     ).select(
         "doc_id",
         "p",
-        F.md5(F.expr(f"substring(t, p, {length})")).alias("h"),
+        # BINARY(16) shingle key — same equality classes as the hex
+        # string at ~half the h-exchange bytes (guide §2.3; see
+        # exact_substring_report).
+        F.unhex(F.md5(F.expr(f"substring(t, p, {length})"))).alias("h"),
     )
     wh = W.partitionBy("h")
     dup_pos = sh.withColumn(
@@ -3299,10 +3325,15 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows before any shuffle; df/dl/corpus stats are tiny aggregates
     (corpus is a broadcast 1-row scalar); the final top-10 is
     TakeOrderedAndProject with a (score, doc_id) total order.
+
+    r14 optimization round: the docs cpu_rebalance this entry carried
+    since r7 was A/B'd out (1.20 -> 0.45 s at sf0.1, alternating
+    best-of-3): the split+isin map work is too light to amortize the
+    round-robin exchange, which also re-executed once per branch (toks
+    and dl both hang off it).  The heavy-map entries (minhash
+    signatures, shingle md5) keep theirs — measured 3-7x the other way.
     """
-    docs = cpu_rebalance(
-        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
@@ -3721,10 +3752,13 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the phrase terms' postings, exactly like ``search_boolean_and``
     — the voting aggregate is unchanged.  Output: per matching doc,
     occurrence count and first match position (1-based).
+
+    r14 optimization round: the docs cpu_rebalance was A/B'd out
+    (0.85 -> 0.66 s at sf0.1, alternating best-of-3) — split+posexplode
+    +broadcast-join map work is too light to pay for the extra
+    round-robin exchange (same verdict as search_bm25_topk).
     """
-    docs = cpu_rebalance(
-        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
@@ -5040,10 +5074,20 @@ def _cdc_core(
     d = docs.filter(F.length("text") >= 1).select(
         "doc_id", "text", F.length("text").alias("n")
     )
+    # r14 optimization round: the per-character md5 explode below is
+    # the whole cost of CDC, and a small corpus parquet plans as 1-2
+    # scan partitions — so the MAP BRANCH ONLY is round-robin
+    # rebalanced across cores (guide §2.5 input-skew fix).  The
+    # sentinel and join-back branches stay on the raw scan: they do
+    # one cheap row per document, and rebalancing them too re-executed
+    # the repartition exchange three times (measured 0.94 vs 0.74 s at
+    # sf0.1 map-only; raw unrebalanced was 2.6 s).  At real scale the
+    # scan is already wide and the rebalance is a no-op.
+    d_map = cpu_rebalance(docs.sparkSession, d)
     # sequence(w, n) DESCENDS for n < w (the r4 trap) — emit no
     # candidate positions for short docs; the end-of-doc sentinel
     # below still closes their single chunk
-    cand = d.select(
+    cand = d_map.select(
         "doc_id", "text", "n",
         F.explode(
             F.expr(
@@ -5053,12 +5097,20 @@ def _cdc_core(
         ).alias("pos"),
     )
     win = f"substr(text, CAST(pos - {window - 1} AS INT), {window})"
+    # r14 optimization round: keep only boundaries strictly BEFORE the
+    # end of the document.  A hash boundary at pos == n is the ONLY
+    # value the end-of-doc sentinel can duplicate, so dropping it here
+    # makes the union below disjoint BY CONSTRUCTION and deletes the
+    # (doc_id, pos) DISTINCT — a full exchange + dedup that measured
+    # 3/4 of the whole query (hb map stage 0.24 s, + distinct 0.99 s
+    # at sf0.1; guide §2.4 "a distinct on data that is already
+    # unique").
     hb = cand.filter(
         F.expr(
             f"CAST(conv(substring(md5({win}), 1, 8), 16, 10) AS BIGINT) "
             f"% {divisor} = 0"
         )
-    ).select("doc_id", "pos")
+    ).filter(F.col("pos") < F.col("n")).select("doc_id", "pos")
     wo = W.partitionBy("doc_id").orderBy("pos")
     if min_len is not None:
         # MIN via boundary thinning: survive iff no ORIGINAL hash
@@ -5071,9 +5123,11 @@ def _cdc_core(
             .filter(F.col("pos") - F.col("hprev") >= min_len)
             .select("doc_id", "pos")
         )
+    # Disjoint by construction (hb keeps pos < n only; thinning can
+    # only REMOVE rows), so a plain concat replaces the old DISTINCT.
     b = hb.unionByName(
         d.select("doc_id", F.col("n").alias("pos"))
-    ).distinct()
+    )
     if max_len is not None:
         # MAX via forced cuts at prev + i*max_len — depends only on
         # the adjacent survivor pair, so still parallel
@@ -5092,7 +5146,11 @@ def _cdc_core(
                 )
             ).alias("pos"),
         )
-        b = b.unionByName(forced).distinct()
+        # A forced cut lands STRICTLY between two adjacent surviving
+        # boundaries (prev < prev + i*max_len <= prev + (pos-prev-1)
+        # < pos), where no b element exists — the union is again
+        # disjoint and needs no DISTINCT.
+        b = b.unionByName(forced)
     iv = b.select(
         "doc_id",
         "pos",
@@ -5237,6 +5295,9 @@ def chunk_cdc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     thinning/forcing rules, their guarantees, and the honest tail
     caveats.  Same one-explode + tiny-window shape (and cost class) as
     the unbounded :func:`chunk_cdc`."""
+    # r14: the md5-per-char map branch is rebalanced INSIDE _cdc_core
+    # (map branch only — see its comment); the entry passes the raw
+    # scan.
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return cdc_chunks_bounded(
         docs, _CDC_WINDOW, _CDC_DIVISOR, _CDC_MIN, _CDC_MAX
@@ -5264,6 +5325,11 @@ def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; the pure content rule is what keeps this embarrassingly
     parallel at 100 TB.
     """
+    # r14 optimization round: without a rebalance the explode+hash map
+    # stage ran on 1-2 cores while the rest idled (guide §2.5
+    # input-skew class; the r14 sf1 sweep's stage lines showed
+    # "(1 + 1) / 2").  The rebalance lives INSIDE _cdc_core, applied
+    # to the md5 map branch only (2.61 -> 0.74 s at sf0.1 all-in).
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return cdc_chunks(docs, _CDC_WINDOW, _CDC_DIVISOR)
 

@@ -57,6 +57,20 @@ def get_spark(app_name: str = "zarr_datafusion_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce posture knobs (r14 optimization round, guide
+        # §2.2): parameterized so the cluster production values
+        # (parallelismFirst=false + advisory 256m for 100 MB-1 GB
+        # post-shuffle partitions) can be set per deployment without
+        # code changes; local defaults keep Spark's stock behavior so
+        # the driver's bench stays comparable across core counts.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
