@@ -306,3 +306,25 @@ def test_gopher_filter_plan_is_map_only(spark):
     # whole-stage codegen prints as the "*(n)" node prefix here
     assert "*(" in final, "signal projection fell out of codegen"
     assert final.count("Exchange") <= 1, "more than the rebalance exchange"
+
+
+def test_cpu_rebalance_over_gates_on_scan_bytes(spark):
+    """The size-gated rebalance (r14): below the byte floor the helper
+    must return the input UNCHANGED (no round-robin exchange — measured
+    regression on sub-MB corpora), above it it must delegate to
+    cpu_rebalance (which repartitions scans narrower than the core
+    count).  sf0.01's documents.parquet is ~60 KB, so the default 2 MB
+    floor no-ops; a 0-byte floor forces the delegate path."""
+    from zarr_datafusion_spark.operators.common import (
+        cpu_rebalance_over,
+        _planned_scan_partitions,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    gated = cpu_rebalance_over(spark, docs)
+    assert gated is docs, "sub-threshold scan must not be rebalanced"
+
+    forced = cpu_rebalance_over(spark, docs, min_bytes=0)
+    if _planned_scan_partitions(spark, docs) < spark.sparkContext.defaultParallelism:
+        assert forced is not docs
+        assert "Repartition" in forced._jdf.queryExecution().logical().toString()

@@ -38,6 +38,30 @@ def cpu_rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def cpu_rebalance_over(
+    spark: SparkSession, df: DataFrame, min_bytes: int = 2 << 20
+) -> DataFrame:
+    """:func:`cpu_rebalance`, gated on scan size: only rebalance when
+    the round-robin exchange can pay for itself (r14 optimization
+    round).  Measured crossover on ``search_phrase``: with a 0.6 MB
+    corpus file the rebalance REGRESSES (0.73 -> 0.99 s at sf0.1 —
+    exchange overhead exceeds the light split+posexplode map work),
+    with a 5.5 MB file it WINS (2.15 -> 1.54 s at sf1 — two scan
+    partitions starve 30 cores).  At real scale the planned partition
+    count already exceeds the core count and both helpers no-op, so
+    the gate only matters in the single-file mid-size band.  Uses the
+    same on-disk file sizes :func:`_planned_scan_partitions` reads —
+    pure metadata, no job."""
+    try:
+        files = [f.removeprefix("file:") for f in df.inputFiles()]
+        total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    except Exception:
+        total = min_bytes  # unknown size: fall through to cpu_rebalance
+    if total < min_bytes:
+        return df
+    return cpu_rebalance(spark, df)
+
+
 def salted_bucket(key_col: str, salt: str, buckets: int = 100):
     """Deterministic hash bucket ``md5(key || salt) % buckets`` — the
     one spelling of the split/mix/quota decision every operator shares

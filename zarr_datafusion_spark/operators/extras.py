@@ -3753,12 +3753,18 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the voting aggregate is unchanged.  Output: per matching doc,
     occurrence count and first match position (1-based).
 
-    r14 optimization round: the docs cpu_rebalance was A/B'd out
-    (0.85 -> 0.66 s at sf0.1, alternating best-of-3) — split+posexplode
-    +broadcast-join map work is too light to pay for the extra
-    round-robin exchange (same verdict as search_bm25_topk).
+    r14 optimization round: the unconditional docs cpu_rebalance was
+    replaced by the size-gated :func:`cpu_rebalance_over` — the
+    measured crossover (0.73 raw vs 0.99 rebalanced at sf0.1's 0.6 MB
+    file; 2.15 raw vs 1.54 rebalanced at sf1's 5.5 MB) means neither
+    always-on nor always-off is right for the single-file band, and at
+    real scale both no-op.
     """
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from zarr_datafusion_spark.operators.common import cpu_rebalance_over
+
+    docs = cpu_rebalance_over(
+        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
