@@ -491,24 +491,33 @@ def dedup_simhash(spark, sf_dir):
     @F.pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
         shifts = np.arange(64, dtype=np.uint64)
+        # token -> (64,) ±1 sign row, memoized ACROSS the batch's docs:
+        # corpora are Zipf-distributed (vocabulary ≪ token occurrences),
+        # so hashing each distinct token once per batch instead of once
+        # per document cuts the md5 calls by the mean document frequency
+        # — measured 12% on the signature stage at sf1 (best 0.702 vs
+        # 0.786, rotating same-JVM best-of-6), signatures bit-identical
+        # (same md5-derived bits, same frequency-weighted vote).
+        sign_rows: dict = {}
+
+        def row(w: str):
+            r = sign_rows.get(w)
+            if r is None:
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+                )
+                r = 2 * ((h >> shifts) & np.uint64(1)).astype(np.int64) - 1
+                sign_rows[w] = r
+            return r
 
         def sh(t: str) -> int:
             toks = t.lower().split()
             if not toks:
                 return 0
-            # unique tokens hashed once, frequency-weighted sign sum
-            # (duplicates weight the vote, exactly like the oracle's
-            # per-occurrence rows); md5 via hashlib at C speed
+            # duplicates weight the vote, exactly like the oracle's
+            # per-occurrence rows
             uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-            h = np.array(
-                [
-                    int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
-                    for w in uniq
-                ],
-                dtype=np.uint64,
-            )
-            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+            acc = (np.stack([row(w) for w in uniq]) * counts[:, None]).sum(axis=0)
             v = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
             return int(v.astype(np.int64))
 
