@@ -465,3 +465,99 @@ def test_gopher_rules_trip_on_crafted_docs(spark, tmp_path):
         )
     finally:
         con.close()
+
+
+def test_embedding_cosine_blockmat_matches_fold(spark, tmp_path):
+    """r14 optimization: dedup_embedding_cosine's grouped-map numpy
+    pair scoring must be BIT-identical to the interpreted
+    ``aggregate(zip_with(...))`` double fold it replaced — same pair
+    set, same cosine doubles — including the margin band the UDF's
+    conservative prefilter (raw dot >= t - 1e-6) keeps but the exact
+    Spark-side HALF_UP ``round(dot, 6) >= t`` must then reject.
+
+    Crafted cases: a pair whose raw dot (0.29999923...) lies INSIDE
+    the prefilter margin yet rounds to 0.299999 < 0.30 (must be
+    excluded — numpy half-to-even round would also get this one right,
+    so the differential vs the fold is the real pin); a pair at
+    0.29999950... that HALF_UP rounds UP to 0.300000 (must be
+    included); a singleton label group (no pairs, empty-frame branch);
+    and seeded random unit vectors for bulk coverage."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # label 0: first component engineered, rest zero
+    for vid, x in ((0, 0.5), (1, 0.5999985), (2, 0.599999), (3, 0.6000010)):
+        v = np.zeros(64, dtype=np.float32)
+        v[0] = x
+        rows.append((vid, v.tolist(), 0))
+    # label 1: singleton group
+    rows.append((10, rng.normal(size=64).astype(np.float32).tolist(), 1))
+    # label 2: random unit vectors (some near-parallel to force hits)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    for vid in range(20, 40):
+        v = base + rng.normal(scale=0.4, size=64)
+        v = (v / np.linalg.norm(v)).astype(np.float32)
+        rows.append((vid, v.tolist(), 2))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<float>, label int")
+    sdf.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    # the crafted margin cases really are what the docstring claims
+    raw_01 = float(0.5 * np.float64(np.float32(0.5999985)))
+    raw_02 = float(0.5 * np.float64(np.float32(0.599999)))
+    assert 0.299999 - 1e-6 <= raw_01 < 0.2999995  # prefilter keeps, round rejects
+    assert 0.2999995 <= raw_02 < 0.30  # HALF_UP rounds up to 0.300000
+
+    got = (
+        dedup.QUERIES["dedup_embedding_cosine"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+    # reference: the pre-r14 fold shape, evaluated by Spark itself
+    e = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    a, b = e.alias("a"), e.alias("b")
+    fold = (
+        "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    ref = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(F.expr(fold), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.30)
+        .toPandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref) and len(ref) > 0
+    assert (got["vec_a"] == ref["vec_a"]).all()
+    assert (got["vec_b"] == ref["vec_b"]).all()
+    assert (got["label"] == ref["label"]).all()
+    assert (got["cosine"].to_numpy() == ref["cosine"].to_numpy()).all()
+    pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert (0, 1) not in pairs  # margin-kept, exact-round rejected
+    assert (0, 2) in pairs  # HALF_UP boundary included at 0.300000
+    assert not any(10 in p for p in pairs)  # singleton group: no pairs
+
+    # plan shape: one grouped-map pass, no self-join, no interpreted fold
+    plan = dedup.QUERIES["dedup_embedding_cosine"](
+        spark, str(tmp_path)
+    )._sc._jvm.PythonSQLUtils.explainString(
+        dedup.QUERIES["dedup_embedding_cosine"](spark, str(tmp_path))._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan and "aggregate(zip_with" not in plan

@@ -25,7 +25,9 @@ NESTED_LOOP_OK = {
     "sim_ann_ivf": "broadcast 1-row centroid array",
     "sim_ann_indexed": "broadcast 1-row query vector (postings point-lookup)",
     "sim_topk_quantized": "broadcast 1-row quantized query",
-    "dedup_embedding_cosine": "broadcast small blocked-pair side",
+    # dedup_embedding_cosine left this list in r14: its label-blocked
+    # pair join became ONE grouped-map pass (no join), so the audit
+    # now covers it like any other entry
     # intentional theta/cross semantics (Tier B parity row)
     "join_theta_cross": "exercises CROSS JOIN + theta join on purpose",
     # bounded-range binned join carries a residual non-equi predicate

@@ -568,14 +568,6 @@ def dedup_simhash(spark, sf_dir):
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-# Sequential left-fold dot product with explicit double casts — the
-# accumulation order is identical in Spark and DuckDB, so the doubles
-# match bit-for-bit; round(6) guards engine-internal summation quirks.
-_DOT_SPARK = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-    "0D, (acc, v) -> acc + v)"
-)
-
 _COS_PAIRS_ORACLE = """
     WITH pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
@@ -588,6 +580,11 @@ _COS_PAIRS_ORACLE = """
 """
 
 
+#: cosine threshold for dedup_embedding_cosine (mirrors the oracle's
+#: literal 0.30)
+COS_PAIRS_THRESHOLD = 0.30
+
+
 @_q("dedup_embedding_cosine", _COS_PAIRS_ORACLE)
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup: label-blocked pairs with cosine >= 0.30
@@ -595,11 +592,29 @@ def dedup_embedding_cosine(spark, sf_dir):
 
     Blocking on ``label`` stands in for the coarse quantizer an IVF
     index provides at scale — the shuffle key is the block, and the
-    pair join never goes all-pairs global.  Scale caveat (measured in
-    the r6 sf1 sweep): a FIXED label set means per-block pair counts
-    grow quadratically with the corpus; the label-free scale path is
+    pair generation never goes all-pairs global.  Scale caveat
+    (measured in the r6 sf1 sweep): a FIXED label set means per-block
+    pair counts grow quadratically with the corpus; the label-free
+    scale path is
     :func:`zarr_datafusion_spark.operators.similarity.dedup_semantic`,
     whose cell count scales with the corpus to keep blocks bounded.
+
+    Pair scoring (r14 optimization): each label block's VECTORS cross
+    the Arrow boundary once (n rows) into a grouped-map pandas UDF
+    that forms the n(n-1)/2 pairs in numpy — per-dimension sequential
+    accumulation ``acc += A[:,d] * B[:,d]`` for d = 0..63, the exact
+    IEEE add order of the module's ``aggregate(zip_with(...))`` double
+    fold, so every dot is bit-identical to the DuckDB twin.  The fold
+    itself is an interpreted higher-order function (no whole-stage
+    codegen), and at sf1's ~23M label-blocked pairs that interpretation
+    dominated the entry: same-JVM rotating best-of-3 measured the fold
+    join at 11.2 s vs 2.4 s for this shape (the unrolled 64-term
+    codegen sum was 12x WORSE at 139 s — `scripts/cos_shape_ab.py`).
+    Only pairs above a conservative margin (raw dot >= t - 1e-6)
+    return across the boundary; Spark applies the exact HALF_UP
+    ``round(dot, 6) >= t`` — numpy's half-to-even round is never used,
+    and the margin cannot drop a qualifying pair since
+    ``round(d, 6) >= 0.30`` requires ``d >= 0.2999995 > t - 1e-6``.
 
     Threshold note: the synthetic driver embeddings are near-random
     (best cosine ≈ 0.33 at sf0.01), so a production-style 0.5 cut
@@ -607,23 +622,74 @@ def dedup_embedding_cosine(spark, sf_dir):
     keeps the oracle populated with real pairs at every sf (round-1
     verdict: "vacuous pass").
     """
-    e = _emb(spark, sf_dir)
-    a = e.alias("a")
-    b = e.alias("b")
-    dot = _DOT_SPARK.format(a="a.embedding", b="b.embedding")
+    # the old self-join dropped NULL keys (equi-join) and NULL
+    # embeddings (NULL fold -> filtered); keep that contract explicit
+    # so the grouped map never sees them
+    e = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", "label", "embedding")
+        .filter(
+            F.col("vec_id").isNotNull()
+            & F.col("label").isNotNull()
+            & F.col("embedding").isNotNull()
+        )
+    )
+    margin = COS_PAIRS_THRESHOLD - 1e-6
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "label": pd.Series(dtype="int32"),
+            "dot": pd.Series(dtype="float64"),
+        }
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        lab = pdf["label"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(empty)
+        emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        oa, ob, oc, od = [], [], [], []
+        chunk = 1024  # bounds the (chunk, n) accumulator's memory
+        for i0 in range(0, n - 1, chunk):
+            i1 = min(i0 + chunk, n - 1)
+            left = emb[i0:i1]  # (c, 64)
+            right = emb[i0 + 1 :]  # rows that can be a pair's b side
+            # sequential per-dim accumulation == 0D + p0 + ... + p63:
+            # each iteration is one IEEE double multiply + add per
+            # pair, in the fold's exact order (no BLAS/FMA reordering)
+            acc = np.zeros((i1 - i0, n - i0 - 1))
+            for d in range(64):
+                acc += left[:, d : d + 1] * right[:, d][None, :]
+            ii, jj = np.nonzero(acc >= margin)
+            keep = jj >= ii  # global j = jj + i0 + 1 > global i = ii + i0
+            ii, jj = ii[keep], jj[keep]
+            oa.append(ids[ii + i0])
+            ob.append(ids[jj + i0 + 1])
+            oc.append(lab[ii + i0])
+            od.append(acc[ii, jj])
+        if not oa:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(oa),
+                "vec_b": np.concatenate(ob),
+                "label": np.concatenate(oc),
+                "dot": np.concatenate(od),
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        e.groupBy("label")
+        .applyInPandas(block_pairs, "vec_a long, vec_b long, label int, dot double")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.round(F.expr(dot), 6).alias("cosine"),
+            "vec_a",
+            "vec_b",
+            "label",
+            F.round(F.col("dot"), 6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.30)
+        .filter(F.col("cosine") >= COS_PAIRS_THRESHOLD)
     )
 
 
