@@ -4361,8 +4361,17 @@ def setsim_prefix_join(docs: DataFrame, threshold: float) -> DataFrame:
        |a u b| = na + nb - |a n b| (never materializes the union
        array): hashed-Jaccard >= string-Jaccard (collisions only merge
        elements: intersection can only grow, union only shrink), so
-       ``J_h >= t`` keeps a superset of the true result.
-    5. exact string-gram verify of the survivors only.
+       ``J_h >= t`` keeps a superset of the true result.  The screen
+       joins attach the (bigint) ``gh`` arrays ONLY — the wide string
+       gram arrays stay out of every candidate-sized intermediate
+       (guide §2.3 project-before-the-exchange / §8 light-proxy rule).
+    5. exact string-gram verify of the survivors only — ``grams``
+       joins in for the post-screen survivor set, three orders of
+       magnitude smaller than the candidate set (sf1: 250,682
+       survivors vs 12.1M candidates; same-JVM rotating best-of-3
+       12.40 s vs 13.73 s for the heavy-verify shape, and parity at
+       sf0.1 — the win is exactly the candidate/survivor ratio, so
+       it grows with corpus skew).
     """
     t = threshold
     # one gram-set materialization feeds prefix generation AND verify;
@@ -4383,6 +4392,14 @@ def setsim_prefix_join(docs: DataFrame, threshold: float) -> DataFrame:
         )
         # prefix length n - ceil(t*n) + 1 (t*n exact in binary at t=0.5)
         .filter(F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        # a prefix gram with df == 1 occurs in exactly one document, so
+        # it cannot key a pair — drop it AFTER ranking (df=1 grams sort
+        # first, so they legitimately occupy prefix slots; removing them
+        # earlier would shift every rank).  No-op on the synthetic
+        # corpus (~280 rows, measured parity at sf0.1/sf1), but on a
+        # Zipf corpus the df=1 tail is the majority of prefix rows and
+        # this halves the self-join input.
+        .filter(F.col("df") > 1)
         .select("doc_id", "n", "rnk", F.xxhash64("gram").alias("gk"))
     )
     pa = prefix.select(
@@ -4421,18 +4438,19 @@ def setsim_prefix_join(docs: DataFrame, threshold: float) -> DataFrame:
         " / (size(a_grams) + size(b_grams)"
         "    - size(array_intersect(a_grams, b_grams)))"
     )
-    ga = g.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("grams").alias("a_grams"), F.col("gh").alias("a_gh"),
-    )
-    gb = g.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("b_grams"), F.col("gh").alias("b_gh"),
-    )
-    return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
+    ha = g.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("a_gh"))
+    hb = g.select(F.col("doc_id").alias("doc_b"), F.col("gh").alias("b_gh"))
+    survivors = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
         .filter(F.expr(screen_j) >= t)
+        .select("doc_a", "doc_b")
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("a_grams"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("b_grams"))
+    return (
+        survivors.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .select("doc_a", "doc_b", F.expr(exact_j).alias("jaccard"))
         .filter(F.col("jaccard") >= t)
     )
