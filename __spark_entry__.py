@@ -50,15 +50,14 @@ WINDOW = 50
 #: carries human-readable reasons (and covers rounds predating the
 #: snapshot).  Reset the contents every round.
 RE_RECORD: dict[str, str] = {
-    # r14: reset at round start.  The freshness floor puts the whole
-    # 23-entry r9 cohort at the head of this round's window
-    # mechanically (latest=13, cycle=4 → urgent = green < 10), then
-    # the r10 cohort fills the rest stalest-first — VERDICT r13
-    # item 1, verified at round start.  This round's code changes
-    # (gc_repo grace window, the branch-creation fence's vanished-
-    # rival tolerance, zarr_icechunk_stream's atexit sink cleanup,
-    # the sim_kmeans_train docstring) are caught by the mechanical
-    # fingerprint check; no hand declarations needed.
+    # r15: reset at round start.  The five entries whose r14 code
+    # changes never earned a post-change driver record
+    # (search_bm25_topk, search_phrase, dedup_substring_winnowed,
+    # dedup_cut_spans, dedup_setsim_prefix_join — VERDICT r14 item 1)
+    # are mechanically fingerprint-flagged and verified present in the
+    # window at round start (positions 24-28 of 50); with the
+    # changed-before-urgent priority below they now lead the stale
+    # block outright.  No hand declarations needed.
 }
 
 
@@ -209,13 +208,23 @@ def _registries() -> tuple[dict, dict]:
     latest = max((green[n] for n in recorded), default=0)
     cycle = math.ceil(len(recorded) / WINDOW) if recorded else 1
     urgent = {n for n in recorded if green[n] < (latest + 1) - cycle}
+    # Changed code outranks the freshness floor (VERDICT r14 item 1):
+    # a stale-but-unchanged record is strictly safer than a stale
+    # record on changed code, so under window pressure the
+    # changed/declared entries take slots first; urgent-only entries
+    # follow stalest-first (and still trip the unsatisfiable-floor
+    # error below if truncated, which is loud by design).
     stale = sorted(
         (
             n
             for n in recorded
             if n in RE_RECORD or n in changed or n in urgent
         ),
-        key=lambda n: (green[n], idx[n]),  # stalest record first
+        key=lambda n: (
+            n not in RE_RECORD and n not in changed,  # changed first
+            green[n],
+            idx[n],
+        ),
     )
     # Window overflow auto-stages: firsts always fit (checked above);
     # stale entries beyond the window keep their fingerprint mismatch,

@@ -533,31 +533,34 @@ def main() -> None:
         except OSError as e:
             print(f"WARNING: could not write {out}: {e}", file=sys.stderr)
 
-    # Compact FINAL line — must stay far under the driver's ~4 KB tail
-    # capture so the headline total always survives verbatim.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "n": len(timings),
-                "sf": sf,
-                "watch": {
-                    q: timings[q] for q in WATCHLIST if q in timings
-                },
-                "probes": probes,
-                # normalized drift (rule: BASELINE.md r13) — capped at
-                # the worst 8 to keep this line under the driver's
-                # tail-capture budget
-                "probe_factor_vs_prev": probe_factor,
-                "normalized_regressions": [
-                    {"query": d["query"], "ratio": d["ratio"]}
-                    for d in nreg[:8]
-                ],
-            }
-        )
-    )
+    # Compact FINAL line — must stay under the driver's ~4 KB tail
+    # capture so the headline total always survives verbatim.  Since
+    # r15 it carries the FULL per-query map at 3 decimals (~2.8 KB for
+    # 90 queries) so the driver's PERF per-query comparison works again
+    # (VERDICT r14 item 3: PERF_r14 had n_common=0 because only this
+    # line survives the tail capture and it held a 6-query watchlist).
+    # The preceding full line keeps the 4-decimal timings unchanged.
+    final = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "n": len(timings),
+        "sf": sf,
+        "queries": {q: round(t, 3) for q, t in timings.items()},
+        "watch": {q: timings[q] for q in WATCHLIST if q in timings},
+        "probes": probes,
+        # normalized drift (rule: BASELINE.md r13) — capped at the
+        # worst 8 to keep this line inside the tail-capture budget
+        "probe_factor_vs_prev": probe_factor,
+        "normalized_regressions": [
+            {"query": d["query"], "ratio": d["ratio"]} for d in nreg[:8]
+        ],
+    }
+    line = json.dumps(final)
+    if len(line) > 3900:  # never let extras push the total out of the tail
+        final.pop("watch", None)
+        line = json.dumps(final)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -107,6 +107,42 @@ def test_need_entries_lead_the_window():
     assert all(n in need for n in head), [n for n in head if n not in need]
 
 
+def test_changed_entries_outrank_freshness_floor():
+    """VERDICT r14 item 1: a stale record on CHANGED code is strictly
+    less safe than a stale-but-unchanged record, so within the stale
+    block every changed/RE_RECORD entry must precede every urgent-only
+    (freshness-floor) entry — under window saturation the changed code
+    re-records first."""
+    import math
+
+    from zarr_datafusion_spark import fingerprints as FP
+
+    qs, oracles = E._registries()
+    green = E._latest_green_round()
+    changed = FP.changed_since_record(
+        green, FP.compute_fingerprints(qs, E.oracle_sql())
+    )
+    names = list(qs)
+    recorded = [n for n in names if n in oracles and n in green]
+    latest = max((green[n] for n in recorded), default=0)
+    cycle = math.ceil(len(recorded) / E.WINDOW) if recorded else 1
+    urgent = {n for n in recorded if green[n] < (latest + 1) - cycle}
+    changed_all = set(E.RE_RECORD) | set(changed)
+    urgent_only = urgent - changed_all
+    if not changed_all or not urgent_only:
+        return
+    positions = {n: i for i, n in enumerate(names)}
+    last_changed = max(positions[n] for n in changed_all if n in positions)
+    first_urgent_only = min(
+        positions[n] for n in urgent_only if n in positions
+    )
+    assert last_changed < first_urgent_only, (
+        "urgent-only entry holds a slot ahead of a changed entry: "
+        f"changed ends at {last_changed}, urgent-only starts at "
+        f"{first_urgent_only}"
+    )
+
+
 def test_standing_entries_fill_window_stalest_first():
     """Standing = green, not hand-declared (RE_RECORD), and not
     mechanically fingerprint-flagged — the flagged set sorts into the

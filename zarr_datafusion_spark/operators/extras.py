@@ -4341,7 +4341,9 @@ def setsim_prefix_join(docs: DataFrame, threshold: float) -> DataFrame:
     text) DataFrame — see :func:`dedup_setsim_prefix_join` for the
     algorithm and scale notes.  Returns (doc_a, doc_b, jaccard) for
     every unordered pair with word-trigram Jaccard >= ``threshold``,
-    EXACTLY (every pruning stage below is provably recall-1).
+    EXACTLY (every pruning stage below is recall-1 — stages 1-3 and 5
+    provably, stage 4 up to intra-intersection 64-bit hash collisions;
+    see its note).
 
     Pruning ladder (measured at sf1: 50k docs, 250,600 true pairs —
     the naive verify-everything shape took 143 s on 40.3M candidates;
@@ -4359,15 +4361,20 @@ def setsim_prefix_join(docs: DataFrame, threshold: float) -> DataFrame:
        ceil(t/(1+t)*(na+nb)) — both applied BEFORE the pair distinct.
     4. SCREEN on hashed gram sets with the arithmetic union
        |a u b| = na + nb - |a n b| (never materializes the union
-       array): hashed-Jaccard >= string-Jaccard (collisions only merge
-       elements: intersection can only grow, union only shrink), so
-       ``J_h >= t`` keeps a superset of the true result.  The screen
-       joins attach the (bigint) ``gh`` arrays ONLY — the wide string
-       gram arrays stay out of every candidate-sized intermediate
-       (guide §2.3 project-before-the-exchange / §8 light-proxy rule).
+       array): a collision merging a non-intersection element into
+       another can only grow the intersection and shrink the union, so
+       ``J_h >= t`` keeps those pairs.  (A collision between two grams
+       BOTH already in the intersection would shrink J_h — the one
+       case the inequality does not cover — so the screen is recall-1
+       only up to intra-intersection xxhash64 collisions,
+       astronomically unlikely at trigram-vocabulary cardinalities;
+       ADVICE r14.)  The screen joins attach the (bigint) ``gh``
+       arrays ONLY — the wide string gram arrays stay out of every
+       candidate-sized intermediate (guide §2.3
+       project-before-the-exchange / §8 light-proxy rule).
     5. exact string-gram verify of the survivors only — ``grams``
-       joins in for the post-screen survivor set, three orders of
-       magnitude smaller than the candidate set (sf1: 250,682
+       joins in for the post-screen survivor set, ~50x
+       smaller than the candidate set (sf1: 250,682
        survivors vs 12.1M candidates; same-JVM rotating best-of-3
        12.40 s vs 13.73 s for the heavy-verify shape, and parity at
        sf0.1 — the win is exactly the candidate/survivor ratio, so
