@@ -552,7 +552,11 @@ def test_embedding_cosine_blockmat_matches_fold(spark, tmp_path):
     assert (0, 2) in pairs  # HALF_UP boundary included at 0.300000
     assert not any(10 in p for p in pairs)  # singleton group: no pairs
 
-    # plan shape: one grouped-map pass, no self-join, no interpreted fold
+    # plan shape: one grouped-map pass, no SELF-join of the embedding
+    # payload, no interpreted fold.  r15: the chunk-pair blocking adds
+    # exactly one forced BROADCAST join of the tiny label-count
+    # aggregate (guide §8 decide-with-small-rows); the payload still
+    # crosses one exchange into the grouped map.
     plan = dedup.QUERIES["dedup_embedding_cosine"](
         spark, str(tmp_path)
     )._sc._jvm.PythonSQLUtils.explainString(
@@ -560,4 +564,60 @@ def test_embedding_cosine_blockmat_matches_fold(spark, tmp_path):
         "formatted",
     )
     assert "FlatMapGroupsInPandas" in plan
-    assert "Join" not in plan and "aggregate(zip_with" not in plan
+    assert "aggregate(zip_with" not in plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+    import re
+
+    head = plan.split("== Initial Plan ==")[0]
+    # formatted explain names each operator twice (tree + detail
+    # section); count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", head)) == 1
+
+
+def test_embedding_cosine_chunk_pairs_match_single_block(
+    spark, tmp_path, monkeypatch
+):
+    """r15 chunk-pair blocking (VERDICT r14 item 4): forcing tiny
+    chunks (COS_CHUNK_ROWS=8, so the 20-row label splits 3-way and
+    every diagonal/cross task path runs) must produce the BIT-identical
+    pair set and cosine doubles of the single-chunk shape — the
+    per-pair d=0..63 sequential IEEE accumulation is chunk-invariant."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for vid, x in ((0, 0.5), (1, 0.5999985), (2, 0.599999), (3, 0.6000010)):
+        v = np.zeros(64, dtype=np.float32)
+        v[0] = x
+        rows.append((vid, v.tolist(), 0))
+    rows.append((10, rng.normal(size=64).astype(np.float32).tolist(), 1))
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    for vid in range(20, 40):
+        v = base + rng.normal(scale=0.4, size=64)
+        v = (v / np.linalg.norm(v)).astype(np.float32)
+        rows.append((vid, v.tolist(), 2))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<float>, label int")
+    sdf.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    def run():
+        return (
+            dedup.QUERIES["dedup_embedding_cosine"](spark, str(tmp_path))
+            .toPandas()
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+
+    single = run()  # default chunk size: every block is one chunk
+    monkeypatch.setenv("SPARK_GRAFT_COS_CHUNK_ROWS", "8")
+    chunked = run()
+    assert len(chunked) == len(single) > 0
+    for c in ("vec_a", "vec_b", "label"):
+        assert (chunked[c] == single[c]).all()
+    assert (
+        chunked["cosine"].to_numpy() == single["cosine"].to_numpy()
+    ).all()  # bit-identical doubles, not approx

@@ -621,6 +621,30 @@ def dedup_embedding_cosine(spark, sf_dir):
     returns 0 rows and the differential oracle proves nothing.  0.30
     keeps the oracle populated with real pairs at every sf (round-1
     verdict: "vacuous pass").
+
+    Chunk-pair blocking (r15, VERDICT r14 item 4): the r14 shape
+    materialized an ENTIRE label block in one Python worker
+    (np.stack of all block vectors) and its parallelism equaled the
+    label count — a §5 spill/OOM cliff once a block outgrows worker
+    memory.  Each block is now salted into ceil(n_block /
+    COS_CHUNK_ROWS) hash-chunks and every unordered chunk pair
+    (ti <= tj) is an independent grouped-map task, so per-task memory
+    is bounded by two chunks of vectors (~2 x COS_CHUNK_ROWS x 512 B)
+    + the (1024, chunk) accumulator, and task count grows as
+    block^2/chunk^2.  Block sizes come from a label-count aggregate
+    broadcast back onto the scan (guide §8: decide with small rows —
+    the count subtree scans the label column only and exchanges a
+    rows-per-label table; the embedding payload crosses exactly ONE
+    exchange, to its chunk-pair tasks).  A block at or under
+    COS_CHUNK_ROWS stays a single single-chunk task — bit-identical
+    to the r14 shape, zero replication — so the local bench shape is
+    unchanged; a C-chunk block ships each row C times (the standard
+    blocked-all-pairs replication, traded for bounded memory).  Every
+    pair lands in exactly one task — (min(ci_a, ci_b), max(...)) —
+    and the per-pair dot keeps the same d = 0..63 sequential IEEE
+    accumulation (multiply is commutative, the add order is over
+    dimensions, never rows), so the output stays bit-identical;
+    pinned by test_embedding_cosine_chunk_pairs_match_single_block.
     """
     # the old self-join dropped NULL keys (equi-join) and NULL
     # embeddings (NULL fold -> filtered); keep that contract explicit
@@ -635,42 +659,91 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
     )
     margin = COS_PAIRS_THRESHOLD - 1e-6
+    chunk_rows = int(os.environ.get("SPARK_GRAFT_COS_CHUNK_ROWS", "1024"))
 
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = {
-            "vec_a": pd.Series(dtype="int64"),
-            "vec_b": pd.Series(dtype="int64"),
-            "label": pd.Series(dtype="int32"),
-            "dot": pd.Series(dtype="float64"),
-        }
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        lab = pdf["label"].to_numpy()
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame(empty)
-        emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_block"))
+    tasks = (
+        e.join(F.broadcast(counts), "label")
+        .withColumn(
+            "nch",
+            F.ceil(F.col("n_block") / F.lit(chunk_rows)).cast("int"),
+        )
+        .withColumn(
+            "ci", F.pmod(F.xxhash64("vec_id"), F.col("nch")).cast("int")
+        )
+        .withColumn("k", F.explode(F.expr("sequence(0, nch - 1)")))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "ci",
+            F.least("ci", "k").alias("ti"),
+            F.greatest("ci", "k").alias("tj"),
+        )
+    )
+
+    def _dots(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+        # sequential per-dim accumulation == 0D + p0 + ... + p63:
+        # each iteration is one IEEE double multiply + add per pair,
+        # in the fold's exact order (no BLAS/FMA reordering)
+        acc = np.zeros((left.shape[0], right.shape[0]))
+        for d in range(64):
+            acc += left[:, d : d + 1] * right[:, d][None, :]
+        return acc
+
+    _EMPTY = {
+        "vec_a": pd.Series(dtype="int64"),
+        "vec_b": pd.Series(dtype="int64"),
+        "label": pd.Series(dtype="int32"),
+        "dot": pd.Series(dtype="float64"),
+    }
+
+    def task_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ti = int(pdf["ti"].iat[0])
+        tj = int(pdf["tj"].iat[0])
         oa, ob, oc, od = [], [], [], []
-        chunk = 1024  # bounds the (chunk, n) accumulator's memory
-        for i0 in range(0, n - 1, chunk):
-            i1 = min(i0 + chunk, n - 1)
-            left = emb[i0:i1]  # (c, 64)
-            right = emb[i0 + 1 :]  # rows that can be a pair's b side
-            # sequential per-dim accumulation == 0D + p0 + ... + p63:
-            # each iteration is one IEEE double multiply + add per
-            # pair, in the fold's exact order (no BLAS/FMA reordering)
-            acc = np.zeros((i1 - i0, n - i0 - 1))
-            for d in range(64):
-                acc += left[:, d : d + 1] * right[:, d][None, :]
-            ii, jj = np.nonzero(acc >= margin)
-            keep = jj >= ii  # global j = jj + i0 + 1 > global i = ii + i0
-            ii, jj = ii[keep], jj[keep]
-            oa.append(ids[ii + i0])
-            ob.append(ids[jj + i0 + 1])
-            oc.append(lab[ii + i0])
-            od.append(acc[ii, jj])
+        inner = 1024  # bounds the (inner, n) accumulator's memory
+        if ti == tj:  # diagonal task: triangular pairs within a chunk
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            lab = pdf["label"].to_numpy()
+            n = len(ids)
+            if n < 2:
+                return pd.DataFrame(_EMPTY)
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            for i0 in range(0, n - 1, inner):
+                i1 = min(i0 + inner, n - 1)
+                left = emb[i0:i1]  # (c, 64)
+                right = emb[i0 + 1 :]  # rows that can be a pair's b side
+                acc = _dots(left, right)
+                ii, jj = np.nonzero(acc >= margin)
+                keep = jj >= ii  # global j = jj+i0+1 > global i = ii+i0
+                ii, jj = ii[keep], jj[keep]
+                oa.append(ids[ii + i0])
+                ob.append(ids[jj + i0 + 1])
+                oc.append(lab[ii + i0])
+                od.append(acc[ii, jj])
+        else:  # cross task: full rectangle chunk ti x chunk tj
+            a = pdf[pdf["ci"] == ti].sort_values("vec_id")
+            b = pdf[pdf["ci"] == tj].sort_values("vec_id")
+            if not len(a) or not len(b):
+                return pd.DataFrame(_EMPTY)
+            ids_a = a["vec_id"].to_numpy()
+            ids_b = b["vec_id"].to_numpy()
+            lab_a = a["label"].to_numpy()
+            emb_a = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+            emb_b = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            for i0 in range(0, len(ids_a), inner):
+                i1 = min(i0 + inner, len(ids_a))
+                acc = _dots(emb_a[i0:i1], emb_b)
+                ii, jj = np.nonzero(acc >= margin)
+                ia, ib = ids_a[ii + i0], ids_b[jj]
+                oa.append(np.minimum(ia, ib))  # hash chunks are not
+                ob.append(np.maximum(ia, ib))  # vec_id-ordered
+                oc.append(lab_a[ii + i0])
+                od.append(acc[ii, jj])
         if not oa:
-            return pd.DataFrame(empty)
+            return pd.DataFrame(_EMPTY)
         return pd.DataFrame(
             {
                 "vec_a": np.concatenate(oa),
@@ -681,8 +754,8 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
 
     return (
-        e.groupBy("label")
-        .applyInPandas(block_pairs, "vec_a long, vec_b long, label int, dot double")
+        tasks.groupBy("label", "ti", "tj")
+        .applyInPandas(task_pairs, "vec_a long, vec_b long, label int, dot double")
         .select(
             "vec_a",
             "vec_b",
