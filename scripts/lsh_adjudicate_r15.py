@@ -24,9 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from zarr_datafusion_spark.session import get_spark
+from zarr_datafusion_spark.operators.common import cpu_rebalance
 from zarr_datafusion_spark.operators.dedup import (
     N_BANDS,
     N_PERM,
@@ -107,17 +108,12 @@ def shape_zip(docs):
 
 
 def main():
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
-        .getOrCreate()
-    )
+    spark = get_spark("lsh_adjudicate_r15")  # the bench's exact config
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    # the registry entry reads docs through _docs() = cpu_rebalance(scan)
+    docs = cpu_rebalance(
+        spark, spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    )
 
     all_shapes = {
         "P_packed": shape_packed,

@@ -328,3 +328,34 @@ def test_cpu_rebalance_over_gates_on_scan_bytes(spark):
     if _planned_scan_partitions(spark, docs) < spark.sparkContext.defaultParallelism:
         assert forced is not docs
         assert "Repartition" in forced._jdf.queryExecution().logical().toString()
+
+
+def test_cdc_union_has_no_distinct(spark):
+    """r14 exchange win, pinned (VERDICT r14 item 9): the CDC boundary
+    unions are provably disjoint, so neither chunk_cdc variant may plan
+    a (doc_id, pos) DISTINCT — no HashAggregate anywhere in the plan (a
+    dedup pair would reintroduce a full exchange per query) — and only
+    the md5-per-char map branch is round-robin rebalanced."""
+    from zarr_datafusion_spark.operators.extras import QUERIES
+
+    for name in ("chunk_cdc", "chunk_cdc_bounded"):
+        plan = plan_text(QUERIES[name](spark, SF_DIR))
+        head = plan.split("== Initial Plan ==")[0]
+        assert "HashAggregate" not in head, f"{name}: DISTINCT crept back"
+        assert "RoundRobinPartitioning" in head, f"{name}: map branch lost its rebalance"
+
+
+def test_lsh_band_exchange_is_packed_bigints(spark):
+    """r14 shuffle-key win, pinned (VERDICT r14 item 9): the LSH
+    banding exchange must key on the two packed BIGINTs, never the
+    comma-joined string (array_join) key — and the r15 adjudication
+    confirmed the packed explode-then-project shape is the fastest of
+    the three candidates at sf0.1 AND sf1 (scripts/lsh_adjudicate_r15.py)."""
+    from zarr_datafusion_spark.operators.dedup import QUERIES
+
+    plan = plan_text(QUERIES["dedup_minhash_lsh"](spark, SF_DIR))
+    head = plan.split("== Initial Plan ==")[0]
+    assert re.search(r"hashpartitioning\(band_idx#\d+, band_h0#\d+L, band_h1#\d+L", head), (
+        "banding exchange no longer keyed on the packed bigints"
+    )
+    assert "array_join" not in head, "string band key reappeared"
