@@ -197,9 +197,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
     ga = g.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("a_grams"))
     gb = g.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("b_grams"))
+    # Arithmetic union (r15, guide §1.2 per-task work): _GRAMS_EXPR's
+    # arrays are array_distinct'd, so |a u b| = |a| + |b| - |a n b|
+    # exactly — the same integers the old array_distinct(concat(...))
+    # spelling produced, so the double division is bit-identical while
+    # the per-pair union-array build (concat + hash-dedup allocation)
+    # disappears.  The threshold filter still re-derives the expression
+    # in the join condition (Catalyst pushes it), but each evaluation
+    # now does ONE array_intersect and O(1) size arithmetic — the r14
+    # setsim verify's EXACT_J spelling, adopted here after the plan
+    # read showed the full jaccard (intersect + concat + distinct)
+    # evaluated twice per candidate pair (condition + project).
     jac = (
         "CAST(size(array_intersect(a_grams, b_grams)) AS DOUBLE)"
-        " / size(array_distinct(concat(a_grams, b_grams)))"
+        " / (size(a_grams) + size(b_grams)"
+        "    - size(array_intersect(a_grams, b_grams)))"
     )
     return (
         cands.join(ga, F.col("doc_a") == F.col("a_id"))
