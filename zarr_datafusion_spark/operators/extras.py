@@ -4436,21 +4436,50 @@ def setsim_prefix_join(docs: DataFrame, threshold: float) -> DataFrame:
     )
     # stages 4+5: hashed screen, then exact string verify — both use
     # the arithmetic union (gram sets are distinct by construction)
-    screen_j = (
-        "CAST(size(array_intersect(a_gh, b_gh)) AS DOUBLE)"
-        " / (size(a_gh) + size(b_gh) - size(array_intersect(a_gh, b_gh)))"
-    )
     exact_j = (
         "CAST(size(array_intersect(a_grams, b_grams)) AS DOUBLE)"
         " / (size(a_grams) + size(b_grams)"
         "    - size(array_intersect(a_grams, b_grams)))"
     )
+    # Integer threshold predicates (r15, guide §1.2): the Jaccard-vs-t
+    # comparisons filter-push into the join conditions, where the
+    # double spelling evaluates array_intersect TWICE per pair
+    # (numerator + union arithmetic) over the ~12M-row candidate set.
+    # J >= p/q  <=>  (p+q)*i >= p*(|a|+|b|)  references the intersect
+    # ONCE, in pure bigint arithmetic — measured 24% on the whole
+    # entry at sf1 (best 9.8 vs 12.9 s, identical output checksums).
+    # Exactness guard: t.as_integer_ratio() represents the DOUBLE t
+    # exactly, so the rational predicate is the mathematical J >= t;
+    # the legacy double spelling agrees with it whenever
+    # |i/u - p/q| (>= 1/(u*q) when nonzero, u = union size) exceeds
+    # the division's rounding error (~t*2^-52): guaranteed for
+    # q <= 2^20 and u < 2^30.  Thresholds with bigger denominators
+    # (q > 2^20, e.g. t = 0.3) keep the legacy double spelling —
+    # p*(...) products could also overflow there.  At the registry's
+    # t = 0.5 (p=1, q=2) the predicate is 3*i >= |a|+|b|, exact.
+    p, q = float(t).as_integer_ratio()
+    if 0 < q <= (1 << 20):
+        screen_pred = F.expr(
+            f"{p + q} * size(array_intersect(a_gh, b_gh))"
+            f" >= {p} * (size(a_gh) + size(b_gh))"
+        )
+        exact_pred = F.expr(
+            f"{p + q} * size(array_intersect(a_grams, b_grams))"
+            f" >= {p} * (size(a_grams) + size(b_grams))"
+        )
+    else:  # legacy double spelling for non-dyadic-friendly thresholds
+        screen_j = (
+            "CAST(size(array_intersect(a_gh, b_gh)) AS DOUBLE)"
+            " / (size(a_gh) + size(b_gh) - size(array_intersect(a_gh, b_gh)))"
+        )
+        screen_pred = F.expr(screen_j) >= t
+        exact_pred = F.expr(exact_j) >= t
     ha = g.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("a_gh"))
     hb = g.select(F.col("doc_id").alias("doc_b"), F.col("gh").alias("b_gh"))
     survivors = (
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")
-        .filter(F.expr(screen_j) >= t)
+        .filter(screen_pred)
         .select("doc_a", "doc_b")
     )
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("a_grams"))
@@ -4458,8 +4487,8 @@ def setsim_prefix_join(docs: DataFrame, threshold: float) -> DataFrame:
     return (
         survivors.join(ga, "doc_a")
         .join(gb, "doc_b")
+        .filter(exact_pred)
         .select("doc_a", "doc_b", F.expr(exact_j).alias("jaccard"))
-        .filter(F.col("jaccard") >= t)
     )
 
 
